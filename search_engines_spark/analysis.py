@@ -1,0 +1,115 @@
+"""Canonical text-analysis pipeline, shared by index side, query side, and oracle.
+
+The reference's analyzer chain (StandardTokenizer → EnglishPossessiveFilter →
+LowerCase → StopFilter → KStem; `EnglishAnalyzerConfigurable.java:144-162`,
+enabled flags `QryParser.java:45-47`) is replaced by ONE canonical pipeline
+used byte-identically on the index side, the query side, and the pure-Python
+oracle — the property rank-identity actually depends on.
+
+Two load-bearing semantics carried over exactly from the reference:
+
+* positions are assigned over ALL tokens (stopwords included) and `doclen`
+  counts stopword positions (`Idx.java:84-90`,
+  `DocLenStoreSimilarity.java:28-31`); only the *emission* of (term, pos)
+  pairs skips stopwords (`EnglishAnalyzerConfigurable.java:153-154`);
+* the stopword set is Lucene's classic 33-word English default
+  (public: lucene `StopAnalyzer.ENGLISH_STOP_WORDS_SET`).
+
+The default tokenizer is deliberately expressible as pure relational
+expressions in BOTH Spark SQL and ANSI SQL (DuckDB oracle):
+
+    tokens = filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')
+
+so the hot path stays inside whole-stage codegen (JVM, no Python at all).
+A vectorized Arrow/pandas UDF variant with possessive stripping and light
+(Krovetz-inspired) stemming is available behind ``Analyzer(stem=True)`` for
+parity experiments; it is OFF by default so Spark/DuckDB/Python agree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# Lucene's classic English stop set (33 words) — public knowledge.
+STOPWORDS: frozenset[str] = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+# The same tokenizer as SQL fragments, for engine/oracle parity.
+SPARK_TOKENS_EXPR = "filter(split(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+DUCKDB_TOKENS_EXPR = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+)
+STOPWORDS_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+def tokenize(text: str) -> list[str]:
+    """All tokens (stopwords included), lowercased. Position i+1 = token i."""
+    if not text:
+        return []
+    return [t for t in TOKEN_SPLIT_RE.split(text.lower()) if t]
+
+
+def _kstem_lite(term: str) -> str:
+    """Light Krovetz-inspired stemmer (plural + common verb endings only).
+
+    NOT byte-identical to Lucene KStem (`EnglishAnalyzerConfigurable.java:
+    159-162`); the engine's rank-identity gate runs with stemming OFF, where
+    index/query/oracle share `tokenize` exactly. This exists so the full
+    analyzer chain shape (tokenize→possessive→lower→stop→stem) is present
+    and testable.
+    """
+    if len(term) <= 3 or not term.isalpha():
+        return term
+    if term.endswith("ies") and len(term) > 4:
+        return term[:-3] + "y"
+    if term.endswith("es") and not term.endswith(("ses", "xes", "zes", "ches", "shes")):
+        return term[:-1]
+    if term.endswith("s") and not term.endswith(("ss", "us", "is")):
+        return term[:-1]
+    if term.endswith("ing") and len(term) > 5:
+        stem = term[:-3]
+        return stem + "e" if stem[-1] in "uv" else stem
+    if term.endswith("ed") and len(term) > 4:
+        return term[:-2]
+    return term
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Configurable analyzer; ``Analyzer()`` is the canonical SQL-parity one."""
+
+    strip_possessive: bool = False  # "'s" handling (ref: EnglishPossessiveFilter)
+    stem: bool = False              # kstem_lite (ref: KStem; see docstring above)
+
+    def analyze(self, text: str) -> tuple[int, list[tuple[str, int]]]:
+        """→ (doclen, [(term, 1-based position), ...]) with stopwords skipped.
+
+        doclen counts ALL token positions including stopwords — load-bearing
+        for BM25 length normalization (`Idx.java:84-90`).
+        """
+        toks = tokenize(text)
+        if self.strip_possessive:
+            # split-tokenizer renders "parser's" as ["parser","s"]; drop the
+            # stray possessive "s" (position still counted, like a stopword).
+            pass  # handled below via emission skip
+        out: list[tuple[str, int]] = []
+        for i, tok in enumerate(toks):
+            if tok in STOPWORDS:
+                continue
+            if self.strip_possessive and tok == "s" and i > 0:
+                continue
+            out.append((_kstem_lite(tok) if self.stem else tok, i + 1))
+        return len(toks), out
+
+    def query_terms(self, text: str) -> list[str]:
+        """Tokenize a query string with the same chain (stopwords removed)."""
+        _, pairs = self.analyze(text)
+        return [t for t, _ in pairs]
+
+
+CANONICAL = Analyzer()

@@ -1,0 +1,97 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1, §4).
+
+Generates the input shape fixed by BASELINE.json `input_hint`:
+``(repo, path, commit, lang, content)`` — seeded, reproducible, no external
+data — with the planted patterns of FIXTURES.md §4 that make operator
+semantics falsifiable (NEAR/WINDOW boundary distances, out-of-order
+adjacency, repeated terms, partial #AND matches, stopword-heavy docs,
+>50%-df terms for the idf floor, score ties).
+
+Internal docid = dense rank over (repo, path, commit) lexicographic —
+deterministic across runs and parallelism levels (FIXTURES.md §1).
+External id = "{repo}:{path}@{commit[:8]}".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+VOCAB_CORE = [
+    "parser", "lexer", "token", "stream", "buffer", "index", "shard", "merge",
+    "segment", "posting", "score", "rank", "query", "filter", "join", "scan",
+    "batch", "vector", "column", "partition", "shuffle", "broadcast", "cache",
+    "spill", "codec", "varint", "delta", "block", "manifest", "checkpoint",
+    "lineage", "counter", "metric", "latency", "throughput", "executor",
+    "driver", "task", "stage", "plan", "tree", "node", "leaf", "root",
+]
+LANGS = ["python", "java", "go", "js", "md"]
+STOP_FILLER = "the of a to and in is it for on"  # all stopwords — pads doclen
+
+
+def _commit(rng: random.Random) -> str:
+    return "".join(rng.choice("0123456789abcdef") for _ in range(40))
+
+
+def _sentence(rng: random.Random, k: int) -> str:
+    return " ".join(rng.choice(VOCAB_CORE) for _ in range(k))
+
+
+PLANTED = [
+    # (path-tag, content) — see FIXTURES.md §4 / SURVEY.md §4.3
+    ("near_exact_1", "fickle creek farm visits the creek"),          # near/1 hit
+    ("near_exact_2", "fickle old creek farm"),                       # gap 2: near/1 miss, near/2 hit ('old' nonstop)
+    ("near_gap_stop", "fickle the creek"),                           # stopword gap: positions 1,3 → near/1 miss, near/2 hit
+    ("order_swap", "creek fickle runs deep"),                        # near(fickle creek) miss; window/2 hit
+    ("window_w2", "creek farm boundary"),                            # window/2: span 2 < 2? no → miss at n=2, hit n=3
+    ("repeat_tf", "creek creek farm farm creek farm"),               # tf>1 overlapping pairs
+    ("partial_and", "fickle boundary only"),                         # matches 1 of 2 AND args
+    ("stop_heavy", f"{STOP_FILLER} {STOP_FILLER} creek {STOP_FILLER} farm"),  # doclen >> emitted
+    ("tie_a", "voyager probe"),                                      # identical content → score tie
+    ("tie_b", "voyager probe"),
+    ("common_term", "buffer " * 3),                                  # planted everywhere too (idf floor)
+]
+
+
+def generate_corpus(n_docs: int = 200, seed: int = 42) -> list[dict]:
+    """→ list of {repo, path, commit, lang, content} rows, deterministic."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        repo = f"org{i % 7}/proj{i % 13}"
+        lang = LANGS[i % len(LANGS)]
+        body = []
+        for _ in range(rng.randint(3, 12)):
+            body.append(_sentence(rng, rng.randint(4, 12)))
+            if rng.random() < 0.3:
+                body.append(STOP_FILLER)
+        # >50%-df term for the idf floor (quirk 8)
+        if i % 2 == 0:
+            body.append("buffer overflow guard")
+        content = " . ".join(body)
+        rows.append({
+            "repo": repo,
+            "path": f"src/pkg{i % 5}/mod{i}.{lang[:2]}",
+            "commit": _commit(rng),
+            "lang": lang,
+            "content": content,
+        })
+    for j, (tag, content) in enumerate(PLANTED):
+        rows.append({
+            "repo": "org0/planted",
+            "path": f"planted/{tag}.py",
+            "commit": _commit(rng),
+            "lang": "python",
+            "content": content,
+        })
+    # dense-rank docids over (repo, path, commit)
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return rows
+
+
+def ext_id(row: dict) -> str:
+    return f"{row['repo']}:{row['path']}@{row['commit'][:8]}"
+
+
+def sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()

@@ -1,0 +1,1 @@
+from .compile import Engine  # noqa: F401

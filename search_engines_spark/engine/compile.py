@@ -1,0 +1,277 @@
+"""AST → DataFrame plan compiler: the Spark-native replacement for the
+reference's document-at-a-time evaluator (`QryEval.java:421-445`).
+
+The DAAT iterator machinery (`Qry.java:248-364`) is NOT ported (SURVEY.md
+§2.4): matchAll intersection = inner join, matchMin = union/outer join,
+lazy scoring = inner-join semantics, full-sort-truncate = orderBy().limit()
+(Spark's TakeOrderedAndProject does per-partition top-k + merge).
+
+Everything is plan-internal — no driver-side actions per query: derived
+df/ctf for scoring (`QrySopScore.java:96`, `InvList.java:166-167`) are
+computed as 1-row aggregate subplans cross-joined broadcast onto the score
+frame; Indri default scores (`QrySopAnd.java:86-94`) become column
+expressions over doclen + those ctf columns on a full-outer candidate frame.
+Only global corpus stats (N, doc_count, sum_len per field — a handful of
+longs) are collected once at Engine construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..analysis import Analyzer, CANONICAL
+from ..indexer.build import Index
+from ..oracle import DEFAULT_OPS, Models
+from ..parser import Node, QueryParser
+from .proximity import near_frame, syn_frame, window_frame
+
+
+class Engine:
+    def __init__(self, index: Index, model: str = "bm25",
+                 params: Models | None = None,
+                 analyzer: Analyzer = CANONICAL,
+                 default_field: str = "body"):
+        if model not in DEFAULT_OPS:
+            raise ValueError(f"unknown retrieval model {model!r}")
+        self.index = index
+        self.model = model
+        self.p = params or Models()
+        self.parser = QueryParser(analyzer, default_field=default_field)
+        self._iop_cache: dict[int, DataFrame] = {}
+
+    # ------------------------------------------------------------- public --
+
+    def parse(self, qstring: str) -> Node:
+        return self.parser.parse(qstring, default_op=DEFAULT_OPS[self.model])
+
+    def search(self, qstring: str, k: int = 100) -> DataFrame:
+        """→ (doc_id, ext_id, score) top-k, score desc / ext_id asc
+        (`ScoreList.java:87-114`, truncate `QryEval.java:748-752`)."""
+        node = self.parse(qstring)
+        s = self.eval_sop(node).where(F.col("score") >= 0)  # QryEval.java:437
+        res = s.join(self.index.docs.select("doc_id", "ext_id"), "doc_id")
+        return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
+                .select("doc_id", "ext_id", "score"))
+
+    def search_many(self, queries: dict[str, str], k: int = 100) -> DataFrame:
+        """Batch: → (qid, doc_id, ext_id, score, rank ≤ k) for all queries in
+        one plan (the reference loops queries sequentially,
+        `QryEval.java:684`; we union per-query plans and let Spark schedule)."""
+        from pyspark.sql import Window
+        frames = []
+        for qid, q in queries.items():
+            node = self.parse(q)
+            frames.append(self.eval_sop(node)
+                          .where(F.col("score") >= 0)
+                          .withColumn("qid", F.lit(qid)))
+        u = reduce(lambda l, r: l.unionByName(r), frames)
+        u = u.join(self.index.docs.select("doc_id", "ext_id"), "doc_id")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
+        return (u.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "doc_id", "ext_id", "score", "rank"))
+
+    # ------------------------------------------------------ Iop compilation --
+
+    def eval_iop(self, node: Node) -> DataFrame:
+        """→ (doc_id, tf, positions) posting frame for an Iop subtree."""
+        key = id(node)
+        if key in self._iop_cache:
+            return self._iop_cache[key]
+        if node.op == "term":
+            out = (self.index.postings
+                   .where((F.col("term") == node.term) &
+                          (F.col("field") == node.field))
+                   .select("doc_id", "tf", "positions"))
+        else:
+            args = [self.eval_iop(a) for a in node.args]
+            if node.op == "near":
+                out = near_frame(args, node.n)
+            elif node.op == "window":
+                out = window_frame(args, node.n)
+            elif node.op == "syn":
+                out = syn_frame(args)
+            else:
+                raise ValueError(node.op)
+            # derived lists are consumed ≥2× (score + derived-stats subplan);
+            # persist to evaluate the zipper UDF once
+            out = out.persist()
+        self._iop_cache[key] = out
+        return out
+
+    def _derived_stats(self, node: Node) -> DataFrame:
+        """1-row (df, ctf) of a derived/leaf list (`InvList.java:143-169`)."""
+        return self.eval_iop(node).agg(
+            F.count("*").alias("df"), F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"))
+
+    # ------------------------------------------------------ Sop compilation --
+
+    def eval_sop(self, node: Node) -> DataFrame:
+        """→ (doc_id, score) frame for a Sop subtree."""
+        if node.op == "score":
+            return self._score(node)
+        if node.op == "and":
+            return self._and(node)
+        if node.op == "or":
+            return self._or(node)
+        if node.op == "sum":
+            return self._sum(node)
+        if node.op in ("wsum", "wand"):
+            return self._weighted(node)
+        raise ValueError(node.op)
+
+    # -- #SCORE ---------------------------------------------------------------
+
+    def _score(self, node: Node) -> DataFrame:
+        child = node.args[0]
+        fld = child.field
+        il = self.eval_iop(child)
+        st = self.index.stats_for(fld)
+        base = (il
+                .crossJoin(F.broadcast(self._derived_stats(child)))
+                .join(self.index.doclens.where(F.col("field") == fld)
+                      .select("doc_id", "doclen"), "doc_id"))
+        if self.model == "bm25":
+            score = self._bm25_expr(F.col("tf"), F.col("df"), F.col("doclen"), st)
+        elif self.model == "indri":
+            score = self._indri_expr(F.col("tf"), F.col("ctf"), F.col("doclen"), st)
+        elif self.model == "rankedboolean":
+            score = F.col("tf").cast("double")       # QrySopScore.java:83-88
+        else:  # unrankedboolean
+            score = F.lit(1.0)                       # QrySopScore.java:75-81
+        return base.select("doc_id", score.alias("score"))
+
+    def _bm25_expr(self, tf: Column, df: Column, doclen: Column, st: dict) -> Column:
+        """`QrySopScore.java:90-120`: idf floored at 0, user weight ≡ 1."""
+        n = float(st["n_docs"])
+        avglen = st["sum_len"] / st["doc_count"]
+        idf = F.greatest(F.lit(0.0), F.log((F.lit(n) - df + 0.5) / (df + 0.5)))
+        tfw = tf / (tf + self.p.k1 * (1 - self.p.b + self.p.b * doclen / F.lit(avglen)))
+        return idf * tfw * F.lit(1.0)
+
+    def _indri_expr(self, tf: Column, ctf: Column, doclen: Column, st: dict) -> Column:
+        """`QrySopScore.java:140-161`; tf=0 ⇒ the default score (`:123-138`)."""
+        c = float(st["sum_len"])
+        pmle = ctf / F.lit(c)
+        mu, lam = self.p.mu, self.p.lam
+        return (1 - lam) * (tf + mu * pmle) / (doclen + F.lit(mu)) + lam * pmle
+
+    # -- boolean / bag-of-words combiners --------------------------------------
+
+    def _and(self, node: Node) -> DataFrame:
+        if self.model in ("unrankedboolean", "rankedboolean"):
+            frames = [self.eval_sop(a).withColumnRenamed("score", f"_s{i}")
+                      for i, a in enumerate(node.args)]
+            j = reduce(lambda l, r: l.join(r, "doc_id"), frames)  # matchAll
+            if self.model == "unrankedboolean":
+                return j.select("doc_id", F.lit(1.0).alias("score"))
+            score = F.least(*[F.col(f"_s{i}") for i in range(len(node.args))])
+            return j.select("doc_id", score.alias("score"))      # min: QrySopAnd.java:68-83
+        if self.model == "indri":
+            k = len(node.args)
+            exps = [1.0 / k] * k
+            return self._indri_combine(node.args, exps, mode="geo")
+        raise ValueError(f"#AND unsupported under {self.model} (reference parity)")
+
+    def _or(self, node: Node) -> DataFrame:
+        if self.model not in ("unrankedboolean", "rankedboolean"):
+            raise ValueError(f"#OR unsupported under {self.model} (reference parity)")
+        u = reduce(lambda l, r: l.unionByName(r),
+                   [self.eval_sop(a) for a in node.args])
+        agg = u.groupBy("doc_id").agg(F.max("score").alias("score"))  # QrySopOr.java:69-84
+        if self.model == "unrankedboolean":
+            return agg.select("doc_id", F.lit(1.0).alias("score"))
+        return agg
+
+    def _sum(self, node: Node) -> DataFrame:
+        if self.model != "bm25":
+            raise ValueError("#SUM is BM25-only (`QrySopSum.java:39-53`)")
+        u = reduce(lambda l, r: l.unionByName(r),
+                   [self.eval_sop(a) for a in node.args])
+        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _weighted(self, node: Node) -> DataFrame:
+        if self.model != "indri":
+            raise ValueError(f"#{node.op.upper()} is Indri-only in the reference")
+        w = sum(node.weights)
+        shares = [wi / w for wi in node.weights]
+        return self._indri_combine(node.args, shares,
+                                   mode="sum" if node.op == "wsum" else "geo")
+
+    # -- Indri matchMin + default-score machinery -------------------------------
+
+    def _indri_combine(self, args: list[Node], shares: list[float],
+                       mode: str) -> DataFrame:
+        """matchMin candidates (`Qry.java:325-348`) via outer join; absent
+        args contribute their default score (`QrySopAnd.java:97-107`,
+        `QrySopWSum.java:52-70`, `QrySopWAnd.java:45-62`).
+
+        mode='geo': Π v_i^share_i ; mode='sum': Σ share_i · v_i.
+        """
+        frames = [self.eval_sop(a).withColumnRenamed("score", f"_s{i}")
+                  for i, a in enumerate(args)]
+        cand = reduce(lambda l, r: l.unionByName(r),
+                      [f.select("doc_id") for f in frames]).distinct()
+        j = reduce(lambda l, r: l.join(r, "doc_id", "left"), frames, cand)
+        # doclen columns for every field referenced by defaults in the subtree
+        fields = sorted({f for a in args for f in self._fields_of(a)})
+        for fld in fields:
+            j = j.join(self.index.doclens.where(F.col("field") == fld)
+                       .select("doc_id", F.col("doclen").alias(f"_dl_{fld}")),
+                       "doc_id", "left")
+        # ctf columns for every score node in the subtree (1-row broadcasts)
+        for a in args:
+            for sid, snode in self._score_nodes(a):
+                j = j.crossJoin(F.broadcast(
+                    self._derived_stats(snode.args[0])
+                    .select(F.col("ctf").alias(f"_ctf_{sid}"))))
+        vals = [F.coalesce(F.col(f"_s{i}"), self._default_expr(a))
+                for i, a in enumerate(args)]
+        if mode == "geo":
+            score = reduce(lambda acc, sv: acc * F.pow(sv[1], F.lit(sv[0])),
+                           zip(shares, vals), F.lit(1.0))
+        else:
+            score = reduce(lambda acc, sv: acc + F.lit(sv[0]) * sv[1],
+                           zip(shares, vals), F.lit(0.0))
+        return j.select("doc_id", score.alias("score"))
+
+    def _fields_of(self, node: Node) -> set[str]:
+        if node.op == "score":
+            return {node.args[0].field}
+        return set().union(*(self._fields_of(a) for a in node.args)) if node.args else set()
+
+    def _score_nodes(self, node: Node) -> list[tuple[int, Node]]:
+        if node.op == "score":
+            return [(id(node), node)]
+        out = []
+        for a in node.args:
+            out.extend(self._score_nodes(a))
+        return out
+
+    def _default_expr(self, node: Node) -> Column:
+        """Recursive Indri default score as a pure column expression
+        (`QrySopAnd.java:86-94`, `QrySopWAnd.java:24-34`)."""
+        if node.op == "score":
+            fld = node.args[0].field
+            st = self.index.stats_for(fld)
+            sid = id(node)
+            return self._indri_expr(F.lit(0), F.col(f"_ctf_{sid}"),
+                                    F.col(f"_dl_{fld}"), st)
+        if node.op == "and":
+            k = len(node.args)
+            return reduce(lambda acc, a: acc * F.pow(self._default_expr(a),
+                                                     F.lit(1.0 / k)),
+                          node.args, F.lit(1.0))
+        if node.op in ("wand", "wsum"):
+            w = sum(node.weights)
+            if node.op == "wand":
+                return reduce(
+                    lambda acc, wa: acc * F.pow(self._default_expr(wa[1]),
+                                                F.lit(wa[0] / w)),
+                    zip(node.weights, node.args), F.lit(1.0))
+            return reduce(
+                lambda acc, wa: acc + F.lit(wa[0] / w) * self._default_expr(wa[1]),
+                zip(node.weights, node.args), F.lit(0.0))
+        raise ValueError(f"no default score for #{node.op}")

@@ -1,0 +1,73 @@
+"""#NEAR/n, #WINDOW/n, #SYN as DataFrame plans + Arrow-batched zipper UDFs.
+
+The reference's doc-at-a-time alignment (`QryIopNear.java:61-92` min-docid
+advancing) becomes an n-way inner join on doc_id — Catalyst picks the join
+strategy, AQE splits skewed keys. Only the per-document position zipper is
+Python, and it is Arrow-vectorized per batch (pure Python only *within* one
+row's position arrays — SURVEY.md §2.3). The zipper kernels are imported
+from `oracle` so engine and golden oracle share one implementation and
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..oracle import near_positions, window_positions
+
+
+def _joined_positions(args: list[DataFrame]) -> DataFrame:
+    """Inner-join arg posting frames on doc_id; positions as p0..p{k-1}."""
+    renamed = [a.select("doc_id", F.col("positions").alias(f"_p{i}"))
+               for i, a in enumerate(args)]
+    return reduce(lambda l, r: l.join(r, "doc_id"), renamed)
+
+
+def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:
+    """Shared NEAR/WINDOW shape: join on doc_id → per-row position kernel."""
+    k = len(args)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def merge(*cols: pd.Series) -> pd.Series:
+        return pd.Series([kernel([list(c) for c in row]) for row in zip(*cols)])
+
+    j = _joined_positions(args)
+    out = (j.withColumn("positions", merge(*[F.col(f"_p{i}") for i in range(k)]))
+           .where(F.size("positions") > 0)
+           .select("doc_id",
+                   F.size("positions").cast("int").alias("tf"),
+                   "positions"))
+    return out
+
+
+def near_frame(args: list[DataFrame], n: int) -> DataFrame:
+    """#NEAR/n — left-fold two-pointer, `<= n`, emits last arg's positions,
+    consumes matched pairs (`QryIopNear.java:97-116`)."""
+    def kernel(pos_lists: list[list[int]]) -> list[int]:
+        cur = pos_lists[0]
+        for nxt in pos_lists[1:]:
+            cur = near_positions(cur, nxt, n)
+            if not cur:
+                break
+        return cur
+    return _zipper_frame(args, kernel)
+
+
+def window_frame(args: list[DataFrame], n: int) -> DataFrame:
+    """#WINDOW/n — unordered, strict `< n`, emits max_loc, advances all
+    (`QryIopWindow.java:121-137`)."""
+    return _zipper_frame(args, lambda pls: window_positions(pls, n))
+
+
+def syn_frame(args: list[DataFrame]) -> DataFrame:
+    """#SYN — union; positions = sorted concat (`QryIopSyn.java:17-71`).
+    Pure built-ins: union → groupBy(doc_id) → flatten + array_sort."""
+    u = reduce(lambda l, r: l.unionByName(r),
+               [a.select("doc_id", "positions") for a in args])
+    return (u.groupBy("doc_id")
+            .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"))
+            .select("doc_id", F.size("positions").cast("int").alias("tf"), "positions"))

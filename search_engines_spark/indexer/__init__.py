@@ -1,0 +1,8 @@
+from .build import (  # noqa: F401
+    Index,
+    assign_dense_ids,
+    build_index_frames,
+    build_postings,
+    docs_from_code_corpus,
+    docs_from_documents_table,
+)

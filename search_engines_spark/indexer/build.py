@@ -1,0 +1,191 @@
+"""Inverted-index builder — the component the reference delegates to Lucene.
+
+The reference has NO indexer code (SURVEY.md §2.1 note: prebuilt Lucene index
+in `QryEval/index/`); this module is specified by BASELINE.json `north_rule`:
+posting lists with positions, term/doc frequencies, doc-length store counting
+stopword positions (`Idx.java:84-90`), built scalably:
+
+* tokenization stays in whole-stage codegen: `filter(split(lower(text),...))`
+  — pure JVM column expressions, no Python in the hot path (faster than any
+  UDF; an Arrow-UDF analyzer variant exists in `analysis.Analyzer`);
+* dense docid assignment is the two-pass distributed pattern (range-partition
+  → per-partition counts → broadcast offsets), NOT a single-partition window
+  — survives 10^12 rows;
+* postings aggregation groups on (term, doc_id) — skew-free key (the hot-term
+  problem only exists for per-term grouping, which we do only for the tiny
+  `term_stats` aggregate where map-side partial aggregation absorbs it);
+* segment layout (compression, block-max metadata) lives in
+  `indexer.segments`; persistence + manifests + resume in
+  `indexer.manifest`.
+
+All frames are lazy; callers decide what to persist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis import SPARK_TOKENS_EXPR, STOPWORDS
+
+DEFAULT_FIELD = "body"
+
+
+def assign_dense_ids(df: DataFrame, key_cols: list[str],
+                     id_col: str = "doc_id", num_partitions: int = 32) -> DataFrame:
+    """Deterministic dense 0-based ids by lexicographic key order, scalably.
+
+    Two-pass: range-partition by key → count per partition (tiny collect) →
+    broadcast cumulative offsets → per-partition row_number + offset. The
+    ids depend only on the total key order, not on partition boundaries, so
+    they are stable across parallelism levels (FIXTURES.md §1 requirement).
+    """
+    d = df.repartitionByRange(num_partitions, *key_cols)
+    d = d.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in
+              d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    out = (d.join(F.broadcast(off_df), "_pid")
+           .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+           .drop("_pid", "_off"))
+    return out
+
+
+def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return (df
+            .withColumn("_tokens", F.expr(SPARK_TOKENS_EXPR.format(col=text_col)))
+            .withColumn("doclen", F.size("_tokens").cast("long")))
+
+
+def docs_from_code_corpus(src: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) → docs frame with doc_id, ext_id,
+    sha256, doclen, _tokens. ext_id = repo:path@commit[:8] (`Idx.java:74-78`
+    analog); sha256 is the per-row content-equality invariant (input_hint)."""
+    d = assign_dense_ids(src, ["repo", "path", "commit"])
+    return (_with_tokens(d, "content")
+            .withColumn("ext_id", F.concat_ws("", F.col("repo"), F.lit(":"),
+                                              F.col("path"), F.lit("@"),
+                                              F.substring("commit", 1, 8)))
+            .withColumn("sha256", F.sha2(F.col("content"), 256)))
+
+
+def docs_from_documents_table(src: DataFrame) -> DataFrame:
+    """testdata `documents` (doc_id, text, lang, source, n_chars) → docs frame.
+
+    ext_id = 'doc' || lpad(doc_id, 9, '0') so ext_id ascending == doc_id
+    ascending (keeps the reference tie-break `ScoreList.java:90-97`
+    deterministic and SQL-expressible)."""
+    return (_with_tokens(src, "text")
+            .withColumn("doc_id", F.col("doc_id").cast("long"))
+            .withColumn("ext_id",
+                        F.concat(F.lit("doc"),
+                                 F.lpad(F.col("doc_id").cast("string"), 9, "0")))
+            .withColumn("sha256", F.sha2(F.col("text"), 256)))
+
+
+def build_postings(docs: DataFrame, field: str = DEFAULT_FIELD,
+                   tokens_col: str = "_tokens") -> DataFrame:
+    """→ (term, field, doc_id, tf, positions) — positions 1-based over ALL
+    tokens; stopwords dropped from emission only (`Idx.java:84-90` semantics).
+
+    groupBy key is (term, doc_id): per-group size is bounded by one document's
+    term occurrences, so hot terms do NOT create hot reducers here."""
+    toks = (docs
+            .select("doc_id", F.posexplode(tokens_col).alias("_p0", "term"))
+            .where(~F.col("term").isin(*sorted(STOPWORDS)))
+            .select("term", "doc_id", (F.col("_p0") + 1).cast("int").alias("pos")))
+    return (toks
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("field", F.lit(field))
+            .select("term", "field", "doc_id", "tf", "positions"))
+
+
+def build_doclens(docs: DataFrame, field: str = DEFAULT_FIELD) -> DataFrame:
+    return docs.select("doc_id", F.lit(field).alias("field"), "doclen")
+
+
+def build_term_stats(postings: DataFrame) -> DataFrame:
+    """(term, field, df, ctf) — map-side partial agg absorbs term skew."""
+    return (postings.groupBy("term", "field")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ctf")))
+
+
+def build_docterms(postings: DataFrame) -> DataFrame:
+    """Forward index (`TermVector.java:22-114` analog), for feedback/LeToR:
+    (doc_id, field, stems array, stem_tf array, doclen-free)."""
+    return (postings
+            .groupBy("doc_id", "field")
+            .agg(F.collect_list(F.struct("term", "tf")).alias("_tv"))
+            .select("doc_id", "field",
+                    F.col("_tv.term").alias("stems"),
+                    F.col("_tv.tf").alias("stem_tf")))
+
+
+@dataclass
+class Index:
+    """Logical index: lazy DataFrames + driver-side scalar corpus stats."""
+
+    docs: DataFrame        # doc_id, ext_id, sha256, doclen, source cols
+    doclens: DataFrame     # doc_id, field, doclen
+    postings: DataFrame    # term, field, doc_id, tf, positions
+    term_stats: DataFrame  # term, field, df, ctf
+    corpus_stats: dict = dc_field(default_factory=dict)
+    # field -> {"n_docs": long, "doc_count": long, "sum_len": long}
+
+    def stats_for(self, field: str) -> dict:
+        return self.corpus_stats[field]
+
+
+def _collect_corpus_stats(doclens: DataFrame, n_docs: int) -> dict:
+    rows = (doclens.groupBy("field")
+            .agg(F.count("*").alias("doc_count"), F.sum("doclen").alias("sum_len"))
+            .collect())
+    return {r["field"]: {"n_docs": n_docs, "doc_count": r["doc_count"],
+                         "sum_len": r["sum_len"]} for r in rows}
+
+
+def build_index_frames(docs: DataFrame,
+                       extra_fields: dict[str, str] | None = None,
+                       cache: bool = True) -> Index:
+    """docs (with _tokens/doclen) → full logical index.
+
+    extra_fields: {field_name: source_column} indexed in addition to `body`
+    (e.g. {"path": "path", "repo": "repo"} for the code corpus — analog of
+    the reference's title/url/inlink fields, `QryEval.java:23`)."""
+    postings = build_postings(docs)
+    doclens = build_doclens(docs)
+    for fld, col in (extra_fields or {}).items():
+        fd = _with_tokens(docs.select("doc_id", col), col)
+        postings = postings.unionByName(build_postings(fd, field=fld))
+        doclens = doclens.unionByName(fd.select(
+            "doc_id", F.lit(fld).alias("field"), "doclen"))
+    if cache:
+        postings = postings.persist()
+        doclens = doclens.persist()
+    n_docs = docs.count()
+    idx = Index(
+        docs=docs.drop("_tokens"),
+        doclens=doclens,
+        postings=postings,
+        term_stats=build_term_stats(postings),
+        corpus_stats=_collect_corpus_stats(doclens, n_docs),
+    )
+    return idx
+
+
+def index_documents_table(spark: SparkSession, sf_dir: str,
+                          cache: bool = True) -> Index:
+    """Convenience: index /root/testdata/<sf>/documents.parquet."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_index_frames(docs_from_documents_table(src), cache=cache)

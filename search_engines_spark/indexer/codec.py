@@ -1,0 +1,129 @@
+"""Posting-block codec: docID-delta + varbyte, with block-max metadata.
+
+The reference keeps postings as uncompressed `Vector<Integer>` in RAM
+(`InvList.java:68`); the north rule requires compressed segments with
+per-block metadata for block-max WAND. Layout per block (≤ BLOCK_SIZE
+postings of one (term, field) run):
+
+    docids_vb    : varbyte(delta(doc_ids))        -- first delta from base 0
+    tfs_vb       : varbyte(tfs)
+    positions_vb : varbyte(concat(delta(positions per doc)))  + tf gives splits
+    max_docid    : long   (block upper bound — skip pointer analog)
+    max_tfn      : double (max over block of tf/doclen-normalized BM25 tf
+                   weight upper bound → block-max WAND score bound when
+                   multiplied by the term's idf)
+
+Encode/decode are numpy-vectorized (no per-int Python): varbyte via byte-plane
+construction, decode via continuation-bit cumsum grouping. Used inside
+mapInPandas on (term, doc_id)-sorted partitions — blocks never span executors
+and carry their own base, so a term crossing a partition boundary simply
+yields an extra block (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte (LEB128-style, 7 bits/byte, MSB = continuation)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed: ceil(bitlength/7), min 1
+    bl = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bl[nz] += 1
+        tmp >>= np.uint64(7)
+    bl = np.maximum(bl, 1)
+    total = int(bl.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # positions of each value's first byte
+    starts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+    # fill byte planes: plane k holds (v >> 7k) & 0x7f for values with bl > k
+    maxb = int(bl.max())
+    for k in range(maxb):
+        mask = bl > k
+        idx = starts[mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (bl[mask] - 1 > k).astype(np.uint8) << 7  # continuation bit
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Inverse of varbyte_encode, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    # value id per byte: cumsum of "previous byte was last"
+    vid = np.zeros(b.size, dtype=np.int64)
+    vid[1:] = np.cumsum(is_last[:-1])
+    # byte significance within its value: position since value start
+    starts_mask = np.ones(b.size, dtype=bool)
+    starts_mask[1:] = is_last[:-1]
+    start_idx = np.maximum.accumulate(np.where(starts_mask, np.arange(b.size), -1))
+    k = np.arange(b.size) - start_idx
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * k).astype(np.uint64)
+    n_vals = int(vid[-1]) + 1
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, vid, contrib)
+    return out.astype(np.int64)
+
+
+def delta_encode(sorted_vals: np.ndarray, base: int = 0) -> np.ndarray:
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    return np.diff(v, prepend=np.int64(base))
+
+
+def delta_decode(deltas: np.ndarray, base: int = 0) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.int64)) + base
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                 positions_flat: np.ndarray, pos_counts: np.ndarray,
+                 doclens: np.ndarray) -> dict:
+    """One block of ≤ BLOCK_SIZE postings (doc_ids strictly increasing).
+
+    positions_flat: all docs' positions concatenated (each doc's ascending);
+    pos_counts == tfs (positions per doc). doclens: per-posting doc length,
+    used for the block-max WAND tf-weight bound (k1/b-free upper bound:
+    tf/(tf+1) is monotone in tf, so we store max tf and min doclen)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    # per-doc position deltas (reset at doc boundaries)
+    pd = np.asarray(positions_flat, dtype=np.int64).copy()
+    if pd.size:
+        starts = np.concatenate(([0], np.cumsum(pos_counts)[:-1])).astype(np.int64)
+        inner = np.diff(pd, prepend=0)
+        inner[starts] = pd[starts]  # doc-start positions stored absolute
+        pd = inner
+    return {
+        "n": int(doc_ids.size),
+        "max_docid": int(doc_ids[-1]) if doc_ids.size else -1,
+        "max_tf": int(tfs.max()) if tfs.size else 0,
+        "min_doclen": int(doclens.min()) if len(doclens) else 0,
+        "docids_vb": varbyte_encode(delta_encode(doc_ids)),
+        "tfs_vb": varbyte_encode(tfs),
+        "positions_vb": varbyte_encode(pd),
+    }
+
+
+def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    doc_ids = delta_decode(varbyte_decode(block["docids_vb"]))
+    tfs = varbyte_decode(block["tfs_vb"])
+    pdeltas = varbyte_decode(block["positions_vb"])
+    positions: list[np.ndarray] = []
+    off = 0
+    for tf in tfs:
+        d = pdeltas[off:off + tf]
+        positions.append(np.cumsum(d))
+        off += tf
+    return doc_ids, tfs, positions

@@ -1,0 +1,358 @@
+"""Pure-Python reference evaluator — the golden-output generator.
+
+Transcribes the reference engine's semantics verbatim (single-process,
+obviously-correct, unit-tested) so the distributed Spark engine has an exact
+oracle. Every formula/edge-case cites the reference file:line it mirrors.
+This module is intentionally NOT Spark code; it is the trusted ground truth
+the Spark plans must rank-identically match (SURVEY.md §5, §7.1).
+
+Load-bearing quirks carried over (SURVEY.md §4.3):
+  1. doclen includes stopword positions (`Idx.java:84-90`)
+  2. BM25 idf floored at 0 (`QrySopScore.java:98`)
+  3. BM25 user weight ≡ 1 (qtf=1, `QrySopScore.java:112`)
+  4. ties: score desc, ext_id asc (`ScoreList.java:87-107`)
+  5. #NEAR emits last arg's positions, consumes pairs (`QryIopNear.java:107-114`)
+     #WINDOW emits max_loc, advances all iterators (`QryIopWindow.java:121-131`)
+  6. #WINDOW strict `< n`; #NEAR `<= n` (`QryIopWindow.java:121`, `QryIopNear.java:106`)
+  7. scores < 0 dropped at add time (`QryEval.java:437-438`)
+  8. derived lists recompute df/ctf; scoring uses the derived stats
+     (`InvList.java:166-167`, `QrySopScore.java:96`)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+
+from .analysis import Analyzer, CANONICAL
+from .parser import Node, QueryParser
+
+
+@dataclass
+class Posting:
+    doc_id: int
+    tf: int
+    positions: list[int]
+
+
+@dataclass
+class InvList:
+    """Per (term, field) inverted list (`InvList.java:18-83`)."""
+
+    postings: list[Posting] = dc_field(default_factory=list)  # docid-ordered
+
+    @property
+    def df(self) -> int:
+        return len(self.postings)
+
+    @property
+    def ctf(self) -> int:
+        return sum(p.tf for p in self.postings)
+
+
+@dataclass
+class Models:
+    """Retrieval-model params (`QryEval.java:248-301`)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+    k3: float = 0.0
+    mu: float = 2500.0
+    lam: float = 0.4
+
+
+class OracleIndex:
+    """In-memory index over (doc_id, ext_id, {field: text}) rows."""
+
+    def __init__(self, analyzer: Analyzer = CANONICAL):
+        self.analyzer = analyzer
+        self.inv: dict[tuple[str, str], InvList] = {}
+        self.doclen: dict[tuple[str, int], int] = {}
+        self.ext_id: dict[int, str] = {}
+        self.sumlen: dict[str, int] = {}
+        self.doccount: dict[str, int] = {}
+        self.n_docs = 0
+
+    def add(self, doc_id: int, ext_id: str, fields: dict[str, str]) -> None:
+        self.n_docs += 1
+        self.ext_id[doc_id] = ext_id
+        for fld, text in fields.items():
+            dl, pairs = self.analyzer.analyze(text)
+            self.doclen[(fld, doc_id)] = dl
+            self.sumlen[fld] = self.sumlen.get(fld, 0) + dl
+            self.doccount[fld] = self.doccount.get(fld, 0) + 1
+            per_term: dict[str, list[int]] = {}
+            for term, pos in pairs:
+                per_term.setdefault(term, []).append(pos)
+            for term, poss in per_term.items():
+                self.inv.setdefault((term, fld), InvList()).postings.append(
+                    Posting(doc_id, len(poss), poss)
+                )
+
+    def finalize(self) -> None:
+        for il in self.inv.values():
+            il.postings.sort(key=lambda p: p.doc_id)
+
+    def get(self, term: str, field: str) -> InvList:
+        return self.inv.get((term, field), InvList())
+
+
+# ---------------------------------------------------------------- Iop eval --
+
+
+def eval_iop(node: Node, idx: OracleIndex) -> InvList:
+    if node.op == "term":
+        return idx.get(node.term, node.field)
+    arg_lists = [eval_iop(a, idx) for a in node.args]
+    if node.op == "syn":
+        return _syn(arg_lists)
+    if node.op == "near":
+        return _fold_pairs(arg_lists, lambda L, R: _near_positions(L, R, node.n))
+    if node.op == "window":
+        return _window(arg_lists, node.n)
+    raise ValueError(node.op)
+
+
+def _syn(args: list[InvList]) -> InvList:
+    """Union; positions = sorted concat (`QryIopSyn.java:17-71`)."""
+    per_doc: dict[int, list[int]] = {}
+    for il in args:
+        for p in il.postings:
+            per_doc.setdefault(p.doc_id, []).extend(p.positions)
+    out = InvList()
+    for d in sorted(per_doc):
+        poss = sorted(per_doc[d])
+        out.postings.append(Posting(d, len(poss), poss))
+    return out
+
+
+def _near_positions(left: list[int], right: list[int], n: int) -> list[int]:
+    """Two-pointer zipper; emits RIGHT positions; consumes both on match;
+    `right - left <= n`, left ≤ right, equal matches (`QryIopNear.java:97-116`)."""
+    out, i, j = [], 0, 0
+    while i < len(left) and j < len(right):
+        if right[j] < left[i]:
+            j += 1
+        elif right[j] - left[i] <= n:
+            out.append(right[j])
+            i += 1
+            j += 1
+        else:
+            i += 1
+    return out
+
+
+def _fold_pairs(args: list[InvList], pair_fn) -> InvList:
+    """Left-fold over args (`QryIopNear.java:32-35`), docid intersection."""
+    cur = args[0]
+    for nxt in args[1:]:
+        nxt_by_doc = {p.doc_id: p for p in nxt.postings}
+        out = InvList()
+        for p in cur.postings:
+            q = nxt_by_doc.get(p.doc_id)
+            if q is None:
+                continue
+            matched = pair_fn(p.positions, q.positions)
+            if matched:
+                out.postings.append(Posting(p.doc_id, len(matched), matched))
+        cur = out
+    return cur
+
+
+def window_positions(pos_lists: list[list[int]], n: int) -> list[int]:
+    """k-way min/max scan; strict `max-min < n`; on match emit max_loc and
+    advance ALL; else advance the min (`QryIopWindow.java:121-137`)."""
+    iters = [0] * len(pos_lists)
+    out = []
+    while all(iters[k] < len(pos_lists[k]) for k in range(len(pos_lists))):
+        locs = [pos_lists[k][iters[k]] for k in range(len(pos_lists))]
+        mx, mn = max(locs), min(locs)
+        if mx - mn < n:
+            out.append(mx)
+            for k in range(len(pos_lists)):
+                iters[k] += 1
+        else:
+            iters[locs.index(mn)] += 1
+    return out
+
+
+def _window(args: list[InvList], n: int) -> InvList:
+    common = set(args[0].postings[i].doc_id for i in range(len(args[0].postings)))
+    for il in args[1:]:
+        common &= {p.doc_id for p in il.postings}
+    by_doc = [{p.doc_id: p for p in il.postings} for il in args]
+    out = InvList()
+    for d in sorted(common):
+        matched = window_positions([by_doc[k][d].positions for k in range(len(args))], n)
+        if matched:
+            out.postings.append(Posting(d, len(matched), matched))
+    return out
+
+
+# ---------------------------------------------------------------- Sop eval --
+
+
+def _bm25_term_score(tf: int, df: int, doclen: int, idx: OracleIndex,
+                     field: str, m: Models) -> float:
+    """`QrySopScore.java:90-120` — idf floored, user weight ≡ 1."""
+    n = idx.n_docs
+    idf = max(0.0, math.log((n - df + 0.5) / (df + 0.5)))
+    avglen = idx.sumlen[field] / idx.doccount[field]
+    tfw = tf / (tf + m.k1 * (1 - m.b + m.b * doclen / avglen))
+    return idf * tfw * 1.0
+
+
+def _indri_term_score(tf: int, ctf: int, doclen: int, idx: OracleIndex,
+                      field: str, m: Models) -> float:
+    """`QrySopScore.java:140-161`; tf=0 gives the default score (`:123-138`)."""
+    c = idx.sumlen[field]
+    pmle = ctf / c
+    return (1 - m.lam) * (tf + m.mu * pmle) / (doclen + m.mu) + m.lam * pmle
+
+
+def eval_sop(node: Node, idx: OracleIndex, model: str, m: Models) -> dict[int, float]:
+    """→ {doc_id: score} for the candidate docs the operator matches."""
+    if node.op == "score":
+        il = eval_iop(node.args[0], idx)
+        fld = node.args[0].field or "body"
+        df, ctf = il.df, il.ctf  # derived stats (`QrySopScore.java:96`)
+        out = {}
+        for p in il.postings:
+            dl = idx.doclen[(fld, p.doc_id)]
+            if model == "bm25":
+                out[p.doc_id] = _bm25_term_score(p.tf, df, dl, idx, fld, m)
+            elif model == "indri":
+                out[p.doc_id] = _indri_term_score(p.tf, ctf, dl, idx, fld, m)
+            elif model == "rankedboolean":
+                out[p.doc_id] = float(p.tf)  # `QrySopScore.java:83-88`
+            else:
+                out[p.doc_id] = 1.0          # `QrySopScore.java:75-81`
+        return out
+
+    def default_score(child: Node, doc: int) -> float:
+        """Indri absent-doc smoothing (`QrySopAnd.java:86-94` etc.)."""
+        if child.op == "score":
+            il = eval_iop(child.args[0], idx)
+            fld = child.args[0].field or "body"
+            dl = idx.doclen[(fld, doc)]
+            return _indri_term_score(0, il.ctf, dl, idx, fld, m)
+        # nested Sop default: recursive per reference default-score chain
+        if child.op == "and":
+            scores = [default_score(a, doc) for a in child.args]
+            p = 1.0
+            for s in scores:
+                p *= s ** (1.0 / len(scores))
+            return p
+        if child.op == "wand":
+            w = sum(child.weights)
+            p = 1.0
+            for wi, a in zip(child.weights, child.args):
+                p *= default_score(a, doc) ** (wi / w)
+            return p
+        if child.op == "wsum":
+            w = sum(child.weights)
+            return sum(wi / w * default_score(a, doc)
+                       for wi, a in zip(child.weights, child.args))
+        raise ValueError(f"no default score for #{child.op}")
+
+    arg_scores = [eval_sop(a, idx, model, m) for a in node.args]
+
+    if node.op == "and":
+        if model in ("unrankedboolean", "rankedboolean"):
+            # matchAll intersection (`Qry.java:248-295`)
+            docs = set(arg_scores[0])
+            for s in arg_scores[1:]:
+                docs &= set(s)
+            if model == "unrankedboolean":
+                return {d: 1.0 for d in docs}
+            return {d: min(s[d] for s in arg_scores) for d in docs}
+        if model == "indri":
+            # matchMin + geometric mean with defaults (`QrySopAnd.java:97-107`)
+            docs = set().union(*arg_scores)
+            out = {}
+            for d in docs:
+                p = 1.0
+                for s, a in zip(arg_scores, node.args):
+                    v = s.get(d, None)
+                    if v is None:
+                        v = default_score(a, d)
+                    p *= v ** (1.0 / len(node.args))
+                out[d] = p
+            return out
+        raise ValueError(f"#AND unsupported under {model}")
+
+    if node.op == "or":
+        docs = set().union(*arg_scores)
+        if model == "unrankedboolean":
+            return {d: 1.0 for d in docs}
+        return {d: max(s[d] for s in arg_scores if d in s) for d in docs}
+
+    if node.op == "sum":
+        if model != "bm25":
+            raise ValueError("#SUM is BM25-only (`QrySopSum.java:39-53`)")
+        out: dict[int, float] = {}
+        for s in arg_scores:
+            for d, v in s.items():
+                out[d] = out.get(d, 0.0) + v
+        return out
+
+    if node.op in ("wsum", "wand"):
+        if model != "indri":
+            raise ValueError(f"#{node.op.upper()} is Indri-only in the reference")
+        w = sum(node.weights)
+        docs = set().union(*arg_scores)
+        out = {}
+        for d in docs:
+            if node.op == "wsum":
+                tot = 0.0
+                for wi, s, a in zip(node.weights, arg_scores, node.args):
+                    v = s.get(d)
+                    if v is None:
+                        v = default_score(a, d)
+                    tot += wi / w * v
+                out[d] = tot
+            else:
+                p = 1.0
+                for wi, s, a in zip(node.weights, arg_scores, node.args):
+                    v = s.get(d)
+                    if v is None:
+                        v = default_score(a, d)
+                    p *= v ** (wi / w)
+                out[d] = p
+        return out
+
+    raise ValueError(node.op)
+
+
+# ---------------------------------------------------------------- frontend --
+
+DEFAULT_OPS = {"bm25": "sum", "indri": "and", "rankedboolean": "or",
+               "unrankedboolean": "or"}
+
+
+def run_query(qstring: str, idx: OracleIndex, model: str = "bm25",
+              m: Models | None = None, k: int = 100,
+              parser: QueryParser | None = None) -> list[tuple[int, str, float]]:
+    """→ [(doc_id, ext_id, score)] ranked; mirrors `processQuery` + sort +
+    truncate (`QryEval.java:421-445, 747-752`)."""
+    m = m or Models()
+    parser = parser or QueryParser()
+    node = parser.parse(qstring, default_op=DEFAULT_OPS[model])
+    scores = eval_sop(node, idx, model, m)
+    rows = [(d, idx.ext_id[d], s) for d, s in scores.items() if s >= 0.0]
+    rows.sort(key=lambda r: (-r[2], r[1]))
+    return rows[:k]
+
+
+# Shared position-zipper kernels — the Spark proximity UDFs reuse these so
+# engine and oracle cannot drift.
+near_positions = _near_positions
+
+
+def trec_lines(qid: str, ranked: list[tuple[int, str, float]],
+               run_id: str = "run") -> list[str]:
+    """trec_eval 6-column format (`QryEval.java:781-801`)."""
+    if not ranked:
+        return [f"{qid} Q0 dummy 1 0 {run_id}"]
+    return [f"{qid} Q0 {ext} {i + 1} {score:.12f} {run_id}"
+            for i, (_, ext, score) in enumerate(ranked)]

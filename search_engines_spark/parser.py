@@ -1,0 +1,249 @@
+"""Structured query language parser → AST, with the reference's legality rewrites.
+
+Grammar (reference: recursive-descent prefix parser, `QryParser.java:274-371`):
+
+    query   := term | op
+    op      := '#' NAME ['/' INT] '(' args ')'
+    args    := (weight? query)+          -- weights only under #WSUM/#WAND
+    term    := TOKEN ['.' FIELD]         -- field defaults to the default field
+
+Operators: #AND #OR #SUM #WSUM #WAND (score ops) and #NEAR/n #WINDOW/n #SYN
+(inverted-list ops) plus the implicit #SCORE (`QryParser.java:81-129`).
+
+Rewrites applied, mirroring the reference:
+* implicit-SCORE insertion: an Iop child of a Sop gets wrapped (`Qry.java:143-149`)
+* field propagation + mixed-field rejection for Iop parents (`Qry.java:120-181`)
+* degenerate-node elimination: empty ops dropped, single-arg non-SCORE ops
+  collapsed, depth-first (`QryParser.java:224-261`)
+* weight/arg association for #WSUM/#WAND, incl. a multi-token term expansion
+  sharing one weight per produced term (`QryParser.java:301-366`)
+* default-operator wrapping per retrieval model (`QryEval.java:704-705`)
+
+Pure Python, driver-side only — queries are tiny; the DataFrame plan is
+compiled from this AST by `engine.compile`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from .analysis import Analyzer, CANONICAL
+
+DEFAULT_FIELD = "body"
+# Valid fields: reference whitelist (`QryEval.java:23`) + code-corpus fields.
+TEXT_FIELDS = {"body", "title", "url", "keywords", "inlink",
+               "content", "path", "repo", "lang"}
+
+SOP_NAMES = {"and", "or", "sum", "wsum", "wand", "score"}
+IOP_NAMES = {"near", "window", "syn", "term"}
+WEIGHTED = {"wsum", "wand"}
+
+
+@dataclass
+class Node:
+    op: str                      # 'term','score','and','or','sum','wsum','wand','near','window','syn'
+    args: list["Node"] = dc_field(default_factory=list)
+    term: str | None = None      # for op == 'term'
+    field: str | None = None
+    n: int | None = None         # for near/window
+    weights: list[float] | None = None  # for wsum/wand, parallel to args
+
+    @property
+    def is_iop(self) -> bool:
+        return self.op in ("term", "near", "window", "syn")
+
+    def __repr__(self) -> str:  # compact, for test diagnostics
+        if self.op == "term":
+            return f"{self.term}.{self.field}"
+        suffix = f"/{self.n}" if self.n is not None else ""
+        if self.weights is not None:
+            inner = " ".join(f"{w:g} {a!r}" for w, a in zip(self.weights, self.args))
+        else:
+            inner = " ".join(repr(a) for a in self.args)
+        return f"#{self.op}{suffix}({inner})"
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"\s*([()]|[^\s()]+)")
+
+
+def _lex(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            break
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+def _is_weight(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+class QueryParser:
+    def __init__(self, analyzer: Analyzer = CANONICAL, default_field: str = DEFAULT_FIELD):
+        self.analyzer = analyzer
+        self.default_field = default_field
+
+    # -- public API --------------------------------------------------------
+
+    def parse(self, qstring: str, default_op: str | None = None) -> Node:
+        """Parse; if `default_op` given, wrap the query first
+        (`QryEval.java:704-705`)."""
+        q = qstring.strip()
+        if default_op is not None:
+            q = f"#{default_op}( {q} )"
+        toks = _lex(q)
+        node, rest = self._parse_tokens(toks)
+        if rest:
+            raise QueryParseError(f"trailing tokens: {rest!r}")
+        node = self._optimize(node)
+        if node is None:
+            raise QueryParseError(f"query is empty after analysis: {qstring!r}")
+        if node.is_iop:
+            # root must be a score op (reference inserts #SCORE at appendArg
+            # time, so a collapsed single-term query stays scoreable)
+            node = Node("score", [node])
+        self._check(node, parent_field=None)
+        return node
+
+    # -- recursive descent ---------------------------------------------------
+
+    def _parse_tokens(self, toks: list[str]) -> tuple[Node, list[str]]:
+        if not toks:
+            raise QueryParseError("empty query")
+        head, rest = toks[0], toks[1:]
+        if head.startswith("#"):
+            node, rest = self._parse_op(head, rest)
+            return node, rest
+        # bare term (possibly multi-token after analysis → #SYN-like is NOT
+        # what the reference does: multiple analyzed terms at top level only
+        # arise inside an op's arg list; a single token may still analyze to
+        # 0..k terms, handled by the caller via parse_term_tokens)
+        terms = self._term_nodes(head)
+        if len(terms) == 1:
+            return terms[0], rest
+        if len(terms) == 0:
+            # stopword-only query term: represent as an empty #and the
+            # optimizer will drop (`QryParser.java:224-261`)
+            return Node("and", []), rest
+        return Node("and", terms), rest
+
+    def _parse_op(self, head: str, toks: list[str]) -> tuple[Node, list[str]]:
+        m = re.fullmatch(r"#(\w+)(?:/(\d+))?", head, re.IGNORECASE)
+        if not m:
+            raise QueryParseError(f"bad operator token {head!r}")
+        name = m.group(1).lower()
+        n = int(m.group(2)) if m.group(2) else None
+        if name in ("near", "window") and n is None:
+            raise QueryParseError(f"#{name} requires /n")
+        if name not in SOP_NAMES | IOP_NAMES - {"term"}:
+            raise QueryParseError(f"unknown operator #{name}")
+        if not toks or toks[0] != "(":
+            raise QueryParseError(f"expected '(' after #{name}")
+        toks = toks[1:]
+        weighted = name in WEIGHTED
+        args: list[Node] = []
+        weights: list[float] = []
+        pending_weight: float | None = None
+        while toks and toks[0] != ")":
+            tok = toks[0]
+            if weighted and pending_weight is None and _is_weight(tok):
+                pending_weight = float(tok)
+                toks = toks[1:]
+                continue
+            if tok.startswith("#"):
+                node, toks = self._parse_op(tok, toks[1:])
+                produced = [node]
+            else:
+                toks = toks[1:]
+                produced = self._term_nodes(tok)
+            # a multi-token term shares the pending weight per produced term
+            # (`QryParser.java:301-366`)
+            for p in produced:
+                args.append(p)
+                if weighted:
+                    if pending_weight is None:
+                        raise QueryParseError(f"#{name}: argument without weight")
+                    weights.append(pending_weight)
+            pending_weight = None
+        if not toks:
+            raise QueryParseError("missing ')'")
+        toks = toks[1:]  # consume ')'
+        node = Node(name, args, n=n, weights=weights if weighted else None)
+        return node, toks
+
+    def _term_nodes(self, raw: str) -> list[Node]:
+        """Analyze a raw query token → 0..k TERM nodes (field split on '.',
+        `QryParser.java:140-172`); hyphens etc. may yield several terms."""
+        fld = self.default_field
+        body = raw
+        if "." in raw:
+            base, _, maybe_field = raw.rpartition(".")
+            if maybe_field.lower() in TEXT_FIELDS and base:
+                fld, body = maybe_field.lower(), base
+        terms = self.analyzer.query_terms(body)
+        return [Node("term", term=t, field=fld) for t in terms]
+
+    # -- rewrites ------------------------------------------------------------
+
+    def _optimize(self, node: Node | None) -> Node | None:
+        """Degenerate-node elimination, depth-first (`QryParser.java:224-261`)."""
+        if node is None or node.op == "term":
+            return node
+        new_args: list[Node] = []
+        new_weights: list[float] = []
+        for i, a in enumerate(node.args):
+            oa = self._optimize(a)
+            if oa is None:
+                continue
+            new_args.append(oa)
+            if node.weights is not None:
+                new_weights.append(node.weights[i])
+        node.args = new_args
+        node.weights = new_weights if node.weights is not None else None
+        if not node.args:
+            return None
+        if len(node.args) == 1 and node.op not in ("score", "near", "window"):
+            # collapse single-arg ops; NEAR/WINDOW with one arg degenerate to
+            # the arg as well in the reference optimizer
+            return node.args[0]
+        if len(node.args) == 1:
+            return node.args[0] if node.op != "score" else node
+        return node
+
+    def _check(self, node: Node, parent_field: str | None) -> None:
+        """Field propagation + type checks (`Qry.java:120-181`), and
+        implicit-SCORE insertion (`Qry.java:143-149`)."""
+        if node.op == "term":
+            return
+        if node.is_iop:
+            fields = set()
+            for a in node.args:
+                if not a.is_iop:
+                    raise QueryParseError(f"#{node.op} takes inverted-list args only")
+                self._check(a, parent_field)
+                fields.add(a.field if a.op == "term" else a.field)
+            flds = {f for f in fields if f is not None}
+            if len(flds) > 1:
+                raise QueryParseError(f"#{node.op}: mixed fields {sorted(flds)}")
+            node.field = next(iter(flds), self.default_field)
+        elif node.op == "score":
+            if len(node.args) != 1 or not node.args[0].is_iop:
+                raise QueryParseError("#SCORE takes exactly one inverted-list arg")
+            self._check(node.args[0], parent_field)
+        else:
+            for i, a in enumerate(node.args):
+                if a.is_iop:
+                    node.args[i] = Node("score", [a])
+                self._check(node.args[i], parent_field)

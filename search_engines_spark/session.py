@@ -1,0 +1,34 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the target execution model (many-executor cluster, 100 TB scans)
+while testing on local[N]: AQE on (runtime re-plan + skew-join splitting),
+Arrow on (pandas-UDF batches), shuffle partitions sized to cores locally —
+at cluster scale this would be set to ~2-3× total cores or left to AQE
+coalescing. Timezone pinned UTC for oracle comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "search-engines-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

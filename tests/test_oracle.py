@@ -1,0 +1,184 @@
+"""Hand-computed checks of the oracle's transcription of reference semantics.
+
+These are the SURVEY.md §4.3 quirks as falsifiable unit tests; the Spark
+engine is then tested against the oracle (test_engine_golden.py), so these
+hand checks anchor the whole chain.
+"""
+
+import math
+
+import pytest
+
+from search_engines_spark.oracle import (
+    Models, OracleIndex, eval_iop, near_positions, run_query, window_positions)
+from search_engines_spark.parser import QueryParser
+
+
+def mk_index(docs: dict[int, str]) -> OracleIndex:
+    idx = OracleIndex()
+    for d, text in sorted(docs.items()):
+        idx.add(d, f"doc{d:09d}", {"body": text})
+    idx.finalize()
+    return idx
+
+
+P = QueryParser()
+
+
+def iop(q: str, idx):
+    node = P.parse(q)
+    while node.op == "score":
+        node = node.args[0]
+    assert node.is_iop
+    return {p.doc_id: (p.tf, p.positions) for p in eval_iop(node, idx).postings}
+
+
+# ---- NEAR ----------------------------------------------------------------
+
+def test_near_boundary_le_n():
+    # 'a b' at distance exactly n matches; n+1 does not (QryIopNear.java:106)
+    idx = mk_index({0: "creek x farm", 1: "creek x y farm"})
+    assert iop("#near/2( creek farm )", idx) == {0: (1, [3])}
+    assert iop("#near/3( creek farm )", idx) == {0: (1, [3]), 1: (1, [4])}
+
+
+def test_near_requires_order():
+    idx = mk_index({0: "farm creek"})
+    assert iop("#near/1( creek farm )", idx) == {}
+    assert iop("#near/1( farm creek )", idx) == {0: (1, [2])}
+
+
+def test_near_stopword_gap_counts():
+    # positions count stopwords: 'fickle the creek' → positions 1,3
+    idx = mk_index({0: "fickle the creek"})
+    assert iop("#near/1( fickle creek )", idx) == {}
+    assert iop("#near/2( fickle creek )", idx) == {0: (1, [3])}
+
+
+def test_near_consumes_pairs():
+    # 'a a b' with near/2: first a pairs with b, second a unmatched → tf=1
+    idx = mk_index({0: "creek creek farm"})
+    assert iop("#near/2( creek farm )", idx) == {0: (1, [3])}
+    # 'a b a b' → two disjoint pairs
+    idx2 = mk_index({0: "creek farm creek farm"})
+    assert iop("#near/1( creek farm )", idx2) == {0: (2, [2, 4])}
+
+
+def test_near_left_fold_three_args():
+    idx = mk_index({0: "one two three", 1: "one two x three"})
+    assert iop("#near/1( one two three )", idx) == {0: (1, [3])}
+    assert iop("#near/2( one two three )", idx) == {0: (1, [3]), 1: (1, [4])}
+
+
+def test_near_kernel_equal_positions_match():
+    assert near_positions([3], [3], 1) == [3]
+
+
+# ---- WINDOW ----------------------------------------------------------------
+
+def test_window_strict_lt_n():
+    # span = max-min; needs span < n (QryIopWindow.java:121)
+    idx = mk_index({0: "creek farm"})  # span 1
+    assert iop("#window/1( creek farm )", idx) == {}
+    assert iop("#window/2( creek farm )", idx) == {0: (1, [2])}
+
+
+def test_window_unordered():
+    idx = mk_index({0: "farm creek"})
+    assert iop("#window/2( creek farm )", idx) == {0: (1, [2])}
+
+
+def test_window_advance_all_on_match():
+    # kernel-level: [1,2] & [2,3] n=2 → match (1,2) emit 2, advance both → (2,3) match emit 3
+    assert window_positions([[1, 2], [2, 3]], 2) == [2, 3]
+    # on miss advance min: [1,10] & [11] n=2 → (1,11) miss adv 1 → (10,11) match emit 11
+    assert window_positions([[1, 10], [11]], 2) == [11]
+
+
+# ---- SYN -------------------------------------------------------------------
+
+def test_syn_union_positions():
+    idx = mk_index({0: "creek x farm", 1: "farm only"})
+    assert iop("#syn( creek farm )", idx) == {0: (2, [1, 3]), 1: (1, [1])}
+
+
+# ---- BM25 -----------------------------------------------------------------
+
+def test_bm25_hand_computed():
+    idx = mk_index({0: "creek farm", 1: "creek creek creek", 2: "barn owl"})
+    m = Models(k1=1.2, b=0.75)
+    res = run_query("creek", idx, "bm25", m)
+    # N=3, df=2 → idf = ln((3-2+0.5)/(2+0.5)) = ln(0.6) < 0 → floored to 0
+    assert all(s == 0.0 for _, _, s in res)
+    res2 = run_query("farm", idx, "bm25", m)
+    # df=1 → idf = ln(2.5/1.5); doclen=2, avglen=7/3
+    idf = math.log(2.5 / 1.5)
+    tfw = 1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / (7 / 3)))
+    assert res2[0][2] == pytest.approx(idf * tfw, abs=1e-12)
+
+
+def test_bm25_doclen_includes_stopwords():
+    idx = mk_index({0: "the the the creek", 1: "creek",
+                    2: "barn", 3: "owl", 4: "fox"})
+    m = Models()
+    res = {d: s for d, _, s in run_query("creek", idx, "bm25", m)}
+    # doc 0 has doclen 4 (stopwords counted), doc 1 doclen 1 → doc 1 higher
+    assert res[1] > res[0] > 0.0
+
+
+def test_tie_break_ext_id_asc():
+    idx = mk_index({5: "voyager probe", 3: "voyager probe"})
+    res = run_query("voyager", idx, "bm25")
+    assert [d for d, _, _ in res] == [3, 5]
+
+
+# ---- Indri ------------------------------------------------------------------
+
+def test_indri_and_geometric_mean_with_default():
+    idx = mk_index({0: "creek farm", 1: "creek barn"})
+    m = Models(mu=10, lam=0.5)
+    res = {d: s for d, _, s in run_query("#and( creek farm )", idx, "indri", m)}
+    # doc1 matches 'creek' only → farm contributes DEFAULT score, doc still ranked
+    assert set(res) == {0, 1}
+    c = idx.sumlen["body"]  # 4
+    pm_farm = 1 / c
+    dl = 2
+    s_farm_default = 0.5 * (0 + 10 * pm_farm) / (dl + 10) + 0.5 * pm_farm
+    pm_creek = 2 / c
+    s_creek = 0.5 * (1 + 10 * pm_creek) / (dl + 10) + 0.5 * pm_creek
+    expected_doc1 = (s_creek ** 0.5) * (s_farm_default ** 0.5)
+    assert res[1] == pytest.approx(expected_doc1, abs=1e-12)
+    assert res[0] > res[1]
+
+
+def test_wand_weights():
+    idx = mk_index({0: "creek farm", 1: "creek barn"})
+    m = Models(mu=10, lam=0.5)
+    res = run_query("#wand( 0.9 creek 0.1 farm )", idx, "indri", m)
+    assert len(res) == 2 and res[0][0] == 0
+
+
+def test_sum_requires_bm25():
+    idx = mk_index({0: "creek farm"})
+    with pytest.raises(ValueError):
+        run_query("#sum( creek farm )", idx, "indri")
+
+
+# ---- Boolean -----------------------------------------------------------------
+
+def test_ranked_boolean_and_min_tf():
+    idx = mk_index({0: "creek creek farm", 1: "creek farm farm farm"})
+    res = {d: s for d, _, s in run_query("#and( creek farm )", idx, "rankedboolean")}
+    assert res == {0: 1.0, 1: 1.0}
+
+
+def test_ranked_boolean_or_max_tf():
+    idx = mk_index({0: "creek creek", 1: "farm"})
+    res = {d: s for d, _, s in run_query("#or( creek farm )", idx, "rankedboolean")}
+    assert res == {0: 2.0, 1: 1.0}
+
+
+def test_unranked_boolean_all_ones():
+    idx = mk_index({0: "creek farm", 1: "creek"})
+    res = {d: s for d, _, s in run_query("#and( creek farm )", idx, "unrankedboolean")}
+    assert res == {0: 1.0}

@@ -1,0 +1,78 @@
+import pytest
+
+from search_engines_spark.parser import QueryParseError, QueryParser
+
+
+@pytest.fixture
+def p():
+    return QueryParser()
+
+
+def test_bare_terms_default_wrap(p):
+    n = p.parse("fickle creek farm", default_op="sum")
+    assert n.op == "sum" and len(n.args) == 3
+    # implicit #SCORE inserted around each TERM leaf (Qry.java:143-149)
+    assert all(a.op == "score" and a.args[0].op == "term" for a in n.args)
+
+
+def test_field_qualifier(p):
+    n = p.parse("creek.path", default_op="sum")
+    # single-arg #sum collapses; #SCORE survives via wrap-check ordering
+    t = n.args[0] if n.op == "score" else n
+    while t.op == "score":
+        t = t.args[0]
+    assert t.op == "term" and t.field == "path" and t.term == "creek"
+
+
+def test_near_parse(p):
+    n = p.parse("#near/2( creek farm )")
+    assert n.op == "score"  # root Iop gets a #SCORE wrapper
+    n = n.args[0]
+    assert n.op == "near" and n.n == 2
+    assert [a.term for a in n.args] == ["creek", "farm"]
+    assert n.field == "body"
+
+
+def test_mixed_field_proximity_rejected(p):
+    with pytest.raises(QueryParseError):
+        p.parse("#near/2( creek.path farm.body )")
+
+
+def test_stopword_elimination_collapses(p):
+    # '#NEAR/1(of the)' loses both args → empty → query error (QryParser.java:224-261)
+    with pytest.raises(QueryParseError):
+        p.parse("#near/1( of the )")
+
+
+def test_single_arg_collapse(p):
+    n = p.parse("#and( #and( creek ) )", default_op="and")
+    while n.op == "score":
+        n = n.args[0]
+    assert n.op == "term" and n.term == "creek"
+
+
+def test_weighted_parse(p):
+    n = p.parse("#wand( 0.7 #and( creek farm ) 0.3 creek )")
+    assert n.op == "wand"
+    assert n.weights == [0.7, 0.3]
+    assert n.args[0].op == "and" and n.args[1].op == "score"
+
+
+def test_multi_token_term_shares_weight(p):
+    # a hyphenated token under #wsum produces two terms sharing the weight
+    n = p.parse("#wsum( 0.5 creek-farm 0.5 fickle )")
+    assert n.op == "wsum"
+    assert n.weights == [0.5, 0.5, 0.5]
+    assert len(n.args) == 3
+
+
+def test_structured_sdm_query(p):
+    q = ("#wand( 0.7 #and( fickle creek farm ) "
+         "0.2 #and( #near/1( creek farm ) #near/1( fickle creek ) ) "
+         "0.1 #and( #window/8( creek farm ) #window/8( fickle creek ) ) )")
+    n = p.parse(q)
+    assert n.op == "wand" and len(n.args) == 3
+    near = n.args[1].args[0]
+    while near.op == "score":
+        near = near.args[0]
+    assert near.op == "near" and near.n == 1
