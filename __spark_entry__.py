@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship batch-BM25 plan on sf0.001;
+`queries()` / `oracle_sql()` delegate to
+`search_engines_spark.entry_queries.REGISTRY` — one entry per implemented
+operator from SURVEY.md §2 plus the training-data pipeline operators
+(dedup / similarity / text analysis), each paired with DuckDB oracle SQL
+transcribing the same reference semantics.
 """
 
 from __future__ import annotations
@@ -13,26 +14,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from search_engines_spark import entry_queries as EQ
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batched BM25 retrieval (one Catalyst plan for all queries,
+    `Engine.search_many`) over the sf0.001 documents corpus."""
+    from search_engines_spark.engine.compile import Engine
+
+    idx = EQ._index(spark, "/root/testdata/sf0.001")
+    eng = Engine(idx, "bm25")
+    return eng.search_many(
+        {"q1": "dup stream join", "q2": "hash merge batch",
+         "q3": "data table", "q4": "#sum( #near/2( spark stream ) spark )"},
+        k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return EQ.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return EQ.oracle_sql()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line to stdout.
+
+Builds the inverted index over `$SPARK_GRAFT_SF_DIR/documents.parquet`
+(default sf0.1) on local[$SPARK_GRAFT_CPUS], then runs the headline query
+set (BM25 bag-of-words, SDM structured NEAR/WINDOW, Boolean, Indri
+weighted, dedup MinHash+LSH, SimHash, ANN cosine top-k) and reports:
+
+  value          total wall seconds (build + all queries)
+  queries        per-query seconds
+  build_sec      index build+materialize seconds
+  files_per_sec  index-build throughput (BASELINE.json metric)
+  query_p50_sec  median retrieval-query latency
+
+Scaling-efficiency evidence (same job at two parallelism levels) is
+produced by `tools/scaling_bench.py` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from search_engines_spark.engine.compile import Engine  # noqa: E402
+from search_engines_spark.indexer.build import index_documents_table  # noqa: E402
+from search_engines_spark.pipeline import dedup as dd  # noqa: E402
+from search_engines_spark.pipeline import similarity as sim  # noqa: E402
+from search_engines_spark.session import get_spark  # noqa: E402
+
+RETRIEVAL = {
+    "bm25_bow3": ("bm25", "spark stream join"),
+    "bm25_bow5": ("bm25", "hash merge batch window table"),
+    "bm25_sdm": ("bm25",
+                 "#sum( #near/2( spark stream ) #window/5( join merge ) spark )"),
+    "bm25_syn": ("bm25", "#sum( #syn( spark stream ) join )"),
+    "bool_and": ("rankedboolean", "#and( big join )"),
+    "indri_and": ("indri", "#and( spark stream join )"),
+    "indri_wand": ("indri", "#wand( 0.6 merge 0.4 batch )"),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_total = time.time()
+    t0 = time.time()
+    idx = index_documents_table(spark, sf_dir)
+    # force full materialization of the persisted postings + doclens
+    n_postings = idx.postings.count()
+    build_s = time.time() - t0
+    n_docs = idx.stats_for("body")["n_docs"]
+
+    queries: dict[str, float] = {}
+    for name, (model, q) in RETRIEVAL.items():
+        eng = Engine(idx, model)
+        t0 = time.time()
+        eng.search(q, k=100).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.time()
+    dd.minhash_dedup_pairs(docs).count()
+    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dd.simhash(docs).count()
+    queries["dedup_simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    qvec = [float(x) for x in emb.where("vec_id = 0")
+            .select("embedding").collect()[0]["embedding"]]
+    sim.cosine_topk(emb, qvec, k=20).collect()
+    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total
+    retrieval_times = [queries[k] for k in RETRIEVAL]
+    print(json.dumps({
+        "metric": "index_build_plus_headline_queries_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "build_sec": round(build_s, 3),
+        "files_per_sec": round(n_docs / build_s, 1),
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "query_p50_sec": round(statistics.median(retrieval_times), 3),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

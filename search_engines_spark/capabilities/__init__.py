@@ -1,0 +1,3 @@
+"""Higher-level capabilities over the core engine (SURVEY.md §2.7):
+pseudo-relevance-feedback query expansion, xQuAD/PM2 result
+diversification, and learning-to-rank feature extraction."""

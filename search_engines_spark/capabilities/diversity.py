@@ -1,0 +1,137 @@
+"""Result diversification: xQuAD and PM2 greedy re-ranking.
+
+Transcribes `Diversity.java`:
+
+* score normalization (`:630-712`, `normDocScores :133-182`): if ANY
+  score > 1.0, every (initial + intent) score of a query is divided by
+  normFactor = max over {Σ initial scores, Σ scores per intent};
+* xQuAD (`:415-471`): repeatedly pick
+  argmax (1−λ)·P(d|q) + λ·Σ_i (1/|I|)·P(d|q_i)·Π_{d'∈S}(1−P(d'|q_i));
+* PM2 (`:473-605`): votes v = |ranking|/|I|; slots s_i advance by the
+  LAST selected doc's intent-score share (reset to 0 when that sum is 0
+  — a reference quirk, `:519-524`); quotient qt_i = v/(2s_i+1);
+  pick argmax λ·qt*·P(d|q*) + (1−λ)·Σ_{i≠*} qt_i·P(d|q_i); stop early
+  when the best score is 0 (`:600-602`).
+
+Deviation (documented): the reference iterates a java.util.HashMap, so
+score ties are broken by hash order (`:433-468` strict `>`); we iterate
+candidates in initial-ranking order, making ties deterministic
+(first = better initial rank).
+
+These greedy loops are inherently sequential over ≤ max_input_len
+candidates (hundreds) — collected to the driver and run in plain
+Python, exactly as SURVEY.md §2.7 prescribes; the expensive part (the
+per-intent rankings) stays distributed in the engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+
+@dataclass
+class DiversityInput:
+    """Per-query candidate set: initial ranking + per-intent scores."""
+
+    initial: list[tuple[int, float]]                    # rank order
+    intents: dict[int, dict[int, float]] = dc_field(default_factory=dict)
+    # intent index (0-based) -> {doc_id: score}; docs not in `initial`
+    # are dropped (`Diversity.java:676-678`)
+
+
+def _normalize(inp: DiversityInput) -> tuple[list[int], dict[int, list[float]]]:
+    """→ (doc order, {doc: [rel, s_i1, s_i2, ...]}) normalized per
+    `Diversity.java:630-712`."""
+    n_int = len(inp.intents)
+    docs = [d for d, _ in inp.initial]
+    dset = set(docs)
+    table = {d: [s] + [0.0] * n_int for d, s in inp.initial}
+    any_gt1 = any(s > 1.0 for _, s in inp.initial)
+    sums = [sum(s for _, s in inp.initial)] + [0.0] * n_int
+    for i in range(n_int):
+        tot = 0.0
+        for d, s in inp.intents.get(i, {}).items():
+            if d not in dset:
+                continue
+            table[d][i + 1] = s
+            tot += s
+            if s > 1.0:
+                any_gt1 = True
+        sums[i + 1] = tot
+    if any_gt1:
+        norm = max(sums)
+        for d in table:
+            table[d] = [v / norm for v in table[d]]
+    return docs, table
+
+
+def xquad(inp: DiversityInput, lam: float,
+          depth: int | None = None) -> list[tuple[int, float]]:
+    """→ re-ranked [(doc_id, div_score)] (`Diversity.java:415-471`)."""
+    docs, table = _normalize(inp)
+    n_int = len(inp.intents)
+    w = 1.0 / n_int if n_int else 0.0
+    selected: list[tuple[int, float]] = []
+    remaining = list(docs)
+    sel_scores: list[list[float]] = []
+    limit = depth if depth is not None else len(docs)
+    while remaining and len(selected) < limit:
+        best, best_doc = -1.0, None
+        for d in remaining:
+            qi = table[d]
+            intent_score = 0.0
+            for i in range(1, n_int + 1):
+                cover = 1.0
+                for ss in sel_scores:
+                    cover *= (1 - ss[i])
+                intent_score += w * qi[i] * cover
+            score = (1 - lam) * qi[0] + lam * intent_score
+            if score > best:
+                best, best_doc = score, d
+        selected.append((best_doc, best))
+        sel_scores.append(table[best_doc])
+        remaining.remove(best_doc)
+    return selected
+
+
+def pm2(inp: DiversityInput, lam: float, max_result_len: int,
+        depth: int | None = None) -> list[tuple[int, float]]:
+    """→ re-ranked [(doc_id, div_score)] (`Diversity.java:473-605`)."""
+    docs, table = _normalize(inp)
+    n_int = len(inp.intents)
+    if n_int == 0:
+        return [(d, table[d][0]) for d in docs]
+    w = 1.0 / n_int
+    vi = w * max_result_len
+    s = [0.0] * n_int
+    selected: list[tuple[int, float]] = []
+    remaining = list(docs)
+    last_qi: list[float] | None = None
+    limit = depth if depth is not None else len(docs)
+    while remaining and len(selected) < limit:
+        sum_score = sum(last_qi[1:]) if last_qi is not None else 0.0
+        qt = [0.0] * n_int
+        arg, cur_max = -1, float("-inf")
+        for i in range(n_int):
+            if last_qi is not None and sum_score != 0:
+                s[i] += last_qi[i + 1] / sum_score
+            else:
+                s[i] = 0.0              # reference quirk `:519-524`
+            qt[i] = vi / (2 * s[i] + 1)
+            if qt[i] > cur_max:
+                cur_max, arg = qt[i], i
+        best, best_doc = -1.0, None
+        for d in remaining:
+            qi = table[d]
+            cover_qi = lam * qt[arg] * qi[arg + 1]
+            cover_other = sum(qt[i] * qi[i + 1]
+                              for i in range(n_int) if i != arg)
+            score = cover_qi + (1 - lam) * cover_other
+            if score > best:
+                best, best_doc = score, d
+        selected.append((best_doc, best))
+        last_qi = table[best_doc]
+        remaining.remove(best_doc)
+        if best == 0:                   # early stop `:600-602`
+            break
+    return selected

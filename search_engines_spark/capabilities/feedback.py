@@ -1,0 +1,80 @@
+"""Pseudo-relevance-feedback (Indri RM) query expansion.
+
+Transcribes `QryEval.java:78-200` (expandQuery) + the `:738-744` rewrite:
+
+* top `fb_docs` docs of an initial ranking; every stem of every top doc
+  is a candidate (stems containing '.' or ',' skipped, `:108-111`);
+* candidate score = Σ_d P(t|d) · P(I|d) · ln(1/mle) over ALL top docs —
+  including tf=0 docs (second pass, `:150-177`) — with Dirichlet
+  P(t|d) = (tf + fbMu·mle)/(doclen + fbMu), mle = ctf/C (collection ctf,
+  `vec.totalStemFreq`, NOT a derived-list stat);
+* top `fb_terms` terms → `#wand ( w1 t1 w2 t2 ... )`, weights "%.4f"
+  (`:186-196`);
+* final query = `#wand (fbOrigWeight <orig> (1-fbOrigWeight) <expanded> )`
+  (`:740-742`) — re-entering the engine as TEXT, the reference's
+  important simplification (SURVEY.md §3.2).
+
+Deviation (documented): the reference's PriorityQueue breaks score ties
+arbitrarily (`:183-196`); we break by term ascending for determinism.
+
+Spark shape: the top-doc set is tiny (fb_docs ≤ 100), so the candidate
+grid is |top docs| × |their vocabulary| — built as a broadcast join of
+the forward index (`docterms`) restricted to the top docs, a left join
+for tf=0 cells, one groupBy(term) sum. No full-corpus pass at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..indexer.build import Index
+
+
+def expand_query(index: Index, ranking: list[tuple[int, float]],
+                 fb_docs: int, fb_terms: int, fb_mu: float,
+                 field: str = "body") -> str:
+    """ranking: [(doc_id, score)] sorted as the initial retrieval returned
+    them (`score_list` order, `QryEval.java:96-99`). → '#wand ( ... )'."""
+    top = ranking[:fb_docs]
+    if not top:
+        return "#wand ( )"
+    spark = index.docs.sparkSession
+    c_length = float(index.stats_for(field)["sum_len"])  # QryEval.java:89
+
+    top_df = F.broadcast(spark.createDataFrame(
+        [(int(d), float(s)) for d, s in top], "doc_id long, doc_score double"))
+    doclens = (index.doclens.where(F.col("field") == field)
+               .select("doc_id", "doclen"))
+    # stems of the top docs, with per-doc tf (forward-index scan,
+    # TermVector analog)
+    tv = (index.postings
+          .where(F.col("field") == field)
+          .join(top_df.select("doc_id"), "doc_id")
+          .select("doc_id", "term", "tf")
+          .where(~F.col("term").contains(".") & ~F.col("term").contains(",")))
+    cand_terms = tv.select("term").distinct()
+    # global ctf → mle (totalStemFreq, QryEval.java:114-116)
+    mle_df = (cand_terms.join(
+        index.term_stats.where(F.col("field") == field)
+        .select("term", "ctf"), "term")
+        .select("term", (F.col("ctf") / F.lit(c_length)).alias("mle")))
+    # full grid: candidate term × top doc, tf=0 where absent
+    grid = (mle_df.crossJoin(top_df)
+            .join(tv, ["term", "doc_id"], "left")
+            .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+            .join(doclens, "doc_id"))
+    ptd = (F.col("tf") + fb_mu * F.col("mle")) / (F.col("doclen") + F.lit(fb_mu))
+    contrib = ptd * F.col("doc_score") * F.log(1.0 / F.col("mle"))
+    scored = (grid.groupBy("term")
+              .agg(F.sum(contrib).alias("score"))
+              .orderBy(F.desc("score"), F.asc("term"))
+              .limit(fb_terms))
+    parts = [f"{r['score']:.4f} {r['term']}" for r in scored.collect()]
+    return "#wand ( " + " ".join(parts) + " )"
+
+
+def rewrite_with_feedback(query: str, expanded: str,
+                          fb_orig_weight: float) -> str:
+    """`QryEval.java:740-742` — the combined query string."""
+    return (f"#wand ({fb_orig_weight} {query} "
+            f"{1 - fb_orig_weight} {expanded} )")

@@ -1,0 +1,144 @@
+"""Document-at-a-time BM25 top-k over compressed segments with block-max
+pruning (the north-star WAND path).
+
+The set-at-a-time `Engine` (compile.py) is the semantics reference; this
+module is the throughput path for bag-of-words BM25 top-k: it reads the
+varbyte segment blocks (indexer.segments) for the query terms only —
+bucket directory pruning + parquet min/max on `term` — and scores inside
+one `applyInPandas` pass per doc-range partition:
+
+1. each block is assigned to the doc-range strides it overlaps
+   ([min_docid, max_docid] ÷ stride width); a rare term's wide block is
+   duplicated across strides (tiny — blocks are ≤128 postings), a hot
+   term's dense blocks land in exactly one stride;
+2. partitions own contiguous runs of strides, so every doc's postings
+   for all query terms co-locate in one partition — per-doc score sums
+   are complete with NO shuffle of decoded postings;
+3. inside a partition, strides are processed in doc order.  For each
+   stride, the WAND-style upper bound
+        Σ_t idf_t · max_tf_t / (max_tf_t + k1·(1−b+b·min_doclen_t/avg))
+   (monotone bound: tf/(tf+c) increases in tf, decreases in doclen;
+   `QrySopScore.java:90-120` formula) is compared against the running
+   top-k threshold θ; strides that cannot beat θ are SKIPPED WITHOUT
+   DECODING — the block-max skip.  Surviving strides are varbyte-decoded
+   (numpy) and scored vectorized, θ is updated from the heap;
+4. per-partition top-k then global `orderBy().limit(k)` merge
+   (TakeOrderedAndProject), tie-break score desc / doc_id asc.  The
+   reference tie-break is EXTERNAL id asc (`ScoreList.java:87-114`);
+   these coincide whenever internal ids are assigned in external-id
+   order (true for the `documents` corpus and any corpus ingested via
+   `assign_dense_ids` on the ext-id key).  When they differ, re-sort
+   the k returned rows by ext_id after joining `docs` — k rows, free.
+
+Rank-identity vs `Engine.search` is the test gate
+(tests/test_daat.py); the pruning only ever skips strides whose bound is
+strictly below θ, so results are exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..indexer.codec import varbyte_decode
+from ..oracle import Models
+
+STRIDE = 4096  # docs per stride; pruning granularity
+STRIDES_PER_PART = 8
+
+
+def bm25_wand_topk(segments: DataFrame, terms: list[str],
+                   term_stats: dict[str, tuple[int, int]],
+                   n_docs: int, avglen: float, k: int = 100,
+                   params: Models | None = None,
+                   field: str = "body") -> DataFrame:
+    """→ (doc_id, score) global top-k for BM25 #SUM over `terms`.
+
+    term_stats: {term: (df, ctf)} — collected once, driver-side (tiny).
+    """
+    p = params or Models()
+    idf = {t: max(0.0, math.log((n_docs - df + 0.5) / (df + 0.5)))
+           for t, (df, _) in term_stats.items() if t in terms}
+    if not idf:
+        spark = segments.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+    k1, b = p.k1, p.b
+
+    blocks = (segments
+              .where((F.col("field") == field) & F.col("term").isin(terms))
+              .select("term", "min_docid", "max_docid", "max_tf",
+                      "min_doclen", "docids_vb", "tfs_vb", "doclens_vb"))
+    # stride assignment: one row per (block, overlapped stride)
+    blocks = (blocks
+              .withColumn("s0", (F.col("min_docid") / STRIDE).cast("long"))
+              .withColumn("s1", (F.col("max_docid") / STRIDE).cast("long"))
+              .withColumn("stride",
+                          F.explode(F.sequence(F.col("s0"), F.col("s1"))))
+              .withColumn("pk", (F.col("stride") / STRIDES_PER_PART)
+                          .cast("long"))
+              .drop("s0", "s1"))
+
+    idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
+
+    def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # gather this partition's blocks grouped by stride
+        pdf = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+        if pdf is None or len(pdf) == 0:
+            yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                "score": pd.Series(dtype="float64")})
+            return
+        theta = -1.0
+        top_ids = np.empty(0, dtype=np.int64)
+        top_sc = np.empty(0, dtype=np.float64)
+        for stride, grp in pdf.groupby("stride", sort=True):
+            # block-max upper bound for this stride
+            bound = 0.0
+            for t, g in grp.groupby("term", sort=False):
+                mtf = float(g["max_tf"].max())
+                mdl = float(g["min_doclen"].min())
+                tfw = mtf / (mtf + k1 * (1 - b + b * mdl / avglen))
+                bound += idf_b[t] * tfw
+            if len(top_ids) >= k and bound < theta:
+                continue  # skip without decoding — the block-max prune
+                # (strict <: a stride tying θ may still win the doc-id
+                # tie-break, `ScoreList.java:90-97`)
+            lo, hi = int(stride) * STRIDE, (int(stride) + 1) * STRIDE
+            ids_all, sc_all = [], []
+            for row in grp.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
+                mask = (ids >= lo) & (ids < hi)
+                if not mask.any():
+                    continue
+                tfs = varbyte_decode(bytes(row.tfs_vb))[mask].astype(np.float64)
+                dls = varbyte_decode(bytes(row.doclens_vb))[mask].astype(np.float64)
+                w = idf_b[row.term] * tfs / (
+                    tfs + k1 * (1 - b + b * dls / avglen))
+                ids_all.append(ids[mask])
+                sc_all.append(w)
+            if not ids_all:
+                continue
+            ids_c = np.concatenate(ids_all)
+            sc_c = np.concatenate(sc_all)
+            uids, inv = np.unique(ids_c, return_inverse=True)
+            sums = np.zeros(len(uids), dtype=np.float64)
+            np.add.at(sums, inv, sc_c)
+            # merge into running top-k, update θ
+            top_ids = np.concatenate([top_ids, uids])
+            top_sc = np.concatenate([top_sc, sums])
+            if len(top_ids) > k:
+                # tie-aware trim: among equal scores keep the lowest
+                # doc_ids (tie-break parity with the global merge)
+                order = np.lexsort((top_ids, -top_sc))[:k]
+                top_ids, top_sc = top_ids[order], top_sc[order]
+                theta = float(top_sc.min())
+        yield pd.DataFrame({"doc_id": top_ids, "score": top_sc})
+
+    per_part = (blocks.repartition("pk").groupBy("pk")
+                .applyInPandas(
+                    lambda key, g: next(score_partition(iter([g]))),
+                    schema="doc_id long, score double"))
+    return per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,699 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (Spark callable, DuckDB oracle SQL) pair.
+
+The Spark side runs the real engine (`engine.compile.Engine`) over an
+index built from `documents.parquet`; the oracle side is hand-written
+ANSI SQL in DuckDB dialect that transcribes the same reference semantics
+(`QrySopScore.java:90-161`, `QrySopAnd/Or/Sum/WSum/WAnd`,
+`QryIopNear.java:97-116`, `QryIopWindow.java:121-137`).
+
+Float discipline: all score outputs are rounded to integers via
+floor(score·1e6 + 0.5) ON BOTH SIDES, and top-k ordering uses the rounded
+score + ext_id — so DataFrame-vs-DuckDB comparisons are exact-integer and
+deterministic regardless of float summation order.  Operators whose tf
+semantics are inherently sequential (greedy NEAR/WINDOW position
+consumption, `QryIopNear.java:110-114`) ship without oracle SQL (the
+driver records a rows-only check); their exact semantics are covered by
+`tests/test_engine_golden.py` against the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .analysis import STOPWORDS
+from .engine.compile import Engine
+from .indexer.build import Index, index_documents_table
+from .pipeline import dedup as dd
+from .pipeline import similarity as sim
+from .pipeline import textstats as ts
+
+# --------------------------------------------------------------- constants --
+
+K1, B = 1.2, 0.75
+MU, LAM = 2500.0, 0.4
+STOPLIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+BOW3 = ["spark", "stream", "join"]
+BOW5 = ["hash", "merge", "batch", "window", "table"]
+# "dup" is the only sub-50%-df term in the synthetic corpus — the one
+# term whose BM25 idf clears the floor (`QrySopScore.java:98`); queries
+# over common terms legitimately score 0 everywhere (floor semantics).
+BOW_RARE = ["dup", "spark", "stream"]
+STOPQ = ["data", "group"]          # "the data and group" after analysis
+SYN_TERMS = ["spark", "stream"]    # #syn( spark stream )
+SYN_EXTRA = "join"
+STAT_TERMS = ["spark", "stream", "join", "merge", "batch", "window",
+              "data", "table"]
+TREC_QUERIES = {"q1": BOW3, "q2": ["hash", "merge", "batch"],
+                "q3": ["data", "table"]}
+
+_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> Index:
+    key = sf_dir
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = index_documents_table(spark, sf_dir)
+    return _INDEX_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _r(col):
+    """floor(x·1e6 + 0.5) — the shared integer rounding."""
+    return F.floor(col * 1e6 + 0.5).cast("long")
+
+
+def _topk_rounded(eng: Engine, qstring: str, k: int = 100) -> DataFrame:
+    """(ext_id, score_r) top-k ordered by rounded score desc, ext_id asc —
+    deterministic across engines (`ScoreList.java:87-114` tie-break)."""
+    node = eng.parse(qstring)
+    s = eng.eval_sop(node).where(F.col("score") >= 0)
+    s = s.join(eng.index.docs.select("doc_id", "ext_id"), "doc_id")
+    return (s.withColumn("score_r", _r(F.col("score")))
+            .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(k)
+            .select("ext_id", "score_r"))
+
+
+def _bool_set(eng: Engine, qstring: str, as_int: bool = True) -> DataFrame:
+    """All matching docs of a boolean query → (ext_id, score_i)."""
+    node = eng.parse(qstring)
+    s = eng.eval_sop(node).where(F.col("score") >= 0)
+    s = s.join(eng.index.docs.select("doc_id", "ext_id"), "doc_id")
+    return s.select("ext_id", F.col("score").cast("long").alias("score_i"))
+
+
+# ------------------------------------------------------------- SQL prelude --
+
+PRELUDE = f"""WITH docs0 AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'doc' || lpad(doc_id::VARCHAR, 9, '0') AS ext_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, ext_id, len(toks)::BIGINT AS doclen FROM docs0),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1)::INT AS pos FROM docs0),
+emit AS (SELECT * FROM tok WHERE term NOT IN ({STOPLIST})),
+post AS (SELECT term, doc_id, count(*)::INT AS tf
+         FROM emit GROUP BY term, doc_id),
+stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
+          FROM post GROUP BY term),
+corpus AS (SELECT (SELECT count(*) FROM docs0)::DOUBLE AS n,
+                  (SELECT sum(doclen) FROM dl)::DOUBLE AS sumlen,
+                  (SELECT count(*) FROM dl)::DOUBLE AS ndocs_f)"""
+
+
+def _values(terms: list[str]) -> str:
+    return ", ".join(f"('{t}')" for t in terms)
+
+
+def _bm25_scored_cte(terms: list[str], alias: str) -> str:
+    """CTE computing (doc_id, score) BM25 #SUM over `terms`
+    (`QrySopScore.java:90-120`: idf floored at 0, user weight ≡ 1)."""
+    return f"""{alias}_q(term) AS (VALUES {_values(terms)}),
+{alias} AS (
+  SELECT p.doc_id,
+         sum( greatest(0.0, ln((c.n - s.df + 0.5) / (s.df + 0.5)))
+              * (p.tf / (p.tf + {K1} * (1 - {B} + {B} * d.doclen
+                                        / (c.sumlen / c.ndocs_f)))) * 1.0
+            ) AS score
+  FROM post p JOIN {alias}_q USING (term) JOIN stats s USING (term)
+       JOIN dl d USING (doc_id) CROSS JOIN corpus c
+  GROUP BY p.doc_id)"""
+
+
+def _bm25_sql(terms: list[str], k: int = 100) -> str:
+    return f"""{PRELUDE},
+{_bm25_scored_cte(terms, 'scored')}
+SELECT d.ext_id, floor(scored.score * 1e6 + 0.5)::BIGINT AS score_r
+FROM scored JOIN dl d USING (doc_id)
+ORDER BY score_r DESC, ext_id LIMIT {k}"""
+
+
+INDRI_VAL = ("(1 - {lam}) * ({tf} + {mu} * ({ctf} / c.sumlen))"
+             " / ({dl} + {mu}) + {lam} * ({ctf} / c.sumlen)")
+
+
+def _indri_pivot_sql(terms: list[str], combiner: str, k: int = 100) -> str:
+    """Indri matchMin candidates + per-term values with tf=0 defaults
+    (`QrySopAnd.java:86-107`), pivoted so the combiner mirrors the
+    engine's left-associative float expression exactly."""
+    cases = ",\n       ".join(
+        f"max(CASE WHEN term = '{t}' THEN val END) AS v{i}"
+        for i, t in enumerate(terms))
+    val = INDRI_VAL.format(lam=LAM, mu=MU, tf="cell.tf", ctf="s.ctf",
+                           dl="d.doclen")
+    return f"""{PRELUDE},
+q(term) AS (VALUES {_values(terms)}),
+cand AS (SELECT DISTINCT doc_id FROM post JOIN q USING (term)),
+cell AS (SELECT cand.doc_id, q.term, coalesce(p.tf, 0) AS tf
+         FROM cand CROSS JOIN q
+         LEFT JOIN post p ON p.doc_id = cand.doc_id AND p.term = q.term),
+vals AS (SELECT cell.doc_id, cell.term, {val} AS val
+         FROM cell JOIN stats s ON s.term = cell.term
+              JOIN dl d ON d.doc_id = cell.doc_id
+              CROSS JOIN corpus c),
+piv AS (SELECT doc_id,
+       {cases}
+        FROM vals GROUP BY doc_id)
+SELECT d.ext_id, floor(({combiner}) * 1e6 + 0.5)::BIGINT AS score_r
+FROM piv JOIN dl d USING (doc_id)
+ORDER BY score_r DESC, ext_id LIMIT {k}"""
+
+
+def _geo_combiner(shares: list[float]) -> str:
+    """Engine's `_indri_combine` geo reduce: 1.0 · Π pow(v_i, share_i)."""
+    out = "1.0"
+    for i, s in enumerate(shares):
+        out += f" * pow(v{i}, {s!r})"
+    return out
+
+
+def _sum_combiner(shares: list[float]) -> str:
+    out = "0.0"
+    for i, s in enumerate(shares):
+        out += f" + {s!r} * v{i}"
+    return out
+
+
+def _shingle_prelude() -> str:
+    """Word-3-gram distinct shingles + 32-bit portable hash (mirrors
+    `pipeline.dedup.with_shingles` / `token_hash32`)."""
+    return f"""{PRELUDE},
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS shingle
+  FROM docs0))"""
+
+
+# ----------------------------------------------------------- spark queries --
+
+
+def _q_bm25(terms):
+    def fn(spark, sf_dir):
+        return _topk_rounded(Engine(_index(spark, sf_dir), "bm25"),
+                             " ".join(terms))
+    return fn
+
+
+def q_bm25_stop(spark, sf_dir):
+    # raw query contains stopwords; the parser drops them (`QryParser` +
+    # `StopFilter`), leaving [data, group]
+    return _topk_rounded(Engine(_index(spark, sf_dir), "bm25"),
+                         "the data and group")
+
+
+def q_bm25_syn(spark, sf_dir):
+    return _topk_rounded(Engine(_index(spark, sf_dir), "bm25"),
+                         f"#sum( #syn( {' '.join(SYN_TERMS)} ) {SYN_EXTRA} )")
+
+
+def q_bm25_sdm(spark, sf_dir):
+    """Structured SDM-style query (rows-only check: greedy NEAR/WINDOW tf,
+    `QryIopNear.java:110-114`, is covered by the pytest golden gate)."""
+    return _topk_rounded(
+        Engine(_index(spark, sf_dir), "bm25"),
+        "#sum( #near/2( spark stream ) #window/5( join merge ) spark )")
+
+
+def q_ranked_near(spark, sf_dir):
+    """#NEAR tf under RankedBoolean (rows-only, greedy-consumption tf)."""
+    return _bool_set(Engine(_index(spark, sf_dir), "rankedboolean"),
+                     "#near/3( big join )")
+
+
+def q_ranked_and(spark, sf_dir):
+    return _bool_set(Engine(_index(spark, sf_dir), "rankedboolean"),
+                     "#and( big join )")
+
+
+def q_ranked_or(spark, sf_dir):
+    return _bool_set(Engine(_index(spark, sf_dir), "rankedboolean"),
+                     "#or( spark customer vector )")
+
+
+def q_unranked_and(spark, sf_dir):
+    return _bool_set(Engine(_index(spark, sf_dir), "unrankedboolean"),
+                     "#and( small slow )")
+
+
+def q_near2_bool(spark, sf_dir):
+    return _bool_set(Engine(_index(spark, sf_dir), "unrankedboolean"),
+                     "#near/2( big join )")
+
+
+def q_window3_bool(spark, sf_dir):
+    return _bool_set(Engine(_index(spark, sf_dir), "unrankedboolean"),
+                     "#window/3( merge batch )")
+
+
+def q_indri_term(spark, sf_dir):
+    return _topk_rounded(Engine(_index(spark, sf_dir), "indri"),
+                         "#and( spark )")
+
+
+def q_indri_and(spark, sf_dir):
+    return _topk_rounded(Engine(_index(spark, sf_dir), "indri"),
+                         "#and( spark stream join )")
+
+
+def q_indri_wsum(spark, sf_dir):
+    return _topk_rounded(Engine(_index(spark, sf_dir), "indri"),
+                         "#wsum( 0.5 spark 0.3 stream 0.2 join )")
+
+
+def q_indri_wand(spark, sf_dir):
+    return _topk_rounded(Engine(_index(spark, sf_dir), "indri"),
+                         "#wand( 0.6 merge 0.4 batch )")
+
+
+def q_postings(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return (idx.postings
+            .where((F.col("term") == "spark") & (F.col("field") == "body"))
+            .select("doc_id", F.col("tf").cast("long").alias("tf"),
+                    F.array_join(
+                        F.transform("positions", lambda x: x.cast("string")),
+                        ",").alias("poss")))
+
+
+def q_term_stats(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return (idx.term_stats
+            .where((F.col("field") == "body") & F.col("term").isin(STAT_TERMS))
+            .select("term", "df", "ctf"))
+
+
+def q_doclens(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return (idx.doclens.where(F.col("field") == "body")
+            .select("doc_id", "doclen"))
+
+
+def q_trec_topk(spark, sf_dir):
+    eng = Engine(_index(spark, sf_dir), "bm25")
+    frames = []
+    for qid, terms in TREC_QUERIES.items():
+        frames.append(_topk_rounded(eng, " ".join(terms), k=10)
+                      .withColumn("qid", F.lit(qid)))
+    u = frames[0]
+    for f2 in frames[1:]:
+        u = u.unionByName(f2)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("ext_id"))
+    return (u.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("qid", "ext_id", "rank", "score_r"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dd.minhash_dedup_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return dd.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (_emb(spark, sf_dir).where(F.col("vec_id") == 0)
+           .select("embedding").collect()[0])
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_topk(spark, sf_dir):
+    return sim.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=20)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: plane literals impractical in SQL)."""
+    return sim.lsh_ann(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=20)
+
+
+def q_langid(spark, sf_dir):
+    return ts.language_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return ts.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return ts.quality_features(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return ts.fingerprints(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------- oracle SQL --
+
+
+def _sql_ranked_and() -> str:
+    return f"""{PRELUDE}
+SELECT d.ext_id, least(a.tf, b.tf)::BIGINT AS score_i
+FROM (SELECT doc_id, tf FROM post WHERE term = 'big') a
+JOIN (SELECT doc_id, tf FROM post WHERE term = 'join') b USING (doc_id)
+JOIN dl d USING (doc_id)"""
+
+
+def _sql_ranked_or() -> str:
+    return f"""{PRELUDE}
+SELECT d.ext_id, max(p.tf)::BIGINT AS score_i
+FROM post p JOIN dl d USING (doc_id)
+WHERE p.term IN ('spark', 'customer', 'vector')
+GROUP BY d.ext_id"""
+
+
+def _sql_unranked_and() -> str:
+    return f"""{PRELUDE}
+SELECT d.ext_id, 1::BIGINT AS score_i FROM dl d
+WHERE EXISTS (SELECT 1 FROM post p
+              WHERE p.doc_id = d.doc_id AND p.term = 'small')
+  AND EXISTS (SELECT 1 FROM post p
+              WHERE p.doc_id = d.doc_id AND p.term = 'slow')"""
+
+
+def _sql_near2_bool() -> str:
+    # existence of an ordered pair within n ⇔ greedy zipper non-empty
+    # (`QryIopNear.java:97-116`, 2-arg case)
+    return f"""{PRELUDE}
+SELECT d.ext_id, 1::BIGINT AS score_i FROM dl d
+WHERE EXISTS (SELECT 1 FROM emit a JOIN emit b
+              ON a.doc_id = b.doc_id
+              WHERE a.doc_id = d.doc_id
+                AND a.term = 'big' AND b.term = 'join'
+                AND b.pos >= a.pos AND b.pos - a.pos <= 2)"""
+
+
+def _sql_window3_bool() -> str:
+    # strict max-min < n (`QryIopWindow.java:121`), unordered, 2-arg
+    return f"""{PRELUDE}
+SELECT d.ext_id, 1::BIGINT AS score_i FROM dl d
+WHERE EXISTS (SELECT 1 FROM emit a JOIN emit b
+              ON a.doc_id = b.doc_id
+              WHERE a.doc_id = d.doc_id
+                AND a.term = 'merge' AND b.term = 'batch'
+                AND abs(a.pos - b.pos) < 3)"""
+
+
+def _sql_bm25_syn() -> str:
+    return f"""{PRELUDE},
+syn AS (SELECT doc_id, sum(tf)::INT AS tf FROM post
+        WHERE term IN ({', '.join(repr(t) for t in SYN_TERMS)})
+        GROUP BY doc_id),
+synstats AS (SELECT count(*)::DOUBLE AS df FROM syn),
+s_syn AS (
+  SELECT syn.doc_id,
+         greatest(0.0, ln((c.n - ss.df + 0.5) / (ss.df + 0.5)))
+         * (syn.tf / (syn.tf + {K1} * (1 - {B} + {B} * d.doclen
+                                       / (c.sumlen / c.ndocs_f)))) * 1.0
+         AS score
+  FROM syn CROSS JOIN synstats ss JOIN dl d USING (doc_id)
+       CROSS JOIN corpus c),
+{_bm25_scored_cte([SYN_EXTRA], 's_t')}
+SELECT d.ext_id, floor(u.score * 1e6 + 0.5)::BIGINT AS score_r
+FROM (SELECT doc_id, sum(score) AS score FROM
+      (SELECT * FROM s_syn UNION ALL SELECT * FROM s_t) GROUP BY doc_id) u
+JOIN dl d USING (doc_id)
+ORDER BY score_r DESC, ext_id LIMIT 100"""
+
+
+def _sql_indri_term() -> str:
+    val = INDRI_VAL.format(lam=LAM, mu=MU, tf="p.tf", ctf="s.ctf",
+                           dl="d.doclen")
+    return f"""{PRELUDE}
+SELECT d.ext_id, floor(({val}) * 1e6 + 0.5)::BIGINT AS score_r
+FROM post p JOIN stats s USING (term) JOIN dl d USING (doc_id)
+     CROSS JOIN corpus c
+WHERE p.term = 'spark'
+ORDER BY score_r DESC, ext_id LIMIT 100"""
+
+
+def _sql_postings() -> str:
+    return f"""{PRELUDE}
+SELECT doc_id, count(*)::BIGINT AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS poss
+FROM emit WHERE term = 'spark' GROUP BY doc_id"""
+
+
+def _sql_term_stats() -> str:
+    return f"""{PRELUDE}
+SELECT term, df, ctf FROM stats
+WHERE term IN ({', '.join(repr(t) for t in STAT_TERMS)})"""
+
+
+def _sql_doclens() -> str:
+    return f"{PRELUDE}\nSELECT doc_id, doclen FROM dl"
+
+
+def _sql_trec_topk() -> str:
+    ctes = ",\n".join(_bm25_scored_cte(terms, f"sc_{qid}")
+                      for qid, terms in TREC_QUERIES.items())
+    unions = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS qid, d.ext_id,
+      floor(sc_{qid}.score * 1e6 + 0.5)::BIGINT AS score_r
+ FROM sc_{qid} JOIN dl d USING (doc_id)
+ ORDER BY score_r DESC, ext_id LIMIT 10)"""
+        for qid in TREC_QUERIES)
+    return f"""{PRELUDE},
+{ctes},
+allq AS ({unions})
+SELECT qid, ext_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, ext_id)::BIGINT AS rank,
+       score_r
+FROM allq"""
+
+
+def _sql_dedup_exact() -> str:
+    return """SELECT fp, count(*)::BIGINT AS n_docs,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM (SELECT sha256(text) AS fp, doc_id::BIGINT AS doc_id FROM documents)
+GROUP BY fp HAVING count(*) > 1"""
+
+
+def _sql_dedup_minhash() -> str:
+    mins = ",\n         ".join(
+        f"min(({dd.MINHASH_A[i]} * h + {dd.MINHASH_B[i]}) % {dd.P31}) AS mh{i}"
+        for i in range(dd.NUM_HASHES))
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {sig} AS bsig FROM mh".format(
+            b=b, sig=" || '_' || ".join(
+                f"mh{b * dd.LSH_ROWS + r}::VARCHAR"
+                for r in range(dd.LSH_ROWS)))
+        for b in range(dd.LSH_BANDS))
+    return f"""{_shingle_prelude()},
+mh AS (SELECT doc_id,
+         {mins}
+       FROM (SELECT doc_id,
+                    (('0x' || substr(md5(shingle), 1, 8))::UBIGINT::BIGINT
+                     % {dd.P31}) AS h
+             FROM sh)
+       GROUP BY doc_id),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id"""
+
+
+def _sql_dedup_simhash() -> str:
+    nb = dd.SIMHASH_BITS
+    sums = ",\n         ".join(
+        f"sum(tf * (2 * ((h >> {b}) & 1) - 1)) AS s{b}" for b in range(nb))
+    recon = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(nb))
+    return f"""{PRELUDE},
+th AS (SELECT doc_id, tf,
+              ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT AS h
+       FROM post),
+bits AS (SELECT doc_id,
+         {sums}
+         FROM th GROUP BY doc_id)
+SELECT doc_id, ({recon})::BIGINT AS simhash FROM bits"""
+
+
+def _sql_dedup_ngram(threshold: float = 0.2) -> str:
+    return f"""{_shingle_prelude()},
+szs AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       (sa.sz + sb.sz - inter)::BIGINT AS union_sz,
+       floor(inter / (sa.sz + sb.sz - inter) * 1e6 + 0.5)::BIGINT AS jacc_r
+FROM inter JOIN szs sa ON sa.doc_id = doc_a
+     JOIN szs sb ON sb.doc_id = doc_b
+WHERE floor(inter / (sa.sz + sb.sz - inter) * 1e6 + 0.5)
+      >= {int(threshold * 1e6)}"""
+
+
+EMB_PRELUDE = """WITH v AS (
+  SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+nv AS (SELECT vid, vec,
+              sqrt(list_dot_product(vec, vec)) AS nrm FROM v)"""
+
+
+def _sql_dedup_embedding(threshold: float = 0.9) -> str:
+    return f"""{EMB_PRELUDE}
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       floor((CASE WHEN a.nrm > 0 AND b.nrm > 0
+              THEN list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+              ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS cos_r
+FROM nv a JOIN nv b ON a.vid < b.vid
+WHERE floor((CASE WHEN a.nrm > 0 AND b.nrm > 0
+       THEN list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+       ELSE 0.0 END) * 1e6 + 0.5) >= {int(threshold * 1e6)}"""
+
+
+def _sql_ann_topk(k: int = 20) -> str:
+    return f"""{EMB_PRELUDE},
+q AS (SELECT vec AS qv, nrm AS qn FROM nv WHERE vid = 0)
+SELECT vid AS vec_id,
+       floor((CASE WHEN nrm > 0 AND qn > 0
+              THEN list_dot_product(vec, qv) / (nrm * qn)
+              ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS cos_r
+FROM nv, q
+ORDER BY cos_r DESC, vec_id LIMIT {k}"""
+
+
+def _lang_count_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))::BIGINT"
+
+
+def _sql_langid() -> str:
+    c_en = _lang_count_sql(ts.LANG_MARKERS["en"])
+    c_de = _lang_count_sql(ts.LANG_MARKERS["de"])
+    c_fr = _lang_count_sql(ts.LANG_MARKERS["fr"])
+    return f"""{PRELUDE},
+counts AS (SELECT doc_id, {c_en} AS c_en, {c_de} AS c_de, {c_fr} AS c_fr
+           FROM docs0)
+SELECT doc_id,
+       CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+            WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_guess,
+       c_en, c_de, c_fr
+FROM counts"""
+
+
+def _sql_token_counts() -> str:
+    return r"""SELECT doc_id::BIGINT AS doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> t <> ''))::BIGINT AS ws_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''))::BIGINT AS re_tokens,
+       len(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> '')))::BIGINT AS uniq_tokens
+FROM documents"""
+
+
+def _sql_quality() -> str:
+    stop = _lang_count_sql(ts.LANG_MARKERS["en"])
+    return f"""{PRELUDE},
+base AS (SELECT d.doc_id, toks,
+                len(toks) AS n_tok,
+                {stop} AS stop_cnt,
+                length(text) AS n_chars,
+                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  AS digits,
+                list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+         FROM documents d JOIN docs0 USING (doc_id)),
+ratios AS (SELECT doc_id, n_tok,
+    CASE WHEN n_tok > 0 THEN stop_cnt / n_tok ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END AS digit_ratio,
+    CASE WHEN n_tok > 0 THEN tok_chars / n_tok ELSE 0.0 END AS avgtok
+  FROM base)
+SELECT doc_id, n_tok::BIGINT AS n_tokens,
+       floor(stop_ratio * 1e6 + 0.5)::BIGINT AS stop_r,
+       floor(digit_ratio * 1e6 + 0.5)::BIGINT AS digit_r,
+       floor(avgtok * 1e6 + 0.5)::BIGINT AS avgtok_r,
+       floor((0.4 * (1.0 - stop_ratio)
+              + 0.3 * least(1.0, n_tok / 100.0)
+              + 0.3 * (1.0 - digit_ratio)) * 1e6 + 0.5)::BIGINT AS quality_r
+FROM ratios"""
+
+
+def _sql_fingerprints() -> str:
+    return """SELECT doc_id::BIGINT AS doc_id,
+       sha256(text) AS fp_exact,
+       md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> ''), ' ')) AS fp_norm
+FROM documents"""
+
+
+# ---------------------------------------------------------------- registry --
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "bm25_bow3": (_q_bm25(BOW3), _bm25_sql(BOW3)),
+    "bm25_bow5": (_q_bm25(BOW5), _bm25_sql(BOW5)),
+    "bm25_rare_term": (_q_bm25(BOW_RARE), _bm25_sql(BOW_RARE)),
+    "bm25_stopquery": (q_bm25_stop, _bm25_sql(STOPQ)),
+    "bm25_syn": (q_bm25_syn, _sql_bm25_syn()),
+    "bm25_sdm_structured": (q_bm25_sdm, None),
+    "ranked_near": (q_ranked_near, None),
+    "ranked_and": (q_ranked_and, _sql_ranked_and()),
+    "ranked_or": (q_ranked_or, _sql_ranked_or()),
+    "unranked_and": (q_unranked_and, _sql_unranked_and()),
+    "near2_bool": (q_near2_bool, _sql_near2_bool()),
+    "window3_bool": (q_window3_bool, _sql_window3_bool()),
+    "indri_term": (q_indri_term, _sql_indri_term()),
+    "indri_and": (q_indri_and, _indri_pivot_sql(
+        ["spark", "stream", "join"],
+        _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3]))),
+    "indri_wsum": (q_indri_wsum, _indri_pivot_sql(
+        ["spark", "stream", "join"],
+        _sum_combiner([w / (0.5 + 0.3 + 0.2) for w in (0.5, 0.3, 0.2)]))),
+    "indri_wand": (q_indri_wand, _indri_pivot_sql(
+        ["merge", "batch"],
+        _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
+    "postings_term": (q_postings, _sql_postings()),
+    "term_stats": (q_term_stats, _sql_term_stats()),
+    "doclen_store": (q_doclens, _sql_doclens()),
+    "trec_topk": (q_trec_topk, _sql_trec_topk()),
+    "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
+    "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+    "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
+    "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding(0.3)),
+    "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),
+    "ann_lsh_bucketed": (q_ann_lsh, None),
+    "text_langid": (q_langid, _sql_langid()),
+    "text_token_counts": (q_token_counts, _sql_token_counts()),
+    "text_quality": (q_quality, _sql_quality()),
+    "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql}

@@ -1,0 +1,219 @@
+"""Compressed posting segments + per-partition manifests + resume.
+
+The reference keeps postings as uncompressed `Vector<Integer>` in RAM
+(`InvList.java:68`); the north rule requires docID-delta + varbyte
+compressed segments with per-block metadata for block-max WAND, built
+resumably with per-partition lineage + counters.
+
+Layout: `out_dir/bucket=B/part-*.parquet`, one row per posting BLOCK of
+one (term, field) run:
+
+    term, field, bucket, block_seq, n, max_docid, max_tf, min_doclen,
+    docids_vb BINARY, tfs_vb BINARY, positions_vb BINARY
+
+* **bucket** = pmod(xxhash64(term), num_buckets) — the unit of work,
+  lineage, and resume. Term-partitioned: a query's term filter prunes to
+  ≤|terms| buckets (partition pruning on the bucket directory + parquet
+  min/max on `term`).
+* Within a bucket, postings are sorted (term, doc_id) and chunked into
+  ≤BLOCK_SIZE-posting blocks by a `mapInPandas` pass running the numpy
+  varbyte codec — Arrow batches in, Arrow batches out, no per-row Python.
+* Blocks carry `max_docid` (skip pointer) and `(max_tf, min_doclen)` —
+  a monotone upper bound for the BM25 tf-weight (tf/(tf+c) increasing in
+  tf, decreasing in doclen) → per-block max-score for WAND pruning.
+* **Manifest** `out_dir/_manifest.jsonl`: one line per completed bucket
+  with input fingerprint + counters (terms, postings, sum_tf, blocks).
+  `build_segments` anti-joins wanted buckets against manifest entries
+  whose fingerprint matches, processes only the missing ones (in chunks,
+  manifest appended after each chunk) — an interrupted build resumes
+  without recomputing completed buckets, and a changed input invalidates
+  all entries (fingerprint mismatch).
+
+At 10^12 files this is the shape that works: the bucket count scales the
+unit of recovery, hot terms are bounded by BLOCK_SIZE-row blocks, and the
+two-phase (local chunk → sorted bucket) write is `repartitionByRange` +
+`sortWithinPartitions`, Spark's native large-sort path (spills, no OOM).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .codec import BLOCK_SIZE, delta_encode, varbyte_encode
+
+SEGMENT_SCHEMA = (
+    "term string, field string, bucket int, block_seq int, n int, "
+    "min_docid long, max_docid long, max_tf int, min_doclen long, "
+    "docids_vb binary, tfs_vb binary, positions_vb binary, "
+    "doclens_vb binary")
+
+
+def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched block encoder. Input: (term, field, bucket, doc_id,
+    tf, positions, doclen) sorted by (term, field, doc_id) within the
+    partition; carries run state across batches so a (term, field) run
+    spanning batches continues its block_seq."""
+    state: dict = {"key": None, "seq": 0, "rows": []}
+    out_rows: list[dict] = []
+
+    def flush_run(key, rows, seq0):
+        seq = seq0
+        for i in range(0, len(rows), BLOCK_SIZE):
+            chunk = rows[i:i + BLOCK_SIZE]
+            doc_ids = np.array([r[0] for r in chunk], dtype=np.int64)
+            tfs = np.array([r[1] for r in chunk], dtype=np.int64)
+            doclens = np.array([r[3] for r in chunk], dtype=np.int64)
+            pos_flat = np.concatenate(
+                [np.asarray(r[2], dtype=np.int64) for r in chunk]) \
+                if chunk else np.empty(0, np.int64)
+            # per-doc position deltas, doc-start absolute
+            pdel = pos_flat.copy()
+            if pdel.size:
+                starts = np.concatenate(
+                    ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+                inner = np.diff(pos_flat, prepend=np.int64(0))
+                inner[starts] = pos_flat[starts]
+                pdel = inner
+            out_rows.append({
+                "term": key[0], "field": key[1], "bucket": key[2],
+                "block_seq": seq, "n": len(chunk),
+                "min_docid": int(doc_ids[0]),
+                "max_docid": int(doc_ids[-1]),
+                "max_tf": int(tfs.max()),
+                "min_doclen": int(doclens.min()),
+                "docids_vb": varbyte_encode(delta_encode(doc_ids)),
+                "tfs_vb": varbyte_encode(tfs),
+                "positions_vb": varbyte_encode(pdel),
+                "doclens_vb": varbyte_encode(doclens),
+            })
+            seq += 1
+        return seq
+
+    for pdf in batches:
+        for term, field, bucket, doc_id, tf, positions, doclen in zip(
+                pdf["term"], pdf["field"], pdf["bucket"], pdf["doc_id"],
+                pdf["tf"], pdf["positions"], pdf["doclen"]):
+            key = (term, field, int(bucket))
+            if key != state["key"]:
+                if state["key"] is not None and state["rows"]:
+                    flush_run(state["key"], state["rows"], state["seq"])
+                state.update(key=key, seq=0, rows=[])
+            state["rows"].append((int(doc_id), int(tf), positions, int(doclen)))
+            # flush full blocks eagerly to bound memory on hot terms
+            if len(state["rows"]) >= BLOCK_SIZE:
+                state["seq"] = flush_run(key, state["rows"], state["seq"])
+                state["rows"] = []
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+            out_rows = []
+    if state["key"] is not None and state["rows"]:
+        flush_run(state["key"], state["rows"], state["seq"])
+    if out_rows:
+        yield pd.DataFrame(out_rows)
+
+
+def _fingerprint(postings: DataFrame) -> dict:
+    """Cheap input lineage: counts + checksums, one aggregate pass."""
+    r = postings.agg(
+        F.count("*").alias("rows"),
+        F.sum("tf").alias("sum_tf"),
+        F.sum(F.crc32(F.concat_ws(":", "term", F.col("doc_id").cast("string"),
+                                  F.col("tf").cast("string"))))
+        .alias("crc_sum")).collect()[0]
+    return {"rows": int(r["rows"]), "sum_tf": int(r["sum_tf"] or 0),
+            "crc_sum": int(r["crc_sum"] or 0)}
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.jsonl")
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def completed_buckets(out_dir: str, fingerprint: dict) -> set[int]:
+    return {m["bucket"] for m in read_manifest(out_dir)
+            if m.get("fingerprint") == fingerprint}
+
+
+def build_segments(postings: DataFrame, doclens: DataFrame, out_dir: str,
+                   num_buckets: int = 32, chunk: int = 8,
+                   fingerprint: dict | None = None) -> dict:
+    """Build (or resume) compressed segments for `postings`.
+
+    Returns build metrics. Safe to re-run after interruption: buckets
+    already recorded in the manifest (with a matching input fingerprint)
+    are skipped; work proceeds in `chunk`-bucket units with the manifest
+    appended after each, so the checkpoint granularity is `chunk`
+    buckets.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    fingerprint = fingerprint or _fingerprint(postings)
+    done = completed_buckets(out_dir, fingerprint)
+    todo = [b for b in range(num_buckets) if b not in done]
+    src = (postings.join(doclens.select("doc_id", "field", "doclen"),
+                         ["doc_id", "field"])
+           .withColumn("bucket",
+                       F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+                       .cast("int")))
+    metrics = {"buckets_total": num_buckets, "buckets_skipped": len(done),
+               "buckets_built": 0, "blocks": 0, "postings": 0}
+    for i in range(0, len(todo), chunk):
+        batch = todo[i:i + chunk]
+        part = (src.where(F.col("bucket").isin(batch))
+                .repartitionByRange(len(batch), "bucket", "term", "doc_id")
+                .sortWithinPartitions("bucket", "term", "field", "doc_id"))
+        seg = part.select("term", "field", "bucket", "doc_id", "tf",
+                          "positions", "doclen") \
+            .mapInPandas(_encode_partition, schema=SEGMENT_SCHEMA)
+        (seg.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(out_dir))
+        # per-bucket counters for the manifest (lineage + metrics)
+        spark = postings.sparkSession
+        counts = (spark.read.parquet(out_dir)
+                  .where(F.col("bucket").isin(batch))
+                  .groupBy("bucket")
+                  .agg(F.count("*").alias("blocks"),
+                       F.sum("n").alias("postings"),
+                       F.countDistinct("term").alias("terms")).collect())
+        with open(_manifest_path(out_dir), "a") as f:
+            for r in counts:
+                entry = {"stage": "segments", "bucket": int(r["bucket"]),
+                         "blocks": int(r["blocks"]),
+                         "postings": int(r["postings"]),
+                         "terms": int(r["terms"]),
+                         "fingerprint": fingerprint}
+                f.write(json.dumps(entry) + "\n")
+                metrics["blocks"] += entry["blocks"]
+                metrics["postings"] += entry["postings"]
+        metrics["buckets_built"] += len(batch)
+    return metrics
+
+
+def read_segments(spark: SparkSession, out_dir: str,
+                  terms: list[str] | None = None,
+                  num_buckets: int = 32) -> DataFrame:
+    """Scan segment blocks, pruned to the query terms' buckets (directory
+    pruning on `bucket`) + parquet row-group min/max on `term`."""
+    df = spark.read.parquet(out_dir)
+    if terms:
+        import pyspark.sql.functions as SF
+        bks = {r["b"] for r in
+               spark.createDataFrame([(t,) for t in terms], "term string")
+               .select(SF.pmod(SF.xxhash64("term"), SF.lit(num_buckets))
+                       .cast("int").alias("b")).collect()}
+        df = df.where(F.col("bucket").isin(sorted(bks)) &
+                      F.col("term").isin(terms))
+    return df

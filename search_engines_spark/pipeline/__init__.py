@@ -1,0 +1,11 @@
+"""Large-scale training-data pipeline operators over the `documents` /
+`embeddings` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force + LSH-bucketed
+ANN), text analysis (language-ID, quality, token counts, fingerprints),
+and multimodal binary-column plumbing.
+
+Everything is expressed as JVM-side DataFrame column expressions (no Python
+in the hot path) so whole-stage codegen applies end-to-end; the only pandas
+UDFs are in `multimodal` where per-item binary decoding is inherently
+non-relational.
+"""

@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+* every hash is computed with built-in JVM expressions (`md5`, `conv`,
+  integer arithmetic) — no Python, whole-stage codegen end-to-end;
+* MinHash signatures are one narrow shuffle: explode shingles →
+  `groupBy(doc_id)` with K min-aggregates (map-side partial agg absorbs
+  shingle skew because the key is doc_id, not shingle);
+* LSH banding turns the O(n²) pair problem into an equi-join on
+  `(band, signature)` — the classic shuffle-join-on-bucket shape that
+  scales linearly with candidate volume; band-bucket skew (e.g. a
+  boilerplate header shared by millions of files) is handled by AQE
+  skew-join splitting, enabled in `session.get_spark`;
+* n-gram Jaccard joins on distinct shingles and aggregates pair
+  intersections — worst-case quadratic only within a shingle bucket, the
+  standard candidate-pair bound;
+* SimHash is a single groupBy with 60 conditional sums (one per bit).
+
+All constants are module-level so the DuckDB oracle SQL in
+`entry_queries` can inline the same values — engine and oracle share one
+parameterization and cannot drift.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime for the affine hash family
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # NUM_HASHES = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64 exactly
+SHINGLE_K = 3
+
+_rng = random.Random(7)
+MINHASH_A = [_rng.randrange(1, P31) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, P31) for _ in range(NUM_HASHES)]
+
+
+def token_hash32(col: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 → long.
+
+    Expressible identically in DuckDB as
+    ``('0x'||substr(md5(x),1,8))::UBIGINT::BIGINT`` — the portability is
+    what makes the dedup operators oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def token_hash60(col: Column) -> Column:
+    """60-bit hash (15 hex chars of md5) for SimHash bit sampling."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ------------------------------------------------------------------ exact --
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup → (fp, n_docs, doc_ids csv) for groups >1.
+
+    sha2 on the raw text; one shuffle on the 64-hex key (uniform — no skew
+    unless true duplicates exist, which is exactly the signal).
+    """
+    return (docs
+            .select(F.sha2(F.col(text_col), 256).alias("fp"),
+                    F.col(id_col).cast("long").alias("doc_id"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("doc_id")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("doc_ids"))
+            .where(F.col("n_docs") > 1))
+
+
+# --------------------------------------------------------------- shingles --
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Canonical tokenizer (same as analysis.SPARK_TOKENS_EXPR)."""
+    return F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, shingle) exploded word-{SHINGLE_K}-gram shingles (distinct
+    per doc).  Docs with < K tokens produce no shingles."""
+    k = SHINGLE_K
+    sh = (f"case when size(_toks) >= {k} then "
+          f"transform(sequence(1, size(_toks)-{k-1}), "
+          f"i -> concat_ws(' ', _toks[i-1], _toks[i], _toks[i+1])) "
+          f"else array() end")
+    return (docs
+            .select(F.col(id_col).cast("long").alias("doc_id"),
+                    tokens_expr(text_col).alias("_toks"))
+            .select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
+            .distinct())
+
+
+# ---------------------------------------------------------------- minhash --
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, mh0..mh{K-1}) MinHash signature.
+
+    Affine family h_i(x) = (a_i·x + b_i) mod p over the 32-bit shingle
+    hash; one groupBy(doc_id) with K min-aggregates (partial agg map-side).
+    """
+    h = (token_hash32(F.col("shingle")) % P31).alias("h")
+    base = shingled.select("doc_id", h)
+    aggs = [F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P31)
+            .alias(f"mh{i}") for i in range(NUM_HASHES)]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """MinHash signatures → distinct candidate pairs (doc_a < doc_b) whose
+    signatures collide in ≥1 LSH band (bands×rows = K).
+
+    Per band: equi-join on the band signature string — linear shuffle, AQE
+    splits skewed buckets (boilerplate-heavy corpora).
+    """
+    pair_frames = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        sig = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        banded = sigs.select(F.col("doc_id"), sig.alias("bsig"))
+        left = banded.select(F.col("doc_id").alias("doc_a"), "bsig")
+        right = banded.select(F.col("doc_id").alias("doc_b"), "bsig")
+        pair_frames.append(
+            left.join(right, "bsig")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b"))
+    return reduce(lambda l, r: l.unionByName(r), pair_frames).distinct()
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """End-to-end: shingle → MinHash → LSH banding → candidate pairs."""
+    return lsh_candidate_pairs(minhash_signatures(
+        with_shingles(docs, text_col, id_col)))
+
+
+# ---------------------------------------------------------------- simhash --
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, simhash) {SIMHASH_BITS}-bit SimHash over tf-weighted
+    stopword-free tokens; bit b set iff Σ_t tf(t)·(2·bit_b(h(t)) − 1) > 0.
+
+    One groupBy(doc_id) with SIMHASH_BITS conditional sums — single
+    shuffle, all JVM expressions.
+    """
+    from ..analysis import STOPWORDS
+    toks = (docs
+            .select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.explode(tokens_expr(text_col)).alias("term"))
+            .where(~F.col("term").isin(*sorted(STOPWORDS)))
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+            .withColumn("h", token_hash60(F.col("term"))))
+    bit_aggs = [
+        F.sum(F.col("tf") * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+                             * 2 - 1)).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)]
+    sums = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = reduce(
+        lambda acc, b: acc + F.when(F.col(f"s{b}") > 0,
+                                    F.shiftleft(F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS), F.lit(0).cast("long"))
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+# ----------------------------------------------------------- ngram jaccard --
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    → (doc_a, doc_b, inter, union_sz, jacc_r) with Jaccard ≥ threshold;
+    jacc_r = floor(j·1e6 + 0.5), integer-exact for oracle comparison.
+    Join on shingle → pair-count aggregation: the candidate-pair bound
+    (quadratic only within one shingle's posting) is the standard
+    scalable shape; a hot shingle (license header) is an AQE skew split.
+    """
+    sh = with_shingles(docs, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sz").alias("sza")), "doc_a")
+           .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sz").alias("szb")), "doc_b")
+           .withColumn("union_sz", F.col("sza") + F.col("szb") - F.col("inter"))
+           .withColumn("jacc_r",
+                       F.floor(F.col("inter") / F.col("union_sz") * 1e6 + 0.5)
+                       .cast("long"))
+           .where(F.col("jacc_r") >= int(threshold * 1e6)))
+    return out.select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"),
+                      F.col("union_sz").cast("long").alias("union_sz"), "jacc_r")
+
+
+# ------------------------------------------------------- embedding near-dup --
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine ≥ threshold → (vec_a, vec_b, cos_r).
+
+    Brute-force cross join — correct baseline; at 100 TB use
+    `similarity.lsh_ann` bucketing to bound the pair space first.  Norms
+    are precomputed once per side (no re-evaluation inside the pair loop).
+    """
+    from .similarity import cosine_expr, norm_expr
+    v = emb.select(F.col(id_col).cast("long").alias("vid"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("nrm", norm_expr(F.col("v")))
+    a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    pairs = (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"),
+                                            F.col("na"), F.col("nb")))
+             .withColumn("cos_r", F.floor(F.col("cos") * 1e6 + 0.5).cast("long"))
+             .where(F.col("cos_r") >= int(threshold * 1e6)))
+    return pairs.select("vec_a", "vec_b", "cos_r")

@@ -1,0 +1,120 @@
+"""Text analysis over the `documents` table: language-ID (stopword n-gram
+heuristic), quality scoring, token counting, document fingerprinting.
+
+All pure JVM column expressions (lower/split/filter/size/md5) — zero
+Python in the hot path; every operator is one narrow projection (no
+shuffle at all), so these run at scan speed on 100 TB.
+
+Constants are module-level so `entry_queries` can inline identical values
+into the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..analysis import STOPWORDS
+
+# Small function-word sets for the language-ID heuristic (public knowledge).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": tuple(sorted(STOPWORDS)),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "auf", "sich", "dem"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
+           "pour", "que", "pas", "au", "sur"),
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+
+
+def _marker_count(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, lang_guess, c_en, c_de, c_fr) by marker-word counts.
+
+    Argmax with deterministic tie order en > de > fr; all-zero → 'und'.
+    """
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       _tokens(text_col).alias("_toks"))
+    counts = base.select(
+        "doc_id",
+        _marker_count(F.col("_toks"), LANG_MARKERS["en"]).cast("long").alias("c_en"),
+        _marker_count(F.col("_toks"), LANG_MARKERS["de"]).cast("long").alias("c_de"),
+        _marker_count(F.col("_toks"), LANG_MARKERS["fr"]).cast("long").alias("c_fr"))
+    guess = (F.when((F.col("c_en") == 0) & (F.col("c_de") == 0)
+                    & (F.col("c_fr") == 0), F.lit("und"))
+             .when((F.col("c_en") >= F.col("c_de"))
+                   & (F.col("c_en") >= F.col("c_fr")), F.lit("en"))
+             .when(F.col("c_de") >= F.col("c_fr"), F.lit("de"))
+             .otherwise(F.lit("fr")))
+    return counts.select("doc_id", guess.alias("lang_guess"),
+                         "c_en", "c_de", "c_fr")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_chars, ws_tokens, re_tokens, uniq_tokens).
+
+    ws_tokens = whitespace split; re_tokens = canonical regex tokenizer
+    (the BPE-ish proxy); uniq_tokens = distinct re_tokens.
+    """
+    ws = (f"size(filter(split({text_col}, '\\\\s+'), t -> t <> ''))")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(ws).cast("long").alias("ws_tokens"),
+        F.size(_tokens(text_col)).cast("long").alias("re_tokens"),
+        F.size(F.array_distinct(_tokens(text_col))).cast("long").alias("uniq_tokens"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_tokens, stop_r, digit_r, avgtok_r, quality_r).
+
+    Ratios are floor(r·1e6+0.5) integers (oracle-exact):
+      stop_r   = stopword fraction of tokens
+      digit_r  = digit fraction of characters
+      avgtok_r = mean token length
+      quality  = 0.4·(1−stop) + 0.3·min(1, n_tokens/100) + 0.3·(1−digit)
+    """
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    stop = _marker_count(toks, LANG_MARKERS["en"])
+    n_chars = F.length(text_col)
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    tok_chars = F.aggregate(toks, F.lit(0),
+                            lambda a, t: a + F.length(t))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    avgtok = F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0))
+    quality = (0.4 * (1.0 - stop_ratio)
+               + 0.3 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+               + 0.3 * (1.0 - digit_ratio))
+
+    def r(c: Column) -> Column:
+        return F.floor(c * 1e6 + 0.5).cast("long")
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        r(stop_ratio).alias("stop_r"),
+        r(digit_ratio).alias("digit_r"),
+        r(avgtok).alias("avgtok_r"),
+        r(quality).alias("quality_r"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, fp_exact, fp_norm): raw-text sha256 and md5 of the
+    space-joined canonical token stream (whitespace/punct-insensitive)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("fp_exact"),
+        F.md5(F.array_join(_tokens(text_col), " ")).alias("fp_norm"))

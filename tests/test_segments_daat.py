@@ -1,0 +1,119 @@
+"""Segment codec round-trip, manifest resume, and block-max DAAT
+rank-identity vs the set-at-a-time Engine (SURVEY.md §7.1 items 3+5)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from search_engines_spark.engine import Engine
+from search_engines_spark.engine.daat import bm25_wand_topk
+from search_engines_spark.indexer.codec import varbyte_decode
+from search_engines_spark.indexer.segments import (
+    build_segments, read_manifest, read_segments)
+
+NUM_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def seg_dir(spark, spark_index, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("segments"))
+    metrics = build_segments(spark_index.postings, spark_index.doclens, d,
+                             num_buckets=NUM_BUCKETS, chunk=3)
+    assert metrics["buckets_built"] == NUM_BUCKETS
+    return d
+
+
+def _decode_blocks(rows):
+    """blocks of one (term, field) → {doc_id: (tf, positions)}"""
+    out = {}
+    for r in sorted(rows, key=lambda r: r["min_docid"]):
+        ids = np.cumsum(varbyte_decode(bytes(r["docids_vb"])))
+        tfs = varbyte_decode(bytes(r["tfs_vb"]))
+        pdel = varbyte_decode(bytes(r["positions_vb"]))
+        off = 0
+        for d, tf in zip(ids, tfs):
+            dp = pdel[off:off + tf]
+            out[int(d)] = (int(tf), list(np.cumsum(dp)))
+            off += tf
+    return out
+
+
+def test_segments_roundtrip(spark, spark_index, seg_dir):
+    """Decoded segments == source postings exactly (docids, tf, positions)."""
+    want = {}
+    for r in spark_index.postings.collect():
+        want.setdefault((r["term"], r["field"]), {})[r["doc_id"]] = (
+            r["tf"], list(r["positions"]))
+    got_rows = {}
+    for r in read_segments(spark, seg_dir, num_buckets=NUM_BUCKETS).collect():
+        got_rows.setdefault((r["term"], r["field"]), []).append(r.asDict())
+    assert set(got_rows) == set(want)
+    for key, rows in got_rows.items():
+        assert _decode_blocks(rows) == want[key], key
+
+
+def test_segments_term_pruned_read(spark, spark_index, seg_dir):
+    rows = read_segments(spark, seg_dir, terms=["creek", "farm"],
+                         num_buckets=NUM_BUCKETS).collect()
+    assert {r["term"] for r in rows} == {"creek", "farm"}
+
+
+def test_manifest_resume(spark, spark_index, seg_dir):
+    """Re-run skips everything; a truncated manifest rebuilds only the
+    missing buckets (per-partition checkpoint resume, north rule)."""
+    m1 = build_segments(spark_index.postings, spark_index.doclens, seg_dir,
+                        num_buckets=NUM_BUCKETS)
+    assert m1["buckets_built"] == 0
+    assert m1["buckets_skipped"] == NUM_BUCKETS
+    # drop two buckets from the manifest → simulate interruption
+    entries = read_manifest(seg_dir)
+    keep = [e for e in entries if e["bucket"] not in (0, 1)]
+    with open(f"{seg_dir}/_manifest.jsonl", "w") as f:
+        for e in keep:
+            f.write(json.dumps(e) + "\n")
+    m2 = build_segments(spark_index.postings, spark_index.doclens, seg_dir,
+                        num_buckets=NUM_BUCKETS)
+    assert m2["buckets_built"] == 2
+    assert m2["buckets_skipped"] == NUM_BUCKETS - 2
+
+
+def test_manifest_counters(seg_dir, spark_index):
+    total_postings = sum(e["postings"] for e in read_manifest(seg_dir))
+    assert total_postings == spark_index.postings.count()
+
+
+@pytest.mark.parametrize("q", [
+    "fickle creek farm",
+    "buffer overflow guard",
+    "parser lexer token stream",
+])
+def test_daat_wand_rank_identity(spark, spark_index, seg_dir, q):
+    """Block-max DAAT top-k == Engine BM25 top-k (exact, incl. scores)."""
+    eng = Engine(spark_index, "bm25")
+    terms = [n.term for n in _terms_of(eng.parse(q))]
+    stats = {r["term"]: (r["df"], r["ctf"])
+             for r in spark_index.term_stats
+             .where(spark_index.term_stats.term.isin(terms)).collect()}
+    st = spark_index.stats_for("body")
+    segs = read_segments(spark, seg_dir, terms=terms, num_buckets=NUM_BUCKETS)
+    got = bm25_wand_topk(segs, terms, stats, st["n_docs"],
+                         st["sum_len"] / st["doc_count"], k=30).collect()
+    # DAAT's documented tie-break is doc_id asc (ext_id asc whenever ids
+    # are assigned in ext-id order); compare against the Engine plan under
+    # the same tie-break
+    from pyspark.sql import functions as F
+    want = (eng.eval_sop(eng.parse(q)).where(F.col("score") >= 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(30).collect())
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def _terms_of(node):
+    if node.op == "term":
+        return [node]
+    out = []
+    for a in node.args:
+        out.extend(_terms_of(a))
+    return out

@@ -1,0 +1,87 @@
+"""Driver-style correctness check: run every `queries()` entry on Spark and
+its `oracle_sql()` on DuckDB at the same sf, compare row count, schema
+(column names), and order-insensitive values. Usage:
+
+    python tools/check_entry.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from search_engines_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-entry", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {e}")
+            failed.append(name)
+            continue
+        if name not in osql:
+            print(f"ok?  {name}: rows-only, {len(sdf)} rows "
+                  f"({time.time() - t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(osql[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            failed.append(name)
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: cols spark={list(s.columns)} "
+                  f"oracle={list(o.columns)}")
+            failed.append(name)
+            continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            failed.append(name)
+            continue
+        eq = s.equals(o)
+        if not eq:
+            # numeric tolerance-free compare; show first diff
+            diff = (s != o)
+            idx = diff.any(axis=1)
+            print(f"FAIL {name}: value mismatch; first rows:\n"
+                  f"spark:\n{s[idx].head(3)}\noracle:\n{o[idx].head(3)}")
+            failed.append(name)
+            continue
+        print(f"PASS {name}: {len(s)} rows ({time.time() - t0:.1f}s)")
+    print(f"\n{len(failed)} failures: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,115 @@
+"""Two-parallelism-level scaling benchmark (north rule evidence).
+
+The sandbox has no multi-executor cluster, so N vs 4N executors is proxied
+by the same index-build job on local[8] vs local[32] over the SAME input
+(BASELINE.md note). The input is the sf documents corpus replicated
+`--mult` times with remapped doc_ids — deterministic, derived only from
+the driver-provided testdata — because 5k docs cannot saturate 32 cores.
+
+Usage:
+    python tools/scaling_bench.py            # runs both levels, writes
+                                             # BENCH/BASELINE.md
+    python tools/scaling_bench.py --cores 8  # one level, prints JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(cores: int, sf_dir: str, mult: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.indexer.build import (
+        build_postings, build_term_stats, docs_from_documents_table)
+    from search_engines_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = src.count()
+    if mult > 1:
+        src = (spark.range(mult).crossJoin(src)
+               .withColumn("doc_id", F.col("doc_id") + F.col("id") * n_base)
+               .drop("id"))
+    src = src.persist()
+    n_docs = src.count()  # materialize input before timing the build
+
+    t0 = time.time()
+    docs = docs_from_documents_table(src)
+    postings = build_postings(docs)
+    stats = build_term_stats(postings)
+    n_postings = postings.count()
+    n_terms = stats.count()
+    build_s = time.time() - t0
+    spark.stop()
+    return {"cores": cores, "n_docs": n_docs, "n_postings": n_postings,
+            "n_terms": n_terms, "build_sec": round(build_s, 2),
+            "files_per_sec": round(n_docs / build_s, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument("--mult", type=int, default=40)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    if args.cores:
+        print(json.dumps(run_one(args.cores, args.sf_dir, args.mult)))
+        return
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores),
+             "--mult", str(args.mult), "--sf-dir", args.sf_dir],
+            capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(results[cores])
+
+    tp8, tp32 = results[8]["files_per_sec"], results[32]["files_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — measured numbers vs BASELINE.md targets
+
+## Index-build throughput scaling (north rule: ≥0.8 efficiency N→4N)
+
+Same job (tokenize → postings groupBy → term stats) on the SAME input
+({results[8]['n_docs']:,} docs = sf corpus ×{args.mult} deterministic
+replication), two parallelism levels (sandbox proxy for N vs 4N
+executors per BASELINE.md):
+
+| level | cores | build sec | files/sec |
+|---|---|---|---|
+| N  | 8  | {results[8]['build_sec']} | {tp8:,} |
+| 4N | 32 | {results[32]['build_sec']} | {tp32:,} |
+
+**Scaling efficiency (files/sec ratio ÷ core ratio): {eff:.2f}**
+(target ≥ 0.8)
+
+Postings rows: {results[32]['n_postings']:,}; distinct terms:
+{results[32]['n_terms']:,}.
+
+## Headline query latency
+
+See `BENCH_r*.json` (driver-run `bench.py` at sf0.1): per-query seconds
+plus `query_p50_sec` (BM25 p50 — the BASELINE.json latency metric) and
+`files_per_sec` at the bench scale.
+""")
+    print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
