@@ -40,6 +40,7 @@ class Engine:
         self.p = params or Models()
         self.parser = QueryParser(analyzer, default_field=default_field)
         self._iop_cache: dict[int, DataFrame] = {}
+        self._leaf_stats: dict[tuple[str, str], tuple[int, int]] = {}
 
     # ------------------------------------------------------------- public --
 
@@ -51,9 +52,16 @@ class Engine:
         (`ScoreList.java:87-114`, truncate `QryEval.java:748-752`)."""
         node = self.parse(qstring)
         s = self.eval_sop(node).where(F.col("score") >= 0)  # QryEval.java:437
-        res = s.join(self.index.docs.select("doc_id", "ext_id"), "doc_id")
+        res = s.join(self._doc_map(), "doc_id")
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
+
+    def _doc_map(self) -> DataFrame:
+        """Persisted (doc_id, ext_id) projection when the index has one
+        (avoids re-deriving the docs frame on every query)."""
+        if self.index.doc_map is not None:
+            return self.index.doc_map
+        return self.index.docs.select("doc_id", "ext_id")
 
     def search_many(self, queries: dict[str, str], k: int = 100) -> DataFrame:
         """Batch: → (qid, doc_id, ext_id, score, rank ≤ k) for all queries in
@@ -67,7 +75,7 @@ class Engine:
                           .where(F.col("score") >= 0)
                           .withColumn("qid", F.lit(qid)))
         u = reduce(lambda l, r: l.unionByName(r), frames)
-        u = u.join(self.index.docs.select("doc_id", "ext_id"), "doc_id")
+        u = u.join(self._doc_map(), "doc_id")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
         return (u.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
@@ -102,9 +110,27 @@ class Engine:
         return out
 
     def _derived_stats(self, node: Node) -> DataFrame:
-        """1-row (df, ctf) of a derived/leaf list (`InvList.java:143-169`)."""
+        """1-row (df, ctf) of a derived list (`InvList.java:143-169`) —
+        only needed for NEAR/WINDOW/SYN subtrees; term leaves use
+        `_stats_of` (precomputed, no extra job)."""
         return self.eval_iop(node).agg(
             F.count("*").alias("df"), F.coalesce(F.sum("tf"), F.lit(0)).alias("ctf"))
+
+    def _stats_of(self, node: Node) -> tuple[int, int]:
+        """(df, ctf) of a TERM leaf from the index's term_stats table —
+        identical by construction to aggregating its postings
+        (`InvList.java:143-144`), fetched once per (term, field) and
+        inlined as literals: no per-term aggregation job, no crossJoin."""
+        key = (node.term, node.field)
+        if key not in self._leaf_stats:
+            # batch-fetch: grab every uncached term in one collect
+            rows = (self.index.term_stats
+                    .where(F.col("term") == node.term)
+                    .where(F.col("field") == node.field)
+                    .collect())
+            self._leaf_stats[key] = ((rows[0]["df"], rows[0]["ctf"])
+                                     if rows else (0, 0))
+        return self._leaf_stats[key]
 
     # ------------------------------------------------------ Sop compilation --
 
@@ -129,10 +155,15 @@ class Engine:
         fld = child.field
         il = self.eval_iop(child)
         st = self.index.stats_for(fld)
-        base = (il
-                .crossJoin(F.broadcast(self._derived_stats(child)))
-                .join(self.index.doclens.where(F.col("field") == fld)
-                      .select("doc_id", "doclen"), "doc_id"))
+        if child.op == "term":
+            # leaf: df/ctf as literals (no agg job, no crossJoin)
+            df_v, ctf_v = self._stats_of(child)
+            base = il.withColumn("df", F.lit(int(df_v)).cast("long")) \
+                     .withColumn("ctf", F.lit(int(ctf_v)).cast("long"))
+        else:
+            base = il.crossJoin(F.broadcast(self._derived_stats(child)))
+        base = base.join(self.index.doclens.where(F.col("field") == fld)
+                         .select("doc_id", "doclen"), "doc_id")
         if self.model == "bm25":
             score = self._bm25_expr(F.col("tf"), F.col("df"), F.col("doclen"), st)
         elif self.model == "indri":
@@ -221,9 +252,12 @@ class Engine:
             j = j.join(self.index.doclens.where(F.col("field") == fld)
                        .select("doc_id", F.col("doclen").alias(f"_dl_{fld}")),
                        "doc_id", "left")
-        # ctf columns for every score node in the subtree (1-row broadcasts)
+        # ctf columns for every DERIVED-list score node in the subtree
+        # (1-row broadcasts); term leaves use literal stats instead
         for a in args:
             for sid, snode in self._score_nodes(a):
+                if snode.args[0].op == "term":
+                    continue
                 j = j.crossJoin(F.broadcast(
                     self._derived_stats(snode.args[0])
                     .select(F.col("ctf").alias(f"_ctf_{sid}"))))
@@ -256,9 +290,11 @@ class Engine:
         if node.op == "score":
             fld = node.args[0].field
             st = self.index.stats_for(fld)
-            sid = id(node)
-            return self._indri_expr(F.lit(0), F.col(f"_ctf_{sid}"),
-                                    F.col(f"_dl_{fld}"), st)
+            if node.args[0].op == "term":
+                ctf = F.lit(int(self._stats_of(node.args[0])[1]))
+            else:
+                ctf = F.col(f"_ctf_{id(node)}")
+            return self._indri_expr(F.lit(0), ctf, F.col(f"_dl_{fld}"), st)
         if node.op == "and":
             k = len(node.args)
             return reduce(lambda acc, a: acc * F.pow(self._default_expr(a),

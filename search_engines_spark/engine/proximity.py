@@ -21,10 +21,21 @@ from ..oracle import near_positions, window_positions
 
 
 def _joined_positions(args: list[DataFrame]) -> DataFrame:
-    """Inner-join arg posting frames on doc_id; positions as p0..p{k-1}."""
+    """Inner-join arg posting frames on doc_id; positions as p0..p{k-1}.
+
+    Non-first sides get a broadcast hint: a query term's posting frame is
+    bounded by its df — for interactive queries that is ≪ the corpus, so
+    a broadcast hash join (no shuffle of the left side) wins. For batch
+    jobs over stop-word-grade terms set PROXIMITY_BROADCAST = False and
+    let Catalyst/AQE pick sort-merge with skew splitting."""
     renamed = [a.select("doc_id", F.col("positions").alias(f"_p{i}"))
                for i, a in enumerate(args)]
-    return reduce(lambda l, r: l.join(r, "doc_id"), renamed)
+    def j(l, r):
+        return l.join(F.broadcast(r) if PROXIMITY_BROADCAST else r, "doc_id")
+    return reduce(j, renamed)
+
+
+PROXIMITY_BROADCAST = True
 
 
 def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:

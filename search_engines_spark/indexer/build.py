@@ -142,6 +142,10 @@ class Index:
     term_stats: DataFrame  # term, field, df, ctf
     corpus_stats: dict = dc_field(default_factory=dict)
     # field -> {"n_docs": long, "doc_count": long, "sum_len": long}
+    doc_map: DataFrame = None  # persisted (doc_id, ext_id) projection —
+    # every query's final join touches it; caching the 2-column
+    # projection (not the content-bearing docs frame) keeps it RAM-cheap
+    # even at 10^9 docs/executor-fleet scale
 
     def stats_for(self, field: str) -> dict:
         return self.corpus_stats[field]
@@ -170,9 +174,11 @@ def build_index_frames(docs: DataFrame,
         postings = postings.unionByName(build_postings(fd, field=fld))
         doclens = doclens.unionByName(fd.select(
             "doc_id", F.lit(fld).alias("field"), "doclen"))
+    doc_map = docs.select("doc_id", "ext_id")
     if cache:
         postings = postings.persist()
         doclens = doclens.persist()
+        doc_map = doc_map.persist()
     n_docs = docs.count()
     idx = Index(
         docs=docs.drop("_tokens"),
@@ -180,6 +186,7 @@ def build_index_frames(docs: DataFrame,
         postings=postings,
         term_stats=build_term_stats(postings),
         corpus_stats=_collect_corpus_stats(doclens, n_docs),
+        doc_map=doc_map,
     )
     return idx
 

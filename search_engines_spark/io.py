@@ -1,0 +1,123 @@
+"""File sources & sinks from SURVEY.md §2.1 — the reference's side-file
+formats, as Spark readers/writers plus tiny driver-side helpers.
+
+| format | reference parser/emitter |
+|---|---|
+| parameter file `key=value`     | `QryEval.java:810-836` |
+| query file `qid:querystring`   | `QryEval.java:649-764` |
+| trec_eval ranking (6 cols)     | read `QryEval.java:212-239`, write `:781-801` |
+| PageRank `extid\tscore`        | `FeatureVector.java:53-72` |
+| qrels `qid 0 extid rel`        | `FeatureVector.java:81-107` |
+| expanded-query `qid: #wand...` | `QryEval.java:202-205` |
+| SVMrank feature lines          | `FeatureVector.java:300-314` (see capabilities.letor) |
+
+Query/parameter files are tiny → driver-side reads.  Ranking / qrels /
+PageRank files can be large (one row per (q,doc)) → Spark CSV readers
+with fixed schemas so they join distributedly against result frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TREC_SCHEMA = ("qid string, q0 string, ext_id string, rank int, "
+               "score double, run_id string")
+
+
+def read_parameter_file(path: str) -> dict[str, str]:
+    """`key=value` lines → dict (`QryEval.java:810-836`)."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or "=" not in line:
+                continue
+            k, _, v = line.partition("=")
+            out[k.strip()] = v.strip()
+    return out
+
+
+def read_query_file(path: str) -> dict[str, str]:
+    """`qid:querystring` lines → {qid: query} preserving file order
+    (`QryEval.java:684-694`)."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            qid, _, q = line.partition(":")
+            out[qid.strip()] = q.strip()
+    return out
+
+
+def read_ranking_file(spark: SparkSession, path: str) -> DataFrame:
+    """trec_eval 6-column file → DataFrame (`QryEval.java:212-239`;
+    whitespace-separated, as `Diversity.java:184-265` also accepts)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return lines.select(
+        parts.getItem(0).alias("qid"),
+        parts.getItem(1).alias("q0"),
+        parts.getItem(2).alias("ext_id"),
+        parts.getItem(3).cast("int").alias("rank"),
+        parts.getItem(4).cast("double").alias("score"),
+        parts.getItem(5).alias("run_id"))
+
+
+def read_pagerank_file(spark: SparkSession, path: str) -> DataFrame:
+    """`extid\\tscore` → (ext_id, pagerank) (`FeatureVector.java:53-72`)."""
+    return (spark.read.option("sep", "\t")
+            .schema("ext_id string, pagerank double").csv(path))
+
+
+def read_qrels_file(spark: SparkSession, path: str) -> DataFrame:
+    """`qid 0 extid rel` → DataFrame (`FeatureVector.java:81-107`)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return lines.select(
+        parts.getItem(0).alias("qid"),
+        parts.getItem(2).alias("ext_id"),
+        parts.getItem(3).cast("int").alias("rel"))
+
+
+def trec_lines_df(results: DataFrame, run_id: str = "run",
+                  k: int = 100) -> DataFrame:
+    """(qid, ext_id, score[, rank]) → one trec line per row, top-k per
+    qid, rank by score desc / ext_id asc (`QryEval.java:781-801`,
+    tie-break `ScoreList.java:87-114`)."""
+    from pyspark.sql import Window
+    if "rank" in results.columns:
+        # caller-provided order (e.g. diversification greedy order,
+        # which is NOT score-monotone for PM2 — `Diversity.java:600`)
+        ranked = results.where(F.col("rank") <= k)
+    else:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                              F.asc("ext_id"))
+        ranked = (results.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+    return ranked.select(
+        "qid", "rank",
+        F.concat_ws(" ", "qid", F.lit("Q0"), "ext_id",
+                    F.col("rank").cast("string"),
+                    F.format_string("%.12f", F.col("score")), F.lit(run_id))
+        .alias("value"))
+
+
+def write_trec_file(results: DataFrame, path: str, run_id: str = "run",
+                    k: int = 100) -> None:
+    """Driver-side write preserving (qid, rank) order — result sets are
+    ≤ queries×k rows, trivially driver-sized (`QryEval.java:781-801`
+    writes sequentially too)."""
+    rows = (trec_lines_df(results, run_id, k)
+            .orderBy("qid", "rank").select("value").collect())
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(r["value"] + "\n")
+
+
+def write_expanded_query_file(path: str, expanded: dict[str, str]) -> None:
+    """`qid: #wand (...)` lines (`QryEval.java:202-205`)."""
+    with open(path, "w") as f:
+        for qid, q in expanded.items():
+            f.write(f"{qid}: {q}\n")

@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque `binary` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched pandas UDFs over `mapInPandas`.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED (clearly marked below): `decode_image` raises
+NotImplementedError unless `fake=True`, in which case a deterministic
+fake decoder (seeded from the content hash) produces stable
+pseudo-pixels. Everything Spark-side — schemas, partitioning, UDF
+signatures, Arrow batch shapes — is real and tested
+(tests/test_multimodal.py).
+
+Scale notes: binary payloads ride in the same parquet row group as their
+metadata; `spark.sql.files.maxPartitionBytes` bounds the bytes one task
+decodes, and the mapInPandas kernel processes one Arrow batch at a time
+(`arrow.maxRecordsPerBatch`), so peak executor memory is
+batch_rows × max_payload, independent of table size. Feature columns
+come back as fixed-length arrays → columnar, prunable, joinable with the
+`embeddings` ANN operators in `pipeline.similarity`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = ("media_id long, kind string, mime string, width int, "
+                "height int, duration_ms int, payload binary")
+
+FEATURE_DIM = 32
+
+
+def make_media_table(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic media table derived from `documents`
+    (no external data): payload = utf-8 bytes of the text, metadata from
+    simple hashes — a stand-in with the exact production schema."""
+    h = F.crc32(F.col(text_col))
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(h, F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(h, F.lit(640)) + 16).cast("int").alias("width"),
+        (F.pmod(h, F.lit(480)) + 16).cast("int").alias("height"),
+        (F.pmod(h, F.lit(60000))).cast("int").alias("duration_ms"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic fake decode: bytes of sha256(payload) tiled to n."""
+    seed = hashlib.sha256(payload).digest()
+    reps = (n // len(seed)) + 1
+    return np.frombuffer((seed * reps)[:n], dtype=np.uint8).astype(np.float64)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB — real decode requires an image codec not in this container.
+
+    Production: replace the body with e.g. PIL/libvips decode; the UDF
+    signature and batch shape stay identical."""
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "call with fake=True for the deterministic test decoder")
+    return _fake_pixels(payload, 64 * 64)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """→ (media_id, kind, feature array<double>[FEATURE_DIM]) via
+    mapInPandas; one Arrow batch in → one out, no per-row Python at the
+    DataFrame layer (the per-payload loop is the decode kernel itself,
+    irreducibly so)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                px = decode_image(bytes(payload), fake=fake)
+                # fixed-dim pooled feature: mean of FEATURE_DIM equal chunks
+                chunks = np.array_split(px, FEATURE_DIM)
+                feats.append([float(c.mean()) for c in chunks])
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "feature": feats})
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema="media_id long, kind string, feature array<double>")
+
+
+def resize_image(media: DataFrame, w: int, h: int,
+                 fake: bool = True) -> DataFrame:
+    """→ (media_id, width, height, payload) resized. STUB resample:
+    nearest-neighbor over the fake pixel grid."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                px = decode_image(bytes(payload), fake=fake)
+                idx = (np.linspace(0, len(px) - 1, w * h)).astype(np.int64)
+                out.append(px[idx].astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "width": np.int32(w), "height": np.int32(h),
+                                "payload": out})
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, width int, height int, payload binary")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  fake: bool = True) -> DataFrame:
+    """video rows → one row per sampled frame (media_id, frame_no, ts_ms,
+    payload) — the explode-shaped UDTF pattern: mapInPandas may emit more
+    rows than it consumes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "ts_ms": [],
+                    "payload": []}
+            for media_id, dur, payload in zip(
+                    pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
+                n = max(1, int(dur) // every_ms)
+                for i in range(n):
+                    px = _fake_pixels(bytes(payload) + i.to_bytes(4, "big"),
+                                      256) if fake else None
+                    if px is None:
+                        raise NotImplementedError("video codec unavailable")
+                    rows["media_id"].append(int(media_id))
+                    rows["frame_no"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["payload"].append(px.astype(np.uint8).tobytes())
+            yield pd.DataFrame(rows)
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "duration_ms", "payload")
+            .mapInPandas(kernel, schema="media_id long, frame_no int, "
+                                        "ts_ms int, payload binary"))

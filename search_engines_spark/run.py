@@ -1,0 +1,186 @@
+"""End-to-end runner mirroring the reference entry point
+(`QryEval.java:35-71` → `processQueryFile :649-764`): parameter file →
+retrieval model → query file → trec_eval output, with the feedback
+(`fb=true`, §3.2) and diversification (`diversity=true`, §3.4) branches.
+
+A reference user's workflow maps 1:1:
+
+    parameters.txt                     theirs            ours
+    ---------------------------------  ----------------  -------------------
+    indexPath=<lucene dir>             Lucene index      corpusPath=<parquet>
+    queryFilePath=queries.txt          same              same
+    trecEvalOutputPath=out.teIn        same              same
+    retrievalAlgorithm=BM25            same              same
+    BM25:k_1 / BM25:b / BM25:k_3       same              same
+    Indri:mu / Indri:lambda            same              same
+    fb, fbDocs, fbTerms, fbMu,
+    fbOrigWeight, fbExpansionQueryFile,
+    fbInitialRankingFile               same              same
+    diversity, diversity:algorithm,
+    diversity:lambda, diversity:intentsFile,
+    diversity:maxInputRankingsLength,
+    diversity:maxResultRankingLength,
+    diversity:initialRankingFile       same              same
+
+Run: ``python -m search_engines_spark.run parameters.txt`` (or ship the
+package with spark-submit --py-files and call ``main``).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+from .capabilities.diversity import DiversityInput, pm2, xquad
+from .capabilities.feedback import expand_query, rewrite_with_feedback
+from .engine.compile import Engine
+from .indexer.build import Index, build_index_frames, docs_from_documents_table
+from .io import (read_parameter_file, read_query_file, read_ranking_file,
+                 write_expanded_query_file, write_trec_file)
+from .oracle import Models
+from .session import get_spark
+
+MODEL_NAMES = {"unrankedboolean": "unrankedboolean",
+               "rankedboolean": "rankedboolean",
+               "bm25": "bm25", "indri": "indri"}
+
+
+def init_model(params: dict[str, str]) -> tuple[str, Models]:
+    """`initializeRetrievalModel` (`QryEval.java:248-301`), incl. the
+    parameter validation asserts (`:263-273`)."""
+    algo = params.get("retrievalAlgorithm", "BM25").lower()
+    if algo not in MODEL_NAMES:
+        raise ValueError(f"unknown retrievalAlgorithm {algo!r}")
+    m = Models()
+    if algo == "bm25":
+        m.k1 = float(params.get("BM25:k_1", m.k1))
+        m.b = float(params.get("BM25:b", m.b))
+        m.k3 = float(params.get("BM25:k_3", m.k3))
+        assert m.k1 >= 0 and 0 <= m.b <= 1 and m.k3 >= 0
+    if algo == "indri":
+        m.mu = float(params.get("Indri:mu", m.mu))
+        m.lam = float(params.get("Indri:lambda", m.lam))
+        assert m.mu >= 0 and 0 <= m.lam <= 1
+    return MODEL_NAMES[algo], m
+
+
+def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
+    """`Idx.open` analog: corpusPath points at a documents-table parquet
+    (doc_id, text, ...) — the Iceberg/parquet stand-in for indexPath."""
+    src = spark.read.parquet(params["corpusPath"])
+    return build_index_frames(docs_from_documents_table(src))
+
+
+def _feedback_query(eng: Engine, idx: Index, qid: str, query: str,
+                    params: dict[str, str],
+                    rankings: dict[str, list] | None) -> tuple[str, str]:
+    """`QryEval.java:717-745`: initial ranking (engine or file) → expand
+    → combined #wand query. Returns (expanded, combined)."""
+    fb_docs = int(params["fbDocs"])
+    fb_terms = int(params["fbTerms"])
+    fb_mu = float(params["fbMu"])
+    w = float(params["fbOrigWeight"])
+    if rankings is not None:
+        if qid not in rankings:
+            raise ValueError(f"No query {qid} in ranking file!")
+        ranking = rankings[qid]
+    else:
+        ranking = [(r["doc_id"], r["score"])
+                   for r in eng.search(query, k=fb_docs).collect()]
+    expanded = expand_query(idx, ranking, fb_docs, fb_terms, fb_mu)
+    return expanded, rewrite_with_feedback(query, expanded, w)
+
+
+def _diversity_rankings(eng: Engine, idx: Index, qid: str, query: str,
+                        intents: dict[str, str], depth: int) -> DiversityInput:
+    """Initial + per-intent rankings from the engine itself
+    (`QryEval.java:522-567` branch)."""
+    initial = [(r["doc_id"], r["score"])
+               for r in eng.search(query, k=depth).collect()]
+    keep = {d for d, _ in initial}
+    intent_scores: dict[int, dict[int, float]] = {}
+    for i, (ikey, iq) in enumerate(sorted(intents.items())):
+        rows = eng.search(iq, k=depth).collect()
+        intent_scores[i] = {r["doc_id"]: r["score"] for r in rows
+                            if r["doc_id"] in keep}
+    return DiversityInput(initial=initial, intents=intent_scores)
+
+
+def main(param_path: str, spark: SparkSession | None = None) -> str:
+    params = read_parameter_file(param_path)
+    for req in ("corpusPath", "queryFilePath", "trecEvalOutputPath"):
+        if req not in params:
+            raise ValueError(
+                "Required parameters were missing from the parameter file.")
+    own_spark = spark is None
+    spark = spark or get_spark("search-engines-run")
+    idx = open_index(spark, params)
+    model, m = init_model(params)
+    eng = Engine(idx, model, params=m)
+    queries = read_query_file(params["queryFilePath"])
+    k = int(params.get("diversity:maxResultRankingLength", 100))
+
+    fb = params.get("fb") == "true"
+    diversity = params.get("diversity") == "true"
+    rankings_file = None
+    if fb and "fbInitialRankingFile" in params:
+        rdf = read_ranking_file(spark, params["fbInitialRankingFile"])
+        ext2doc = {r["ext_id"]: r["doc_id"]
+                   for r in idx.doc_map.collect()}
+        rankings_file = {}
+        for r in rdf.collect():
+            rankings_file.setdefault(r["qid"], []).append(
+                (r["rank"], ext2doc.get(r["ext_id"]), r["score"]))
+        rankings_file = {q: [(d, s) for _, d, s in sorted(v) if d is not None]
+                         for q, v in rankings_file.items()}
+
+    results_rows = []
+    expanded_out: dict[str, str] = {}
+    id2ext = {r["doc_id"]: r["ext_id"] for r in idx.doc_map.collect()}
+    for qid, query in queries.items():
+        if diversity:
+            intents = {ik: iq for ik, iq in
+                       read_query_file(params["diversity:intentsFile"]).items()
+                       if ik.startswith(f"{qid}.")}
+            depth = int(params.get("diversity:maxInputRankingsLength", 100))
+            din = _diversity_rankings(eng, idx, qid, query, intents, depth)
+            algo = params.get("diversity:algorithm", "xquad").lower()
+            lam = float(params["diversity:lambda"])
+            if algo == "xquad":
+                ranked = xquad(din, lam, depth=k)
+            elif algo == "pm2":
+                ranked = pm2(din, lam, max_result_len=k, depth=k)
+            else:
+                raise ValueError("Illegal Diversity Algorithm")
+            for rk, (d, s) in enumerate(ranked[:k], start=1):
+                results_rows.append((qid, id2ext[d], float(s), rk))
+            continue
+        if fb:
+            expanded, query = _feedback_query(eng, idx, qid, query, params,
+                                              rankings_file)
+            expanded_out[qid] = expanded
+            rows = eng.search(query, k=k).collect()
+        else:
+            rows = eng.search(query, k=k,).collect()
+        for r in rows:
+            results_rows.append((qid, r["ext_id"], float(r["score"])))
+
+    if diversity:
+        # preserve the greedy order (PM2 scores are not monotone)
+        res = spark.createDataFrame(
+            results_rows, "qid string, ext_id string, score double, rank int")
+    else:
+        res = spark.createDataFrame(
+            results_rows, "qid string, ext_id string, score double")
+    write_trec_file(res, params["trecEvalOutputPath"],
+                    run_id=params.get("runID", "run"), k=k)
+    if fb and "fbExpansionQueryFile" in params:
+        write_expanded_query_file(params["fbExpansionQueryFile"], expanded_out)
+    if own_spark:
+        spark.stop()
+    return params["trecEvalOutputPath"]
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

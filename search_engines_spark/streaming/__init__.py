@@ -1,0 +1,9 @@
+"""Structured Streaming extensions.
+
+The reference engine is pure batch (`QryEval.java:35-71`; SURVEY.md
+§1.4) — nothing here is required for reference parity. This package adds
+the incremental-ingest path a production deployment of the index builder
+would want: new document files appear in a directory → the same
+tokenize/postings pipeline runs as a stream → per-batch posting deltas
+land in an append table the batch merger (indexer.segments) folds in.
+"""

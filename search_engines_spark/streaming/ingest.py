@@ -1,0 +1,67 @@
+"""Incremental document ingest via Structured Streaming.
+
+The postings pipeline is per-document (a doc's tf/positions never span
+files), so cross-batch streaming state is unnecessary: each micro-batch
+runs the EXACT batch tokenizer/postings build (indexer.build) via
+`foreachBatch`, making streamed postings byte-identical to a batch build
+over the same files — verified in tests/test_streaming.py.
+
+Exactly-once: output is partitioned by `batch_id` and written with
+dynamic partition overwrite, so a replayed batch (foreachBatch is
+at-least-once on retry) overwrites its own partition instead of
+duplicating rows; the file-source checkpoint guarantees each input file
+lands in exactly one batch.
+
+`stream_corpus_stats` maintains the rolling per-field (n_docs, sum_len)
+BM25 needs as a genuine streaming aggregation (complete mode over a
+bounded key space — one row per field; no watermark needed because the
+key space never grows).
+
+At production scale: `trigger(availableNow=True)` for catch-up,
+micro-batches for tailing; the checkpoint directory is the resume
+token, complementing the batch manifest resume of `indexer.segments`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..indexer.build import build_postings, docs_from_documents_table
+
+DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def start_postings_stream(spark: SparkSession, src_dir: str, out_dir: str,
+                          checkpoint_dir: str, schema: str = DOC_SCHEMA,
+                          available_now: bool = True):
+    """File-source stream → per-batch postings build → idempotent
+    parquet sink partitioned by batch_id. Returns the StreamingQuery."""
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = docs_from_documents_table(batch_df)
+        (build_postings(docs)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
+    w = (src.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_corpus_stats(spark: SparkSession, src_dir: str,
+                        schema: str = DOC_SCHEMA) -> DataFrame:
+    """Rolling (field, n_docs, sum_len) over the stream — attach a
+    complete-mode sink."""
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    docs = docs_from_documents_table(src)
+    return (docs.select(F.lit("body").alias("field"), "doclen")
+            .groupBy("field")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doclen").alias("sum_len")))

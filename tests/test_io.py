@@ -1,0 +1,60 @@
+"""File sources/sinks (SURVEY.md §2.1): round-trips and format parity."""
+
+import pytest
+
+from search_engines_spark import io as sio
+
+
+def test_parameter_file(tmp_path):
+    p = tmp_path / "params.txt"
+    p.write_text("indexPath=/x/y\nBM25:k_1=1.2\n\nqueryFilePath = q.txt\n")
+    got = sio.read_parameter_file(str(p))
+    assert got == {"indexPath": "/x/y", "BM25:k_1": "1.2",
+                   "queryFilePath": "q.txt"}
+
+
+def test_query_file(tmp_path):
+    p = tmp_path / "queries.txt"
+    p.write_text("102:fickle creek farm\n21:#and( a b )\n")
+    got = sio.read_query_file(str(p))
+    assert got == {"102": "fickle creek farm", "21": "#and( a b )"}
+
+
+def test_ranking_file_roundtrip(spark, tmp_path):
+    rows = [("7", 3, "docB", 2.5), ("7", 1, "docA", 9.25), ("7", 2, "docC", 2.5),
+            ("9", 1, "docZ", 1.0)]
+    df = spark.createDataFrame(
+        [(q, e, s) for q, _, e, s in rows],
+        "qid string, ext_id string, score double")
+    out = tmp_path / "run.teIn"
+    sio.write_trec_file(df, str(out), run_id="test", k=100)
+    lines = out.read_text().splitlines()
+    # rank by score desc, ext_id asc: docA, docB(2.5), docC(2.5) tie→ext asc
+    assert lines[0].split() == ["7", "Q0", "docA", "1", "9.250000000000", "test"]
+    assert lines[1].split()[2:4] == ["docB", "2"]
+    assert lines[2].split()[2:4] == ["docC", "3"]
+    back = sio.read_ranking_file(spark, str(out)).collect()
+    assert {(r["qid"], r["ext_id"], r["rank"]) for r in back} == {
+        ("7", "docA", 1), ("7", "docB", 2), ("7", "docC", 3), ("9", "docZ", 1)}
+    assert all(r["q0"] == "Q0" and r["run_id"] == "test" for r in back)
+    scores = {r["ext_id"]: r["score"] for r in back}
+    assert scores["docA"] == pytest.approx(9.25)
+
+
+def test_qrels_and_pagerank(spark, tmp_path):
+    q = tmp_path / "qrels.txt"
+    q.write_text("7 0 docA 2\n7 0 docB 0\n")
+    got = sio.read_qrels_file(spark, str(q)).collect()
+    assert {(r["qid"], r["ext_id"], r["rel"]) for r in got} == {
+        ("7", "docA", 2), ("7", "docB", 0)}
+    p = tmp_path / "pagerank.txt"
+    p.write_text("docA\t1.5\ndocB\t0.25\n")
+    pr = {r["ext_id"]: r["pagerank"]
+          for r in sio.read_pagerank_file(spark, str(p)).collect()}
+    assert pr == {"docA": 1.5, "docB": 0.25}
+
+
+def test_expanded_query_sink(tmp_path):
+    p = tmp_path / "exp.txt"
+    sio.write_expanded_query_file(str(p), {"7": "#wand ( 0.5 a )"})
+    assert p.read_text() == "7: #wand ( 0.5 a )\n"

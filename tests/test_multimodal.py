@@ -1,0 +1,55 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism, stub gating."""
+
+import pytest
+
+from search_engines_spark.pipeline import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(20)],
+        "doc_id long, text string")
+    return mm.make_media_table(docs).persist()
+
+
+def test_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,mime:string,width:int,"
+        "height:int,duration_ms:int,payload:binary>")
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds <= {"image", "audio", "video"}
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx", fake=False)
+
+
+def test_extract_features_shape_and_determinism(media):
+    f1 = mm.extract_features(media, fake=True).collect()
+    f2 = mm.extract_features(media, fake=True).collect()
+    assert len(f1) == media.count()
+    by_id1 = {r["media_id"]: r["feature"] for r in f1}
+    by_id2 = {r["media_id"]: r["feature"] for r in f2}
+    assert by_id1 == by_id2  # deterministic across runs
+    for v in by_id1.values():
+        assert len(v) == mm.FEATURE_DIM
+        assert all(0.0 <= x <= 255.0 for x in v)
+
+
+def test_resize_payload_size(media):
+    out = mm.resize_image(media, 8, 8, fake=True).collect()
+    for r in out:
+        assert len(bytes(r["payload"])) == 64
+        assert (r["width"], r["height"]) == (8, 8)
+
+
+def test_sample_frames_explodes(media):
+    vids = media.where("kind = 'video'")
+    n_vids = vids.count()
+    frames = mm.sample_frames(media, every_ms=10000, fake=True)
+    rows = frames.collect()
+    assert len(rows) >= n_vids  # ≥1 frame per video
+    for r in rows:
+        assert r["ts_ms"] == r["frame_no"] * 10000

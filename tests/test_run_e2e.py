@@ -1,0 +1,113 @@
+"""End-to-end runner: parameter file → trec output, matching the oracle
+per query; plus the feedback and diversity branches (SURVEY.md §3)."""
+
+import pytest
+
+from search_engines_spark.oracle import run_query
+from search_engines_spark.run import main
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    """documents-table-format parquet derived from the planted corpus."""
+    from search_engines_spark.corpus import generate_corpus
+    rows = generate_corpus(n_docs=120, seed=42)
+    df = spark.createDataFrame(
+        [(i, r["content"], r["lang"], r["repo"], len(r["content"]))
+         for i, r in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path_factory.mktemp("corpus")) + "/documents.parquet"
+    df.coalesce(1).write.parquet(d)
+    return d, rows
+
+
+@pytest.fixture(scope="module")
+def oracle_documents_index(corpus_parquet):
+    from search_engines_spark.oracle import OracleIndex
+    _, rows = corpus_parquet
+    idx = OracleIndex()
+    for i, r in enumerate(rows):
+        idx.add(i, f"doc{i:09d}", {"body": r["content"]})
+    idx.finalize()
+    return idx
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_bm25_run_matches_oracle(spark, corpus_parquet, tmp_path,
+                                 oracle_documents_index):
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "q.txt",
+                "1:fickle creek farm\n2:voyager probe\n")
+    out = str(tmp_path / "out.teIn")
+    pf = _write(tmp_path, "p.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+BM25:k_1=1.2
+BM25:b=0.75
+BM25:k_3=0
+runID=t
+""")
+    main(pf, spark=spark)
+    lines = open(out).read().splitlines()
+    by_qid = {}
+    for ln in lines:
+        qid, _, ext, rank, score, _ = ln.split()
+        by_qid.setdefault(qid, []).append((ext, int(rank), float(score)))
+    want1 = run_query("fickle creek farm", oracle_documents_index, "bm25")
+    got1 = sorted(by_qid["1"], key=lambda t: t[1])
+    assert [e for e, _, _ in got1] == [e for _, e, _ in want1]
+    for (e, _, s), (_, we, ws) in zip(got1, want1):
+        assert s == pytest.approx(ws, abs=1e-9)
+
+
+def test_fb_run_produces_expansion(spark, corpus_parquet, tmp_path):
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "q2.txt", "1:#and( fickle creek farm )\n")
+    out = str(tmp_path / "out2.teIn")
+    exp = str(tmp_path / "exp.txt")
+    pf = _write(tmp_path, "p2.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=Indri
+Indri:mu=2500
+Indri:lambda=0.4
+fb=true
+fbDocs=5
+fbTerms=6
+fbMu=40
+fbOrigWeight=0.5
+fbExpansionQueryFile={exp}
+""")
+    main(pf, spark=spark)
+    expanded = open(exp).read()
+    assert expanded.startswith("1: #wand (")
+    assert len(open(out).read().splitlines()) > 0
+
+
+def test_diversity_run(spark, corpus_parquet, tmp_path):
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "q3.txt", "1:creek farm\n")
+    intents = _write(tmp_path, "i.txt", "1.1:creek\n1.2:farm\n")
+    out = str(tmp_path / "out3.teIn")
+    pf = _write(tmp_path, "p3.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+diversity=true
+diversity:algorithm=xquad
+diversity:lambda=0.5
+diversity:intentsFile={intents}
+diversity:maxInputRankingsLength=20
+diversity:maxResultRankingLength=10
+""")
+    main(pf, spark=spark)
+    lines = open(out).read().splitlines()
+    assert 0 < len(lines) <= 10
+    ranks = [int(ln.split()[3]) for ln in lines]
+    assert ranks == list(range(1, len(lines) + 1))

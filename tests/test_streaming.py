@@ -1,0 +1,79 @@
+"""Streaming ingest == batch build over the same files (exactly-once,
+byte-identical postings)."""
+
+import pytest
+
+from search_engines_spark.indexer.build import (
+    build_postings, docs_from_documents_table)
+from search_engines_spark.streaming.ingest import (
+    start_postings_stream, stream_corpus_stats)
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("docstream"))
+    rows = [(i, f"alpha beta gamma doc {i} " * (1 + i % 3), "en", "s", 10)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _postings_set(df):
+    return {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+            for r in df.collect()}
+
+
+def test_stream_postings_match_batch(spark, doc_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("post_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = start_postings_stream(spark, doc_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = _postings_set(spark.read.parquet(out).drop("batch_id"))
+    batch_docs = docs_from_documents_table(spark.read.parquet(doc_dir))
+    want = _postings_set(build_postings(batch_docs))
+    assert got == want
+
+
+def test_stream_restart_is_exactly_once(spark, doc_dir, tmp_path_factory):
+    """Re-running with the same checkpoint must NOT duplicate postings."""
+    out = str(tmp_path_factory.mktemp("post_out2"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+    for _ in range(2):
+        q = start_postings_stream(spark, doc_dir, out, ckpt)
+        q.awaitTermination(120)
+    n = spark.read.parquet(out).count()
+    batch_docs = docs_from_documents_table(spark.read.parquet(doc_dir))
+    assert n == build_postings(batch_docs).count()
+
+
+def test_stream_picks_up_new_files(spark, doc_dir, tmp_path_factory):
+    """New files after the first run are ingested incrementally (only the
+    delta lands in a new batch partition)."""
+    out = str(tmp_path_factory.mktemp("post_out3"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt3"))
+    q = start_postings_stream(spark, doc_dir, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    extra = spark.createDataFrame(
+        [(1000, "delta epsilon zeta", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    extra.coalesce(1).write.mode("append").parquet(doc_dir)
+    q = start_postings_stream(spark, doc_dir, out, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == n1 + 3  # three new (term, doc) postings
+    assert df.where("doc_id = 1000").count() == 3
+
+
+def test_stream_corpus_stats(spark, doc_dir, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt4"))
+    q = (stream_corpus_stats(spark, doc_dir).writeStream
+         .format("memory").queryName("cstats").outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    row = spark.sql("select * from cstats").collect()[0]
+    assert row["n_docs"] >= 30
+    assert row["sum_len"] > 0
