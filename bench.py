@@ -69,11 +69,11 @@ def main() -> None:
     for name, (model, q) in RETRIEVAL.items():
         eng = Engine(idx, model)
         times = []
-        for _ in range(2):   # cold + warm; report warm (steady state —
-            t0 = time.time()  # JIT/codegen amortize across a real workload)
+        for _ in range(3):   # 1 cold + 2 warm; report min-of-warm (the
+            t0 = time.time()  # sandbox shares cores — min filters noise)
             eng.search(q, k=100).collect()
             times.append(time.time() - t0)
-        queries[name] = round(times[-1], 3)
+        queries[name] = round(min(times[1:]), 3)
         queries[f"{name}_cold"] = round(times[0], 3)
 
     # batch mode: the reference loops queries one-by-one

@@ -30,14 +30,11 @@ from pyspark.sql import functions as F
 from ..indexer.build import Index
 
 
-def expand_query(index: Index, ranking: list[tuple[int, float]],
-                 fb_docs: int, fb_terms: int, fb_mu: float,
-                 field: str = "body") -> str:
-    """ranking: [(doc_id, score)] sorted as the initial retrieval returned
-    them (`score_list` order, `QryEval.java:96-99`). → '#wand ( ... )'."""
-    top = ranking[:fb_docs]
-    if not top:
-        return "#wand ( )"
+def expansion_scores(index: Index, top: list[tuple[int, float]],
+                     fb_mu: float, field: str = "body"):
+    """→ (term, score) frame of candidate-term RM scores over the given
+    top docs (`QryEval.java:96-177`, both tf>0 and tf=0 passes)."""
+    from pyspark.sql import functions as F
     spark = index.docs.sparkSession
     c_length = float(index.stats_for(field)["sum_len"])  # QryEval.java:89
 
@@ -65,8 +62,19 @@ def expand_query(index: Index, ranking: list[tuple[int, float]],
             .join(doclens, "doc_id"))
     ptd = (F.col("tf") + fb_mu * F.col("mle")) / (F.col("doclen") + F.lit(fb_mu))
     contrib = ptd * F.col("doc_score") * F.log(1.0 / F.col("mle"))
-    scored = (grid.groupBy("term")
-              .agg(F.sum(contrib).alias("score"))
+    return grid.groupBy("term").agg(F.sum(contrib).alias("score"))
+
+
+def expand_query(index: Index, ranking: list[tuple[int, float]],
+                 fb_docs: int, fb_terms: int, fb_mu: float,
+                 field: str = "body") -> str:
+    """ranking: [(doc_id, score)] sorted as the initial retrieval returned
+    them (`score_list` order, `QryEval.java:96-99`). → '#wand ( ... )'."""
+    from pyspark.sql import functions as F
+    top = ranking[:fb_docs]
+    if not top:
+        return "#wand ( )"
+    scored = (expansion_scores(index, top, fb_mu, field)
               .orderBy(F.desc("score"), F.asc("term"))
               .limit(fb_terms))
     parts = [f"{r['score']:.4f} {r['term']}" for r in scored.collect()]

@@ -103,9 +103,12 @@ class Engine:
                 out = syn_frame(args)
             else:
                 raise ValueError(node.op)
-            # derived lists are consumed ≥2× (score + derived-stats subplan);
-            # persist to evaluate the zipper UDF once
-            out = out.persist()
+            # NOT persisted: caching a UDF frame materializes it in a
+            # separate job at pre-AQE partitioning (32 near-empty python
+            # tasks) — worse than recomputing a small derived list inside
+            # the single query job. The plan object is still reused via
+            # _iop_cache, and derived df/ctf ride along as a window
+            # aggregate (see _score) instead of a second job.
         self._iop_cache[key] = out
         return out
 
@@ -161,7 +164,16 @@ class Engine:
             base = il.withColumn("df", F.lit(int(df_v)).cast("long")) \
                      .withColumn("ctf", F.lit(int(ctf_v)).cast("long"))
         else:
-            base = il.crossJoin(F.broadcast(self._derived_stats(child)))
+            # derived list (`QrySopScore.java:96` scores with the DERIVED
+            # df/ctf): global-window aggregate keeps it in ONE plan — no
+            # broadcast-subquery job. Single-partition exchange is fine:
+            # derived lists are bounded by the proximity intersection
+            # (small); for hot-term #SYN at extreme scale flip to the
+            # broadcast-agg path via _derived_stats.
+            from pyspark.sql import Window
+            w = Window.partitionBy()
+            base = (il.withColumn("df", F.count("*").over(w))
+                    .withColumn("ctf", F.sum("tf").over(w)))
         base = base.join(self.index.doclens.where(F.col("field") == fld)
                          .select("doc_id", "doclen"), "doc_id")
         if self.model == "bm25":

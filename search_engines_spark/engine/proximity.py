@@ -46,7 +46,11 @@ def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:
     def merge(*cols: pd.Series) -> pd.Series:
         return pd.Series([kernel([list(c) for c in row]) for row in zip(*cols)])
 
-    j = _joined_positions(args)
+    # shuffle boundary before the UDF: AQE size-coalesces it (KB-scale
+    # intersections → 1-2 partitions), so the Arrow round-trip happens in
+    # a couple of big batches instead of 32 near-empty python tasks; a
+    # genuinely large intersection keeps its parallelism (size-based)
+    j = _joined_positions(args).repartition("doc_id")
     out = (j.withColumn("positions", merge(*[F.col(f"_p{i}") for i in range(k)]))
            .where(F.size("positions") > 0)
            .select("doc_id",

@@ -365,6 +365,27 @@ def q_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir))
 
 
+def q_feedback_expand(spark, sf_dir):
+    """Indri-RM expansion-term scores over the top-10 BM25 docs of the
+    rare-term query (`QryEval.java:78-200`); top-10 terms by rounded
+    score. Deterministic: the top-doc set is chosen by rounded-score +
+    ext_id ordering on both sides."""
+    from .capabilities.feedback import expansion_scores
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    node = eng.parse(" ".join(BOW_RARE))
+    sc = eng.eval_sop(node).where(F.col("score") >= 0)
+    sc = sc.join(idx.doc_map, "doc_id")
+    top = (sc.withColumn("score_r", _r(F.col("score")))
+           .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(10)
+           .select("doc_id", "score").collect())
+    ranking = [(r["doc_id"], r["score"]) for r in top]
+    scored = expansion_scores(idx, ranking, fb_mu=40.0)
+    return (scored.withColumn("score_r", _r(F.col("score")))
+            .orderBy(F.desc("score_r"), F.asc("term")).limit(10)
+            .select("term", "score_r"))
+
+
 # ------------------------------------------------------------- oracle SQL --
 
 
@@ -647,6 +668,27 @@ def _sql_fingerprints() -> str:
 FROM documents"""
 
 
+def _sql_feedback_expand() -> str:
+    return f"""{PRELUDE},
+{_bm25_scored_cte(BOW_RARE, 'fsc')},
+topd AS (SELECT fsc.doc_id, fsc.score AS doc_score
+         FROM fsc JOIN dl USING (doc_id)
+         ORDER BY floor(fsc.score * 1e6 + 0.5) DESC, dl.ext_id LIMIT 10),
+fcand AS (SELECT DISTINCT p.term FROM post p JOIN topd USING (doc_id)),
+grid AS (SELECT fcand.term, topd.doc_id, topd.doc_score,
+                coalesce(p.tf, 0) AS tf
+         FROM fcand CROSS JOIN topd
+         LEFT JOIN post p ON p.term = fcand.term AND p.doc_id = topd.doc_id),
+fsco AS (SELECT g.term,
+         sum( (g.tf + 40.0 * (s.ctf / c.sumlen)) / (d.doclen + 40.0)
+              * g.doc_score * ln(1.0 / (s.ctf / c.sumlen)) ) AS score
+         FROM grid g JOIN stats s USING (term)
+              JOIN dl d ON d.doc_id = g.doc_id CROSS JOIN corpus c
+         GROUP BY g.term)
+SELECT term, floor(score * 1e6 + 0.5)::BIGINT AS score_r
+FROM fsco ORDER BY score_r DESC, term LIMIT 10"""
+
+
 # ---------------------------------------------------------------- registry --
 
 # name -> (spark_fn, oracle_sql | None)
@@ -677,6 +719,7 @@ REGISTRY: dict[str, tuple] = {
     "term_stats": (q_term_stats, _sql_term_stats()),
     "doclen_store": (q_doclens, _sql_doclens()),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
+    "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
