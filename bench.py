@@ -87,6 +87,35 @@ def main() -> None:
     eng.search_many(batch, k=100).collect()
     queries["batch_bm25_per_query"] = round((time.time() - t0) / len(batch), 3)
 
+    # compressed-segment build + block-max DAAT top-k (the north-star
+    # WAND path over varbyte blocks)
+    import shutil
+    import tempfile
+    from search_engines_spark.engine.daat import bm25_wand_topk
+    from search_engines_spark.indexer.segments import (
+        build_segments, read_segments)
+    seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
+    try:
+        t0 = time.time()
+        build_segments(idx.postings, idx.doclens, seg_dir, num_buckets=32,
+                       chunk=32)
+        seg_build = time.time() - t0
+        terms = ["dup", "spark", "stream"]
+        stats = {r["term"]: (r["df"], r["ctf"]) for r in
+                 idx.term_stats.where(idx.term_stats.term.isin(terms))
+                 .collect()}
+        st = idx.stats_for("body")
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            segs = read_segments(spark, seg_dir, terms=terms, num_buckets=32)
+            bm25_wand_topk(segs, terms, stats, st["n_docs"],
+                           st["sum_len"] / st["doc_count"], k=100).collect()
+            times.append(time.time() - t0)
+        queries["daat_wand_topk"] = round(min(times), 3)
+    finally:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -113,6 +142,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_sec": round(build_s, 3),
+        "segment_build_sec": round(seg_build, 3),
         "files_per_sec": round(n_docs / build_s, 1),
         "n_docs": n_docs,
         "n_postings": n_postings,

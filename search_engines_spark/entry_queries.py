@@ -386,6 +386,41 @@ def q_feedback_expand(spark, sf_dir):
             .select("term", "score_r"))
 
 
+def q_docterms(spark, sf_dir):
+    """Forward index / term-vector scan (`TermVector.java:22-114` analog):
+    per doc, the sorted stem:tf vector as a csv string."""
+    idx = _index(spark, sf_dir)
+    return (idx.postings.where(F.col("field") == "body")
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "tf"))),
+                    lambda st: F.concat_ws(":", st["term"],
+                                           st["tf"].cast("string"))),
+                ",").alias("termvec")))
+
+
+def q_diversity_xquad(spark, sf_dir):
+    """xQuAD re-ranking of the rare-term query with two intents
+    (`Diversity.java:415-471`; rows-only: the greedy loop is inherently
+    sequential/non-SQL)."""
+    from .capabilities.diversity import DiversityInput, xquad
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    init = [(r["doc_id"], r["score"]) for r in
+            eng.search(" ".join(BOW_RARE), k=20).collect()]
+    keep = {d for d, _ in init}
+    intents = {}
+    for i, iq in enumerate(["dup", "spark stream"]):
+        intents[i] = {r["doc_id"]: r["score"]
+                      for r in eng.search(iq, k=20).collect()
+                      if r["doc_id"] in keep}
+    ranked = xquad(DiversityInput(initial=init, intents=intents), lam=0.5)
+    return spark.createDataFrame(
+        [(int(d), i + 1) for i, (d, _) in enumerate(ranked)],
+        "doc_id long, rank long")
+
+
 # ------------------------------------------------------------- oracle SQL --
 
 
@@ -689,6 +724,14 @@ SELECT term, floor(score * 1e6 + 0.5)::BIGINT AS score_r
 FROM fsco ORDER BY score_r DESC, term LIMIT 10"""
 
 
+def _sql_docterms() -> str:
+    return f"""{PRELUDE}
+SELECT doc_id,
+       string_agg(term || ':' || tf::VARCHAR, ',' ORDER BY term, tf)
+         AS termvec
+FROM post GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------- registry --
 
 # name -> (spark_fn, oracle_sql | None)
@@ -718,6 +761,8 @@ REGISTRY: dict[str, tuple] = {
     "postings_term": (q_postings, _sql_postings()),
     "term_stats": (q_term_stats, _sql_term_stats()),
     "doclen_store": (q_doclens, _sql_doclens()),
+    "docterms_forward_index": (q_docterms, _sql_docterms()),
+    "diversity_xquad": (q_diversity_xquad, None),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),

@@ -93,13 +93,24 @@ def docs_from_documents_table(src: DataFrame) -> DataFrame:
 
 
 def build_postings(docs: DataFrame, field: str = DEFAULT_FIELD,
-                   tokens_col: str = "_tokens") -> DataFrame:
+                   tokens_col: str = "_tokens",
+                   num_partitions: int | None = None) -> DataFrame:
     """→ (term, field, doc_id, tf, positions) — positions 1-based over ALL
     tokens; stopwords dropped from emission only (`Idx.java:84-90` semantics).
 
-    groupBy key is (term, doc_id): per-group size is bounded by one document's
-    term occurrences, so hot terms do NOT create hot reducers here."""
+    Shuffle shape (the load-bearing scale decision): docs are explicitly
+    repartitioned by doc_id BEFORE tokenize/explode, so the
+    groupBy(term, doc_id) aggregation's clustering requirement is already
+    satisfied and the 10-100× wider token stream NEVER shuffles — the
+    only exchange moves compact document rows. The partition count is
+    explicit (not AQE's size-based coalescing, which under-parallelizes
+    here: post-shuffle work per byte is huge because each doc explodes
+    into many token rows). Hot terms cannot create hot reducers: the
+    grouping key includes doc_id."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
     toks = (docs
+            .repartition(num_partitions, "doc_id")
             .select("doc_id", F.posexplode(tokens_col).alias("_p0", "term"))
             .where(~F.col("term").isin(*sorted(STOPWORDS)))
             .select("term", "doc_id", (F.col("_p0") + 1).cast("int").alias("pos")))

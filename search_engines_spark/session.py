@@ -32,6 +32,14 @@ def get_spark(app: str = "search-engines-spark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # collect_list aggregations (postings positions) run in
+        # ObjectHashAggregate, whose default 128-key fallback silently
+        # degrades to SORT-based aggregation → per-task sort memory →
+        # spills that invert multi-core scaling. Keys per task are
+        # bounded by rows-per-partition; size the threshold so the hash
+        # path is kept (measured: 3× build speedup at 32 cores).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "8000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
