@@ -421,6 +421,35 @@ def q_diversity_xquad(spark, sf_dir):
         "doc_id long, rank long")
 
 
+LETOR_QUERIES = {"q1": BOW_RARE, "q2": ["hash", "merge", "batch"]}
+
+
+def q_letor_features(spark, sf_dir):
+    """LeToR feature extraction (`FeatureVector.java:152-326`): BM25 /
+    Indri / term-overlap over top-5 candidates per query, min-max
+    normalized per query, rounded to integers."""
+    from .capabilities.letor import letor_features
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    cand_rows = []
+    for qid, terms in LETOR_QUERIES.items():
+        node = eng.parse(" ".join(terms))
+        sc = (eng.eval_sop(node).where(F.col("score") >= 0)
+              .join(idx.doc_map, "doc_id")
+              .withColumn("score_r", _r(F.col("score")))
+              .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(5)
+              .select("doc_id").collect())
+        cand_rows += [(qid, r["doc_id"], 0) for r in sc]
+    cand = spark.createDataFrame(cand_rows, "qid string, doc_id long, rel int")
+    feats, names = letor_features(idx, {q: " ".join(t) for q, t
+                                        in LETOR_QUERIES.items()}, cand)
+    return feats.select(
+        "qid", "doc_id",
+        _r(F.col("bm25_body")).alias("bm25_r"),
+        _r(F.col("indri_body")).alias("indri_r"),
+        _r(F.col("overlap_body")).alias("overlap_r"))
+
+
 # ------------------------------------------------------------- oracle SQL --
 
 
@@ -732,6 +761,60 @@ SELECT doc_id,
 FROM post GROUP BY doc_id"""
 
 
+def _sql_letor_features() -> str:
+    per_q = []
+    for qid, terms in LETOR_QUERIES.items():
+        per_q.append(f"""(SELECT '{qid}' AS qid, sc_{qid}.doc_id
+  FROM sc_{qid} JOIN dl USING (doc_id)
+  ORDER BY floor(sc_{qid}.score * 1e6 + 0.5) DESC, dl.ext_id LIMIT 5)""")
+    ctes = ",\n".join(_bm25_scored_cte(t, f"sc_{q}")
+                      for q, t in LETOR_QUERIES.items())
+    qterms = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, term FROM (VALUES {_values(terms)}) v(term)"
+        for qid, terms in LETOR_QUERIES.items())
+    val = INDRI_VAL.format(lam=LAM, mu=MU, tf="g.tf", ctf="g.ctf",
+                           dl="d.doclen")
+    return f"""{PRELUDE},
+{ctes},
+cands AS ({" UNION ALL ".join(per_q)}),
+qt AS ({qterms}),
+grid AS (SELECT c.qid, c.doc_id, qt.term,
+                coalesce(p.tf, 0) AS tf,
+                coalesce(st.df, 0) AS df, coalesce(st.ctf, 0) AS ctf
+         FROM cands c JOIN qt ON qt.qid = c.qid
+         LEFT JOIN post p ON p.term = qt.term AND p.doc_id = c.doc_id
+         LEFT JOIN stats st ON st.term = qt.term),
+feats AS (SELECT g.qid, g.doc_id,
+    sum(CASE WHEN g.tf > 0 THEN
+        greatest(0.0, ln((c.n - g.df + 0.5) / (g.df + 0.5)))
+        * (g.tf / (g.tf + {K1} * (1 - {B} + {B} * d.doclen
+                                  / (c.sumlen / c.ndocs_f)))) * 1.0
+        ELSE 0.0 END) AS bm25,
+    CASE WHEN sum(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) > 0 THEN
+        exp(sum(CASE WHEN g.ctf > 0 THEN ln({val}) END) / count(*))
+        ELSE 0.0 END AS indri,
+    sum(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) / count(*) AS overlap
+  FROM grid g JOIN dl d USING (doc_id) CROSS JOIN corpus c
+  GROUP BY g.qid, g.doc_id),
+normed AS (SELECT qid, doc_id,
+    CASE WHEN max(bm25) OVER w > min(bm25) OVER w THEN
+      (bm25 - min(bm25) OVER w) / (max(bm25) OVER w - min(bm25) OVER w)
+      ELSE 0.0 END AS bm25_n,
+    CASE WHEN max(indri) OVER w > min(indri) OVER w THEN
+      (indri - min(indri) OVER w) / (max(indri) OVER w - min(indri) OVER w)
+      ELSE 0.0 END AS indri_n,
+    CASE WHEN max(overlap) OVER w > min(overlap) OVER w THEN
+      (overlap - min(overlap) OVER w)
+      / (max(overlap) OVER w - min(overlap) OVER w)
+      ELSE 0.0 END AS overlap_n
+  FROM feats WINDOW w AS (PARTITION BY qid))
+SELECT qid, doc_id,
+       floor(bm25_n * 1e6 + 0.5)::BIGINT AS bm25_r,
+       floor(indri_n * 1e6 + 0.5)::BIGINT AS indri_r,
+       floor(overlap_n * 1e6 + 0.5)::BIGINT AS overlap_r
+FROM normed"""
+
+
 # ---------------------------------------------------------------- registry --
 
 # name -> (spark_fn, oracle_sql | None)
@@ -765,6 +848,7 @@ REGISTRY: dict[str, tuple] = {
     "diversity_xquad": (q_diversity_xquad, None),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
+    "letor_features": (q_letor_features, _sql_letor_features()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),

@@ -1,0 +1,67 @@
+"""Skew handling for term-keyed aggregations: salted two-phase merge.
+
+Where skew lives in this engine and how each site handles it:
+
+* postings build — groupBy(doc_id, term): doc-keyed, skew-free by
+  construction (a hot term contributes ≤1 row per doc);
+* term_stats — groupBy(term) over count/sum: map-side partial
+  aggregation collapses each partition to ≤|vocab| rows before the
+  shuffle, so hot terms cost nothing extra;
+* segment build — repartitionByRange(bucket, term, doc_id) +
+  sortWithinPartitions: the range partitioner SAMPLES the key
+  distribution, so a stopword-grade term is split across several
+  partitions (each emits its own blocks — the codec allows a term run
+  to span partitions);
+* joins — AQE skew-join splitting (session.py).
+
+The remaining case is a term-keyed aggregation whose per-key state does
+NOT shrink map-side (collect_list-style). `salted_two_phase` is for
+that: key → (key, salt) partial combine → key final combine. The hot
+key's rows spread over `salt_buckets` reducers in phase 1; phase 2
+touches only |keys|·salt_buckets pre-combined rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_two_phase(df: DataFrame, key_cols: list[str],
+                     partial_aggs: list[Column],
+                     final_aggs: Callable[[], list[Column]],
+                     salt_buckets: int = 16) -> DataFrame:
+    """Generic salted aggregation.
+
+    partial_aggs: aggregate expressions for the (key, salt) phase, each
+    aliased; final_aggs(): expressions combining the partial columns per
+    key. Example — positions-preserving per-term posting concatenation:
+
+        salted_two_phase(
+            postings, ["term"],
+            [F.collect_list(F.struct("doc_id", "tf")).alias("part")],
+            lambda: [F.flatten(F.collect_list("part")).alias("postings")])
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*key_cols, F.monotonically_increasing_id()),
+                        F.lit(salt_buckets)))
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
+    return phase1.groupBy(*key_cols).agg(*final_aggs())
+
+
+def term_posting_lists(postings: DataFrame,
+                       salt_buckets: int = 16) -> DataFrame:
+    """→ (term, field, df, ctf, postings array<struct<doc_id,tf>> sorted
+    by doc_id) — the materialized-InvList shape (`InvList.java:18-83`),
+    built salt-safely: a stopword-grade term never funnels through one
+    reducer unsalted."""
+    out = salted_two_phase(
+        postings, ["term", "field"],
+        [F.collect_list(F.struct("doc_id", "tf")).alias("_part"),
+         F.count("*").alias("_df"), F.sum("tf").alias("_ctf")],
+        lambda: [F.array_sort(F.flatten(F.collect_list("_part")))
+                 .alias("postings"),
+                 F.sum("_df").alias("df"), F.sum("_ctf").alias("ctf")],
+        salt_buckets=salt_buckets)
+    return out.select("term", "field", "df", "ctf", "postings")

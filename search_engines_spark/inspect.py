@@ -1,0 +1,63 @@
+"""Index inspection CLI — the debugging oracle
+(`InspectIndex.java:17-44` analog: list-stats / list-postings /
+list-doc / list-termvector modes).
+
+    python -m search_engines_spark.inspect <corpus_parquet> stats
+    python -m search_engines_spark.inspect <corpus_parquet> postings <term>
+    python -m search_engines_spark.inspect <corpus_parquet> doc <doc_id>
+    python -m search_engines_spark.inspect <corpus_parquet> termvector <doc_id>
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from .indexer.build import build_index_frames, docs_from_documents_table
+from .session import get_spark
+
+
+def main(argv: list[str]) -> None:
+    corpus, mode = argv[0], argv[1]
+    spark = get_spark("inspect", cores=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = build_index_frames(
+        docs_from_documents_table(spark.read.parquet(corpus)))
+    if mode == "stats":
+        for fld, st in idx.corpus_stats.items():
+            print(f"field={fld} n_docs={st['n_docs']} "
+                  f"doc_count={st['doc_count']} sum_len={st['sum_len']}")
+        print(f"distinct_terms={idx.term_stats.count()}")
+        print(f"postings={idx.postings.count()}")
+    elif mode == "postings":
+        term = argv[2]
+        st = idx.term_stats.where(F.col("term") == term).collect()
+        for r in st:
+            print(f"term={r['term']} field={r['field']} df={r['df']} "
+                  f"ctf={r['ctf']}")
+        for r in (idx.postings.where(F.col("term") == term)
+                  .orderBy("field", "doc_id").collect()):
+            print(f"  doc={r['doc_id']} tf={r['tf']} "
+                  f"pos={list(r['positions'])}")
+    elif mode == "doc":
+        did = int(argv[2])
+        for r in idx.docs.where(F.col("doc_id") == did).collect():
+            print({k: (v if not isinstance(v, str) or len(v) < 200
+                       else v[:200] + "…") for k, v in r.asDict().items()})
+        for r in idx.doclens.where(F.col("doc_id") == did).collect():
+            print(f"  field={r['field']} doclen={r['doclen']}")
+    elif mode == "termvector":
+        did = int(argv[2])
+        rows = (idx.postings.where(F.col("doc_id") == did)
+                .orderBy("field", "term").collect())
+        for r in rows:
+            print(f"  {r['field']}.{r['term']} tf={r['tf']} "
+                  f"pos={list(r['positions'])}")
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,92 @@
+"""ANN operators: brute-force is ground truth; LSH and IVF are evaluated
+for recall against it (approximate by design, deterministic by seed)."""
+
+import math
+import random
+
+import pytest
+
+from search_engines_spark.pipeline.similarity import (
+    cosine_topk, ivf_topk, lsh_ann)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Clustered vectors (30 clusters, small noise): true neighbors are
+    angularly close, so LSH/IVF recall is meaningful — uniform random
+    vectors have no angular structure to find."""
+    rng = random.Random(99)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 30]
+        v = [x + rng.gauss(0, 0.15) for x in c]
+        rows.append((i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").persist()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.where("vec_id = 7").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _brute(emb, qvec, k):
+    rows = emb.collect()
+    qn = math.sqrt(sum(x * x for x in qvec))
+    scored = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        dot = sum(a * b for a, b in zip(v, qvec))
+        n = math.sqrt(sum(a * a for a in v))
+        scored.append((r["vec_id"], dot / (n * qn)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def test_brute_force_matches_python(emb, qvec):
+    got = cosine_topk(emb, qvec, k=10).collect()
+    want = _brute(emb, qvec, 10)
+    assert [r["vec_id"] for r in got] == [d for d, _ in want]
+    for r, (_, c) in zip(got, want):
+        assert r["cos_r"] == pytest.approx(int(math.floor(c * 1e6 + 0.5)), abs=1)
+
+
+def test_self_is_nearest(emb, qvec):
+    got = cosine_topk(emb, qvec, k=1).collect()
+    assert got[0]["vec_id"] == 7
+    assert got[0]["cos_r"] == 1_000_000
+
+
+def test_lsh_recall(emb, qvec):
+    """Multiprobe LSH top-10 must recall ≥50% of true top-10 (generous
+    bound — the guarantee is probabilistic; the seed makes it stable)."""
+    truth = {d for d, _ in _brute(emb, qvec, 10)}
+    got = {r["vec_id"] for r in lsh_ann(emb, qvec, k=10).collect()}
+    assert 7 in got
+    assert len(truth & got) >= 5
+
+
+def test_lsh_scans_subset(emb, qvec, spark):
+    """The bucket filter must actually restrict the candidate set."""
+    from search_engines_spark.pipeline.similarity import (
+        _planes, _signature_expr)
+    from pyspark.sql import functions as F
+    planes = _planes(16)
+    v = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    sigs = v.withColumn("sig", _signature_expr(F.col("v"), planes))
+    n_buckets = sigs.select("sig").distinct().count()
+    assert n_buckets > 10  # vectors spread over many buckets
+
+
+def test_ivf_recall_and_determinism(emb, qvec):
+    got1 = ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=3).collect()
+    got2 = ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=3).collect()
+    assert [(r["vec_id"], r["cos_r"]) for r in got1] == \
+           [(r["vec_id"], r["cos_r"]) for r in got2]
+    truth = {d for d, _ in _brute(emb, qvec, 10)}
+    got = {r["vec_id"] for r in got1}
+    assert 7 in got
+    assert len(truth & got) >= 3  # nprobe=3/8 cells → partial recall ok

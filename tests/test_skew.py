@@ -1,0 +1,39 @@
+"""Salted two-phase aggregation: identical results to direct groupBy,
+with the hot key spread across salt buckets in phase 1."""
+
+from pyspark.sql import functions as F
+
+from search_engines_spark.indexer.skew import salted_two_phase, term_posting_lists
+
+
+def test_term_posting_lists_match_direct(spark, spark_index):
+    got = {(r["term"], r["field"]): (r["df"], r["ctf"],
+                                     [(p["doc_id"], p["tf"])
+                                      for p in r["postings"]])
+           for r in term_posting_lists(spark_index.postings,
+                                       salt_buckets=8).collect()}
+    want_stats = {(r["term"], r["field"]): (r["df"], r["ctf"])
+                  for r in spark_index.term_stats.collect()}
+    assert set(got) == set(want_stats)
+    for key, (df, ctf, posts) in got.items():
+        assert (df, ctf) == want_stats[key], key
+        ids = [d for d, _ in posts]
+        assert ids == sorted(ids), key  # doc_id-sorted per term
+
+
+def test_salt_spreads_hot_key(spark):
+    """A single hot key must occupy multiple phase-1 groups."""
+    df = spark.createDataFrame([("hot", i) for i in range(1000)]
+                               + [("cold", 1)], "k string, v int")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", F.monotonically_increasing_id()),
+                        F.lit(8)))
+    groups = (salted.groupBy("k", "_salt").count()
+              .where(F.col("k") == "hot").count())
+    assert groups == 8
+
+    out = salted_two_phase(
+        df, ["k"], [F.sum("v").alias("_s")],
+        lambda: [F.sum("_s").alias("total")], salt_buckets=8).collect()
+    assert {r["k"]: r["total"] for r in out} == {"hot": sum(range(1000)),
+                                                 "cold": 1}
