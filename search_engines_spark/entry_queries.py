@@ -450,6 +450,28 @@ def q_letor_features(spark, sf_dir):
         _r(F.col("overlap_body")).alias("overlap_r"))
 
 
+_FIELDS_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _fields_index(spark, sf_dir):
+    """Index with the `lang` column as an additional field — the
+    reference's multi-field model (`QryEval.java:23` body/title/url...,
+    field-qualified terms `QryParser.java:140-172`)."""
+    if sf_dir not in _FIELDS_INDEX_CACHE:
+        from .indexer.build import build_index_frames, docs_from_documents_table
+        docs = docs_from_documents_table(_docs(spark, sf_dir))
+        _FIELDS_INDEX_CACHE[sf_dir] = build_index_frames(
+            docs, extra_fields={"lang": "lang"})
+    return _FIELDS_INDEX_CACHE[sf_dir]
+
+
+def q_field_qualified(spark, sf_dir):
+    """Cross-field RankedBoolean: #and( spark.body en.lang ) — min of
+    body-tf and lang-field-tf (`QrySopAnd.java:68-83`)."""
+    eng = Engine(_fields_index(spark, sf_dir), "rankedboolean")
+    return _bool_set(eng, "#and( spark.body en.lang )")
+
+
 # ------------------------------------------------------------- oracle SQL --
 
 
@@ -815,6 +837,19 @@ SELECT qid, doc_id,
 FROM normed"""
 
 
+def _sql_field_qualified() -> str:
+    return f"""{PRELUDE},
+langtok AS (SELECT doc_id::BIGINT AS doc_id, count(*)::INT AS ltf
+            FROM (SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(lang), '[^a-z0-9]+'),
+                    t -> t <> '')) AS lt FROM documents)
+            WHERE lt = 'en' GROUP BY doc_id)
+SELECT d.ext_id, least(p.tf, l.ltf)::BIGINT AS score_i
+FROM (SELECT doc_id, tf FROM post WHERE term = 'spark') p
+JOIN langtok l USING (doc_id)
+JOIN dl d USING (doc_id)"""
+
+
 # ---------------------------------------------------------------- registry --
 
 # name -> (spark_fn, oracle_sql | None)
@@ -829,6 +864,7 @@ REGISTRY: dict[str, tuple] = {
     "ranked_and": (q_ranked_and, _sql_ranked_and()),
     "ranked_or": (q_ranked_or, _sql_ranked_or()),
     "unranked_and": (q_unranked_and, _sql_unranked_and()),
+    "field_qualified_and": (q_field_qualified, _sql_field_qualified()),
     "near2_bool": (q_near2_bool, _sql_near2_bool()),
     "window3_bool": (q_window3_bool, _sql_window3_bool()),
     "indri_term": (q_indri_term, _sql_indri_term()),

@@ -1,0 +1,101 @@
+"""Property-based rank-identity: randomly composed structured queries
+must match the pure-Python oracle exactly (docids + scores to 1e-9).
+
+Hypothesis drives the query generator with a fixed seed profile
+(derandomized) so CI is stable; the generator composes every operator
+the grammar allows for each retrieval model, biased toward planted
+vocabulary so matches actually occur.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from search_engines_spark.engine import Engine
+from search_engines_spark.oracle import Models, run_query
+
+TERMS = ["creek", "farm", "fickle", "voyager", "probe", "buffer",
+         "parser", "token", "merge", "segment", "the"]  # incl. stopword
+
+
+def _term(draw):
+    return draw(st.sampled_from(TERMS))
+
+
+@st.composite
+def iop_query(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return _term(draw)
+    op = draw(st.sampled_from(["near", "window", "syn"]))
+    n = draw(st.integers(min_value=1, max_value=8))
+    k = draw(st.integers(min_value=2, max_value=3))
+    args = " ".join(draw(iop_query(depth=depth + 1)) for _ in range(k))
+    if op == "syn":
+        return f"#syn( {args} )"
+    return f"#{op}/{n}( {args} )"
+
+
+@st.composite
+def bm25_query(draw):
+    k = draw(st.integers(min_value=1, max_value=3))
+    args = " ".join(draw(iop_query()) for _ in range(k))
+    return f"#sum( {args} )"
+
+
+@st.composite
+def boolean_query(draw):
+    op = draw(st.sampled_from(["and", "or"]))
+    k = draw(st.integers(min_value=2, max_value=3))
+    args = " ".join(draw(iop_query()) for _ in range(k))
+    return f"#{op}( {args} )"
+
+
+@st.composite
+def indri_query(draw):
+    op = draw(st.sampled_from(["and", "wand", "wsum"]))
+    k = draw(st.integers(min_value=2, max_value=3))
+    if op == "and":
+        args = " ".join(draw(iop_query()) for _ in range(k))
+        return f"#and( {args} )"
+    parts = []
+    for _ in range(k):
+        w = draw(st.sampled_from(["0.2", "0.5", "1", "2.5"]))
+        parts.append(f"{w} {draw(iop_query())}")
+    return f"#{op}( {' '.join(parts)} )"
+
+
+def _check(q, model, spark_index, oracle_index):
+    eng = Engine(spark_index, model)
+    try:
+        got = eng.search(q, k=30).collect()
+    except ValueError:
+        # illegal under this model ⇒ the oracle must also reject it
+        with pytest.raises(ValueError):
+            run_query(q, oracle_index, model, Models(), k=30)
+        return
+    want = run_query(q, oracle_index, model, Models(), k=30)
+    assert [r["doc_id"] for r in got] == [d for d, _, _ in want], q
+    for g, (_, _, s) in zip(got, want):
+        assert g["score"] == pytest.approx(s, abs=1e-9), q
+
+
+COMMON = dict(max_examples=12, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(q=bm25_query())
+@settings(**COMMON)
+def test_random_bm25(q, spark_index, oracle_index):
+    _check(q, "bm25", spark_index, oracle_index)
+
+
+@given(q=boolean_query())
+@settings(**COMMON)
+def test_random_boolean(q, spark_index, oracle_index):
+    _check(q, "rankedboolean", spark_index, oracle_index)
+
+
+@given(q=indri_query())
+@settings(**COMMON)
+def test_random_indri(q, spark_index, oracle_index):
+    _check(q, "indri", spark_index, oracle_index)
