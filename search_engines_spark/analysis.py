@@ -113,3 +113,50 @@ class Analyzer:
 
 
 CANONICAL = Analyzer()
+
+
+def analyze_udf(analyzer: Analyzer):
+    """Arrow-batched pandas UDF: text → (doclen, [(term, pos), ...]) as
+    `struct<doclen:long, terms:array<struct<term:string,pos:int>>>`.
+
+    The production index path uses the pure-SQL tokenizer (JVM codegen,
+    strictly faster — see SPARK_TOKENS_EXPR); this UDF is the analyzer
+    escape hatch the `input_hint` calls for when the chain needs Python
+    (KStem-style stemming, possessive stripping): vectorized per Arrow
+    batch, never per-row at the DataFrame layer.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("struct<doclen:long, terms:array<struct<term:string,pos:int>>>")
+    def _analyze(texts):  # pd.Series -> pd.DataFrame (struct columns)
+        doclens, terms = [], []
+        for t in texts:
+            dl, pairs = analyzer.analyze(t or "")
+            doclens.append(dl)
+            terms.append([{"term": w, "pos": p} for w, p in pairs])
+        return pd.DataFrame({"doclen": doclens, "terms": terms})
+
+    return _analyze
+
+
+def build_postings_udf(docs, analyzer: Analyzer, text_col: str = "text",
+                       field: str = "body"):
+    """UDF-analyzer postings build — same output contract as
+    `indexer.build.build_postings` (term, field, doc_id, tf, positions),
+    for analyzer configurations the SQL tokenizer can't express.
+    Same shuffle shape: repartition docs by doc_id first, then the
+    per-doc aggregation never reshuffles the token stream."""
+    from pyspark.sql import functions as F
+    ana = analyze_udf(analyzer)
+    num = docs.sparkSession.sparkContext.defaultParallelism * 2
+    d = (docs.repartition(num, "doc_id")
+         .withColumn("_a", ana(F.col(text_col))))
+    toks = (d.select("doc_id", F.explode("_a.terms").alias("_t"))
+            .select("doc_id", F.col("_t.term").alias("term"),
+                    F.col("_t.pos").alias("pos")))
+    return (toks.groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("field", F.lit(field))
+            .select("term", "field", "doc_id", "tf", "positions"))

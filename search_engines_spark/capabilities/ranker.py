@@ -1,0 +1,69 @@
+"""Learned re-ranking on top of LeToR features.
+
+The reference trains/classifies by shelling out to the external
+`svm_rank_learn` / `svm_rank_classify` binaries (`QryEval.java:303-338`)
+— a process boundary we preserve as the primary path when the binaries
+exist (`train_svmrank`/`classify_svmrank`), since their model format is
+the course-compatible artifact. When they don't (this sandbox), a
+linear ranker trained with `pyspark.ml` LogisticRegression on the
+relevance labels is the self-contained fallback: same feature files,
+same re-rank step (`getLetorScore`, `QryEval.java:363-388` — re-sort
+the initial top-k by the model score, tie-break ext_id asc).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def svmrank_available() -> bool:
+    return shutil.which("svm_rank_learn") is not None
+
+
+def train_svmrank(train_file: str, model_file: str, c: float = 20.0) -> None:
+    """`Runtime.exec(svm_rank_learn -c <c> train model)`
+    (`QryEval.java:303-307`)."""
+    subprocess.run(["svm_rank_learn", "-c", str(c), train_file, model_file],
+                   check=True)
+
+
+def classify_svmrank(test_file: str, model_file: str,
+                     scores_file: str) -> None:
+    """`Runtime.exec(svm_rank_classify test model scores)`
+    (`QryEval.java:309-313`)."""
+    subprocess.run(["svm_rank_classify", test_file, model_file, scores_file],
+                   check=True)
+
+
+def train_linear_ranker(features: DataFrame, feat_names: list[str]):
+    """Fallback: logistic regression rel>0 vs rel=0 over the normalized
+    feature columns → fitted model (weights act as a linear ranker)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=feat_names, outputCol="fvec")
+    data = assembler.transform(
+        features.withColumn("label",
+                            (F.col("rel") > 0).cast("double")))
+    lr = LogisticRegression(featuresCol="fvec", labelCol="label",
+                            maxIter=50, regParam=0.01)
+    return assembler, lr.fit(data)
+
+
+def rerank(features: DataFrame, assembler, model,
+           ext_ids: DataFrame, k: int = 100) -> DataFrame:
+    """Score candidates with the trained ranker and re-sort per query
+    (score desc, ext_id asc — `ScoreList.java:87-114`)."""
+    from pyspark.ml.functions import vector_to_array
+    scored = (model.transform(assembler.transform(features))
+              .withColumn("score",
+                          vector_to_array(F.col("rawPrediction"))[1])
+              .select("qid", "doc_id", "score"))
+    scored = scored.join(ext_ids.select("doc_id", "ext_id"), "doc_id")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "ext_id", "score", "rank"))

@@ -1,0 +1,53 @@
+"""Arrow-UDF analyzer path: parity with the SQL tokenizer when the
+chain is SQL-expressible; stemming variant behaves per Analyzer."""
+
+import pytest
+
+from search_engines_spark.analysis import Analyzer, build_postings_udf
+from search_engines_spark.indexer.build import build_postings
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    rows = [(0, "the parser's tokens are tokenized quickly"),
+            (1, "parsers parse parsing parsed"),
+            (2, "buffer the buffers buffering")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+    from search_engines_spark.analysis import SPARK_TOKENS_EXPR
+    return df.withColumn("_tokens",
+                         F.expr(SPARK_TOKENS_EXPR.format(col="text")))
+
+
+def _pset(df):
+    return {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+            for r in df.collect()}
+
+
+def test_udf_matches_sql_path(spark, small_docs):
+    """With the canonical (no-stem) analyzer, the Arrow-UDF build must be
+    byte-identical to the whole-stage-codegen SQL build."""
+    sql_out = _pset(build_postings(small_docs))
+    udf_out = _pset(build_postings_udf(small_docs.drop("_tokens"),
+                                       Analyzer()))
+    assert udf_out == sql_out
+
+
+def test_udf_stemming_changes_terms(spark, small_docs):
+    out = _pset(build_postings_udf(small_docs.drop("_tokens"),
+                                   Analyzer(stem=True)))
+    terms = {t for t, _ in out}
+    assert "parser" in terms          # parsers -> parser
+    assert "parsers" not in terms
+    assert "buffer" in terms          # buffers -> buffer
+    # positions still reflect pre-stem token stream (stopword-inclusive):
+    # buffer(1), [the(2) skipped], buffers(3)->buffer, buffering(4)->buffer
+    assert out[("buffer", 2)][1] == [1, 3, 4]
+
+
+def test_udf_possessive(spark, small_docs):
+    out = _pset(build_postings_udf(small_docs.drop("_tokens"),
+                                   Analyzer(strip_possessive=True)))
+    # "parser's" tokenizes to parser + s; possessive 's dropped
+    assert ("s", 0) not in out
+    assert ("parser", 0) in out

@@ -1,0 +1,41 @@
+"""Learned re-ranker: the pyspark.ml fallback trains on LeToR features
+and a doc with positive label features ranks above junk."""
+
+import pytest
+
+from search_engines_spark.capabilities.letor import letor_features
+from search_engines_spark.capabilities.ranker import (
+    rerank, svmrank_available, train_linear_ranker)
+from search_engines_spark.engine import Engine
+
+
+def test_svmrank_binaries_absent_detected():
+    assert svmrank_available() in (True, False)  # callable, no crash
+
+
+def test_linear_ranker_reranks(spark, spark_index):
+    queries = {"7": "fickle creek farm", "9": "voyager probe"}
+    eng = Engine(spark_index, "bm25")
+    cand_rows = []
+    for qid, q in queries.items():
+        rows = eng.search(q, k=8).collect()
+        for i, r in enumerate(rows):
+            # label: top-3 of the BM25 ranking are 'relevant'
+            cand_rows.append((qid, r["doc_id"], 1 if i < 3 else 0))
+    cand = spark.createDataFrame(cand_rows, "qid string, doc_id long, rel int")
+    feats, names = letor_features(spark_index, queries, cand)
+    assembler, model = train_linear_ranker(feats, names)
+    out = rerank(feats, assembler, model, spark_index.docs, k=8)
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {"7", "9"}
+    by_qid = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_qid.items():
+        ranks = [r["rank"] for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        # the learned ranker, trained on BM25-derived labels, should put
+        # at least 2 of the 3 positives in its top 3
+        rel_docs = {d for q, d, rel in cand_rows if q == qid and rel}
+        top3 = {r["doc_id"] for r in rs[:3]}
+        assert len(rel_docs & top3) >= 2
