@@ -56,6 +56,54 @@ class Engine:
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
 
+    def attach_segments(self, seg_dir: str, num_buckets: int = 32) -> None:
+        """Point the engine at a compressed segment store
+        (indexer.segments); bag-of-words BM25 then routes through the
+        block-max DAAT path in `search_daat`."""
+        self._seg_dir = seg_dir
+        self._seg_buckets = num_buckets
+
+    def search_daat(self, qstring: str, k: int = 100) -> DataFrame:
+        """Bag-of-words BM25 top-k over the attached segment store via
+        document-at-a-time scoring with block-max pruning (engine/daat).
+        Exact — rank-identical to `search` up to the doc_id-vs-ext_id
+        tie-break (see daat module docstring); requires
+        `attach_segments` and model == 'bm25'."""
+        if self.model != "bm25":
+            raise ValueError("search_daat is the BM25 fast path")
+        if not hasattr(self, "_seg_dir"):
+            raise ValueError("no segment store attached; call attach_segments")
+        from ..indexer.segments import read_segments
+        from .daat import bm25_wand_topk
+        node = self.parse(qstring)
+        terms = sorted({n.term for n in self._term_leaves(node)})
+        is_bow = (node.op == "sum"
+                  and all(a.op == "score" and a.args[0].op == "term"
+                          for a in node.args)) \
+            or (node.op == "score" and node.args[0].op == "term")
+        if not is_bow:
+            raise ValueError("search_daat handles bag-of-words #SUM only; "
+                             "structured operators go through search()")
+        stats = {t: self._stats_of(Node("term", term=t, field="body"))
+                 for t in terms}
+        st = self.index.stats_for("body")
+        segs = read_segments(self.index.docs.sparkSession, self._seg_dir,
+                             terms=terms, num_buckets=self._seg_buckets)
+        top = bm25_wand_topk(segs, terms, stats, st["n_docs"],
+                             st["sum_len"] / st["doc_count"], k=k,
+                             params=self.p)
+        return (top.join(self._doc_map(), "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "ext_id", "score"))
+
+    def _term_leaves(self, node: Node) -> list[Node]:
+        if node.op == "term":
+            return [node]
+        out = []
+        for a in node.args:
+            out.extend(self._term_leaves(a))
+        return out
+
     def _doc_map(self) -> DataFrame:
         """Persisted (doc_id, ext_id) projection when the index has one
         (avoids re-deriving the docs frame on every query)."""

@@ -1,0 +1,44 @@
+"""Bucketed postings table: co-located term joins without Catalyst
+surgery (SURVEY.md §4.2 — "bucketBy(term) gets most of the
+shuffle-elimination benefit with zero Catalyst surgery").
+
+`write_bucketed_postings` persists the postings frame bucketed+sorted by
+(term, doc_id). Any subsequent groupBy/join keyed on `term` reads the
+bucketing metadata and skips the exchange entirely — per-term
+aggregations (term stats, posting-list materialization, segment
+grouping) become shuffle-free map-side work, which at 100 TB removes
+the single largest data movement after the initial build.
+
+Spark requires a (metastore-registered) table for bucketing — plain
+`.parquet(path)` cannot carry bucket metadata — so this writes an
+external table at an explicit path. Verified property (tests): the
+physical plan of `groupBy(term)` over the bucketed table contains NO
+Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_postings(postings: DataFrame, table: str, path: str,
+                            num_buckets: int = 32) -> None:
+    """Persist postings bucketed by term, sorted by (term, doc_id)."""
+    (postings.write.mode("overwrite")
+     .bucketBy(num_buckets, "term")
+     .sortBy("term", "doc_id")
+     .option("path", path)
+     .format("parquet")
+     .saveAsTable(table))
+
+
+def read_bucketed_postings(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def term_stats_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """df/ctf per (term, field) over the bucketed store — exchange-free
+    (the bucketing satisfies the grouping distribution)."""
+    from pyspark.sql import functions as F
+    return (spark.table(table).groupBy("term", "field")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ctf")))

@@ -66,9 +66,16 @@ def init_model(params: dict[str, str]) -> tuple[str, Models]:
 
 
 def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
-    """`Idx.open` analog: corpusPath points at a documents-table parquet
-    (doc_id, text, ...) — the Iceberg/parquet stand-in for indexPath."""
-    src = spark.read.parquet(params["corpusPath"])
+    """`Idx.open` analog: corpusPath is a parquet path or an Iceberg
+    `table:<name>` reference (sources.load_corpus); documents-table shape
+    (doc_id, text, ...) or code-corpus shape (repo, path, commit, lang,
+    content) — detected by columns."""
+    from .indexer.build import docs_from_code_corpus
+    from .sources import CODE_CORPUS_COLUMNS, load_corpus
+    src = load_corpus(spark, params["corpusPath"],
+                      fmt=params.get("corpusFormat", "auto"))
+    if all(c in src.columns for c in CODE_CORPUS_COLUMNS):
+        return build_index_frames(docs_from_code_corpus(src))
     return build_index_frames(docs_from_documents_table(src))
 
 

@@ -1,0 +1,54 @@
+"""Bucketed postings: correctness + the shuffle-elimination property
+(no Exchange in per-term aggregation / self-join plans)."""
+
+import pytest
+
+from search_engines_spark.indexer.bucketed import (
+    read_bucketed_postings, term_stats_bucketed, write_bucketed_postings)
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, spark_index, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bucketed")) + "/postings"
+    table = "test_bucketed_postings"
+    write_bucketed_postings(spark_index.postings, table, path, num_buckets=8)
+    yield table
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_roundtrip(spark, spark_index, bucketed):
+    got = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+           for r in read_bucketed_postings(spark, bucketed).collect()}
+    want = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+            for r in spark_index.postings.collect()}
+    assert got == want
+
+
+def test_term_stats_no_exchange(spark, spark_index, bucketed):
+    stats = term_stats_bucketed(spark, bucketed)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {(r["term"], r["field"]): (r["df"], r["ctf"])
+           for r in stats.collect()}
+    want = {(r["term"], r["field"]): (r["df"], r["ctf"])
+            for r in spark_index.term_stats.collect()}
+    assert got == want
+
+
+def test_self_join_on_term_no_shuffle(spark, bucketed):
+    """Bucket-aware sort-merge join: no shuffle Exchange on either side.
+
+    Broadcast is disabled for the assertion — at test scale the table is
+    broadcast-sized, which hides the property under test (a
+    BroadcastExchange); the bucketing win matters precisely when neither
+    side is broadcastable."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = read_bucketed_postings(spark, bucketed)
+        j = t.alias("a").join(t.alias("b"), "term").groupBy("term").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

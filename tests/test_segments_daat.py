@@ -110,6 +110,23 @@ def test_daat_wand_rank_identity(spark, spark_index, seg_dir, q):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
 
+def test_engine_search_daat_api(spark, spark_index, seg_dir):
+    """Engine.attach_segments + search_daat end-to-end; rank-identical to
+    the compiled plan under the doc_id tie-break."""
+    from pyspark.sql import functions as F
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(seg_dir, num_buckets=NUM_BUCKETS)
+    got = eng.search_daat("fickle creek farm", k=20).collect()
+    want = (eng.eval_sop(eng.parse("fickle creek farm"))
+            .where(F.col("score") >= 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20).collect())
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+    with pytest.raises(ValueError):
+        eng.search_daat("#near/2( creek farm )")
+
+
 def _terms_of(node):
     if node.op == "term":
         return [node]
