@@ -472,6 +472,27 @@ def q_field_qualified(spark, sf_dir):
     return _bool_set(eng, "#and( spark.body en.lang )")
 
 
+def q_diversity_pm2(spark, sf_dir):
+    """PM2 proportional re-ranking, same inputs as the xQuAD entry
+    (`Diversity.java:473-605`; rows-only — sequential greedy)."""
+    from .capabilities.diversity import DiversityInput, pm2
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    init = [(r["doc_id"], r["score"]) for r in
+            eng.search(" ".join(BOW_RARE), k=20).collect()]
+    keep = {d for d, _ in init}
+    intents = {}
+    for i, iq in enumerate(["dup", "spark stream"]):
+        intents[i] = {r["doc_id"]: r["score"]
+                      for r in eng.search(iq, k=20).collect()
+                      if r["doc_id"] in keep}
+    ranked = pm2(DiversityInput(initial=init, intents=intents), lam=0.5,
+                 max_result_len=20)
+    return spark.createDataFrame(
+        [(int(d), i + 1) for i, (d, _) in enumerate(ranked)],
+        "doc_id long, rank long")
+
+
 # ------------------------------------------------------------- oracle SQL --
 
 
@@ -882,6 +903,7 @@ REGISTRY: dict[str, tuple] = {
     "doclen_store": (q_doclens, _sql_doclens()),
     "docterms_forward_index": (q_docterms, _sql_docterms()),
     "diversity_xquad": (q_diversity_xquad, None),
+    "diversity_pm2": (q_diversity_pm2, None),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "letor_features": (q_letor_features, _sql_letor_features()),
