@@ -48,11 +48,12 @@ STAT_TERMS = ["spark", "stream", "join", "merge", "batch", "window",
 TREC_QUERIES = {"q1": BOW3, "q2": ["hash", "merge", "batch"],
                 "q3": ["data", "table"]}
 
-_INDEX_CACHE: dict[str, Index] = {}
+_INDEX_CACHE: dict[tuple, Index] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> Index:
-    key = sf_dir
+    # keyed by session too: cached DataFrames die with their session
+    key = (id(spark), sf_dir.rstrip("/"))
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = index_documents_table(spark, sf_dir)
     return _INDEX_CACHE[key]
@@ -450,19 +451,20 @@ def q_letor_features(spark, sf_dir):
         _r(F.col("overlap_body")).alias("overlap_r"))
 
 
-_FIELDS_INDEX_CACHE: dict[str, Index] = {}
+_FIELDS_INDEX_CACHE: dict[tuple, Index] = {}
 
 
 def _fields_index(spark, sf_dir):
     """Index with the `lang` column as an additional field — the
     reference's multi-field model (`QryEval.java:23` body/title/url...,
     field-qualified terms `QryParser.java:140-172`)."""
-    if sf_dir not in _FIELDS_INDEX_CACHE:
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _FIELDS_INDEX_CACHE:
         from .indexer.build import build_index_frames, docs_from_documents_table
         docs = docs_from_documents_table(_docs(spark, sf_dir))
-        _FIELDS_INDEX_CACHE[sf_dir] = build_index_frames(
+        _FIELDS_INDEX_CACHE[key] = build_index_frames(
             docs, extra_fields={"lang": "lang"})
-    return _FIELDS_INDEX_CACHE[sf_dir]
+    return _FIELDS_INDEX_CACHE[key]
 
 
 def q_field_qualified(spark, sf_dir):
