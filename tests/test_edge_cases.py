@@ -1,0 +1,98 @@
+"""Adversarial edges: absent terms, stopword-only queries, degenerate
+weights, k > corpus — engine and oracle must agree on every one."""
+
+import pytest
+
+from search_engines_spark.engine import Engine
+from search_engines_spark.oracle import Models, run_query
+from search_engines_spark.parser import QueryParseError, QueryParser
+
+
+def _both(q, model, spark_index, oracle_index, k=10):
+    got = Engine(spark_index, model).search(q, k=k).collect()
+    want = run_query(q, oracle_index, model, Models(), k=k)
+    assert [r["doc_id"] for r in got] == [d for d, _, _ in want], q
+    for g, (_, _, s) in zip(got, want):
+        assert g["score"] == pytest.approx(s, abs=1e-9)
+    return got
+
+
+def test_absent_term_bm25(spark_index, oracle_index):
+    """OOV term contributes nothing; present terms still score."""
+    got = _both("zzzqqq creek", "bm25", spark_index, oracle_index)
+    assert len(got) > 0
+
+
+def test_absent_term_alone(spark_index, oracle_index):
+    assert _both("zzzqqq", "bm25", spark_index, oracle_index) == []
+
+
+def test_absent_term_in_near(spark_index, oracle_index):
+    assert _both("#sum( #near/2( zzzqqq creek ) )", "bm25",
+                 spark_index, oracle_index) == []
+
+
+def test_absent_term_indri_and(spark_index, oracle_index):
+    """Indri #AND with one OOV arg: candidates = docs matching the other
+    arg; OOV contributes its ctf=0 default (score crosses zero cleanly)."""
+    got = _both("#and( zzzqqq creek )", "indri", spark_index, oracle_index)
+    # ctf=0 → pmle=0 → the OOV factor is 0^(1/2)·… = 0 ⇒ all scores 0
+    assert all(r["score"] == 0.0 for r in got)
+
+
+def test_stopword_only_query_rejected(spark_index, oracle_index):
+    for target in ("engine", "oracle"):
+        with pytest.raises(QueryParseError):
+            if target == "engine":
+                Engine(spark_index, "bm25").parse("the of and")
+            else:
+                run_query("the of and", oracle_index, "bm25")
+
+
+def test_stopword_arg_dropped_inside_op(spark_index, oracle_index):
+    """#near/1(creek the farm) — 'the' is dropped by analysis, leaving
+    #near/1(creek farm) (`QryParser.java:224-261` degenerate elim)."""
+    p = QueryParser()
+    node = p.parse("#sum( #near/1( creek the farm ) )")
+    # single-arg #sum collapses (`QryParser.java:224-261`) → #score(#near)
+    assert node.op == "score"
+    near = node.args[0]
+    assert near.op == "near" and len(near.args) == 2
+    _both("#sum( #near/1( creek the farm ) )", "bm25",
+          spark_index, oracle_index)
+
+
+def test_k_exceeds_corpus(spark_index, oracle_index):
+    got = _both("creek", "bm25", spark_index, oracle_index, k=100000)
+    assert 0 < len(got) < 100000
+
+
+def test_single_term_query_collapses(spark_index, oracle_index):
+    """Bare one-term query: default-op wrap then single-arg collapse →
+    score(term) root."""
+    _both("voyager", "bm25", spark_index, oracle_index)
+    _both("voyager", "rankedboolean", spark_index, oracle_index)
+    _both("voyager", "indri", spark_index, oracle_index)
+
+
+def test_wand_weight_skew(spark_index, oracle_index):
+    """Extreme weight ratios still normalize by ΣW."""
+    _both("#wand( 1000 creek 0.001 farm )", "indri",
+          spark_index, oracle_index)
+    _both("#wsum( 1000 creek 0.001 farm )", "indri",
+          spark_index, oracle_index)
+
+
+def test_near_n_zero_like(spark_index, oracle_index):
+    """#near/1 adjacent-only vs a huge n that matches any ordered pair."""
+    _both("#sum( #near/1( fickle creek ) )", "bm25",
+          spark_index, oracle_index)
+    _both("#sum( #near/1000( fickle creek ) )", "bm25",
+          spark_index, oracle_index)
+
+
+def test_nested_iop_composition(spark_index, oracle_index):
+    """Closed Iop algebra: NEAR over SYN over terms
+    (`InvList` closure, SURVEY.md §2.3)."""
+    _both("#sum( #near/3( #syn( fickle voyager ) #syn( creek probe ) ) )",
+          "bm25", spark_index, oracle_index)
