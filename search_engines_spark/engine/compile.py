@@ -39,13 +39,31 @@ class Engine:
         self.model = model
         self.p = params or Models()
         self.parser = QueryParser(analyzer, default_field=default_field)
-        self._iop_cache: dict[int, DataFrame] = {}
+        self._iop_cache: dict[int, tuple[Node, DataFrame]] = {}
         self._leaf_stats: dict[tuple[str, str], tuple[int, int]] = {}
 
     # ------------------------------------------------------------- public --
 
     def parse(self, qstring: str) -> Node:
-        return self.parser.parse(qstring, default_op=DEFAULT_OPS[self.model])
+        node = self.parser.parse(qstring, default_op=DEFAULT_OPS[self.model])
+        self._prefetch_stats(node)
+        return node
+
+    def _prefetch_stats(self, node: Node) -> None:
+        """Batch-fetch (df, ctf) for every uncached term leaf of the AST
+        in ONE collect — per-leaf lookups would cost one scheduler
+        round-trip each on a cluster."""
+        missing = {(n.term, n.field) for n in self._term_leaves(node)
+                   if (n.term, n.field) not in self._leaf_stats}
+        if not missing:
+            return
+        terms = sorted({t for t, _ in missing})
+        rows = (self.index.term_stats
+                .where(F.col("term").isin(terms))
+                .select("term", "field", "df", "ctf").collect())
+        found = {(r["term"], r["field"]): (r["df"], r["ctf"]) for r in rows}
+        for key in missing:
+            self._leaf_stats[key] = found.get(key, (0, 0))
 
     def search(self, qstring: str, k: int = 100) -> DataFrame:
         """→ (doc_id, ext_id, score) top-k, score desc / ext_id asc
@@ -76,7 +94,7 @@ class Engine:
         from ..indexer.segments import read_segments
         from .daat import bm25_wand_topk
         node = self.parse(qstring)
-        terms = sorted({n.term for n in self._term_leaves(node)})
+        leaves = self._term_leaves(node)
         is_bow = (node.op == "sum"
                   and all(a.op == "score" and a.args[0].op == "term"
                           for a in node.args)) \
@@ -84,14 +102,25 @@ class Engine:
         if not is_bow:
             raise ValueError("search_daat handles bag-of-words #SUM only; "
                              "structured operators go through search()")
-        stats = {t: self._stats_of(Node("term", term=t, field="body"))
+        fields = {n.field for n in leaves}
+        if len(fields) != 1:
+            raise ValueError(f"search_daat needs a single field, got {fields}")
+        field = next(iter(fields))
+        # a term repeated in the query contributes one #SCORE arm per
+        # occurrence in search(); fold the multiplicity into its idf
+        mult: dict[str, int] = {}
+        for n in leaves:
+            mult[n.term] = mult.get(n.term, 0) + 1
+        terms = sorted(mult)
+        stats = {t: self._stats_of(Node("term", term=t, field=field))
                  for t in terms}
-        st = self.index.stats_for("body")
+        st = self.index.stats_for(field)
         segs = read_segments(self.index.docs.sparkSession, self._seg_dir,
                              terms=terms, num_buckets=self._seg_buckets)
         top = bm25_wand_topk(segs, terms, stats, st["n_docs"],
                              st["sum_len"] / st["doc_count"], k=k,
-                             params=self.p)
+                             params=self.p, field=field,
+                             term_weights=mult)
         return (top.join(self._doc_map(), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "ext_id", "score"))
@@ -132,10 +161,15 @@ class Engine:
     # ------------------------------------------------------ Iop compilation --
 
     def eval_iop(self, node: Node) -> DataFrame:
-        """→ (doc_id, tf, positions) posting frame for an Iop subtree."""
+        """→ (doc_id, tf, positions) posting frame for an Iop subtree.
+
+        The plan cache stores (node, frame) — holding the node itself
+        keeps the id() key alive, so a garbage-collected AST from a
+        previous query can never alias a live entry (id() reuse would
+        silently return another query's postings)."""
         key = id(node)
         if key in self._iop_cache:
-            return self._iop_cache[key]
+            return self._iop_cache[key][1]
         if node.op == "term":
             out = (self.index.postings
                    .where((F.col("term") == node.term) &
@@ -157,7 +191,7 @@ class Engine:
             # the single query job. The plan object is still reused via
             # _iop_cache, and derived df/ctf ride along as a window
             # aggregate (see _score) instead of a second job.
-        self._iop_cache[key] = out
+        self._iop_cache[key] = (node, out)
         return out
 
     def _derived_stats(self, node: Node) -> DataFrame:

@@ -55,13 +55,19 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                    term_stats: dict[str, tuple[int, int]],
                    n_docs: int, avglen: float, k: int = 100,
                    params: Models | None = None,
-                   field: str = "body") -> DataFrame:
+                   field: str = "body",
+                   term_weights: dict[str, int] | None = None) -> DataFrame:
     """→ (doc_id, score) global top-k for BM25 #SUM over `terms`.
 
     term_stats: {term: (df, ctf)} — collected once, driver-side (tiny).
+    term_weights: query-multiplicity per term (a term repeated q times in
+    the bag contributes q identical #SCORE arms, `QrySopSum.java:39-53`)
+    — folded into the per-term idf weight.
     """
     p = params or Models()
+    w = term_weights or {}
     idf = {t: max(0.0, math.log((n_docs - df + 0.5) / (df + 0.5)))
+           * w.get(t, 1)
            for t, (df, _) in term_stats.items() if t in terms}
     if not idf:
         spark = segments.sparkSession

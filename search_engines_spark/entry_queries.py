@@ -53,7 +53,8 @@ _INDEX_CACHE: dict[tuple, Index] = {}
 
 def _index(spark: SparkSession, sf_dir: str) -> Index:
     # keyed by session too: cached DataFrames die with their session
-    key = (id(spark), sf_dir.rstrip("/"))
+    # (applicationId is stable-unique; id() could alias a freed session)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = index_documents_table(spark, sf_dir)
     return _INDEX_CACHE[key]
@@ -77,7 +78,7 @@ def _topk_rounded(eng: Engine, qstring: str, k: int = 100) -> DataFrame:
     deterministic across engines (`ScoreList.java:87-114` tie-break)."""
     node = eng.parse(qstring)
     s = eng.eval_sop(node).where(F.col("score") >= 0)
-    s = s.join(eng.index.docs.select("doc_id", "ext_id"), "doc_id")
+    s = s.join(eng._doc_map(), "doc_id")
     return (s.withColumn("score_r", _r(F.col("score")))
             .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(k)
             .select("ext_id", "score_r"))
@@ -87,7 +88,7 @@ def _bool_set(eng: Engine, qstring: str, as_int: bool = True) -> DataFrame:
     """All matching docs of a boolean query → (ext_id, score_i)."""
     node = eng.parse(qstring)
     s = eng.eval_sop(node).where(F.col("score") >= 0)
-    s = s.join(eng.index.docs.select("doc_id", "ext_id"), "doc_id")
+    s = s.join(eng._doc_map(), "doc_id")
     return s.select("ext_id", F.col("score").cast("long").alias("score_i"))
 
 
@@ -458,7 +459,7 @@ def _fields_index(spark, sf_dir):
     """Index with the `lang` column as an additional field — the
     reference's multi-field model (`QryEval.java:23` body/title/url...,
     field-qualified terms `QryParser.java:140-172`)."""
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _FIELDS_INDEX_CACHE:
         from .indexer.build import build_index_frames, docs_from_documents_table
         docs = docs_from_documents_table(_docs(spark, sf_dir))

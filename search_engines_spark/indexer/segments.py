@@ -188,12 +188,17 @@ def build_segments(postings: DataFrame, doclens: DataFrame, out_dir: str,
                   .agg(F.count("*").alias("blocks"),
                        F.sum("n").alias("postings"),
                        F.countDistinct("term").alias("terms")).collect())
+        by_bucket = {int(r["bucket"]): r for r in counts}
         with open(_manifest_path(out_dir), "a") as f:
-            for r in counts:
-                entry = {"stage": "segments", "bucket": int(r["bucket"]),
-                         "blocks": int(r["blocks"]),
-                         "postings": int(r["postings"]),
-                         "terms": int(r["terms"]),
+            # manifest EVERY bucket of the batch — a bucket that owns no
+            # terms still completed; without its entry, resume would
+            # launch a spurious job for it on every restart
+            for b in batch:
+                r = by_bucket.get(b)
+                entry = {"stage": "segments", "bucket": b,
+                         "blocks": int(r["blocks"]) if r else 0,
+                         "postings": int(r["postings"]) if r else 0,
+                         "terms": int(r["terms"]) if r else 0,
                          "fingerprint": fingerprint}
                 f.write(json.dumps(entry) + "\n")
                 metrics["blocks"] += entry["blocks"]

@@ -105,15 +105,24 @@ def trec_lines_df(results: DataFrame, run_id: str = "run",
 
 
 def write_trec_file(results: DataFrame, path: str, run_id: str = "run",
-                    k: int = 100) -> None:
+                    k: int = 100, all_qids: list[str] | None = None) -> None:
     """Driver-side write preserving (qid, rank) order — result sets are
     ≤ queries×k rows, trivially driver-sized (`QryEval.java:781-801`
-    writes sequentially too)."""
+    writes sequentially too).
+
+    all_qids: when given, a query with zero results still emits the
+    reference's placeholder line `qid Q0 dummy 1 0 run`
+    (`QryEval.java:783-786`) instead of silently omitting the topic."""
     rows = (trec_lines_df(results, run_id, k)
-            .orderBy("qid", "rank").select("value").collect())
+            .orderBy("qid", "rank").select("qid", "value").collect())
+    seen = {r["qid"] for r in rows}
+    lines = [r["value"] for r in rows]
+    for qid in all_qids or []:
+        if qid not in seen:
+            lines.append(f"{qid} Q0 dummy 1 0 {run_id}")
     with open(path, "w") as f:
-        for r in rows:
-            f.write(r["value"] + "\n")
+        for ln in lines:
+            f.write(ln + "\n")
 
 
 def write_expanded_query_file(path: str, expanded: dict[str, str]) -> None:

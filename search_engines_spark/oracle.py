@@ -229,16 +229,25 @@ def eval_sop(node: Node, idx: OracleIndex, model: str, m: Models) -> dict[int, f
                 out[p.doc_id] = 1.0          # `QrySopScore.java:75-81`
         return out
 
-    def default_score(child: Node, doc: int) -> float:
-        """Indri absent-doc smoothing (`QrySopAnd.java:86-94` etc.)."""
+    def default_score(child: Node, doc: int) -> float | None:
+        """Indri absent-doc smoothing (`QrySopAnd.java:86-94` etc.).
+
+        Returns None when the doc lacks the child's field entirely (no
+        doclen) — the Spark engine's left-joined doclen is null there,
+        the score expression null-poisons, and the doc is dropped by the
+        score >= 0 filter; the oracle mirrors that by dropping too."""
         if child.op == "score":
             il = eval_iop(child.args[0], idx)
             fld = child.args[0].field or "body"
-            dl = idx.doclen[(fld, doc)]
+            dl = idx.doclen.get((fld, doc))
+            if dl is None:
+                return None
             return _indri_term_score(0, il.ctf, dl, idx, fld, m)
         # nested Sop default: recursive per reference default-score chain
         if child.op == "and":
             scores = [default_score(a, doc) for a in child.args]
+            if any(s is None for s in scores):
+                return None
             p = 1.0
             for s in scores:
                 p *= s ** (1.0 / len(scores))
@@ -247,12 +256,20 @@ def eval_sop(node: Node, idx: OracleIndex, model: str, m: Models) -> dict[int, f
             w = sum(child.weights)
             p = 1.0
             for wi, a in zip(child.weights, child.args):
-                p *= default_score(a, doc) ** (wi / w)
+                d = default_score(a, doc)
+                if d is None:
+                    return None
+                p *= d ** (wi / w)
             return p
         if child.op == "wsum":
             w = sum(child.weights)
-            return sum(wi / w * default_score(a, doc)
-                       for wi, a in zip(child.weights, child.args))
+            tot = 0.0
+            for wi, a in zip(child.weights, child.args):
+                d = default_score(a, doc)
+                if d is None:
+                    return None
+                tot += wi / w * d
+            return tot
         raise ValueError(f"no default score for #{child.op}")
 
     arg_scores = [eval_sop(a, idx, model, m) for a in node.args]
@@ -276,8 +293,12 @@ def eval_sop(node: Node, idx: OracleIndex, model: str, m: Models) -> dict[int, f
                     v = s.get(d, None)
                     if v is None:
                         v = default_score(a, d)
+                    if v is None:        # doc lacks the field → drop
+                        p = None
+                        break
                     p *= v ** (1.0 / len(node.args))
-                out[d] = p
+                if p is not None:
+                    out[d] = p
             return out
         raise ValueError(f"#AND unsupported under {model}")
 
@@ -303,22 +324,21 @@ def eval_sop(node: Node, idx: OracleIndex, model: str, m: Models) -> dict[int, f
         docs = set().union(*arg_scores)
         out = {}
         for d in docs:
-            if node.op == "wsum":
-                tot = 0.0
-                for wi, s, a in zip(node.weights, arg_scores, node.args):
-                    v = s.get(d)
-                    if v is None:
-                        v = default_score(a, d)
-                    tot += wi / w * v
-                out[d] = tot
-            else:
-                p = 1.0
-                for wi, s, a in zip(node.weights, arg_scores, node.args):
-                    v = s.get(d)
-                    if v is None:
-                        v = default_score(a, d)
-                    p *= v ** (wi / w)
-                out[d] = p
+            acc = 0.0 if node.op == "wsum" else 1.0
+            ok = True
+            for wi, s, a in zip(node.weights, arg_scores, node.args):
+                v = s.get(d)
+                if v is None:
+                    v = default_score(a, d)
+                if v is None:            # doc lacks the field → drop
+                    ok = False
+                    break
+                if node.op == "wsum":
+                    acc += wi / w * v
+                else:
+                    acc *= v ** (wi / w)
+            if ok:
+                out[d] = acc
         return out
 
     raise ValueError(node.op)

@@ -82,12 +82,14 @@ def _lex(s: str) -> list[str]:
     return out
 
 
+_WEIGHT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
 def _is_weight(tok: str) -> bool:
-    try:
-        float(tok)
-        return True
-    except ValueError:
-        return False
+    # strict numeric literal only: float() would also accept 'nan'/'inf',
+    # turning a legitimate corpus token into a score-poisoning weight
+    # (Java's Double.parseDouble rejects the lowercase forms too)
+    return _WEIGHT_RE.fullmatch(tok) is not None
 
 
 class QueryParser:
@@ -180,6 +182,11 @@ class QueryParser:
         if not toks:
             raise QueryParseError("missing ')'")
         toks = toks[1:]  # consume ')'
+        if weighted and weights and sum(weights) == 0.0:
+            # the reference would divide by the zero sum and emit
+            # NaN/Inf scores (Java double semantics); we reject up front
+            # so engine and oracle agree deterministically
+            raise QueryParseError(f"#{name}: weights sum to zero")
         node = Node(name, args, n=n, weights=weights if weighted else None)
         return node, toks
 

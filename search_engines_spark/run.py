@@ -181,7 +181,8 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         res = spark.createDataFrame(
             results_rows, "qid string, ext_id string, score double")
     write_trec_file(res, params["trecEvalOutputPath"],
-                    run_id=params.get("runID", "run"), k=k)
+                    run_id=params.get("runID", "run"), k=k,
+                    all_qids=list(queries))
     if fb and "fbExpansionQueryFile" in params:
         write_expanded_query_file(params["fbExpansionQueryFile"], expanded_out)
     if own_spark:

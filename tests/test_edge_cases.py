@@ -91,6 +91,52 @@ def test_near_n_zero_like(spark_index, oracle_index):
           spark_index, oracle_index)
 
 
+def test_engine_reuse_many_queries(spark_index, oracle_index):
+    """One Engine across many distinct queries: the plan cache must never
+    alias a GC'd AST (id() reuse) — every query matches the oracle, and
+    every cache entry's key still matches its held node."""
+    import gc
+    eng = Engine(spark_index, "bm25")
+    for q in ["creek", "farm voyager", "#sum( #near/1( creek farm ) )",
+              "parser token", "buffer overflow guard", "probe"]:
+        node = eng.parse(q)
+        got = (eng.eval_sop(node).where("score >= 0").collect())
+        want = run_query(q, oracle_index, "bm25", Models(), k=100000)
+        assert {r["doc_id"]: r["score"] for r in got} == pytest.approx(
+            {d: s for d, _, s in want}), q
+        gc.collect()
+    for key, (node, _) in eng._iop_cache.items():
+        assert id(node) == key
+
+
+def test_nan_weight_is_a_term_not_weight(spark_index, oracle_index):
+    """'nan'/'inf' must parse as terms, not weights
+    (Java Double.parseDouble rejects lowercase forms)."""
+    from search_engines_spark.parser import QueryParser
+    node = QueryParser().parse("#wsum( 0.5 creek 0.5 farm )")
+    assert node.weights == [0.5, 0.5]
+    with pytest.raises(QueryParseError):
+        # 'nan' is consumed as a TERM (not in corpus vocab is fine), but
+        # then 'creek' has no weight → error, same as the reference
+        QueryParser().parse("#wsum( nan creek )")
+
+
+def test_zero_weight_sum_rejected(spark_index):
+    with pytest.raises(QueryParseError):
+        Engine(spark_index, "indri").parse("#wsum( 0 creek 0 farm )")
+
+
+def test_trec_dummy_line_for_empty_query(spark, tmp_path):
+    from search_engines_spark.io import write_trec_file
+    df = spark.createDataFrame([("1", "docA", 2.0)],
+                               "qid string, ext_id string, score double")
+    out = tmp_path / "r.teIn"
+    write_trec_file(df, str(out), run_id="t", all_qids=["1", "2"])
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("1 Q0 docA 1 ")
+    assert lines[1] == "2 Q0 dummy 1 0 t"
+
+
 def test_nested_iop_composition(spark_index, oracle_index):
     """Closed Iop algebra: NEAR over SYN over terms
     (`InvList` closure, SURVEY.md §2.3)."""

@@ -127,6 +127,33 @@ def test_engine_search_daat_api(spark, spark_index, seg_dir):
         eng.search_daat("#near/2( creek farm )")
 
 
+def test_search_daat_repeated_term(spark, spark_index, seg_dir):
+    """A term repeated in the bag contributes once per occurrence
+    (`QrySopSum.java:39-53`) — DAAT folds multiplicity into idf."""
+    from pyspark.sql import functions as F
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(seg_dir, num_buckets=NUM_BUCKETS)
+    got = eng.search_daat("creek creek farm", k=15).collect()
+    want = (eng.eval_sop(eng.parse("creek creek farm"))
+            .where(F.col("score") >= 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(15).collect())
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_manifest_covers_empty_buckets(spark, spark_index, tmp_path_factory):
+    """Every bucket gets a manifest entry even when it owns no terms, so
+    resume never relaunches work for empty buckets."""
+    d = str(tmp_path_factory.mktemp("segs_many"))
+    build_segments(spark_index.postings, spark_index.doclens, d,
+                   num_buckets=64, chunk=64)  # 64 buckets ≫ vocab spread
+    assert len(read_manifest(d)) == 64
+    m2 = build_segments(spark_index.postings, spark_index.doclens, d,
+                        num_buckets=64)
+    assert m2["buckets_built"] == 0 and m2["buckets_skipped"] == 64
+
+
 def _terms_of(node):
     if node.op == "term":
         return [node]
