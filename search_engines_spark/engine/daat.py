@@ -56,13 +56,20 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                    n_docs: int, avglen: float, k: int = 100,
                    params: Models | None = None,
                    field: str = "body",
-                   term_weights: dict[str, int] | None = None) -> DataFrame:
+                   term_weights: dict[str, int] | None = None,
+                   stride: int = STRIDE,
+                   prune_counter=None) -> DataFrame:
     """→ (doc_id, score) global top-k for BM25 #SUM over `terms`.
 
     term_stats: {term: (df, ctf)} — collected once, driver-side (tiny).
     term_weights: query-multiplicity per term (a term repeated q times in
     the bag contributes q identical #SCORE arms, `QrySopSum.java:39-53`)
     — folded into the per-term idf weight.
+    stride: docs per pruning unit (tunable so small corpora still
+    exercise the skip path; production default STRIDE).
+    prune_counter: optional `sc.accumulator(0)` — incremented once per
+    stride SKIPPED without decoding (observability for the block-max
+    prune; accumulator updates flow back from the Arrow workers).
     """
     p = params or Models()
     w = term_weights or {}
@@ -80,8 +87,8 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                       "min_doclen", "docids_vb", "tfs_vb", "doclens_vb"))
     # stride assignment: one row per (block, overlapped stride)
     blocks = (blocks
-              .withColumn("s0", (F.col("min_docid") / STRIDE).cast("long"))
-              .withColumn("s1", (F.col("max_docid") / STRIDE).cast("long"))
+              .withColumn("s0", (F.col("min_docid") / stride).cast("long"))
+              .withColumn("s1", (F.col("max_docid") / stride).cast("long"))
               .withColumn("stride",
                           F.explode(F.sequence(F.col("s0"), F.col("s1"))))
               .withColumn("pk", (F.col("stride") / STRIDES_PER_PART)
@@ -89,6 +96,7 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
               .drop("s0", "s1"))
 
     idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
+    stride_w = stride
 
     def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # gather this partition's blocks grouped by stride
@@ -109,10 +117,13 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                 tfw = mtf / (mtf + k1 * (1 - b + b * mdl / avglen))
                 bound += idf_b[t] * tfw
             if len(top_ids) >= k and bound < theta:
-                continue  # skip without decoding — the block-max prune
+                # skip without decoding — the block-max prune
                 # (strict <: a stride tying θ may still win the doc-id
                 # tie-break, `ScoreList.java:90-97`)
-            lo, hi = int(stride) * STRIDE, (int(stride) + 1) * STRIDE
+                if prune_counter is not None:
+                    prune_counter.add(1)
+                continue
+            lo, hi = int(stride) * stride_w, (int(stride) + 1) * stride_w
             ids_all, sc_all = [], []
             for row in grp.itertuples(index=False):
                 ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))

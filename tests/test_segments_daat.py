@@ -142,6 +142,33 @@ def test_search_daat_repeated_term(spark, spark_index, seg_dir):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
 
+def test_block_max_pruning_fires_and_stays_exact(spark, spark_index,
+                                                 seg_dir):
+    """With a small stride the corpus spans many pruning units; the skip
+    counter must show strides skipped WITHOUT decoding, and the result
+    must still be exactly the unpruned top-k (pruning is lossless)."""
+    from pyspark.sql import functions as F
+    eng = Engine(spark_index, "bm25")
+    terms = ["creek", "farm", "buffer"]
+    stats = {r["term"]: (r["df"], r["ctf"])
+             for r in spark_index.term_stats
+             .where(spark_index.term_stats.term.isin(terms)).collect()}
+    st = spark_index.stats_for("body")
+    segs = read_segments(spark, seg_dir, terms=terms,
+                         num_buckets=NUM_BUCKETS)
+    acc = spark.sparkContext.accumulator(0)
+    got = bm25_wand_topk(segs, terms, stats, st["n_docs"],
+                         st["sum_len"] / st["doc_count"], k=3,
+                         stride=8, prune_counter=acc).collect()
+    assert acc.value > 0, "no stride was ever skipped — pruning dead"
+    want = (eng.eval_sop(eng.parse("creek farm buffer"))
+            .where(F.col("score") >= 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(3).collect())
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
 def test_manifest_covers_empty_buckets(spark, spark_index, tmp_path_factory):
     """Every bucket gets a manifest entry even when it owns no terms, so
     resume never relaunches work for empty buckets."""
