@@ -1,0 +1,107 @@
+"""Standing queries over a document stream: continuous BM25 top-k per
+query, maintained with `applyInPandasWithState`.
+
+The batch engine answers "which docs match this query"; this module
+answers the streaming dual: documents keep arriving, a fixed set of
+standing queries is registered, and each query's running top-k is
+custom per-group state — exactly the `applyInPandasWithState` shape the
+engine's streaming surface calls for (SURVEY.md §2.8).
+
+Semantics: arriving docs are scored STATELESSLY against every standing
+query with a FROZEN stats snapshot (N, avglen, per-term df) taken from
+the batch index — streaming idf would otherwise be a moving target that
+re-scores history on every arrival; the standard design freezes stats
+and refreshes them with periodic batch rebuilds. The stateful part is
+only the per-query top-k heap: state schema
+(doc_ids array<long>, scores array<double>), update mode, no watermark
+(a doc is its own complete unit; late data cannot exist).
+
+At scale: scoring fans out per (doc × matched query term) — a broadcast
+join against the tiny standing-query term table — and the stateful
+shuffle is keyed by qid (bounded state, one group per standing query).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "qid string, doc_id long, score double, rank int"
+STATE_SCHEMA = "doc_ids array<long>, scores array<double>"
+
+
+def _score_stream(docs_stream: DataFrame,
+                  query_terms: list[tuple[str, str]],
+                  term_stats: dict[str, tuple[int, int]],
+                  n_docs: int, avglen: float,
+                  k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Stateless per-doc BM25 vs the standing queries → (qid, doc_id,
+    score). Frozen idf per term rides in a broadcast table; the whole
+    per-(doc, query) score is ONE nested higher-order expression
+    (tf = size(filter(tokens, = term)) folded inside aggregate) so no
+    streaming aggregation precedes the stateful operator — Structured
+    Streaming allows a single stateful op per query."""
+    from ..analysis import SPARK_TOKENS_EXPR
+    spark = docs_stream.sparkSession
+    per_qid: dict[str, list] = {}
+    for qid, term in query_terms:
+        df, _ = term_stats.get(term, (0, 0))
+        idf = max(0.0, math.log((n_docs - df + 0.5) / (df + 0.5)))
+        per_qid.setdefault(qid, []).append((term, float(idf)))
+    qrows = [(qid, terms) for qid, terms in per_qid.items()]
+    qt = F.broadcast(spark.createDataFrame(
+        qrows, "qid string, qterms array<struct<term:string,idf:double>>"))
+    d = (docs_stream
+         .withColumn("_tokens", F.expr(SPARK_TOKENS_EXPR.format(col="text")))
+         .withColumn("doclen", F.size("_tokens").cast("double"))
+         .crossJoin(qt))
+
+    def term_score(acc, t):
+        tf = F.size(F.filter(F.col("_tokens"),
+                             lambda x: x == t["term"])).cast("double")
+        return acc + t["idf"] * tf / (tf + k1 * (1 - b + b * F.col("doclen")
+                                                 / F.lit(avglen)))
+
+    scored = d.withColumn(
+        "score", F.aggregate("qterms", F.lit(0.0), term_score))
+    return (scored.where(F.col("score") > 0)
+            .select("qid", "doc_id", "score"))
+
+
+def standing_query_topk(docs_stream: DataFrame,
+                        queries: dict[str, list[str]],
+                        term_stats: dict[str, tuple[int, int]],
+                        n_docs: int, avglen: float,
+                        k: int = 10) -> DataFrame:
+    """→ streaming (qid, doc_id, score, rank): each trigger emits every
+    standing query's CURRENT top-k after folding in the batch's arrivals.
+
+    queries: {qid: [term, ...]} (analyzed terms).
+    """
+    query_terms = [(qid, t) for qid, ts in queries.items() for t in ts]
+    scored = _score_stream(docs_stream, query_terms, term_stats,
+                           n_docs, avglen)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        ids: list[int] = []
+        scs: list[float] = []
+        if state.exists:
+            ids, scs = list(state.get[0]), list(state.get[1])
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+            scs.extend(float(x) for x in pdf["score"])
+        order = sorted(range(len(ids)), key=lambda i: (-scs[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        scs = [scs[i] for i in order]
+        state.update((ids, scs))
+        if ids:
+            yield pd.DataFrame({"qid": [key[0]] * len(ids), "doc_id": ids,
+                                "score": scs,
+                                "rank": list(range(1, len(ids) + 1))})
+
+    return (scored.groupBy("qid").applyInPandasWithState(
+        update, OUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout))

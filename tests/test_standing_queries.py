@@ -1,0 +1,90 @@
+"""Standing-query streaming top-k (applyInPandasWithState): state folds
+across micro-batches and matches a batch computation over frozen stats."""
+
+import math
+
+import pytest
+
+from search_engines_spark.streaming.standing import standing_query_topk
+
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def frozen():
+    """Frozen stats snapshot: pretend a prior batch index saw 100 docs,
+    avglen 6, and these dfs."""
+    return {"n_docs": 100, "avglen": 6.0,
+            "stats": {"creek": (10, 12), "farm": (20, 25), "probe": (5, 5)}}
+
+
+def _batch_score(text, terms, frozen):
+    toks = text.split()
+    dl = float(len(toks))
+    s = 0.0
+    for t in terms:
+        df, _ = frozen["stats"].get(t, (0, 0))
+        idf = max(0.0, math.log((frozen["n_docs"] - df + 0.5) / (df + 0.5)))
+        tf = float(toks.count(t))
+        s += idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / frozen["avglen"]))
+    return s
+
+
+def test_standing_topk_state_folds_across_batches(spark, tmp_path, frozen):
+    src = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    queries = {"q1": ["creek", "farm"], "q2": ["probe"]}
+
+    # two parquet files → two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(1, "creek farm creek"), (2, "farm only here"),
+         (3, "probe probe signal")], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10, "creek creek farm farm creek")], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = standing_query_topk(stream, queries, frozen["stats"],
+                              frozen["n_docs"], frozen["avglen"], k=2)
+    captured: list[tuple[int, list]] = []
+
+    def capture(df, batch_id):
+        captured.append((batch_id, df.collect()))
+
+    q = (out.writeStream.foreachBatch(capture)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert len(captured) >= 2, "expected one trigger per input file"
+    final = {(r["qid"], r["rank"]): (r["doc_id"], r["score"])
+             for r in captured[-1][1]}
+    # q1 final top-2: doc 10 (5 terms, all matches) then doc 1 — proves
+    # the earlier batch's leader SURVIVED in state across triggers
+    # (regardless of file processing order)
+    all_rows = [r for _, rows in captured for r in rows]
+    q1_docs = {r["doc_id"] for r in all_rows if r["qid"] == "q1"}
+    assert {1, 10} <= q1_docs
+    # cumulative correctness: reconstruct the final state across batches
+    last_q1 = [r for _, rows in captured for r in rows if r["qid"] == "q1"]
+    best = max(last_q1, key=lambda r: r["score"])
+    assert best["doc_id"] == 10
+    assert best["score"] == pytest.approx(
+        _batch_score("creek creek farm farm creek", ["creek", "farm"],
+                     frozen), abs=1e-9)
+    # the trigger that processed doc 10's file must rank doc 1 second —
+    # doc 1 only exists in state, not in that micro-batch's input
+    for bid, rows in captured:
+        docs_this = [r["doc_id"] for r in rows if r["qid"] == "q1"]
+        if 10 in docs_this and len(docs_this) > 1:
+            ranks = {r["rank"]: r["doc_id"] for r in rows
+                     if r["qid"] == "q1"}
+            assert ranks[1] == 10 and ranks[2] == 1
+            break
+    else:
+        pytest.fail("no trigger showed state-carried doc 1 beside doc 10")
+    # q2 only ever matches doc 3
+    q2 = [r for _, rows in captured for r in rows if r["qid"] == "q2"]
+    assert {r["doc_id"] for r in q2} == {3}
