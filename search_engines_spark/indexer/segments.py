@@ -57,65 +57,58 @@ SEGMENT_SCHEMA = (
 def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched block encoder. Input: (term, field, bucket, doc_id,
     tf, positions, doclen) sorted by (term, field, doc_id) within the
-    partition; carries run state across batches so a (term, field) run
-    spanning batches continues its block_seq."""
-    state: dict = {"key": None, "seq": 0, "rows": []}
-    out_rows: list[dict] = []
+    partition.
 
-    def flush_run(key, rows, seq0):
-        seq = seq0
-        for i in range(0, len(rows), BLOCK_SIZE):
-            chunk = rows[i:i + BLOCK_SIZE]
-            doc_ids = np.array([r[0] for r in chunk], dtype=np.int64)
-            tfs = np.array([r[1] for r in chunk], dtype=np.int64)
-            doclens = np.array([r[3] for r in chunk], dtype=np.int64)
-            pos_flat = np.concatenate(
-                [np.asarray(r[2], dtype=np.int64) for r in chunk]) \
-                if chunk else np.empty(0, np.int64)
-            # per-doc position deltas, doc-start absolute
-            pdel = pos_flat.copy()
-            if pdel.size:
-                starts = np.concatenate(
-                    ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
-                inner = np.diff(pos_flat, prepend=np.int64(0))
-                inner[starts] = pos_flat[starts]
-                pdel = inner
-            out_rows.append({
-                "term": key[0], "field": key[1], "bucket": key[2],
-                "block_seq": seq, "n": len(chunk),
-                "min_docid": int(doc_ids[0]),
-                "max_docid": int(doc_ids[-1]),
-                "max_tf": int(tfs.max()),
-                "min_doclen": int(doclens.min()),
-                "docids_vb": varbyte_encode(delta_encode(doc_ids)),
-                "tfs_vb": varbyte_encode(tfs),
-                "positions_vb": varbyte_encode(pdel),
-                "doclens_vb": varbyte_encode(doclens),
-            })
-            seq += 1
-        return seq
+    Vectorized: Python touches RUNS (one contiguous (term, field,
+    bucket) group per loop step) and BLOCKS (≤BLOCK_SIZE slice each) —
+    never individual postings; all array work is numpy. A run spanning
+    two Arrow batches just emits an extra (smaller) block — the codec
+    permits a term run to consist of any number of blocks, so no
+    cross-batch stitching state is needed beyond block_seq numbering."""
+    seqs: dict[tuple, int] = {}
 
     for pdf in batches:
-        for term, field, bucket, doc_id, tf, positions, doclen in zip(
-                pdf["term"], pdf["field"], pdf["bucket"], pdf["doc_id"],
-                pdf["tf"], pdf["positions"], pdf["doclen"]):
+        out_rows: list[dict] = []
+        for (term, field, bucket), grp in pdf.groupby(
+                ["term", "field", "bucket"], sort=False):
+            doc_ids_r = grp["doc_id"].to_numpy(dtype=np.int64)
+            tfs_r = grp["tf"].to_numpy(dtype=np.int64)
+            doclens_r = grp["doclen"].to_numpy(dtype=np.int64)
+            pos_lists = grp["positions"].to_list()
             key = (term, field, int(bucket))
-            if key != state["key"]:
-                if state["key"] is not None and state["rows"]:
-                    flush_run(state["key"], state["rows"], state["seq"])
-                state.update(key=key, seq=0, rows=[])
-            state["rows"].append((int(doc_id), int(tf), positions, int(doclen)))
-            # flush full blocks eagerly to bound memory on hot terms
-            if len(state["rows"]) >= BLOCK_SIZE:
-                state["seq"] = flush_run(key, state["rows"], state["seq"])
-                state["rows"] = []
+            seq = seqs.get(key, 0)
+            for i in range(0, len(doc_ids_r), BLOCK_SIZE):
+                j = min(i + BLOCK_SIZE, len(doc_ids_r))
+                doc_ids, tfs = doc_ids_r[i:j], tfs_r[i:j]
+                doclens = doclens_r[i:j]
+                pos_flat = (np.concatenate(
+                    [np.asarray(p, dtype=np.int64)
+                     for p in pos_lists[i:j]])
+                    if j > i else np.empty(0, np.int64))
+                # per-doc position deltas, doc-start absolute
+                pdel = pos_flat
+                if pdel.size:
+                    starts = np.concatenate(
+                        ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+                    inner = np.diff(pos_flat, prepend=np.int64(0))
+                    inner[starts] = pos_flat[starts]
+                    pdel = inner
+                out_rows.append({
+                    "term": term, "field": field, "bucket": int(bucket),
+                    "block_seq": seq, "n": int(j - i),
+                    "min_docid": int(doc_ids[0]),
+                    "max_docid": int(doc_ids[-1]),
+                    "max_tf": int(tfs.max()),
+                    "min_doclen": int(doclens.min()),
+                    "docids_vb": varbyte_encode(delta_encode(doc_ids)),
+                    "tfs_vb": varbyte_encode(tfs),
+                    "positions_vb": varbyte_encode(pdel),
+                    "doclens_vb": varbyte_encode(doclens),
+                })
+                seq += 1
+            seqs[key] = seq
         if out_rows:
             yield pd.DataFrame(out_rows)
-            out_rows = []
-    if state["key"] is not None and state["rows"]:
-        flush_run(state["key"], state["rows"], state["seq"])
-    if out_rows:
-        yield pd.DataFrame(out_rows)
 
 
 def _fingerprint(postings: DataFrame) -> dict:
