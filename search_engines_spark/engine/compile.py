@@ -171,10 +171,12 @@ class Engine:
         if key in self._iop_cache:
             return self._iop_cache[key][1]
         if node.op == "term":
-            out = (self.index.postings
-                   .where((F.col("term") == node.term) &
-                          (F.col("field") == node.field))
-                   .select("doc_id", "tf", "positions"))
+            p = self.index.postings
+            cols = ["doc_id", "tf", "positions"] + \
+                (["doclen"] if "doclen" in p.columns else [])
+            out = (p.where((F.col("term") == node.term) &
+                           (F.col("field") == node.field))
+                   .select(*cols))
         else:
             args = [self.eval_iop(a) for a in node.args]
             if node.op == "near":
@@ -256,8 +258,13 @@ class Engine:
             w = Window.partitionBy()
             base = (il.withColumn("df", F.count("*").over(w))
                     .withColumn("ctf", F.sum("tf").over(w)))
-        base = base.join(self.index.doclens.where(F.col("field") == fld)
-                         .select("doc_id", "doclen"), "doc_id")
+        if "doclen" not in base.columns:
+            # fallback for posting frames without inlined doclen (external
+            # tables, streamed sinks); the index-built path carries doclen
+            # per posting so NO join happens here — at 10^12 docs the
+            # doclens join is a corpus-sized shuffle, inlining erases it
+            base = base.join(self.index.doclens.where(F.col("field") == fld)
+                             .select("doc_id", "doclen"), "doc_id")
         if self.model == "bm25":
             score = self._bm25_expr(F.col("tf"), F.col("df"), F.col("doclen"), st)
         elif self.model == "indri":

@@ -28,8 +28,15 @@ def _joined_positions(args: list[DataFrame]) -> DataFrame:
     a broadcast hash join (no shuffle of the left side) wins. For batch
     jobs over stop-word-grade terms set PROXIMITY_BROADCAST = False and
     let Catalyst/AQE pick sort-merge with skew splitting."""
-    renamed = [a.select("doc_id", F.col("positions").alias(f"_p{i}"))
-               for i, a in enumerate(args)]
+    # doclen (when the index inlines it) rides the first arg — all args of
+    # one proximity node share a field (parser-enforced), so any arg's
+    # doclen is THE doclen; keeping it here lets #SCORE over a derived
+    # list skip the doclens join too
+    first_cols = ["doc_id", F.col("positions").alias("_p0")] + \
+        (["doclen"] if "doclen" in args[0].columns else [])
+    renamed = [args[0].select(*first_cols)] + \
+        [a.select("doc_id", F.col("positions").alias(f"_p{i}"))
+         for i, a in enumerate(args) if i > 0]
     def j(l, r):
         return l.join(F.broadcast(r) if PROXIMITY_BROADCAST else r, "doc_id")
     return reduce(j, renamed)
@@ -51,11 +58,12 @@ def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:
     # a couple of big batches instead of 32 near-empty python tasks; a
     # genuinely large intersection keeps its parallelism (size-based)
     j = _joined_positions(args).repartition("doc_id")
+    out_cols = ["doc_id",
+                F.size("positions").cast("int").alias("tf"),
+                "positions"] + (["doclen"] if "doclen" in j.columns else [])
     out = (j.withColumn("positions", merge(*[F.col(f"_p{i}") for i in range(k)]))
            .where(F.size("positions") > 0)
-           .select("doc_id",
-                   F.size("positions").cast("int").alias("tf"),
-                   "positions"))
+           .select(*out_cols))
     return out
 
 
@@ -81,8 +89,12 @@ def window_frame(args: list[DataFrame], n: int) -> DataFrame:
 def syn_frame(args: list[DataFrame]) -> DataFrame:
     """#SYN — union; positions = sorted concat (`QryIopSyn.java:17-71`).
     Pure built-ins: union → groupBy(doc_id) → flatten + array_sort."""
-    u = reduce(lambda l, r: l.unionByName(r),
-               [a.select("doc_id", "positions") for a in args])
-    return (u.groupBy("doc_id")
-            .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"))
-            .select("doc_id", F.size("positions").cast("int").alias("tf"), "positions"))
+    has_dl = all("doclen" in a.columns for a in args)
+    cols = ["doc_id", "positions"] + (["doclen"] if has_dl else [])
+    u = reduce(lambda l, r: l.unionByName(r), [a.select(*cols) for a in args])
+    aggs = [F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions")]
+    if has_dl:   # one doc has one doclen per field; args share the field
+        aggs.append(F.first("doclen").alias("doclen"))
+    out_cols = ["doc_id", F.size("positions").cast("int").alias("tf"),
+                "positions"] + (["doclen"] if has_dl else [])
+    return u.groupBy("doc_id").agg(*aggs).select(*out_cols)

@@ -95,14 +95,19 @@ def docs_from_documents_table(src: DataFrame) -> DataFrame:
 def build_postings(docs: DataFrame, field: str = DEFAULT_FIELD,
                    tokens_col: str = "_tokens",
                    num_partitions: int | None = None) -> DataFrame:
-    """→ (term, field, doc_id, tf, positions) — positions 1-based over ALL
-    tokens; stopwords dropped from emission only (`Idx.java:84-90` semantics).
+    """→ (term, field, doc_id, tf, positions, doclen) — positions 1-based
+    over ALL tokens; stopwords dropped from emission only (`Idx.java:84-90`
+    semantics). doclen is inlined per posting (Lucene stores norms doc-
+    aligned for the same reason): every scoring plan needs it, and carrying
+    it here removes the doclens join — at 10^12 docs that join is a
+    corpus-sized shuffle per query — for +8 bytes per posting row.
 
     Shuffle shape (the load-bearing scale decision): docs are explicitly
     repartitioned by doc_id BEFORE tokenize/explode, so the
     groupBy(term, doc_id) aggregation's clustering requirement is already
     satisfied and the 10-100× wider token stream NEVER shuffles — the
-    only exchange moves compact document rows. The partition count is
+    only exchange moves compact document rows (doclen adds 8 bytes per
+    DOC row to that exchange, not per token). The partition count is
     explicit (not AQE's size-based coalescing, which under-parallelizes
     here: post-shuffle work per byte is huge because each doc explodes
     into many token rows). Hot terms cannot create hot reducers: the
@@ -111,15 +116,18 @@ def build_postings(docs: DataFrame, field: str = DEFAULT_FIELD,
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
     toks = (docs
             .repartition(num_partitions, "doc_id")
-            .select("doc_id", F.posexplode(tokens_col).alias("_p0", "term"))
+            .select("doc_id", "doclen",
+                    F.posexplode(tokens_col).alias("_p0", "term"))
             .where(~F.col("term").isin(*sorted(STOPWORDS)))
-            .select("term", "doc_id", (F.col("_p0") + 1).cast("int").alias("pos")))
+            .select("term", "doc_id", "doclen",
+                    (F.col("_p0") + 1).cast("int").alias("pos")))
     return (toks
             .groupBy("term", "doc_id")
             .agg(F.count("*").cast("int").alias("tf"),
-                 F.sort_array(F.collect_list("pos")).alias("positions"))
+                 F.sort_array(F.collect_list("pos")).alias("positions"),
+                 F.first("doclen").alias("doclen"))
             .withColumn("field", F.lit(field))
-            .select("term", "field", "doc_id", "tf", "positions"))
+            .select("term", "field", "doc_id", "tf", "positions", "doclen"))
 
 
 def build_doclens(docs: DataFrame, field: str = DEFAULT_FIELD) -> DataFrame:
@@ -149,7 +157,7 @@ class Index:
 
     docs: DataFrame        # doc_id, ext_id, sha256, doclen, source cols
     doclens: DataFrame     # doc_id, field, doclen
-    postings: DataFrame    # term, field, doc_id, tf, positions
+    postings: DataFrame    # term, field, doc_id, tf, positions, doclen
     term_stats: DataFrame  # term, field, df, ctf
     corpus_stats: dict = dc_field(default_factory=dict)
     # field -> {"n_docs": long, "doc_count": long, "sum_len": long}

@@ -155,11 +155,14 @@ def build_segments(postings: DataFrame, doclens: DataFrame, out_dir: str,
     fingerprint = fingerprint or _fingerprint(postings)
     done = completed_buckets(out_dir, fingerprint)
     todo = [b for b in range(num_buckets) if b not in done]
-    src = (postings.join(doclens.select("doc_id", "field", "doclen"),
-                         ["doc_id", "field"])
-           .withColumn("bucket",
-                       F.pmod(F.xxhash64("term"), F.lit(num_buckets))
-                       .cast("int")))
+    if "doclen" in postings.columns:   # index-built postings inline doclen
+        src = postings
+    else:
+        src = postings.join(doclens.select("doc_id", "field", "doclen"),
+                            ["doc_id", "field"])
+    src = src.withColumn("bucket",
+                         F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+                         .cast("int"))
     metrics = {"buckets_total": num_buckets, "buckets_skipped": len(done),
                "buckets_built": 0, "blocks": 0, "postings": 0}
     for i in range(0, len(todo), chunk):
