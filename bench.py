@@ -59,7 +59,9 @@ def main() -> None:
 
     t_total = time.time()
     t0 = time.time()
-    idx = index_documents_table(spark, sf_dir)
+    # arrow builder: the zero-shuffle doc-local kernel that is the
+    # at-scale default (see BENCH/BASELINE.md for jvm-vs-arrow numbers)
+    idx = index_documents_table(spark, sf_dir, builder="arrow")
     # force full materialization of the persisted postings + doclens
     n_postings = idx.postings.count()
     build_s = time.time() - t0

@@ -140,23 +140,97 @@ class Engine:
             return self.index.doc_map
         return self.index.docs.select("doc_id", "ext_id")
 
-    def search_many(self, queries: dict[str, str], k: int = 100) -> DataFrame:
-        """Batch: → (qid, doc_id, ext_id, score, rank ≤ k) for all queries in
-        one plan (the reference loops queries sequentially,
-        `QryEval.java:684`; we union per-query plans and let Spark schedule)."""
+    def search_many(self, queries: dict[str, str], k: int = 100,
+                    bow_fast_path: bool = True) -> DataFrame:
+        """Batch: → (qid, doc_id, ext_id, score, rank ≤ k) for all queries
+        in one plan (the reference loops queries sequentially,
+        `QryEval.java:684`).
+
+        BM25 bag-of-words queries — the bulk of any workload — take a
+        single-pass plan: ONE broadcast (qid, term, mult, df) table joined
+        against ONE postings scan, then groupBy(qid, doc_id). Cost is one
+        postings pass *regardless of query count* (the union-of-per-query-
+        plans shape is scheduler-bound: measured flat 8→32 cores on a
+        200k-doc corpus, because each query arm adds stages, not data
+        parallelism). Structured/weighted queries keep their per-query
+        compiled plans and are unioned in."""
         from pyspark.sql import Window
         frames = []
+        bow_rows: list[tuple] = []   # (qid, term, field, mult, df)
         for qid, q in queries.items():
             node = self.parse(q)
-            frames.append(self.eval_sop(node)
-                          .where(F.col("score") >= 0)
-                          .withColumn("qid", F.lit(qid)))
+            bow = self._bow_of(node) if (bow_fast_path and
+                                         self.model == "bm25") else None
+            if bow is not None:
+                for (term, fld), m in bow.items():
+                    df_v, _ = self._leaf_stats[(term, fld)]
+                    if df_v > 0:   # absent terms add nothing under #SUM
+                        bow_rows.append((qid, term, fld, m, df_v))
+            else:
+                frames.append(self.eval_sop(node)
+                              .where(F.col("score") >= 0)
+                              .withColumn("qid", F.lit(qid)))
+        if bow_rows:
+            frames.append(self._bow_batch_frame(bow_rows))
         u = reduce(lambda l, r: l.unionByName(r), frames)
         u = u.join(self._doc_map(), "doc_id")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
         return (u.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("qid", "doc_id", "ext_id", "score", "rank"))
+
+    def _bow_of(self, node: Node) -> dict[tuple[str, str], int] | None:
+        """{(term, field): multiplicity} when the tree is `#SUM` of plain
+        term scores (or a single term score) — else None. A term repeated
+        in the query contributes one #SCORE arm per occurrence
+        (`QryEval.java:704-705` wraps; multiplicity folds them)."""
+        arms = node.args if node.op == "sum" else [node]
+        mult: dict[tuple[str, str], int] = {}
+        for a in arms:
+            if a.op != "score" or a.args[0].op != "term":
+                return None
+            key = (a.args[0].term, a.args[0].field)
+            mult[key] = mult.get(key, 0) + 1
+        return mult
+
+    def _bow_batch_frame(self, bow_rows: list[tuple]) -> DataFrame:
+        """(qid, term, field, mult, df) rows → (qid, doc_id, score) via
+        one postings pass: scan pruned by the union of all query terms
+        (parquet row-group / cache-batch skipping), broadcast hash join
+        (no postings shuffle), per-row BM25 as codegen'd arithmetic
+        (df rides the broadcast side — no stats subqueries), then ONE
+        partial+final aggregation keyed (qid, doc_id) — skew-free even
+        for stopword-grade terms."""
+        spark = self.index.postings.sparkSession
+        qt = spark.createDataFrame(
+            bow_rows, "qid string, term string, field string, mult int, df long")
+        terms = sorted({r[1] for r in bow_rows})
+        fields = {r[2] for r in bow_rows}
+        p = self.index.postings.where(F.col("term").isin(terms))
+        joined = p.join(F.broadcast(qt), ["term", "field"])
+        # all fields referenced must carry inlined doclen or share stats;
+        # per-field avglen differs, so score per field then sum
+        if len(fields) == 1:
+            st = self.index.stats_for(next(iter(fields)))
+            score = self._bm25_expr(F.col("tf"), F.col("df"),
+                                    F.col("doclen"), st) * F.col("mult")
+        else:
+            score = None
+            for fld in sorted(fields):
+                st = self.index.stats_for(fld)
+                s = (self._bm25_expr(F.col("tf"), F.col("df"),
+                                     F.col("doclen"), st) * F.col("mult"))
+                cond = F.col("field") == fld
+                score = (F.when(cond, s) if score is None
+                         else score.when(cond, s))
+            score = F.coalesce(score, F.lit(0.0))
+        if "doclen" not in joined.columns:
+            # legacy postings without inlined doclen: join the store once
+            joined = joined.join(
+                self.index.doclens.select("doc_id", "field", "doclen"),
+                ["doc_id", "field"])
+        return (joined.groupBy("qid", "doc_id")
+                .agg(F.sum(score).alias("score")))
 
     # ------------------------------------------------------ Iop compilation --
 
@@ -179,10 +253,11 @@ class Engine:
                    .select(*cols))
         else:
             args = [self.eval_iop(a) for a in node.args]
+            dfs = [self._df_hint(a) for a in node.args]
             if node.op == "near":
-                out = near_frame(args, node.n)
+                out = near_frame(args, node.n, dfs)
             elif node.op == "window":
-                out = window_frame(args, node.n)
+                out = window_frame(args, node.n, dfs)
             elif node.op == "syn":
                 out = syn_frame(args)
             else:
@@ -195,6 +270,22 @@ class Engine:
             # aggregate (see _score) instead of a second job.
         self._iop_cache[key] = (node, out)
         return out
+
+    def _df_hint(self, node: Node) -> int | None:
+        """Upper bound on a subtree's posting count, from the term stats
+        already prefetched at parse time — drives the proximity joins'
+        broadcast decision (df ≪ corpus → broadcast; hot term → let
+        Catalyst/AQE pick). NEAR/WINDOW output ⊆ the intersection
+        (min of args); SYN ≤ sum of args."""
+        if node.op == "term":
+            st = self._leaf_stats.get((node.term, node.field))
+            return st[0] if st is not None else None
+        hints = [self._df_hint(a) for a in node.args]
+        if any(h is None for h in hints):
+            return None
+        if node.op == "syn":
+            return sum(hints)
+        return min(hints)
 
     def _derived_stats(self, node: Node) -> DataFrame:
         """1-row (df, ctf) of a derived list (`InvList.java:143-169`) —
@@ -249,15 +340,14 @@ class Engine:
                      .withColumn("ctf", F.lit(int(ctf_v)).cast("long"))
         else:
             # derived list (`QrySopScore.java:96` scores with the DERIVED
-            # df/ctf): global-window aggregate keeps it in ONE plan — no
-            # broadcast-subquery job. Single-partition exchange is fine:
-            # derived lists are bounded by the proximity intersection
-            # (small); for hot-term #SYN at extreme scale flip to the
-            # broadcast-agg path via _derived_stats.
-            from pyspark.sql import Window
-            w = Window.partitionBy()
-            base = (il.withColumn("df", F.count("*").over(w))
-                    .withColumn("ctf", F.sum("tf").over(w)))
+            # df/ctf): 1-row parallel aggregate broadcast-cross-joined
+            # back on. NOT a global window — Window.partitionBy() funnels
+            # the whole derived list through ONE partition, which is a
+            # serial stage exactly when the list is big (hot terms);
+            # measured flat 8→32-core scaling on a 200k-doc corpus. The
+            # broadcast agg keeps partial/final parallelism and is still
+            # a single Catalyst plan.
+            base = il.crossJoin(F.broadcast(self._derived_stats(child)))
         if "doclen" not in base.columns:
             # fallback for posting frames without inlined doclen (external
             # tables, streamed sinks); the index-built path carries doclen

@@ -20,14 +20,19 @@ from pyspark.sql.types import ArrayType, IntegerType
 from ..oracle import near_positions, window_positions
 
 
-def _joined_positions(args: list[DataFrame]) -> DataFrame:
+def _joined_positions(args: list[DataFrame],
+                      dfs: list[int | None] | None = None) -> DataFrame:
     """Inner-join arg posting frames on doc_id; positions as p0..p{k-1}.
 
-    Non-first sides get a broadcast hint: a query term's posting frame is
-    bounded by its df — for interactive queries that is ≪ the corpus, so
-    a broadcast hash join (no shuffle of the left side) wins. For batch
-    jobs over stop-word-grade terms set PROXIMITY_BROADCAST = False and
-    let Catalyst/AQE pick sort-merge with skew splitting."""
+    Broadcast is df-driven: a non-first side is broadcast only when its
+    (known or estimated) posting count is ≤ PROXIMITY_BROADCAST_MAX_DF —
+    for interactive query terms df ≪ corpus and the broadcast join skips
+    shuffling the left side; for stopword-grade terms the positions
+    arrays make the frame tens of MB and force-broadcasting it is slower
+    than letting Catalyst/AQE pick sort-merge (and the doc_id shuffle it
+    introduces already satisfies the zipper's repartition below, so no
+    extra exchange appears). Unknown df (dfs=None) keeps the broadcast —
+    the historical interactive-path behavior."""
     # doclen (when the index inlines it) rides the first arg — all args of
     # one proximity node share a field (parser-enforced), so any arg's
     # doclen is THE doclen; keeping it here lets #SCORE over a derived
@@ -37,15 +42,21 @@ def _joined_positions(args: list[DataFrame]) -> DataFrame:
     renamed = [args[0].select(*first_cols)] + \
         [a.select("doc_id", F.col("positions").alias(f"_p{i}"))
          for i, a in enumerate(args) if i > 0]
-    def j(l, r):
-        return l.join(F.broadcast(r) if PROXIMITY_BROADCAST else r, "doc_id")
-    return reduce(j, renamed)
+
+    def j(l, ri):
+        r, i = ri
+        df_i = dfs[i] if dfs is not None else None
+        bc = df_i is None or df_i <= PROXIMITY_BROADCAST_MAX_DF
+        return l.join(F.broadcast(r) if bc else r, "doc_id")
+    return reduce(j, [(r, i + 1) for i, r in enumerate(renamed[1:])],
+                  renamed[0])
 
 
-PROXIMITY_BROADCAST = True
+PROXIMITY_BROADCAST_MAX_DF = 100_000
 
 
-def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:
+def _zipper_frame(args: list[DataFrame], kernel,
+                  dfs: list[int | None] | None = None) -> DataFrame:
     """Shared NEAR/WINDOW shape: join on doc_id → per-row position kernel."""
     k = len(args)
 
@@ -57,7 +68,7 @@ def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:
     # intersections → 1-2 partitions), so the Arrow round-trip happens in
     # a couple of big batches instead of 32 near-empty python tasks; a
     # genuinely large intersection keeps its parallelism (size-based)
-    j = _joined_positions(args).repartition("doc_id")
+    j = _joined_positions(args, dfs).repartition("doc_id")
     out_cols = ["doc_id",
                 F.size("positions").cast("int").alias("tf"),
                 "positions"] + (["doclen"] if "doclen" in j.columns else [])
@@ -67,7 +78,8 @@ def _zipper_frame(args: list[DataFrame], kernel) -> DataFrame:
     return out
 
 
-def near_frame(args: list[DataFrame], n: int) -> DataFrame:
+def near_frame(args: list[DataFrame], n: int,
+               dfs: list[int | None] | None = None) -> DataFrame:
     """#NEAR/n — left-fold two-pointer, `<= n`, emits last arg's positions,
     consumes matched pairs (`QryIopNear.java:97-116`)."""
     def kernel(pos_lists: list[list[int]]) -> list[int]:
@@ -77,13 +89,14 @@ def near_frame(args: list[DataFrame], n: int) -> DataFrame:
             if not cur:
                 break
         return cur
-    return _zipper_frame(args, kernel)
+    return _zipper_frame(args, kernel, dfs)
 
 
-def window_frame(args: list[DataFrame], n: int) -> DataFrame:
+def window_frame(args: list[DataFrame], n: int,
+                 dfs: list[int | None] | None = None) -> DataFrame:
     """#WINDOW/n — unordered, strict `< n`, emits max_loc, advances all
     (`QryIopWindow.java:121-137`)."""
-    return _zipper_frame(args, lambda pls: window_positions(pls, n))
+    return _zipper_frame(args, lambda pls: window_positions(pls, n), dfs)
 
 
 def syn_frame(args: list[DataFrame]) -> DataFrame:

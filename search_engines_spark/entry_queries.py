@@ -316,6 +316,41 @@ def q_trec_topk(spark, sf_dir):
             .select("qid", "ext_id", "rank", "score_r"))
 
 
+_STORE_CACHE: dict[tuple, str] = {}
+
+
+def q_index_open(spark, sf_dir):
+    """`Idx.open(indexPath)` analog (SURVEY.md §2.1 row 1): save the
+    logical index to disk (indexer.store), REOPEN it, and answer BM25
+    from the reopened scans — rank/score-identical to the in-memory
+    build, hence the same oracle SQL as bm25_rare_term."""
+    import tempfile
+
+    from .indexer.store import open_index, save_index
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _STORE_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_idxstore_")
+        save_index(_index(spark, sf_dir), d, num_partitions=4)
+        _STORE_CACHE[key] = d
+    reopened = open_index(spark, _STORE_CACHE[key])
+    return _topk_rounded(Engine(reopened, "bm25"), " ".join(BOW_RARE))
+
+
+def q_bm25_batch(spark, sf_dir):
+    """search_many bow fast path (ONE broadcast qterms table ⨝ ONE
+    postings pass for the whole batch) over the trec query set, re-ranked
+    by rounded score for cross-engine determinism — same oracle as
+    trec_topk."""
+    eng = Engine(_index(spark, sf_dir), "bm25")
+    queries = {qid: " ".join(terms) for qid, terms in TREC_QUERIES.items()}
+    res = eng.search_many(queries, k=1_000_000)   # all matches; rank below
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("ext_id"))
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 10)
+            .select("qid", "ext_id", "rank", "score_r"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
@@ -908,6 +943,8 @@ REGISTRY: dict[str, tuple] = {
     "diversity_xquad": (q_diversity_xquad, None),
     "diversity_pm2": (q_diversity_pm2, None),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
+    "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
+    "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "letor_features": (q_letor_features, _sql_letor_features()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),

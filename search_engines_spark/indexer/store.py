@@ -1,0 +1,90 @@
+"""Persist / reopen the logical index — the `Idx.open(indexPath)` analog
+(`Idx.java:162-197`, SURVEY.md §2.1 row 1).
+
+The reference builds its Lucene index offline and every run *opens* it;
+our production story is the same: `save_index` once after a build,
+`open_index` in every query session — no re-tokenization, no rebuild.
+
+Layout under `out_dir/`:
+
+    postings/   parquet, range-partitioned by term and sorted
+                (term, field, doc_id) within partitions → parquet
+                min/max row-group stats give per-term pruning on read
+                (the seek-by-term of `InvList.java:107-145` becomes
+                skipped row groups)
+    doclens/    (doc_id, field, doclen)
+    term_stats/ (term, field, df, ctf)
+    docs/       (doc_id, ext_id, sha256, doclen) — attribute store
+                (`Idx.getAttribute`, `Idx.java:49-54`)
+    _stats.json corpus stats {field: {n_docs, doc_count, sum_len}} +
+                layout metadata
+
+Compressed block segments (indexer.segments) remain the scale format for
+the DAAT path; this store persists the *queryable DataFrame* layout the
+compiled-plan engine scans directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from .build import Index
+
+_STATS_FILE = "_stats.json"
+
+
+def save_index(idx: Index, out_dir: str,
+               num_partitions: int | None = None) -> None:
+    """Write every index table + corpus stats. Postings are laid out
+    range-by-term so a query's term filter prunes row groups; docs keep
+    only attribute columns (ext_id, sha256, doclen) — content stays in
+    the source table, exactly as the reference index stores attributes,
+    not raw documents."""
+    spark = idx.postings.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    (idx.postings
+     .repartitionByRange(num_partitions, "term", "doc_id")
+     .sortWithinPartitions("term", "field", "doc_id")
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
+    (idx.doclens.write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "doclens")))
+    (idx.term_stats.write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "term_stats")))
+    doc_cols = [c for c in ("doc_id", "ext_id", "sha256", "doclen")
+                if c in idx.docs.columns]
+    (idx.docs.select(*doc_cols).write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "docs")))
+    with open(os.path.join(out_dir, _STATS_FILE), "w") as f:
+        json.dump({"corpus_stats": idx.corpus_stats,
+                   "version": 1}, f)
+
+
+def open_index(spark: SparkSession, index_dir: str,
+               cache: bool = True) -> Index:
+    """Reopen a saved index: lazy parquet scans + the tiny stats dict
+    from `_stats.json`. No job runs until the first query; the doc_map
+    projection is persisted (every query's final join touches it)."""
+    with open(os.path.join(index_dir, _STATS_FILE)) as f:
+        meta = json.load(f)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    doc_map = docs.select("doc_id", "ext_id")
+    if cache:
+        doc_map = doc_map.persist()
+    return Index(
+        docs=docs,
+        doclens=doclens,
+        postings=postings,
+        term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
+        corpus_stats=meta["corpus_stats"],
+        doc_map=doc_map,
+    )
+
+
+def is_index_dir(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _STATS_FILE))

@@ -66,12 +66,23 @@ def init_model(params: dict[str, str]) -> tuple[str, Models]:
 
 
 def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
-    """`Idx.open` analog: corpusPath is a parquet path or an Iceberg
-    `table:<name>` reference (sources.load_corpus); documents-table shape
-    (doc_id, text, ...) or code-corpus shape (repo, path, commit, lang,
-    content) — detected by columns."""
+    """`Idx.open` analog. `indexPath` (the reference's own parameter
+    name, `QryEval.java:810-836`) opens a saved index directory
+    (indexer.store) — no rebuild; otherwise `corpusPath` is a parquet
+    path or an Iceberg `table:<name>` reference (sources.load_corpus)
+    indexed in-session; documents-table shape (doc_id, text, ...) or
+    code-corpus shape (repo, path, commit, lang, content) — detected by
+    columns."""
     from .indexer.build import docs_from_code_corpus
+    from .indexer.store import is_index_dir
+    from .indexer.store import open_index as open_saved
     from .sources import CODE_CORPUS_COLUMNS, load_corpus
+    if "indexPath" in params:
+        if not is_index_dir(params["indexPath"]):
+            raise ValueError(
+                f"indexPath {params['indexPath']!r} is not a saved index "
+                "(missing _stats.json); build one with indexer.store.save_index")
+        return open_saved(spark, params["indexPath"])
     src = load_corpus(spark, params["corpusPath"],
                       fmt=params.get("corpusFormat", "auto"))
     if all(c in src.columns for c in CODE_CORPUS_COLUMNS):
@@ -114,19 +125,114 @@ def _diversity_rankings(eng: Engine, idx: Index, qid: str, query: str,
     return DiversityInput(initial=initial, intents=intent_scores)
 
 
+def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
+               m: Models, queries: dict[str, str], k: int):
+    """Entry point C (`QryEval.java:274-295`, SURVEY.md §3.3): train a
+    ranker on qrels features, re-rank BM25 top-k with it.
+
+    Uses the reference's own svm_rank binaries when
+    `letor:svmRankLearnPath` points at an existing executable (the two
+    Runtime.exec process boundaries, `QryEval.java:303-313`); otherwise
+    falls back to the pyspark.ml linear ranker (capabilities.ranker).
+    → (qid, ext_id, score, rank) rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .capabilities import ranker
+    from .capabilities.letor import letor_features, svmrank_lines
+    from .io import read_pagerank_file, read_qrels_file
+
+    train_q = read_query_file(params["letor:trainingQueryFile"])
+    qrels = read_qrels_file(spark, params["letor:trainingQrelsFile"])
+    cand_train = (qrels.join(idx.doc_map, "ext_id")
+                  .select("qid", "doc_id", "rel"))
+    doc_feats = None
+    if "letor:pageRankFile" in params:
+        doc_feats = (read_pagerank_file(spark, params["letor:pageRankFile"])
+                     .join(idx.doc_map, "ext_id")
+                     .select("doc_id", "pagerank"))
+    feats_tr, names = letor_features(idx, train_q, cand_train, params=m,
+                                     doc_features=doc_feats)
+    train_lines = svmrank_lines(feats_tr, names, idx.doc_map)
+    if "letor:trainingFeatureVectorsFile" in params:
+        with open(params["letor:trainingFeatureVectorsFile"], "w") as f:
+            f.write("\n".join(train_lines) + "\n")
+
+    # initial BM25 top-100 per test query (`QryEval.java:454-510`)
+    eng = Engine(idx, "bm25", params=m)
+    init = eng.search_many(queries, k=100)
+    cand_test = (init.select("qid", "doc_id")
+                 .withColumn("rel", F.lit(0)))
+    feats_te, _ = letor_features(idx, queries, cand_test, params=m,
+                                 doc_features=doc_feats)
+
+    learn = params.get("letor:svmRankLearnPath", "")
+    if learn and os.path.exists(learn):
+        import subprocess
+        test_lines = svmrank_lines(feats_te, names, idx.doc_map)
+        train_f = params["letor:trainingFeatureVectorsFile"]
+        test_f = params["letor:testingFeatureVectorsFile"]
+        model_f = params["letor:svmRankModelFile"]
+        scores_f = params["letor:testingDocumentScores"]
+        with open(test_f, "w") as f:
+            f.write("\n".join(test_lines) + "\n")
+        c = params.get("letor:svmRankParamC", "0.001")
+        subprocess.run([learn, "-c", c, train_f, model_f], check=True)
+        subprocess.run([params["letor:svmRankClassifyPath"], test_f,
+                        model_f, scores_f], check=True)
+        with open(scores_f) as f:
+            scores = [float(ln) for ln in f if ln.strip()]
+        # classify output is line-aligned with the test feature file,
+        # which svmrank_lines orders by (qid, ext_id)
+        keys = [(ln.split("qid:")[1].split()[0], ln.rsplit("# ", 1)[1])
+                for ln in test_lines]
+        rows = [(q, e, s) for (q, e), s in zip(keys, scores)]
+        sdf = spark.createDataFrame(
+            rows, "qid string, ext_id string, score double")
+        from pyspark.sql import Window
+        w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                              F.asc("ext_id"))
+        return (sdf.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "ext_id", "score", "rank"))
+    assembler, model = ranker.train_linear_ranker(feats_tr, names)
+    return (ranker.rerank(feats_te, assembler, model, idx.doc_map, k=k)
+            .select("qid", "ext_id", "score", "rank"))
+
+
 def main(param_path: str, spark: SparkSession | None = None) -> str:
     params = read_parameter_file(param_path)
-    for req in ("corpusPath", "queryFilePath", "trecEvalOutputPath"):
+    source_keys = ("indexPath",) if "indexPath" in params else ("corpusPath",)
+    for req in source_keys + ("queryFilePath", "trecEvalOutputPath"):
         if req not in params:
             raise ValueError(
                 "Required parameters were missing from the parameter file.")
     own_spark = spark is None
     spark = spark or get_spark("search-engines-run")
     idx = open_index(spark, params)
-    model, m = init_model(params)
-    eng = Engine(idx, model, params=m)
     queries = read_query_file(params["queryFilePath"])
     k = int(params.get("diversity:maxResultRankingLength", 100))
+
+    if params.get("retrievalAlgorithm", "BM25").lower() == "letor":
+        # entry point C never enters the per-query loop below
+        # (`QryEval.java:274-295` replaces processQuery with re-ranking)
+        m = Models()
+        m.k1 = float(params.get("BM25:k_1", m.k1))
+        m.b = float(params.get("BM25:b", m.b))
+        m.k3 = float(params.get("BM25:k_3", m.k3))
+        m.mu = float(params.get("Indri:mu", m.mu))
+        m.lam = float(params.get("Indri:lambda", m.lam))
+        res = _letor_run(spark, idx, params, m, queries, k)
+        write_trec_file(res, params["trecEvalOutputPath"],
+                        run_id=params.get("runID", "run"), k=k,
+                        all_qids=list(queries))
+        if own_spark:
+            spark.stop()
+        return params["trecEvalOutputPath"]
+
+    model, m = init_model(params)
+    eng = Engine(idx, model, params=m)
 
     fb = params.get("fb") == "true"
     diversity = params.get("diversity") == "true"

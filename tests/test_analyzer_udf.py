@@ -51,3 +51,39 @@ def test_udf_possessive(spark, small_docs):
     # "parser's" tokenizes to parser + s; possessive 's dropped
     assert ("s", 0) not in out
     assert ("parser", 0) in out
+
+
+def test_arrow_kernel_matches_sql_path(spark, small_docs):
+    """The zero-shuffle mapInPandas kernel (`build_postings_arrow`) must
+    be identical to the JVM build — tf, positions, AND inlined doclen
+    (stopword-inclusive, `Idx.java:84-90`)."""
+    from search_engines_spark.indexer.build import build_postings_arrow
+
+    def full(df):
+        return {(r["term"], r["doc_id"]):
+                (r["tf"], list(r["positions"]), r["doclen"])
+                for r in df.collect()}
+
+    jvm = full(build_postings(small_docs))
+    arrow = full(build_postings_arrow(small_docs.drop("_tokens")))
+    assert arrow == jvm
+    # doclen counts the stopwords ("the", "are") that emission skips
+    assert arrow[("parser", 0)][2] == 7
+
+
+def test_index_frames_arrow_builder(spark, small_docs):
+    """build_index_frames(builder='arrow') produces the same queryable
+    index as the default."""
+    from search_engines_spark.engine.compile import Engine
+    from search_engines_spark.indexer.build import build_index_frames
+    from pyspark.sql import functions as F
+    docs = (small_docs
+            .withColumn("doclen", F.size("_tokens").cast("long"))
+            .withColumn("ext_id", F.concat(F.lit("d"), F.col("doc_id")))
+            .withColumn("sha256", F.sha2(F.col("text"), 256)))
+    a = build_index_frames(docs, builder="arrow", cache=False)
+    b = build_index_frames(docs, builder="jvm", cache=False)
+    ra = Engine(a, "bm25").search("parser tokens", k=10).collect()
+    rb = Engine(b, "bm25").search("parser tokens", k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 12)) for r in ra] == \
+           [(r["doc_id"], round(r["score"], 12)) for r in rb]

@@ -87,3 +87,36 @@ def test_docids_dense_and_deterministic(spark_index, corpus_rows):
     ids = [r["doc_id"] for r in
            spark_index.docs.select("doc_id").orderBy("doc_id").collect()]
     assert ids == list(range(len(corpus_rows)))
+
+
+def test_search_many_bow_fast_path_identity(spark_index, oracle_index):
+    """The single-pass batch plan (broadcast qterms ⨝ postings) must be
+    rank- and score-identical to the per-query compiled plans, across a
+    mixed batch: bow, repeated term, OOV term, structured (which falls
+    back to the per-query path inside the same search_many call)."""
+    queries = {
+        "q1": "fickle creek farm",
+        "q2": "voyager voyager probe",          # repeated term → mult=2
+        "q3": "zzzunknownterm farm",            # OOV term drops out
+        "q4": "#sum( #near/2( fickle creek ) farm )",  # structured arm
+    }
+    eng = Engine(spark_index, "bm25")
+    fast = eng.search_many(queries, k=10).collect()
+    slow = eng.search_many(queries, k=10, bow_fast_path=False).collect()
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(
+                (r["rank"], r["doc_id"], r["ext_id"], round(r["score"], 9)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert key(fast) == key(slow)
+    # and against the oracle per query
+    by_qid = {}
+    for r in fast:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in queries.items():
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = run_query(q, oracle_index, "bm25", k=10)
+        _assert_rank_identical(rows, want)

@@ -111,3 +111,44 @@ diversity:maxResultRankingLength=10
     assert 0 < len(lines) <= 10
     ranks = [int(ln.split()[3]) for ln in lines]
     assert ranks == list(range(1, len(lines) + 1))
+
+
+def test_letor_run_ml_fallback(spark, corpus_parquet, tmp_path):
+    """Entry point C (`QryEval.java:274-295`): retrievalAlgorithm=letor
+    trains on qrels features and re-ranks BM25 top-k. No svm_rank
+    binaries in this environment → pyspark.ml linear-ranker fallback."""
+    d, rows = corpus_parquet
+    # training: two queries with a few judged docs each
+    tq = _write(tmp_path, "train_q.txt",
+                "90:fickle creek farm\n91:voyager probe\n")
+    qrels_lines = []
+    for qid, docids in (("90", [0, 1, 2, 3]), ("91", [4, 5, 6, 7])):
+        for i, did in enumerate(docids):
+            qrels_lines.append(f"{qid} 0 doc{did:09d} {1 if i < 2 else 0}")
+    qrels = _write(tmp_path, "qrels.txt", "\n".join(qrels_lines) + "\n")
+    qf = _write(tmp_path, "q.txt", "1:fickle creek farm\n")
+    out = str(tmp_path / "letor.teIn")
+    train_fv = str(tmp_path / "train.fv")
+    pf = _write(tmp_path, "p.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=letor
+BM25:k_1=1.2
+BM25:b=0.75
+BM25:k_3=0
+Indri:mu=2500
+Indri:lambda=0.4
+letor:trainingQueryFile={tq}
+letor:trainingQrelsFile={qrels}
+letor:trainingFeatureVectorsFile={train_fv}
+runID=letor
+""")
+    main(pf, spark=spark)
+    lines = open(out).read().splitlines()
+    assert lines and all(ln.split()[0] == "1" for ln in lines)
+    ranks = [int(ln.split()[3]) for ln in lines]
+    assert ranks == list(range(1, len(lines) + 1))
+    # training feature file was emitted in SVMrank format
+    fv = open(train_fv).read().splitlines()
+    assert fv and fv[0].split()[1].startswith("qid:")
+    assert all(" # doc" in ln for ln in fv)
