@@ -110,6 +110,36 @@ def _feedback_query(eng: Engine, idx: Index, qid: str, query: str,
     return expanded, rewrite_with_feedback(query, expanded, w)
 
 
+def _diversity_from_file(spark: SparkSession, idx: Index, path: str,
+                         depth: int) -> dict[str, DiversityInput]:
+    """`Diversity.readRankingMap` (`Diversity.java:184-265`): ONE trec
+    file holds both initial (`qid`) and per-intent (`qid.intent`)
+    rankings; each group truncated to maxInputRankingsLength. Returns
+    {qid: DiversityInput}."""
+    rows = (read_ranking_file(spark, path)
+            .orderBy("qid", "rank").collect())
+    ext2doc = {r["ext_id"]: r["doc_id"] for r in idx.doc_map.collect()}
+    groups: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        d = ext2doc.get(r["ext_id"])
+        if d is None:   # Idx.getInternalDocid would throw (`Idx.java:100-116`)
+            raise ValueError(f"unknown external id {r['ext_id']!r}")
+        g = groups.setdefault(r["qid"], [])
+        if len(g) < depth:   # ScoreList.truncate per group
+            g.append((d, r["score"]))
+    out: dict[str, DiversityInput] = {}
+    for qid, initial in groups.items():
+        if "." in qid:
+            continue
+        keep = {d for d, _ in initial}
+        ikeys = sorted((k for k in groups if k.startswith(f"{qid}.")),
+                       key=lambda k: k.split(".", 1)[1])
+        intents = {i: {d: s for d, s in groups[k] if d in keep}
+                   for i, k in enumerate(ikeys)}
+        out[qid] = DiversityInput(initial=initial, intents=intents)
+    return out
+
+
 def _diversity_rankings(eng: Engine, idx: Index, qid: str, query: str,
                         intents: dict[str, str], depth: int) -> DiversityInput:
     """Initial + per-intent rankings from the engine itself
@@ -249,15 +279,27 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                          for q, v in rankings_file.items()}
 
     results_rows = []
+    div_file_inputs: dict[str, DiversityInput] | None = None
     expanded_out: dict[str, str] = {}
     id2ext = {r["doc_id"]: r["ext_id"] for r in idx.doc_map.collect()}
     for qid, query in queries.items():
         if diversity:
-            intents = {ik: iq for ik, iq in
-                       read_query_file(params["diversity:intentsFile"]).items()
-                       if ik.startswith(f"{qid}.")}
             depth = int(params.get("diversity:maxInputRankingsLength", 100))
-            din = _diversity_rankings(eng, idx, qid, query, intents, depth)
+            if "diversity:initialRankingFile" in params:
+                if div_file_inputs is None:
+                    div_file_inputs = _diversity_from_file(
+                        spark, idx,
+                        params["diversity:initialRankingFile"], depth)
+                if qid not in div_file_inputs:
+                    raise ValueError(f"No query {qid} in ranking file!")
+                din = div_file_inputs[qid]
+            else:
+                intents = {ik: iq for ik, iq in
+                           read_query_file(
+                               params["diversity:intentsFile"]).items()
+                           if ik.startswith(f"{qid}.")}
+                din = _diversity_rankings(eng, idx, qid, query, intents,
+                                          depth)
             algo = params.get("diversity:algorithm", "xquad").lower()
             lam = float(params["diversity:lambda"])
             if algo == "xquad":

@@ -152,3 +152,44 @@ runID=letor
     fv = open(train_fv).read().splitlines()
     assert fv and fv[0].split()[1].startswith("qid:")
     assert all(" # doc" in ln for ln in fv)
+
+
+def test_diversity_from_ranking_file(spark, corpus_parquet, tmp_path):
+    """diversity:initialRankingFile branch (`Diversity.java:184-265`):
+    one trec file carries the initial (`qid`) and per-intent
+    (`qid.intent`) rankings; PM2 re-ranks candidates from the file
+    without running the engine for rankings."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "q4.txt", "1:creek farm\n")
+    # hand-built ranking file: initial = docs 0-5, intent 1.1 favors
+    # evens, intent 1.2 favors odds
+    rows = []
+    for rk, did in enumerate(range(6), start=1):
+        rows.append(f"1 Q0 doc{did:09d} {rk} {10.0 - rk} run")
+    for rk, did in enumerate((0, 2, 4), start=1):
+        rows.append(f"1.1 Q0 doc{did:09d} {rk} {5.0 - rk} run")
+    for rk, did in enumerate((1, 3, 5), start=1):
+        rows.append(f"1.2 Q0 doc{did:09d} {rk} {5.0 - rk} run")
+    rf = _write(tmp_path, "rank.teIn", "\n".join(rows) + "\n")
+    out = str(tmp_path / "out4.teIn")
+    pf = _write(tmp_path, "p4.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+diversity=true
+diversity:algorithm=pm2
+diversity:lambda=0.5
+diversity:initialRankingFile={rf}
+diversity:maxInputRankingsLength=20
+diversity:maxResultRankingLength=4
+""")
+    main(pf, spark=spark)
+    lines = open(out).read().splitlines()
+    assert len(lines) == 4
+    exts = [ln.split()[2] for ln in lines]
+    # candidates can only come from the file's initial ranking
+    assert set(exts) <= {f"doc{i:09d}" for i in range(6)}
+    # PM2 with equal intent weights alternates intent coverage: the top-2
+    # must cover BOTH intents (one even-, one odd-numbered doc)
+    par = {int(e[-1]) % 2 for e in exts[:2]}
+    assert par == {0, 1}
