@@ -172,6 +172,15 @@ class Engine:
                               .withColumn("qid", F.lit(qid)))
         if bow_rows:
             frames.append(self._bow_batch_frame(bow_rows))
+        if not frames:
+            # every query was bag-of-words with all terms OOV (df=0): no
+            # arm contributes. Return the empty result shape instead of
+            # crashing the reduce; the runner's trec writer emits the
+            # per-qid dummy lines (`QryEval.java:790-795`) from all_qids.
+            spark = self.index.postings.sparkSession
+            return spark.createDataFrame(
+                [], "qid string, doc_id long, ext_id string, "
+                    "score double, rank int")
         u = reduce(lambda l, r: l.unionByName(r), frames)
         u = u.join(self._doc_map(), "doc_id")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))

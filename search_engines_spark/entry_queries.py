@@ -324,12 +324,15 @@ def q_index_open(spark, sf_dir):
     logical index to disk (indexer.store), REOPEN it, and answer BM25
     from the reopened scans — rank/score-identical to the in-memory
     build, hence the same oracle SQL as bm25_rare_term."""
+    import atexit
+    import shutil
     import tempfile
 
     from .indexer.store import open_index, save_index
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _STORE_CACHE:
         d = tempfile.mkdtemp(prefix="entry_idxstore_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         save_index(_index(spark, sf_dir), d, num_partitions=4)
         _STORE_CACHE[key] = d
     reopened = open_index(spark, _STORE_CACHE[key])
@@ -368,7 +371,17 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    return dd.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+    # brute = the exact all-pairs baseline the SQL oracle mirrors 1:1
+    return dd.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
+                                       method="brute")
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Sign-LSH banded near-dup — the default/scale path; the oracle
+    replays the identical seeded planes as literals, so the approximate
+    candidate set matches exactly."""
+    return dd.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
+                                       method="lsh")
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -734,6 +747,43 @@ WHERE floor((CASE WHEN a.nrm > 0 AND b.nrm > 0
        ELSE 0.0 END) * 1e6 + 0.5) >= {int(threshold * 1e6)}"""
 
 
+def _sql_dedup_embedding_lsh(threshold: float = 0.3) -> str:
+    """Replays `pipeline.dedup.embedding_near_dup_pairs_lsh` exactly: the
+    seeded hyperplanes (similarity._planes, shared with the ANN
+    operators) inlined as DOUBLE[] literals, the same band split, the
+    same cosine verify — so the LSH *approximation* is oracle-checked,
+    not just the exact baseline."""
+    from .pipeline.dedup import EMB_LSH_BANDS
+    from .pipeline.similarity import ANN_PLANES, _planes
+    planes = _planes(64, ANN_PLANES)   # testdata embeddings are dim-64
+    rows = ANN_PLANES // EMB_LSH_BANDS
+    bitdefs = ",\n       ".join(
+        f"CASE WHEN list_dot_product(vec, [{', '.join(repr(float(x)) for x in p)}])"
+        f" > 0 THEN 1 ELSE 0 END AS b{i}"
+        for i, p in enumerate(planes))
+    bands = "\nUNION ALL\n".join(
+        "SELECT vid, {b} AS band, {sig} AS bsig FROM bits".format(
+            b=b, sig=" || ".join(f"b{b * rows + r}::VARCHAR"
+                                 for r in range(rows)))
+        for b in range(EMB_LSH_BANDS))
+    return f"""{EMB_PRELUDE},
+bits AS (SELECT vid, vec,
+       {bitdefs}
+       FROM v),
+banded AS ({bands}),
+cand AS (SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bsig = b.bsig AND a.vid < b.vid)
+SELECT vec_a, vec_b,
+       floor((CASE WHEN pa.nrm > 0 AND pb.nrm > 0
+              THEN list_dot_product(pa.vec, pb.vec) / (pa.nrm * pb.nrm)
+              ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS cos_r
+FROM cand JOIN nv pa ON pa.vid = vec_a JOIN nv pb ON pb.vid = vec_b
+WHERE floor((CASE WHEN pa.nrm > 0 AND pb.nrm > 0
+       THEN list_dot_product(pa.vec, pb.vec) / (pa.nrm * pb.nrm)
+       ELSE 0.0 END) * 1e6 + 0.5) >= {int(threshold * 1e6)}"""
+
+
 def _sql_ann_topk(k: int = 20) -> str:
     return f"""{EMB_PRELUDE},
 q AS (SELECT vec AS qv, nrm AS qn FROM nv WHERE vid = 0)
@@ -952,6 +1002,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
     "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding(0.3)),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
     "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_lsh_bucketed": (q_ann_lsh, None),
     "text_langid": (q_langid, _sql_langid()),

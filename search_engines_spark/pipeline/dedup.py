@@ -216,16 +216,91 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
 
 # ------------------------------------------------------- embedding near-dup --
 
+EMB_LSH_BANDS = 4  # sign-LSH bands over similarity.ANN_PLANES bits
+
+
+def _sign_banded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """→ (vid, band, bsig) narrow frame: sign-bit LSH signature of each
+    vector (planes shared with `similarity._planes` — one seeded family
+    across the ANN and dedup operators), split into EMB_LSH_BANDS bands.
+
+    Narrow on purpose: the banding join moves (vid, bsig) only; vectors
+    are re-joined for the surviving candidate pairs, so the shuffle
+    volume is O(n·bands·8B), not O(n·dim·8B·bands)."""
+    from .similarity import ANN_PLANES, _planes
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(dim, ANN_PLANES)
+    rows_per_band = ANN_PLANES // EMB_LSH_BANDS
+    v = emb.select(F.col(id_col).cast("long").alias("vid"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    bit_cols = []
+    for i, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(F.col("v"), lit_p, lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        bit_cols.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+                        .alias(f"b{i}"))
+    bits = v.select("vid", *bit_cols)
+    band_frames = []
+    for b in range(EMB_LSH_BANDS):
+        cols = [F.col(f"b{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_frames.append(bits.select(
+            "vid", F.lit(b).alias("band"),
+            F.concat_ws("", *cols).alias("bsig")))
+    return reduce(lambda l, r: l.unionByName(r), band_frames)
+
+
+def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """Sign-LSH banded near-dup: candidate pairs = vectors agreeing on at
+    least one full band of signature bits; cosine verified within
+    candidates only → (vec_a, vec_b, cos_r) with cos ≥ threshold.
+
+    The scale path: band equi-join bounds the pair space (same shape as
+    MinHash LSH banding), so cost is linear in candidate volume instead
+    of the all-pairs O(n²) cross join. Recall < 1 by the standard LSH
+    guarantee; the driver oracle replays the identical seeded planes so
+    Spark and SQL agree exactly on the approximate result."""
+    from .similarity import cosine_expr, norm_expr
+    banded = _sign_banded(emb, id_col, vec_col)
+    left = banded.select(F.col("vid").alias("vec_a"), "band", "bsig")
+    right = banded.select(F.col("vid").alias("vec_b"), "band", "bsig")
+    cand = (left.join(right, ["band", "bsig"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    v = emb.select(F.col(id_col).cast("long").alias("vid"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("nrm", norm_expr(F.col("v")))
+    pairs = (cand
+             .join(v.select(F.col("vid").alias("vec_a"),
+                            F.col("v").alias("va"), F.col("nrm").alias("na")),
+                   "vec_a")
+             .join(v.select(F.col("vid").alias("vec_b"),
+                            F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+                   "vec_b")
+             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"),
+                                            F.col("na"), F.col("nb")))
+             .withColumn("cos_r", F.floor(F.col("cos") * 1e6 + 0.5).cast("long"))
+             .where(F.col("cos_r") >= int(threshold * 1e6)))
+    return pairs.select("vec_a", "vec_b", "cos_r")
+
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """All-pairs cosine ≥ threshold → (vec_a, vec_b, cos_r).
+                             vec_col: str = "embedding",
+                             method: str = "lsh") -> DataFrame:
+    """Embedding-cosine near-dup pairs → (vec_a, vec_b, cos_r).
 
-    Brute-force cross join — correct baseline; at 100 TB use
-    `similarity.lsh_ann` bucketing to bound the pair space first.  Norms
-    are precomputed once per side (no re-evaluation inside the pair loop).
+    method='lsh' (default): sign-LSH banded candidates — the 100 TB
+    shape. method='brute': all-pairs cross join — the exact baseline,
+    for small n and as the oracle for LSH recall measurements.
     """
+    if method == "lsh":
+        return embedding_near_dup_pairs_lsh(emb, threshold, id_col, vec_col)
+    if method != "brute":
+        raise ValueError(f"unknown method {method!r}")
     from .similarity import cosine_expr, norm_expr
     v = emb.select(F.col(id_col).cast("long").alias("vid"),
                    F.col(vec_col).cast("array<double>").alias("v"))

@@ -116,12 +116,17 @@ def _diversity_from_file(spark: SparkSession, idx: Index, path: str,
     file holds both initial (`qid`) and per-intent (`qid.intent`)
     rankings; each group truncated to maxInputRankingsLength. Returns
     {qid: DiversityInput}."""
+    # resolve ext→int ids by joining the (tiny) ranking frame against
+    # doc_map — never collect the corpus-sized map to the driver
+    # (`Idx.getInternalDocid` is a per-id index lookup, `Idx.java:100-116`;
+    # the join is its set-at-a-time analog and is broadcast-sized by the
+    # ranking file, not the corpus)
     rows = (read_ranking_file(spark, path)
+            .join(idx.doc_map, "ext_id", "left")
             .orderBy("qid", "rank").collect())
-    ext2doc = {r["ext_id"]: r["doc_id"] for r in idx.doc_map.collect()}
     groups: dict[str, list[tuple[int, float]]] = {}
     for r in rows:
-        d = ext2doc.get(r["ext_id"])
+        d = r["doc_id"]
         if d is None:   # Idx.getInternalDocid would throw (`Idx.java:100-116`)
             raise ValueError(f"unknown external id {r['ext_id']!r}")
         g = groups.setdefault(r["qid"], [])
@@ -200,6 +205,16 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
     learn = params.get("letor:svmRankLearnPath", "")
     if learn and os.path.exists(learn):
         import subprocess
+        missing = [p for p in ("letor:trainingFeatureVectorsFile",
+                               "letor:testingFeatureVectorsFile",
+                               "letor:svmRankModelFile",
+                               "letor:testingDocumentScores",
+                               "letor:svmRankClassifyPath")
+                   if p not in params]
+        if missing:
+            raise ValueError(
+                "Required parameters were missing from the parameter file: "
+                + ", ".join(missing))
         test_lines = svmrank_lines(feats_te, names, idx.doc_map)
         train_f = params["letor:trainingFeatureVectorsFile"]
         test_f = params["letor:testingFeatureVectorsFile"]
@@ -268,20 +283,19 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
     diversity = params.get("diversity") == "true"
     rankings_file = None
     if fb and "fbInitialRankingFile" in params:
-        rdf = read_ranking_file(spark, params["fbInitialRankingFile"])
-        ext2doc = {r["ext_id"]: r["doc_id"]
-                   for r in idx.doc_map.collect()}
+        # ext→int via join (ranking file is tiny; doc_map never collected)
+        rdf = (read_ranking_file(spark, params["fbInitialRankingFile"])
+               .join(idx.doc_map, "ext_id", "left"))
         rankings_file = {}
         for r in rdf.collect():
             rankings_file.setdefault(r["qid"], []).append(
-                (r["rank"], ext2doc.get(r["ext_id"]), r["score"]))
+                (r["rank"], r["doc_id"], r["score"]))
         rankings_file = {q: [(d, s) for _, d, s in sorted(v) if d is not None]
                          for q, v in rankings_file.items()}
 
     results_rows = []
     div_file_inputs: dict[str, DiversityInput] | None = None
     expanded_out: dict[str, str] = {}
-    id2ext = {r["doc_id"]: r["ext_id"] for r in idx.doc_map.collect()}
     for qid, query in queries.items():
         if diversity:
             depth = int(params.get("diversity:maxInputRankingsLength", 100))
@@ -309,7 +323,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
             else:
                 raise ValueError("Illegal Diversity Algorithm")
             for rk, (d, s) in enumerate(ranked[:k], start=1):
-                results_rows.append((qid, id2ext[d], float(s), rk))
+                results_rows.append((qid, int(d), float(s), rk))
             continue
         if fb:
             expanded, query = _feedback_query(eng, idx, qid, query, params,
@@ -322,9 +336,14 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
             results_rows.append((qid, r["ext_id"], float(r["score"])))
 
     if diversity:
-        # preserve the greedy order (PM2 scores are not monotone)
-        res = spark.createDataFrame(
-            results_rows, "qid string, ext_id string, score double, rank int")
+        # preserve the greedy order (PM2 scores are not monotone); int→ext
+        # ids resolve via a join of the tiny (≤ queries×k rows) result
+        # frame against doc_map — no driver-side corpus map
+        res = (spark.createDataFrame(
+                   results_rows,
+                   "qid string, doc_id long, score double, rank int")
+               .join(idx.doc_map, "doc_id")
+               .select("qid", "ext_id", "score", "rank"))
     else:
         res = spark.createDataFrame(
             results_rows, "qid string, ext_id string, score double")

@@ -142,3 +142,26 @@ def test_nested_iop_composition(spark_index, oracle_index):
     (`InvList` closure, SURVEY.md §2.3)."""
     _both("#sum( #near/3( #syn( fickle voyager ) #syn( creek probe ) ) )",
           "bm25", spark_index, oracle_index)
+
+
+def test_search_many_all_oov_batch(spark_index):
+    """Every query in the batch is bag-of-words with df=0 terms: the bow
+    fast path contributes no frame and no per-query frame exists — must
+    return an empty (qid, doc_id, ext_id, score, rank) frame, not crash
+    (reduce() of empty iterable regression)."""
+    eng = Engine(spark_index, "bm25")
+    res = eng.search_many({"q1": "zzzunknownterm", "q2": "qqqmissing"})
+    assert res.columns == ["qid", "doc_id", "ext_id", "score", "rank"]
+    assert res.count() == 0
+
+
+def test_search_many_mixed_oov_batch(spark_index, oracle_index):
+    """One OOV query + one real query: the real one still ranks, the OOV
+    one is simply absent (trec dummy lines are the runner's job)."""
+    eng = Engine(spark_index, "bm25")
+    res = eng.search_many({"q1": "zzzunknownterm", "q2": "fickle creek"})
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == {"q2"}
+    want = run_query("fickle creek", oracle_index, "bm25", Models(), k=100)
+    got2 = sorted(rows, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got2] == [d for d, _, _ in want]

@@ -193,3 +193,38 @@ diversity:maxResultRankingLength=4
     # must cover BOTH intents (one even-, one odd-numbered doc)
     par = {int(e[-1]) % 2 for e in exts[:2]}
     assert par == {0, 1}
+
+
+def test_runner_has_no_corpus_sized_collect():
+    """Scale audit: the runner must never collect the full doc_map (or
+    any corpus-sized frame) to the driver — ext↔int id resolution happens
+    by joining the tiny ranking/result frames against doc_map. A full
+    `doc_map.collect()` is a driver OOM at 10^9+ docs."""
+    import inspect
+
+    import search_engines_spark.run as run_mod
+    src = inspect.getsource(run_mod)
+    assert "doc_map.collect()" not in src
+    # every .collect() in run.py must be on a bounded frame: ranking-file
+    # joins, per-query top-k, or svm score files — none on idx.* frames
+    for ln in src.splitlines():
+        if ".collect()" in ln:
+            assert "idx." not in ln, f"corpus-sized collect: {ln.strip()}"
+
+
+def test_run_all_oov_query_emits_dummy_line(spark, corpus_parquet, tmp_path):
+    """A query whose every term is OOV produces the reference's
+    placeholder trec line (`QryEval.java:783-786`) instead of crashing
+    or omitting the topic."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "q_oov.txt", "7:zzzunknownterm qqqmissing\n")
+    out = str(tmp_path / "oov.teIn")
+    pf = _write(tmp_path, "p_oov.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+runID=t
+""")
+    main(pf, spark=spark)
+    lines = open(out).read().splitlines()
+    assert lines == ["7 Q0 dummy 1 0 t"]

@@ -90,3 +90,32 @@ def test_ivf_recall_and_determinism(emb, qvec):
     got = {r["vec_id"] for r in got1}
     assert 7 in got
     assert len(truth & got) >= 3  # nprobe=3/8 cells → partial recall ok
+
+
+def test_embedding_dedup_lsh_subset_of_brute(emb):
+    """LSH-banded near-dup pairs ⊆ brute-force pairs, identical cos_r for
+    every surviving pair (the verify step is exact), and recall is
+    non-trivial on the clustered fixture."""
+    from search_engines_spark.pipeline.dedup import embedding_near_dup_pairs
+    brute = {(r["vec_a"], r["vec_b"]): r["cos_r"]
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=0.8, method="brute").collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cos_r"]
+           for r in embedding_near_dup_pairs(
+               emb, threshold=0.8, method="lsh").collect()}
+    assert lsh, "LSH found no pairs on a 30-cluster corpus"
+    assert set(lsh) <= set(brute)
+    for pair, cr in lsh.items():
+        assert brute[pair] == cr
+    # clusters of 10 near-identical vectors: recall should be substantial
+    assert len(lsh) / len(brute) > 0.3
+
+
+def test_embedding_dedup_lsh_no_cartesian(emb, spark):
+    """The LSH path's physical plan must not contain a cartesian/nested-
+    loop product — the banding equi-join is the point."""
+    from search_engines_spark.pipeline.dedup import embedding_near_dup_pairs
+    plan = (embedding_near_dup_pairs(emb, threshold=0.8, method="lsh")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
