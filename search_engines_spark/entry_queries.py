@@ -500,6 +500,98 @@ def q_letor_features(spark, sf_dir):
         _r(F.col("overlap_body")).alias("overlap_r"))
 
 
+def _session_tmpdir(cache: dict, key: tuple, prefix: str) -> tuple[str, bool]:
+    """Per-(session, sf) scratch dir, removed at interpreter exit.
+    → (dir, created_now)."""
+    import atexit
+    import shutil
+    import tempfile
+    if key in cache:
+        return cache[key], False
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cache[key] = d
+    return d, True
+
+
+_SEG_CACHE: dict[tuple, str] = {}
+
+
+def q_daat_wand_topk(spark, sf_dir):
+    """Block-max DAAT/WAND top-k over the compressed segment store
+    (engine.daat + indexer.segments) — the BM25 fast path. Scores are
+    rank-identical to the DataFrame plan, so the oracle is the same SQL
+    as bm25_bow3; top-k re-ranked by rounded score for cross-engine
+    determinism (fetch depth 200 ≫ any 1e-6 rounding inversion)."""
+    from .indexer.segments import build_segments
+    idx = _index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_SEG_CACHE, key, "entry_segs_")
+    if created:
+        build_segments(idx.postings, idx.doclens, d, num_buckets=8)
+    eng = Engine(idx, "bm25")
+    eng.attach_segments(d, num_buckets=8)
+    res = eng.search_daat(" ".join(BOW3), k=200)
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(100)
+            .select("ext_id", "score_r"))
+
+
+_BUCKETED_CACHE: dict[tuple, str] = {}
+
+
+def q_bucketed_term_stats(spark, sf_dir):
+    """Term stats over the term-bucketed postings table
+    (indexer.bucketed): the groupBy(term, field) satisfies its
+    distribution from the bucket metadata — no exchange — and the
+    numbers must equal the plain term_stats aggregation."""
+    from .indexer.bucketed import term_stats_bucketed, write_bucketed_postings
+    idx = _index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_BUCKETED_CACHE, key, "entry_bucketed_")
+    table = "entry_bucketed_postings"
+    if created:
+        write_bucketed_postings(idx.postings, table, f"{d}/postings",
+                                num_buckets=8)
+    return (term_stats_bucketed(spark, table)
+            .where((F.col("field") == "body") & F.col("term").isin(STAT_TERMS))
+            .select("term", "df", "ctf"))
+
+
+_STREAM_CACHE: dict[tuple, str] = {}
+
+
+def q_streamed_postings(spark, sf_dir):
+    """Structured-Streaming ingest (streaming.ingest): file-source stream
+    → per-batch postings build → exactly-once batch_id-partitioned sink.
+    The unioned batch partitions must equal the batch build — same
+    oracle SQL as postings_term."""
+    import os
+    import shutil
+
+    from .streaming.ingest import start_postings_stream
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_STREAM_CACHE, key, "entry_stream_")
+    if created:
+        # the file stream source requires a DIRECTORY; testdata ships a
+        # single parquet file — stage it into a scratch source dir
+        src = f"{sf_dir}/documents.parquet"
+        os.makedirs(f"{d}/src", exist_ok=True)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                shutil.copy(os.path.join(src, f), f"{d}/src/{f}")
+        else:
+            shutil.copy(src, f"{d}/src/documents.parquet")
+        q = start_postings_stream(spark, f"{d}/src", f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination(300)
+    p = spark.read.parquet(f"{d}/out")
+    return (p.where((F.col("term") == "spark") & (F.col("field") == "body"))
+            .select("doc_id", F.col("tf").cast("long").alias("tf"),
+                    F.array_join(
+                        F.transform("positions", lambda x: x.cast("string")),
+                        ",").alias("poss")))
+
+
 _FIELDS_INDEX_CACHE: dict[tuple, Index] = {}
 
 
@@ -988,6 +1080,9 @@ REGISTRY: dict[str, tuple] = {
         _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
     "postings_term": (q_postings, _sql_postings()),
     "term_stats": (q_term_stats, _sql_term_stats()),
+    "daat_wand_topk": (q_daat_wand_topk, _bm25_sql(BOW3)),
+    "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
+    "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "doclen_store": (q_doclens, _sql_doclens()),
     "docterms_forward_index": (q_docterms, _sql_docterms()),
     "diversity_xquad": (q_diversity_xquad, None),

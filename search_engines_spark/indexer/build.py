@@ -286,6 +286,57 @@ def build_index_frames(docs: DataFrame,
     return idx
 
 
+def build_index_frames_analyzed(docs: DataFrame, analyzer,
+                                text_col: str = "text",
+                                field: str = DEFAULT_FIELD,
+                                cache: bool = True) -> Index:
+    """Full logical index through the configurable analyzer chain
+    (`analysis.Analyzer` — e.g. `REFERENCE_PARITY`: StandardTokenizer
+    analog → possessive → stop → KStem, the reference's exact chain,
+    `EnglishAnalyzerConfigurable.java:143-162`).
+
+    Same shuffle shape as `build_postings` (docs repartitioned by doc_id
+    BEFORE the analyzer UDF + explode, so the token stream never
+    shuffles); the analyzer runs as ONE Arrow-batched pandas UDF per doc
+    row — vectorized, never per-row at the DataFrame layer (input_hint).
+    `docs` needs doc_id/ext_id assigned (docs_from_* helpers); doclen is
+    recomputed by the analyzer (its tokenizer may split differently from
+    the SQL expression)."""
+    from ..analysis import analyze_udf
+    ana = analyze_udf(analyzer)
+    num = docs.sparkSession.sparkContext.defaultParallelism * 2
+    d = (docs.drop("_tokens", "doclen")
+         .repartition(num, "doc_id")
+         .withColumn("_a", ana(F.col(text_col)))
+         .withColumn("doclen", F.col("_a.doclen")))
+    toks = (d.select("doc_id", "doclen", F.explode("_a.terms").alias("_t"))
+            .select("doc_id", "doclen", F.col("_t.term").alias("term"),
+                    F.col("_t.pos").alias("pos")))
+    postings = (toks.groupBy("term", "doc_id")
+                .agg(F.count("*").cast("int").alias("tf"),
+                     F.sort_array(F.collect_list("pos")).alias("positions"),
+                     F.first("doclen").alias("doclen"))
+                .withColumn("field", F.lit(field))
+                .select("term", "field", "doc_id", "tf", "positions",
+                        "doclen"))
+    docs_out = d.drop("_a")
+    doclens = build_doclens(docs_out, field)
+    doc_map = docs_out.select("doc_id", "ext_id")
+    if cache:
+        postings = postings.persist()
+        doclens = doclens.persist()
+        doc_map = doc_map.persist()
+    n_docs = docs_out.count()
+    return Index(
+        docs=docs_out,
+        doclens=doclens,
+        postings=postings,
+        term_stats=build_term_stats(postings),
+        corpus_stats=_collect_corpus_stats(doclens, n_docs),
+        doc_map=doc_map,
+    )
+
+
 def index_documents_table(spark: SparkSession, sf_dir: str,
                           cache: bool = True,
                           builder: str = "jvm") -> Index:

@@ -33,7 +33,9 @@ def test_stemmer_off_by_default():
     assert [t for t, _ in pairs] == ["parsers", "parsing"]
 
 
-def test_kstem_lite_variant():
+def test_kstem_variant():
+    # real Krovetz table: parsers→parse, tokens→token, indexes→index
+    # (byte-identical to Lucene's KStemFilter — test_analyzer_parity)
     a = Analyzer(stem=True)
     _, pairs = a.analyze("parsers tokens indexes")
-    assert [t for t, _ in pairs] == ["parser", "token", "indexe"] or True  # shape only
+    assert [t for t, _ in pairs] == ["parse", "token", "index"]

@@ -37,9 +37,11 @@ def test_udf_stemming_changes_terms(spark, small_docs):
     out = _pset(build_postings_udf(small_docs.drop("_tokens"),
                                    Analyzer(stem=True)))
     terms = {t for t, _ in out}
-    assert "parser" in terms          # parsers -> parser
-    assert "parsers" not in terms
-    assert "buffer" in terms          # buffers -> buffer
+    # real Krovetz: parsers/parse/parsing/parsed all -> parse
+    assert "parse" in terms
+    assert "parsers" not in terms and "parser" not in terms
+    assert out[("parse", 1)][0] == 4  # tf folds the whole paradigm
+    assert "buffer" in terms          # buffers/buffering -> buffer
     # positions still reflect pre-stem token stream (stopword-inclusive):
     # buffer(1), [the(2) skipped], buffers(3)->buffer, buffering(4)->buffer
     assert out[("buffer", 2)][1] == [1, 3, 4]

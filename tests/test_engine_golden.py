@@ -120,3 +120,72 @@ def test_search_many_bow_fast_path_identity(spark_index, oracle_index):
         rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
         want = run_query(q, oracle_index, "bm25", k=10)
         _assert_rank_identical(rows, want)
+
+
+# ---------------------------------------------------------- parity chain --
+# The same golden gate with the full reference analyzer chain ON
+# (StandardTokenizer analog → possessive → stop → KStem; VERDICT item 3):
+# engine (UDF-analyzed index + parity parser) vs oracle sharing the chain.
+
+@pytest.fixture(scope="module")
+def parity_indexes(spark, corpus_rows):
+    from search_engines_spark.analysis import REFERENCE_PARITY
+    from search_engines_spark.corpus import ext_id
+    from search_engines_spark.indexer.build import (
+        assign_dense_ids, build_index_frames_analyzed)
+    from search_engines_spark.oracle import OracleIndex
+    from search_engines_spark.parser import QueryParser
+    src = spark.createDataFrame(
+        corpus_rows,
+        "repo string, path string, commit string, lang string, content string")
+    d = assign_dense_ids(src, ["repo", "path", "commit"])
+    from pyspark.sql import functions as F
+    d = d.withColumn("ext_id", F.concat_ws("", F.col("repo"), F.lit(":"),
+                                           F.col("path"), F.lit("@"),
+                                           F.substring("commit", 1, 8)))
+    sidx = build_index_frames_analyzed(d, REFERENCE_PARITY,
+                                       text_col="content")
+    oidx = OracleIndex(analyzer=REFERENCE_PARITY)
+    for i, row in enumerate(corpus_rows):
+        oidx.add(i, ext_id(row), {"body": row["content"]})
+    oidx.finalize()
+    return sidx, oidx, QueryParser(REFERENCE_PARITY)
+
+
+PARITY_QUERIES = [
+    ("bm25", "fickle creek farms"),            # farms -> farm stem match
+    ("bm25", "#sum( parsers buffers overflowing )"),
+    ("bm25", "#sum( #near/2( fickle creek ) creek )"),
+    ("bm25", "#sum( #window/8( creeks farms ) )"),
+    ("bm25", "#sum( #syn( creek farm ) voyager )"),
+    ("rankedboolean", "#and( creeks farms )"),
+    ("indri", "#and( fickle creeks farm )"),
+    ("indri", "#wand( 0.7 #and( fickle creek farm ) 0.2 #and( "
+              "#near/1( creek farm ) ) 0.1 #and( #window/8( fickle farm ) ) )"),
+    ("indri", "#wsum( 0.5 creeks 0.3 farms 0.2 voyagers )"),
+]
+
+
+@pytest.mark.parametrize("model,q", PARITY_QUERIES)
+def test_full_chain_rank_identity(model, q, parity_indexes):
+    """Engine vs oracle with stemming + possessive + standard tokenizer
+    ON — the reference-parity configuration end-to-end (the analyzer
+    itself is Lucene-byte-identical per test_analyzer_parity)."""
+    from search_engines_spark.analysis import REFERENCE_PARITY
+    from search_engines_spark.oracle import run_query
+    from search_engines_spark.parser import QueryParser
+    sidx, oidx, parser = parity_indexes
+    eng = Engine(sidx, model, analyzer=REFERENCE_PARITY)
+    got = eng.search(q, k=50).collect()
+    want = run_query(q, oidx, model, Models(), k=50, parser=parser)
+    _assert_rank_identical(got, want)
+
+
+def test_parity_stem_match_is_real(parity_indexes):
+    """Sanity: a stemmed query form ('farms') must retrieve docs that
+    contain only the base form ('farm') — the whole point of KStem."""
+    from search_engines_spark.analysis import REFERENCE_PARITY
+    sidx, oidx, parser = parity_indexes
+    eng = Engine(sidx, "bm25", analyzer=REFERENCE_PARITY)
+    got = eng.search("farms", k=10).collect()
+    assert got, "stemmed query retrieved nothing"

@@ -1,0 +1,64 @@
+// Golden-fixture generator: runs Lucene 4.3's analyzer chain
+// (StandardTokenizer -> StandardFilter -> EnglishPossessiveFilter ->
+// LowerCaseFilter -> StopFilter(classic 33) -> KStemFilter) -- the exact
+// chain the reference enables (`QryParser.java:45-47`,
+// `EnglishAnalyzerConfigurable.java:143-162`) -- over stdin lines and
+// prints one output line per input line:
+//
+//     token1@pos1 token2@pos2 ...
+//
+// where pos is the 1-based token position (position increments
+// accumulated, so stopword gaps advance the position exactly as the
+// index side sees them). Compile/run against the public Lucene jars:
+//
+//   javac -cp lucene-core-4.3.0.jar:lucene-analyzers-common-4.3.0.jar AnalyzerDump.java
+//   java  -cp .:... AnalyzerDump < words.txt > golden.tsv
+//
+// This is original code written against the public Lucene API; it exists
+// only to generate committed test fixtures (tests/fixtures/kstem_*.tsv).
+import java.io.BufferedReader;
+import java.io.InputStreamReader;
+import java.io.StringReader;
+
+import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.Tokenizer;
+import org.apache.lucene.analysis.core.LowerCaseFilter;
+import org.apache.lucene.analysis.core.StopFilter;
+import org.apache.lucene.analysis.en.EnglishPossessiveFilter;
+import org.apache.lucene.analysis.en.KStemFilter;
+import org.apache.lucene.analysis.standard.StandardAnalyzer;
+import org.apache.lucene.analysis.standard.StandardFilter;
+import org.apache.lucene.analysis.standard.StandardTokenizer;
+import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
+import org.apache.lucene.analysis.tokenattributes.PositionIncrementAttribute;
+import org.apache.lucene.util.Version;
+
+public class AnalyzerDump {
+    public static void main(String[] args) throws Exception {
+        boolean stem = !(args.length > 0 && args[0].equals("--no-stem"));
+        BufferedReader in = new BufferedReader(new InputStreamReader(System.in, "UTF-8"));
+        String line;
+        StringBuilder sb = new StringBuilder();
+        while ((line = in.readLine()) != null) {
+            sb.setLength(0);
+            Tokenizer source = new StandardTokenizer(Version.LUCENE_43, new StringReader(line));
+            TokenStream ts = new StandardFilter(Version.LUCENE_43, source);
+            ts = new EnglishPossessiveFilter(Version.LUCENE_43, ts);
+            ts = new LowerCaseFilter(Version.LUCENE_43, ts);
+            ts = new StopFilter(Version.LUCENE_43, ts, StandardAnalyzer.STOP_WORDS_SET);
+            if (stem) ts = new KStemFilter(ts);
+            CharTermAttribute term = ts.addAttribute(CharTermAttribute.class);
+            PositionIncrementAttribute pinc = ts.addAttribute(PositionIncrementAttribute.class);
+            ts.reset();
+            int pos = 0;
+            while (ts.incrementToken()) {
+                pos += pinc.getPositionIncrement();
+                if (sb.length() > 0) sb.append(' ');
+                sb.append(term.toString()).append('@').append(pos);
+            }
+            ts.end();
+            ts.close();
+            System.out.println(sb.toString());
+        }
+    }
+}

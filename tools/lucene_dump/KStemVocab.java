@@ -1,0 +1,18 @@
+// Prints the vocabulary of Lucene's KStem dictionary (the public
+// KStemData1..8 word arrays, Apache-licensed) one word per line.
+// Used only to generate the committed kstem lookup fixture: each word
+// (plus programmatic suffix variants) is then run through the real
+// KStemFilter by AnalyzerDump to record (surface -> stem) pairs.
+import java.lang.reflect.Field;
+
+public class KStemVocab {
+    public static void main(String[] args) throws Exception {
+        for (int i = 1; i <= 8; i++) {
+            Class<?> c = Class.forName("org.apache.lucene.analysis.en.KStemData" + i);
+            Field f = c.getDeclaredField("data");
+            f.setAccessible(true);
+            String[] words = (String[]) f.get(null);
+            for (String w : words) System.out.println(w);
+        }
+    }
+}
