@@ -146,32 +146,61 @@ class Engine:
         in one plan (the reference loops queries sequentially,
         `QryEval.java:684`).
 
-        BM25 bag-of-words queries — the bulk of any workload — take a
-        single-pass plan: ONE broadcast (qid, term, mult, df) table joined
-        against ONE postings scan, then groupBy(qid, doc_id). Cost is one
-        postings pass *regardless of query count* (the union-of-per-query-
-        plans shape is scheduler-bound: measured flat 8→32 cores on a
-        200k-doc corpus, because each query arm adds stages, not data
-        parallelism). Structured/weighted queries keep their per-query
-        compiled plans and are unioned in."""
+        BM25 #SUM queries — bag-of-words AND structured (SDM-style
+        proximity arms) — take single-pass plans whose stage count is
+        constant in the query count (the union-of-per-query-plans shape
+        is scheduler-bound: measured flat 8→32 cores on a 200k-doc
+        corpus, because each query arm adds stages, not data
+        parallelism):
+        * term arms: ONE broadcast (qid, term, mult, df) table joined
+          against ONE postings scan, then groupBy(qid, doc_id);
+        * proximity arms (#NEAR/#WINDOW/#SYN subtrees): ONE batched
+          postings pass + ONE Arrow kernel stage evaluating every arm
+          (engine.batch_structured), derived df per arm broadcast back.
+        Queries the fast path can't express (boolean models, Indri,
+        #WSUM/#WAND) keep their per-query compiled plans and are
+        unioned in."""
         from pyspark.sql import Window
         frames = []
-        bow_rows: list[tuple] = []   # (qid, term, field, mult, df)
+        bow_rows: list[tuple] = []    # (qid, term, field, mult, df)
+        prox_rows: list[tuple] = []   # (qid, arm_id, mult)
+        arms: dict[int, tuple[str, object]] = {}     # arm_id → (field, spec)
+        arm_ids: dict[tuple, int] = {}               # (field, spec) → arm_id
         for qid, q in queries.items():
             node = self.parse(q)
-            bow = self._bow_of(node) if (bow_fast_path and
-                                         self.model == "bm25") else None
-            if bow is not None:
+            split = self._split_arms(node) if (bow_fast_path and
+                                               self.model == "bm25") else None
+            if split is not None:
+                bow, prox = split
                 for (term, fld), m in bow.items():
                     df_v, _ = self._leaf_stats[(term, fld)]
                     if df_v > 0:   # absent terms add nothing under #SUM
                         bow_rows.append((qid, term, fld, m, df_v))
+                for (fld, spec), m in prox.items():
+                    if not self._spec_present(spec, fld):
+                        continue   # provably empty derived list (OOV)
+                    key = (fld, spec)
+                    if key not in arm_ids:
+                        arm_ids[key] = len(arm_ids)
+                        arms[arm_ids[key]] = key
+                    prox_rows.append((qid, arm_ids[key], m))
             else:
                 frames.append(self.eval_sop(node)
                               .where(F.col("score") >= 0)
                               .withColumn("qid", F.lit(qid)))
+        fast = []
         if bow_rows:
-            frames.append(self._bow_batch_frame(bow_rows))
+            fast.append(self._bow_batch_frame(bow_rows))
+        if prox_rows:
+            fast.append(self._prox_batch_frame(prox_rows, arms))
+        if len(fast) == 2:
+            # a query mixing term and proximity arms has partial scores
+            # in both frames; #SUM is associative so re-aggregate
+            frames.append(fast[0].unionByName(fast[1])
+                          .groupBy("qid", "doc_id")
+                          .agg(F.sum("score").alias("score")))
+        elif fast:
+            frames.append(fast[0])
         if not frames:
             # every query was bag-of-words with all terms OOV (df=0): no
             # arm contributes. Return the empty result shape instead of
@@ -193,14 +222,93 @@ class Engine:
         term scores (or a single term score) — else None. A term repeated
         in the query contributes one #SCORE arm per occurrence
         (`QryEval.java:704-705` wraps; multiplicity folds them)."""
+        split = self._split_arms(node)
+        if split is None or split[1]:
+            return None
+        return split[0]
+
+    def _split_arms(self, node: Node):
+        """Decompose a BM25 `#SUM` tree (or single `#SCORE`) into its
+        batched-fast-path components:
+
+            ({(term, field): mult}, {(field, spec): mult})
+
+        where spec is the picklable Iop tree of a proximity arm
+        (batch_structured.spec_of). None when the tree has any other
+        shape (boolean/Indri/weighted roots go per-query)."""
+        from .batch_structured import spec_of
         arms = node.args if node.op == "sum" else [node]
-        mult: dict[tuple[str, str], int] = {}
+        bow: dict[tuple[str, str], int] = {}
+        prox: dict[tuple[str, object], int] = {}
         for a in arms:
-            if a.op != "score" or a.args[0].op != "term":
+            if a.op != "score":
                 return None
-            key = (a.args[0].term, a.args[0].field)
-            mult[key] = mult.get(key, 0) + 1
-        return mult
+            child = a.args[0]
+            if child.op == "term":
+                key = (child.term, child.field)
+                bow[key] = bow.get(key, 0) + 1
+            else:
+                fields = {leaf.field for leaf in self._term_leaves(child)}
+                if len(fields) != 1:
+                    return None   # mixed-field Iop: keep the compiled plan
+                pkey = (next(iter(fields)), spec_of(child))
+                prox[pkey] = prox.get(pkey, 0) + 1
+        return bow, prox
+
+    def _spec_present(self, spec, field: str) -> bool:
+        """False ⇒ the arm's derived list is provably empty from term df
+        alone (matchAll over a df=0 leaf / all-OOV #SYN) — skip it before
+        it reaches the scan."""
+        if spec[0] == "term":
+            return self._leaf_stats.get((spec[1], field), (0, 0))[0] > 0
+        if spec[0] == "syn":
+            return any(self._spec_present(c, field) for c in spec[2])
+        return all(self._spec_present(c, field) for c in spec[2])
+
+    def _prox_batch_frame(self, prox_rows: list[tuple],
+                          arms: dict[int, tuple[str, object]]) -> DataFrame:
+        """(qid, arm_id, mult) rows + arm specs → (qid, doc_id, score):
+        every arm's derived posting list from ONE batched pass
+        (batch_structured.arm_postings_frame), derived df per arm as one
+        tiny aggregate broadcast back (`QrySopScore.java:96` — a derived
+        list is scored with its own df), BM25 per (arm, doc) × mult, then
+        ONE aggregation keyed (qid, doc_id).
+
+        The zipped frame is persisted: it feeds both the stats aggregate
+        and the scoring join, and it is intersection-sized (≪ the scan),
+        so caching beats re-running the Arrow stage."""
+        from .batch_structured import arm_postings_frame
+        spark = self.index.postings.sparkSession
+        zipped = arm_postings_frame(self.index.postings, arms)
+        if "doclen" not in self.index.postings.columns:
+            zipped = (zipped.drop("doclen")
+                      .join(self.index.doclens
+                            .select("doc_id", "field", "doclen"),
+                            ["doc_id", "field"]))
+        zipped = zipped.persist()
+        stats = (zipped.groupBy("arm_id")
+                 .agg(F.count("*").alias("df")))
+        qa = spark.createDataFrame(prox_rows,
+                                   "qid string, arm_id int, mult int")
+        j = (zipped.join(F.broadcast(stats), "arm_id")
+             .join(F.broadcast(qa), "arm_id"))
+        fields = sorted({fld for fld, _ in arms.values()})
+        if len(fields) == 1:
+            st = self.index.stats_for(fields[0])
+            score = self._bm25_expr(F.col("tf"), F.col("df"),
+                                    F.col("doclen"), st) * F.col("mult")
+        else:
+            score = None
+            for fld in fields:
+                st = self.index.stats_for(fld)
+                s = (self._bm25_expr(F.col("tf"), F.col("df"),
+                                     F.col("doclen"), st) * F.col("mult"))
+                cond = F.col("field") == fld
+                score = (F.when(cond, s) if score is None
+                         else score.when(cond, s))
+            score = F.coalesce(score, F.lit(0.0))
+        return (j.groupBy("qid", "doc_id")
+                .agg(F.sum(score).alias("score")))
 
     def _bow_batch_frame(self, bow_rows: list[tuple]) -> DataFrame:
         """(qid, term, field, mult, df) rows → (qid, doc_id, score) via

@@ -395,8 +395,50 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: plane literals impractical in SQL)."""
+    """LSH-bucketed ANN. The oracle replays the seeded planes as DOUBLE[]
+    literals and the multiprobe set as Hamming-distance ≤ 1 from the
+    query signature, so the *approximation* itself is oracle-checked."""
     return sim.lsh_ann(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=20)
+
+
+_ANN_IDX_CACHE: dict[tuple, str] = {}
+
+
+def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
+    """Materialize the ingest-time ANN layout once per (session, sf)."""
+    import atexit
+    import shutil
+    import tempfile
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), kind)
+    if key not in _ANN_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix=f"entry_ann_{kind}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        if kind == "lsh":
+            sim.write_ann_index(_emb(spark, sf_dir), d)
+        else:
+            sim.write_ivf_index(_emb(spark, sf_dir), d, n_cells=16)
+        _ANN_IDX_CACHE[key] = d
+    return _ANN_IDX_CACHE[key]
+
+
+def q_ann_lsh_indexed(spark, sf_dir):
+    """Ingest-time LSH layout (`write_ann_index`): signatures materialized
+    once, table partitioned by sig, query = partition-pruned read of the
+    ~13 probe buckets. Candidate set — and thus the oracle — is identical
+    to the scan-time `lsh_ann` (same seeded planes)."""
+    path = _ann_index_path(spark, sf_dir, "lsh")
+    return sim.lsh_ann_indexed(spark, path, _query_vec(spark, sf_dir), k=20)
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Ingest-time IVF layout (`write_ivf_index`): nearest-centroid cell
+    assigned at write, partitioned by cell, query probes the nprobe
+    nearest cells only (partition-pruned read). Oracle replays centroid
+    choice (n_cells smallest vec_ids), strict-< assignment, and probe
+    order in SQL."""
+    path = _ann_index_path(spark, sf_dir, "ivf")
+    return sim.ivf_topk_indexed(spark, path, _query_vec(spark, sf_dir),
+                                k=20, nprobe=4)
 
 
 def q_langid(spark, sf_dir):
@@ -887,6 +929,63 @@ FROM nv, q
 ORDER BY cos_r DESC, vec_id LIMIT {k}"""
 
 
+def _sql_ann_lsh(k: int = 20) -> str:
+    """Replays `similarity.lsh_ann` exactly: the seeded hyperplanes
+    inlined as DOUBLE[] literals, per-row sign signature, and the
+    multiprobe set expressed as Hamming distance ≤ 1 from the query
+    signature (query = vid 0's vector, as in `_query_vec`).  Serves both
+    the scan-time (`ann_lsh_bucketed`) and ingest-time
+    (`ann_lsh_indexed`) paths — their candidate sets are identical."""
+    from .pipeline.similarity import ANN_PLANES, _planes
+    planes = _planes(64, ANN_PLANES)   # testdata embeddings are dim-64
+
+    def sig_sql(vec_expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec_expr}, "
+            f"[{', '.join(repr(float(x)) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+
+    return f"""{EMB_PRELUDE},
+sv AS (SELECT vid, vec, nrm, ({sig_sql('vec')})::BIGINT AS sig FROM nv),
+q AS (SELECT vec AS qv, nrm AS qn, ({sig_sql('vec')})::BIGINT AS qsig
+      FROM nv WHERE vid = 0)
+SELECT vid AS vec_id,
+       floor((CASE WHEN nrm > 0 AND qn > 0
+              THEN list_dot_product(vec, qv) / (nrm * qn)
+              ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS cos_r
+FROM sv, q
+WHERE bit_count(xor(sig, qsig)) <= 1
+ORDER BY cos_r DESC, vec_id LIMIT {k}"""
+
+
+def _sql_ann_ivf(k: int = 20, n_cells: int = 16, nprobe: int = 4) -> str:
+    """Replays `similarity.write_ivf_index`/`ivf_topk_indexed`: centroids
+    are the vectors with the n_cells smallest ids (cid = rank by vid),
+    each vector joins its nearest centroid (strict < ⇒ ties to the lowest
+    cid), the query probes the nprobe nearest cells (same tie rule)."""
+    return f"""{EMB_PRELUDE},
+cents AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec AS cvec
+          FROM nv ORDER BY vid LIMIT {n_cells}),
+q AS (SELECT vec AS qv, nrm AS qn FROM nv WHERE vid = 0),
+asg AS (SELECT vid, cid AS cell FROM (
+          SELECT v.vid, c.cid,
+                 row_number() OVER (PARTITION BY v.vid
+                     ORDER BY list_distance(v.vec, c.cvec), c.cid) AS rn
+          FROM nv v CROSS JOIN cents c) WHERE rn = 1),
+probe AS (SELECT cid FROM (
+           SELECT c.cid, row_number() OVER (
+               ORDER BY list_distance(c.cvec, q.qv), c.cid) AS rn
+           FROM cents c, q) WHERE rn <= {nprobe})
+SELECT v.vid AS vec_id,
+       floor((CASE WHEN v.nrm > 0 AND q.qn > 0
+              THEN list_dot_product(v.vec, q.qv) / (v.nrm * q.qn)
+              ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS cos_r
+FROM nv v JOIN asg USING (vid), q
+WHERE asg.cell IN (SELECT cid FROM probe)
+ORDER BY cos_r DESC, vec_id LIMIT {k}"""
+
+
 def _lang_count_sql(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> list_contains([{lst}], t)))::BIGINT"
@@ -1099,7 +1198,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding(0.3)),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
     "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),
-    "ann_lsh_bucketed": (q_ann_lsh, None),
+    "ann_lsh_bucketed": (q_ann_lsh, _sql_ann_lsh()),
+    "ann_lsh_indexed": (q_ann_lsh_indexed, _sql_ann_lsh()),
+    "ann_ivf_indexed": (q_ann_ivf_indexed, _sql_ann_ivf()),
     "text_langid": (q_langid, _sql_langid()),
     "text_token_counts": (q_token_counts, _sql_token_counts()),
     "text_quality": (q_quality, _sql_quality()),

@@ -83,13 +83,13 @@ def _signature_expr(v: Column, planes: list[list[float]]) -> Column:
 def lsh_ann(emb: DataFrame, query_vec: list[float], k: int = 20,
             dim: int | None = None, multiprobe: bool = True,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: scan only vectors whose LSH bucket matches the
-    query's (plus Hamming-1 buckets when multiprobe).
-
-    At scale the signature is computed once at ingest and the table is
-    partitioned by it — the bucket filter then becomes partition pruning
-    and the scan touches 1/2^b of the data.
-    """
+    """Approximate top-k with SCAN-TIME signatures: every query recomputes
+    the signature over the full table, so this prunes compute, not I/O —
+    fine for ad-hoc exploration of an unindexed table, wrong as the
+    steady-state path. At scale use `write_ann_index` + `lsh_ann_indexed`:
+    signatures are materialized once at ingest and the bucket filter
+    becomes parquet partition pruning (verified by plan test). Candidate
+    sets are identical (same seeded planes)."""
     dim = dim or len(query_vec)
     planes = _planes(dim)
     qsig = 0
@@ -106,6 +106,138 @@ def lsh_ann(emb: DataFrame, query_vec: list[float], k: int = 20,
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
     cand = cand.withColumn("nrm", norm_expr(F.col("v")))
+    scored = cand.withColumn(
+        "cos", cosine_expr(F.col("v"), q, F.col("nrm"), F.lit(qn)))
+    return (scored
+            .withColumn("cos_r", F.floor(F.col("cos") * 1e6 + 0.5).cast("long"))
+            .orderBy(F.desc("cos_r"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", "cos_r"))
+
+
+# ------------------------------------------------- ingest-time ANN indexes --
+
+
+def write_ann_index(emb: DataFrame, path: str,
+                    n_planes: int = ANN_PLANES,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Materialize the sign-LSH layout ONCE at ingest: signature + norm
+    computed per vector, written partitioned by `sig`.
+
+    This is what makes `lsh_ann_indexed` a pruned read instead of a full
+    scan: the bucket filter becomes parquet PARTITION pruning, so a
+    query touches ~(1+n_planes)/2^n_planes of the files (multiprobe) —
+    at 10^9 vectors that is the difference between reading 13 buckets
+    and recomputing 10^9 signatures per query. Returns the metadata dict
+    (also persisted as _ann_meta.json next to the data)."""
+    import json
+    import os
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes)
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    v = (v.withColumn("nrm", norm_expr(F.col("v")))
+         .withColumn("sig", _signature_expr(F.col("v"), planes)))
+    # hash-repartition on sig so each bucket is written by exactly one
+    # task — without this, partitionBy fans every input task out into
+    # one file per bucket it touches (tasks × 2^n_planes small files)
+    v.repartition(F.col("sig")) \
+        .write.mode("overwrite").partitionBy("sig").parquet(path)
+    meta = {"dim": dim, "n_planes": n_planes, "seed": ANN_DIM_SEED}
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_ann_indexed(spark, path: str, query_vec: list[float], k: int = 20,
+                    multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k over a `write_ann_index` layout: compute the
+    query signature driver-side, read ONLY the probe partitions
+    (partition pruning — verified by plan test), score within.
+
+    Candidate set is identical to `lsh_ann` over the same vectors (same
+    seeded planes), so results match the scan-time variant exactly."""
+    import json
+    import os
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = _planes(meta["dim"], meta["n_planes"])
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, query_vec)) > 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    if multiprobe:
+        probe |= {qsig ^ (1 << i) for i in range(len(planes))}
+    cand = (spark.read.parquet(path)
+            .where(F.col("sig").isin(*sorted(probe))))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
+    scored = cand.withColumn(
+        "cos", cosine_expr(F.col("v"), q, F.col("nrm"), F.lit(qn)))
+    return (scored
+            .withColumn("cos_r", F.floor(F.col("cos") * 1e6 + 0.5).cast("long"))
+            .orderBy(F.desc("cos_r"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", "cos_r"))
+
+
+def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """IVF layout at ingest: nearest-centroid cell per vector (broadcast
+    least-chain over the deterministic centroid set), written partitioned
+    by `cell` → `ivf_topk_indexed` reads nprobe partitions only. Returns
+    metadata (centroids inlined — they are n_cells×dim floats, tiny)."""
+    import json
+    import os
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]])
+             for r in v.orderBy("vec_id").limit(n_cells).collect()]
+    d_cols = [F.aggregate(F.zip_with(F.col("v"),
+                                     F.array(*[F.lit(x) for x in c]),
+                                     lambda x, y: (x - y) * (x - y)),
+                          F.lit(0.0), lambda a, x: a + x).alias(f"d{i}")
+              for i, (_, c) in enumerate(cents)]
+    withd = v.select("vec_id", "v", *d_cols)
+    cell = F.lit(0)
+    best = F.col("d0")
+    for i in range(1, len(cents)):
+        cond = F.col(f"d{i}") < best
+        cell = F.when(cond, F.lit(i)).otherwise(cell)
+        best = F.when(cond, F.col(f"d{i}")).otherwise(best)
+    out = (withd.withColumn("cell", cell)
+           .withColumn("nrm", norm_expr(F.col("v")))
+           .select("vec_id", "v", "nrm", "cell"))
+    # one writer task per cell (see write_ann_index on the fan-out hazard)
+    out.repartition(F.col("cell")) \
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {"n_cells": len(cents), "centroids": [c for _, c in cents]}
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float], k: int = 20,
+                     nprobe: int = 4) -> DataFrame:
+    """Probe the nprobe cells nearest the query over a `write_ivf_index`
+    layout — partition-pruned read, brute-force within."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+
+    def dist2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    cents = meta["centroids"]
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (dist2(cents[i], query_vec), i))[:nprobe]
+    cand = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
     scored = cand.withColumn(
         "cos", cosine_expr(F.col("v"), q, F.col("nrm"), F.lit(qn)))
     return (scored

@@ -122,6 +122,50 @@ def test_search_many_bow_fast_path_identity(spark_index, oracle_index):
         _assert_rank_identical(rows, want)
 
 
+def test_search_many_structured_batch_identity(spark_index, oracle_index):
+    """The batched structured path (ONE postings pass + ONE Arrow kernel
+    stage for every proximity arm in the batch, engine.batch_structured)
+    must be rank- and score-identical to the per-query compiled plans and
+    to the oracle — across duplicate arms (mult), arms shared between
+    queries, OOV-pruned arms, nested Iop trees, and mixed term+prox sums."""
+    queries = {
+        "s1": "#sum( #near/1( creek farm ) fickle )",
+        "s2": "#sum( #near/2( fickle creek ) #window/8( creek farm ) creek )",
+        "s3": "#sum( #syn( creek farm ) voyager )",
+        "s4": "#sum( #near/1( creek farm ) #near/1( creek farm ) )",
+        "s5": "#sum( #near/3( zzzunknownterm farm ) farm )",
+        "s6": "#sum( #window/8( fickle creek ) )",
+        "s7": "#sum( #near/4( #syn( fickle voyager ) creek ) )",
+    }
+    eng = Engine(spark_index, "bm25")
+    fast_df = eng.search_many(queries, k=15)
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    # constant stage count: every arm rides ONE Arrow kernel stage. It
+    # renders twice in the plan string because the persisted zipper frame
+    # feeds both the derived-df aggregate and the scoring join (one
+    # execution via the cache); the per-query path would print one
+    # MapInPandas per proximity arm (8 here).
+    assert 0 < plan.count("MapInPandas") <= 2
+    fast = fast_df.collect()
+    slow = eng.search_many(queries, k=15, bow_fast_path=False).collect()
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(
+                (r["rank"], r["doc_id"], r["ext_id"], round(r["score"], 9)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert key(fast) == key(slow)
+    by_qid = {}
+    for r in fast:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in queries.items():
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = run_query(q, oracle_index, "bm25", k=15)
+        _assert_rank_identical(rows, want)
+
+
 # ---------------------------------------------------------- parity chain --
 # The same golden gate with the full reference analyzer chain ON
 # (StandardTokenizer analog → possessive → stop → KStem; VERDICT item 3):

@@ -119,3 +119,108 @@ def test_embedding_dedup_lsh_no_cartesian(emb, spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------- ingest-time indexed layouts --
+
+
+@pytest.fixture(scope="module")
+def lsh_index_path(emb, tmp_path_factory):
+    from search_engines_spark.pipeline.similarity import write_ann_index
+    path = str(tmp_path_factory.mktemp("ann_lsh"))
+    meta = write_ann_index(emb, path)
+    assert meta["dim"] == 16
+    return path
+
+
+@pytest.fixture(scope="module")
+def ivf_index_path(emb, tmp_path_factory):
+    from search_engines_spark.pipeline.similarity import write_ivf_index
+    path = str(tmp_path_factory.mktemp("ann_ivf"))
+    meta = write_ivf_index(emb, path, n_cells=8)
+    assert meta["n_cells"] == 8
+    return path
+
+
+def test_lsh_indexed_matches_scan_time(emb, qvec, spark, lsh_index_path):
+    """Indexed read must return EXACTLY the scan-time lsh_ann results —
+    same seeded planes → identical candidate set → identical top-k."""
+    from search_engines_spark.pipeline.similarity import lsh_ann_indexed
+    got = [(r["vec_id"], r["cos_r"])
+           for r in lsh_ann_indexed(spark, lsh_index_path, qvec, k=10).collect()]
+    want = [(r["vec_id"], r["cos_r"])
+            for r in lsh_ann(emb, qvec, k=10).collect()]
+    assert got == want
+    assert got, "probe buckets unexpectedly empty"
+
+
+def test_lsh_indexed_partition_pruning(emb, qvec, spark, lsh_index_path):
+    """The bucket filter must be PARTITION pruning, not a post-scan
+    filter: files actually read all live under probe-sig directories,
+    strictly fewer partitions are read than exist on disk, and the scan
+    node carries the sig predicate as a PartitionFilter."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline.similarity import _planes
+    planes = _planes(16)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, qvec)) > 0:
+            qsig |= 1 << i
+    probe = {qsig} | {qsig ^ (1 << i) for i in range(len(planes))}
+
+    cand = (spark.read.parquet(lsh_index_path)
+            .where(F.col("sig").isin(*sorted(probe))))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+
+    files = [r[0] for r in
+             cand.select(F.input_file_name()).distinct().collect()]
+    sigs_read = {int(re.search(r"sig=(\d+)", f).group(1)) for f in files}
+    assert sigs_read <= probe
+    on_disk = {d for d in os.listdir(lsh_index_path) if d.startswith("sig=")}
+    assert 0 < len(sigs_read) < len(on_disk)
+
+
+def test_ivf_indexed_matches_scan_time(emb, qvec, spark, ivf_index_path):
+    """Indexed IVF == unindexed ivf_topk (same deterministic centroids,
+    same strict-< assignment, same probe order)."""
+    from search_engines_spark.pipeline.similarity import ivf_topk_indexed
+    got = [(r["vec_id"], r["cos_r"]) for r in
+           ivf_topk_indexed(spark, ivf_index_path, qvec, k=10,
+                            nprobe=3).collect()]
+    want = [(r["vec_id"], r["cos_r"]) for r in
+            ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=3).collect()]
+    assert got == want
+    assert got
+
+
+def test_ivf_indexed_reads_nprobe_cells(emb, qvec, spark, ivf_index_path):
+    """An nprobe=3 query over an 8-cell layout touches ≤3 cell dirs."""
+    import json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(ivf_index_path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+
+    def dist2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    cents = meta["centroids"]
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (dist2(cents[i], qvec), i))[:3]
+    cand = (spark.read.parquet(ivf_index_path)
+            .where(F.col("cell").isin(probe)))
+    files = [r[0] for r in
+             cand.select(F.input_file_name()).distinct().collect()]
+    cells_read = {int(re.search(r"cell=(\d+)", f).group(1)) for f in files}
+    assert cells_read <= set(probe)
+    on_disk = {d for d in os.listdir(ivf_index_path)
+               if d.startswith("cell=")}
+    assert len(cells_read) <= 3 < len(on_disk)
