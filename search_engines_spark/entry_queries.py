@@ -542,6 +542,43 @@ def q_letor_features(spark, sf_dir):
         _r(F.col("overlap_body")).alias("overlap_r"))
 
 
+LETOR_MF_QUERIES = {"q1": ["dup", "spark", "en"],
+                    "q2": ["hash", "batch", "src1"]}
+LETOR_MF_FIELDS = ("body", "lang", "source")
+
+
+def q_letor_multifield(spark, sf_dir):
+    """Multi-field LeToR: the reference's candidate×field feature grid
+    (`FeatureVector.java:152-326` — BM25/Indri/overlap over each of
+    body/title/url/inlink; here body/lang/source as the analogs,
+    `QryEval.java:23`) plus two joined per-doc features (the PageRank /
+    spam-score analogs, `FeatureVector.java:207-240`): a deterministic
+    pagerank prior and n_chars from the documents table. Min-max
+    normalized per query (`FeatureVector.java:300-311`)."""
+    from .capabilities.letor import letor_features
+    idx = _fields_index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    cand_rows = []
+    for qid, terms in LETOR_MF_QUERIES.items():
+        node = eng.parse(" ".join(terms))
+        sc = (eng.eval_sop(node).where(F.col("score") >= 0)
+              .join(idx.doc_map, "doc_id")
+              .withColumn("score_r", _r(F.col("score")))
+              .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(5)
+              .select("doc_id").collect())
+        cand_rows += [(qid, r["doc_id"], 0) for r in sc]
+    cand = spark.createDataFrame(cand_rows, "qid string, doc_id long, rel int")
+    doc_feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        (((F.col("doc_id") % 17) + 1) / 17.0).alias("pagerank"),
+        F.col("n_chars").cast("double").alias("nchars"))
+    feats, names = letor_features(
+        idx, {q: " ".join(t) for q, t in LETOR_MF_QUERIES.items()}, cand,
+        fields=LETOR_MF_FIELDS, doc_features=doc_feats)
+    return feats.select("qid", "doc_id",
+                        *[_r(F.col(n)).alias(f"{n}_r") for n in names])
+
+
 def _session_tmpdir(cache: dict, key: tuple, prefix: str) -> tuple[str, bool]:
     """Per-(session, sf) scratch dir, removed at interpreter exit.
     → (dir, created_now)."""
@@ -646,7 +683,7 @@ def _fields_index(spark, sf_dir):
         from .indexer.build import build_index_frames, docs_from_documents_table
         docs = docs_from_documents_table(_docs(spark, sf_dir))
         _FIELDS_INDEX_CACHE[key] = build_index_frames(
-            docs, extra_fields={"lang": "lang"})
+            docs, extra_fields={"lang": "lang", "source": "source"})
     return _FIELDS_INDEX_CACHE[key]
 
 
@@ -1137,6 +1174,114 @@ SELECT qid, doc_id,
 FROM normed"""
 
 
+def _extra_field_ctes(fld: str, col: str) -> str:
+    """Token pipeline CTEs (dl_/post_/stats_/corpus_<fld>) for an extra
+    indexed field — same analyzer chain as PRELUDE's body pipeline;
+    `n` stays the TOTAL doc count (`Index.stats_for`: n_docs is
+    corpus-wide, avglen/ctf-mass are per-field)."""
+    return f"""lf_{fld} AS (SELECT doc_id::BIGINT AS doc_id,
+    list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'),
+                t -> t <> '') AS toks FROM documents),
+dl_{fld} AS (SELECT doc_id, len(toks)::BIGINT AS doclen FROM lf_{fld}),
+post_{fld} AS (SELECT term, doc_id, count(*)::INT AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM lf_{fld})
+  WHERE term NOT IN ({STOPLIST}) GROUP BY term, doc_id),
+stats_{fld} AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
+                FROM post_{fld} GROUP BY term),
+corpus_{fld} AS (SELECT (SELECT count(*) FROM docs0)::DOUBLE AS n,
+                        (SELECT sum(doclen) FROM dl_{fld})::DOUBLE AS sumlen,
+                        (SELECT count(*) FROM dl_{fld})::DOUBLE AS ndocs_f)"""
+
+
+def _field_feats_cte(fld: str, post: str, stats: str, dl: str,
+                     corpus: str) -> str:
+    """feats_<fld> CTE: BM25 / Indri / overlap per (qid, candidate) over
+    one field — transcribes `letor._field_scores` (which transcribes
+    `FeatureVector.java:152-326` with `QrySopScore.java:90-161`)."""
+    val = INDRI_VAL.format(lam=LAM, mu=MU, tf="g.tf", ctf="g.ctf",
+                           dl="g.doclen")
+    return f"""grid_{fld} AS (SELECT c.qid, c.doc_id, qt.term,
+       coalesce(p.tf, 0) AS tf, coalesce(st.df, 0) AS df,
+       coalesce(st.ctf, 0) AS ctf, d.doclen
+  FROM cands c JOIN qt ON qt.qid = c.qid
+  LEFT JOIN {post} p ON p.term = qt.term AND p.doc_id = c.doc_id
+  LEFT JOIN {stats} st ON st.term = qt.term
+  LEFT JOIN {dl} d ON d.doc_id = c.doc_id),
+feats_{fld} AS (SELECT g.qid, g.doc_id,
+    sum(CASE WHEN g.tf > 0 THEN
+        greatest(0.0, ln((c.n - g.df + 0.5) / (g.df + 0.5)))
+        * (g.tf / (g.tf + {K1} * (1 - {B} + {B} * g.doclen
+                                  / (c.sumlen / c.ndocs_f)))) * 1.0
+        ELSE 0.0 END) AS bm25_{fld},
+    CASE WHEN sum(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) > 0 THEN
+        exp(sum(CASE WHEN g.ctf > 0 THEN ln({val}) END) / count(*))
+        ELSE 0.0 END AS indri_{fld},
+    sum(CASE WHEN g.tf > 0 THEN 1 ELSE 0 END) / count(*) AS overlap_{fld}
+  FROM grid_{fld} g CROSS JOIN {corpus} c
+  GROUP BY g.qid, g.doc_id)"""
+
+
+def _sql_letor_multifield() -> str:
+    """Replays `q_letor_multifield`: body + lang + source feature grids,
+    pagerank prior ((doc_id % 17 + 1)/17) and n_chars doc features,
+    per-query min-max normalization, shared integer rounding."""
+    per_q = []
+    for qid, terms in LETOR_MF_QUERIES.items():
+        per_q.append(f"""(SELECT '{qid}' AS qid, sc_{qid}.doc_id
+  FROM sc_{qid} JOIN dl USING (doc_id)
+  ORDER BY floor(sc_{qid}.score * 1e6 + 0.5) DESC, dl.ext_id LIMIT 5)""")
+    ctes = ",\n".join(_bm25_scored_cte(t, f"sc_{q}")
+                      for q, t in LETOR_MF_QUERIES.items())
+    qterms = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, term FROM (VALUES {_values(terms)}) v(term)"
+        for qid, terms in LETOR_MF_QUERIES.items())
+    feat_ctes = ",\n".join([
+        _field_feats_cte("body", "post", "stats", "dl", "corpus"),
+        _field_feats_cte("lang", "post_lang", "stats_lang", "dl_lang",
+                         "corpus_lang"),
+        _field_feats_cte("source", "post_source", "stats_source",
+                         "dl_source", "corpus_source")])
+    names = [f"{m}_{f}" for f in LETOR_MF_FIELDS
+             for m in ("bm25", "indri", "overlap")] + ["pagerank", "nchars"]
+    sel = ", ".join(
+        ["coalesce(b.bm25_body, 0.0) AS bm25_body",
+         "coalesce(b.indri_body, 0.0) AS indri_body",
+         "coalesce(b.overlap_body, 0.0) AS overlap_body",
+         "coalesce(l.bm25_lang, 0.0) AS bm25_lang",
+         "coalesce(l.indri_lang, 0.0) AS indri_lang",
+         "coalesce(l.overlap_lang, 0.0) AS overlap_lang",
+         "coalesce(s.bm25_source, 0.0) AS bm25_source",
+         "coalesce(s.indri_source, 0.0) AS indri_source",
+         "coalesce(s.overlap_source, 0.0) AS overlap_source",
+         "((c.doc_id % 17) + 1) / 17.0 AS pagerank",
+         "df2.n_chars::DOUBLE AS nchars"])
+    norm_cols = ",\n    ".join(
+        f"CASE WHEN max({n}) OVER w > min({n}) OVER w THEN "
+        f"({n} - min({n}) OVER w) / (max({n}) OVER w - min({n}) OVER w) "
+        f"ELSE 0.0 END AS {n}_n" for n in names)
+    out_cols = ",\n       ".join(
+        f"floor({n}_n * 1e6 + 0.5)::BIGINT AS {n}_r" for n in names)
+    return f"""{PRELUDE},
+{_extra_field_ctes("lang", "lang")},
+{_extra_field_ctes("source", "source")},
+{ctes},
+cands AS ({" UNION ALL ".join(per_q)}),
+qt AS ({qterms}),
+{feat_ctes},
+wide AS (SELECT c.qid, c.doc_id, {sel}
+  FROM cands c
+  LEFT JOIN feats_body b ON b.qid = c.qid AND b.doc_id = c.doc_id
+  LEFT JOIN feats_lang l ON l.qid = c.qid AND l.doc_id = c.doc_id
+  LEFT JOIN feats_source s ON s.qid = c.qid AND s.doc_id = c.doc_id
+  LEFT JOIN documents df2 ON df2.doc_id = c.doc_id),
+normed AS (SELECT qid, doc_id,
+    {norm_cols}
+  FROM wide WINDOW w AS (PARTITION BY qid))
+SELECT qid, doc_id,
+       {out_cols}
+FROM normed"""
+
+
 def _sql_field_qualified() -> str:
     return f"""{PRELUDE},
 langtok AS (SELECT doc_id::BIGINT AS doc_id, count(*)::INT AS ltf
@@ -1191,6 +1336,8 @@ REGISTRY: dict[str, tuple] = {
     "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "letor_features": (q_letor_features, _sql_letor_features()),
+    "letor_features_multifield": (q_letor_multifield,
+                                  _sql_letor_multifield()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
