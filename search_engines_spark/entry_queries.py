@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .analysis import STOPWORDS
 from .engine.compile import Engine
+from .oracle import Models as _Models
 from .indexer.build import Index, index_documents_table
 from .pipeline import dedup as dd
 from .pipeline import similarity as sim
@@ -30,8 +31,12 @@ from .pipeline import textstats as ts
 
 # --------------------------------------------------------------- constants --
 
-K1, B = 1.2, 0.75
-MU, LAM = 2500.0, 0.4
+# Model constants come from Models() so engine and oracle SQL share the
+# reference's Float.parseFloat widening (`QryEval.java:263-271`): the
+# f-strings below embed e.g. 1.2000000476837158, the double the
+# reference actually scores with.
+_M = _Models()
+K1, B, MU, LAM = _M.k1, _M.b, _M.mu, _M.lam
 STOPLIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 BOW3 = ["spark", "stream", "join"]

@@ -22,6 +22,7 @@ Load-bearing quirks carried over (SURVEY.md §4.3):
 from __future__ import annotations
 
 import math
+import struct
 from dataclasses import dataclass, field as dc_field
 
 from .analysis import Analyzer, CANONICAL
@@ -50,15 +51,35 @@ class InvList:
         return sum(p.tf for p in self.postings)
 
 
+def f32(x: float) -> float:
+    """Round-trip through IEEE float32, widened back to double.
+
+    The reference parses every retrieval-model parameter with
+    `Float.parseFloat` and only then widens to double
+    (`QryEval.java:263-271`, `RetrievalModelBM25.java:14-18`), so the
+    k_1 it actually scores with is float32(1.2) = 1.2000000476837158,
+    not 1.2. Verified against the reference binary on its own toy index
+    (tests/test_reference_golden.py: scores match to 1e-9 only with
+    this widening)."""
+    return struct.unpack("<f", struct.pack("<f", float(x)))[0]
+
+
 @dataclass
 class Models:
-    """Retrieval-model params (`QryEval.java:248-301`)."""
+    """Retrieval-model params (`QryEval.java:248-301`).
+
+    Values pass through `f32` on construction — the reference's
+    Float.parseFloat quirk (`QryEval.java:263-271`)."""
 
     k1: float = 1.2
     b: float = 0.75
     k3: float = 0.0
     mu: float = 2500.0
     lam: float = 0.4
+
+    def __post_init__(self) -> None:
+        self.k1, self.b, self.k3 = f32(self.k1), f32(self.b), f32(self.k3)
+        self.mu, self.lam = f32(self.mu), f32(self.lam)
 
 
 class OracleIndex:

@@ -38,7 +38,7 @@ from .engine.compile import Engine
 from .indexer.build import Index, build_index_frames, docs_from_documents_table
 from .io import (read_parameter_file, read_query_file, read_ranking_file,
                  write_expanded_query_file, write_trec_file)
-from .oracle import Models
+from .oracle import Models, f32
 from .session import get_spark
 
 MODEL_NAMES = {"unrankedboolean": "unrankedboolean",
@@ -54,13 +54,13 @@ def init_model(params: dict[str, str]) -> tuple[str, Models]:
         raise ValueError(f"unknown retrievalAlgorithm {algo!r}")
     m = Models()
     if algo == "bm25":
-        m.k1 = float(params.get("BM25:k_1", m.k1))
-        m.b = float(params.get("BM25:b", m.b))
-        m.k3 = float(params.get("BM25:k_3", m.k3))
+        m.k1 = f32(params.get("BM25:k_1", m.k1))
+        m.b = f32(params.get("BM25:b", m.b))
+        m.k3 = f32(params.get("BM25:k_3", m.k3))
         assert m.k1 >= 0 and 0 <= m.b <= 1 and m.k3 >= 0
     if algo == "indri":
-        m.mu = float(params.get("Indri:mu", m.mu))
-        m.lam = float(params.get("Indri:lambda", m.lam))
+        m.mu = f32(params.get("Indri:mu", m.mu))
+        m.lam = f32(params.get("Indri:lambda", m.lam))
         assert m.mu >= 0 and 0 <= m.lam <= 1
     return MODEL_NAMES[algo], m
 
@@ -263,11 +263,11 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         # entry point C never enters the per-query loop below
         # (`QryEval.java:274-295` replaces processQuery with re-ranking)
         m = Models()
-        m.k1 = float(params.get("BM25:k_1", m.k1))
-        m.b = float(params.get("BM25:b", m.b))
-        m.k3 = float(params.get("BM25:k_3", m.k3))
-        m.mu = float(params.get("Indri:mu", m.mu))
-        m.lam = float(params.get("Indri:lambda", m.lam))
+        m.k1 = f32(params.get("BM25:k_1", m.k1))
+        m.b = f32(params.get("BM25:b", m.b))
+        m.k3 = f32(params.get("BM25:k_3", m.k3))
+        m.mu = f32(params.get("Indri:mu", m.mu))
+        m.lam = f32(params.get("Indri:lambda", m.lam))
         res = _letor_run(spark, idx, params, m, queries, k)
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,

@@ -111,9 +111,12 @@ def test_bm25_hand_computed():
     # N=3, df=2 → idf = ln((3-2+0.5)/(2+0.5)) = ln(0.6) < 0 → floored to 0
     assert all(s == 0.0 for _, _, s in res)
     res2 = run_query("farm", idx, "bm25", m)
-    # df=1 → idf = ln(2.5/1.5); doclen=2, avglen=7/3
+    # df=1 → idf = ln(2.5/1.5); doclen=2, avglen=7/3.  k_1 is the
+    # float32-widened 1.2000000476837158 the reference scores with
+    # (Float.parseFloat, `QryEval.java:263-266`; oracle.Models applies it)
+    assert m.k1 == pytest.approx(1.2, abs=1e-7) and m.k1 != 1.2
     idf = math.log(2.5 / 1.5)
-    tfw = 1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / (7 / 3)))
+    tfw = 1 / (1 + m.k1 * (1 - m.b + m.b * 2 / (7 / 3)))
     assert res2[0][2] == pytest.approx(idf * tfw, abs=1e-12)
 
 

@@ -1,0 +1,171 @@
+"""Golden gate against the ACTUAL reference binary (QryEval + Lucene 4.3).
+
+Fixtures in `tests/fixtures/refgolden/` were produced by:
+
+1. `tools/lucene_dump/IndexDump.java` — dumps the reference's own
+   prebuilt 5-doc toy index (`/root/reference/QryEval/index/`) to TSV:
+   exact postings with positions, DocLengthStore field lengths, ext ids,
+   and per-field corpus stats;
+2. the reference QryEval program itself (its shipped sources compiled
+   UNMODIFIED with javac 17 against the bundled lucene-4.3.0 jars), run
+   over `queries_*.txt` on that index → `golden_*.teIn`.
+
+The tests feed the DUMPED postings directly into Index frames — no
+analyzer involved, the index is the reference's own — and require the
+engine to reproduce every (qid, rank, ext_id) of every golden exactly,
+and every score to 1e-9.  `test_hw1_shipped_golden` goes further: it
+reproduces the reference's SHIPPED `HW1-queries-UB.teIn` byte-for-byte
+(`queries_hw1.txt` is a reconstruction verified byte-identical through
+the reference binary itself; the shipped file is read in place from
+/root/reference at test time, never copied into this repo).
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engines_spark.engine.compile import Engine
+from search_engines_spark.indexer.build import Index, build_term_stats
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "refgolden")
+SHIPPED_HW1 = "/root/reference/QryEval/HW1-queries-UB.teIn"
+
+
+# ------------------------------------------------------------ fixture load --
+
+
+def _parse_dump(path):
+    docs, lens, posts, stats = [], {}, [], {}
+    n_docs = 0
+    with open(path) as f:
+        for ln in f:
+            parts = ln.rstrip("\n").split("\t")
+            if parts[0] == "NUMDOCS":
+                n_docs = int(parts[1])
+            elif parts[0] == "DOC":
+                docs.append((int(parts[1]), parts[2]))
+            elif parts[0] == "STATS":
+                stats[parts[1]] = {"n_docs": n_docs,
+                                   "doc_count": int(parts[2]),
+                                   "sum_len": int(parts[3])}
+            elif parts[0] == "LEN":
+                lens[(int(parts[1]), parts[2])] = int(parts[3])
+            elif parts[0] == "POST":
+                fld, term, d, tf, pos = parts[1:6]
+                posts.append((term, fld, int(d), int(tf),
+                              [int(p) for p in pos.split(",")],
+                              lens[(int(d), fld)]))
+    return docs, lens, posts, stats
+
+
+@pytest.fixture(scope="module")
+def toy_index(spark):
+    docs, lens, posts, stats = _parse_dump(
+        os.path.join(FIX, "toyindex_dump.tsv"))
+    docs_df = spark.createDataFrame(docs, "doc_id long, ext_id string")
+    postings = spark.createDataFrame(
+        posts, "term string, field string, doc_id long, tf int, "
+               "positions array<int>, doclen long").persist()
+    doclens = spark.createDataFrame(
+        [(d, f, n) for (d, f), n in lens.items()],
+        "doc_id long, field string, doclen long")
+    return Index(docs=docs_df, doclens=doclens, postings=postings,
+                 term_stats=build_term_stats(postings).persist(),
+                 corpus_stats=stats, doc_map=docs_df.persist())
+
+
+def _read_queries(name):
+    out = {}
+    with open(os.path.join(FIX, name)) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln:
+                qid, q = ln.split(":", 1)
+                out[qid] = q
+    return out
+
+
+def _read_golden(path):
+    """teIn → {qid: [(rank, ext_id, score)]}."""
+    out = {}
+    with open(path) as f:
+        for ln in f:
+            qid, _, ext, rank, score, _ = ln.split("\t")
+            out.setdefault(qid, []).append((int(rank), ext, float(score)))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+# ------------------------------------------------------------- the gates --
+
+
+MODELS = [
+    ("unrankedboolean", "queries_bool.txt", "golden_unrankedboolean.teIn"),
+    ("rankedboolean", "queries_bool.txt", "golden_rankedboolean.teIn"),
+    ("bm25", "queries_bm25.txt", "golden_bm25.teIn"),
+    ("indri", "queries_indri.txt", "golden_indri.teIn"),
+]
+
+
+@pytest.mark.parametrize("model,qfile,gfile",
+                         MODELS, ids=[m[0] for m in MODELS])
+def test_reference_binary_golden(spark, toy_index, model, qfile, gfile):
+    """Engine == the reference binary, on the reference's own index:
+    identical (qid, rank, ext_id) lists, scores to 1e-9."""
+    golden = _read_golden(os.path.join(FIX, gfile))
+    eng = Engine(toy_index, model)
+    queries = _read_queries(qfile)
+    for qid, q in queries.items():
+        rows = eng.search(q, k=100).collect()
+        want = golden.get(qid, [])
+        got = [(i + 1, r["ext_id"], r["score"])
+               for i, r in enumerate(rows)]
+        assert [(r, e) for r, e, _ in got] == \
+               [(r, e) for r, e, _ in want], f"{model} q{qid} ranking"
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-9), \
+                f"{model} q{qid}: {gs} != {ws}"
+    # every golden qid was checked (no silently-skipped queries)
+    assert set(golden) <= set(queries)
+
+
+@pytest.mark.skipif(not os.path.exists(SHIPPED_HW1),
+                    reason="reference checkout not present")
+def test_hw1_shipped_golden(spark, toy_index):
+    """The reference's own shipped golden, byte-for-byte.
+
+    `queries_hw1.txt` is a reconstructed query file: running the
+    unmodified reference QryEval with it reproduces HW1-queries-UB.teIn
+    byte-identically (verified; the original query file does not ship).
+    The engine must now produce the same bytes: trec lines formatted
+    exactly as `QryEval.printResults` (`QryEval.java:795-796`, %s score
+    → Java Double.toString ≡ repr() on these values)."""
+    eng = Engine(toy_index, "rankedboolean")
+    lines = []
+    for qid, q in _read_queries("queries_hw1.txt").items():
+        rows = eng.search(q, k=100).collect()
+        for i, r in enumerate(rows):
+            lines.append(f"{qid}\tQ0\t{r['ext_id']}\t{i + 1}\t"
+                         f"{r['score']!r}\trunID\n")
+    with open(SHIPPED_HW1) as f:
+        assert "".join(lines) == f.read()
+
+
+def test_dump_matches_reference_stats(toy_index):
+    """The dumped corpus stats are the ones the reference scores with
+    (InspectIndex -list-stats: body 5 docs / 49 terms, url 5 / 25)."""
+    assert toy_index.stats_for("body") == \
+        {"n_docs": 5, "doc_count": 5, "sum_len": 49}
+    assert toy_index.stats_for("url") == \
+        {"n_docs": 5, "doc_count": 5, "sum_len": 25}
+    n_post = toy_index.postings.count()
+    assert n_post == 61
+    # positions are position-gap faithful (stopword slots preserved):
+    # doc 0 body 'popular' occurs at 9, 14, 19 (InspectIndex termvector)
+    row = (toy_index.postings
+           .where((F.col("term") == "popular") & (F.col("doc_id") == 0))
+           .collect())
+    assert row[0]["positions"] == [9, 14, 19]

@@ -1,0 +1,67 @@
+/*
+ * One-off dump of a reference (Lucene 4.3 / QryEval) index to TSV so the
+ * PySpark engine can be fed the EXACT postings the reference scores from
+ * (tests/fixtures/toyindex_dump.tsv; see tests/test_reference_golden.py).
+ *
+ * Compile next to the reference sources (they are read-only; build in a
+ * scratch dir):
+ *   cp /root/reference/QryEval/*.java tools/lucene_dump/IndexDump.java /tmp/refbuild/
+ *   cd /tmp/refbuild && javac -cp "/root/reference/QryEval/lucene-4.3.0/*" -d classes *.java
+ *   java -cp "classes:/root/reference/QryEval/lucene-4.3.0/*" IndexDump \
+ *       /root/reference/QryEval/index body,url > toyindex_dump.tsv
+ *
+ * Output lines (tab-separated):
+ *   NUMDOCS  n
+ *   DOC      iid  extid
+ *   STATS    field  docCount  sumOfFieldLengths
+ *   LEN      iid  field  fieldLength          (DocLengthStore value; in
+ *                        the toy index this counts indexed terms only,
+ *                        i.e. stopword slots hold positions but are not
+ *                        in the length norm)
+ *   POST     field  term  iid  tf  p1,p2,...  (positions ascending)
+ */
+import java.util.ArrayList;
+import java.util.HashMap;
+import java.util.Map;
+
+public class IndexDump {
+  public static void main(String[] args) throws Exception {
+    String indexPath = args[0];
+    String[] fields = args[1].split(",");
+    Idx.open(indexPath);
+    long n = Idx.getNumDocs();
+    System.out.println("NUMDOCS\t" + n);
+    for (int d = 0; d < n; d++)
+      System.out.println("DOC\t" + d + "\t" + Idx.getExternalDocid(d));
+    for (String f : fields)
+      System.out.println("STATS\t" + f + "\t" + Idx.getDocCount(f) + "\t"
+          + Idx.getSumOfFieldLengths(f));
+    for (String f : fields)
+      for (int d = 0; d < n; d++)
+        System.out.println("LEN\t" + d + "\t" + f + "\t"
+            + Idx.getFieldLength(f, d));
+    for (String f : fields) {
+      for (int d = 0; d < n; d++) {
+        TermVector tv = new TermVector(d, f);
+        if (tv.stemsLength() == 0)
+          continue;
+        Map<String, ArrayList<Integer>> pos = new HashMap<>();
+        for (int p = 0; p < tv.positionsLength(); p++) {
+          String s = tv.stemString(tv.stemAt(p));
+          if (s == null)      // stopword slot: position counted, no stem
+            continue;
+          pos.computeIfAbsent(s, k -> new ArrayList<>()).add(p);
+        }
+        for (Map.Entry<String, ArrayList<Integer>> e : pos.entrySet()) {
+          StringBuilder ps = new StringBuilder();
+          for (int i = 0; i < e.getValue().size(); i++) {
+            if (i > 0) ps.append(',');
+            ps.append(e.getValue().get(i));
+          }
+          System.out.println("POST\t" + f + "\t" + e.getKey() + "\t" + d
+              + "\t" + e.getValue().size() + "\t" + ps);
+        }
+      }
+    }
+  }
+}
