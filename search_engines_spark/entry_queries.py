@@ -771,6 +771,203 @@ WHERE EXISTS (SELECT 1 FROM emit a JOIN emit b
                 AND abs(a.pos - b.pos) < 3)"""
 
 
+RPRELUDE = PRELUDE.replace("WITH docs0", "WITH RECURSIVE docs0", 1)
+
+
+def _diversity_base_ctes() -> str:
+    """CTEs shared by the diversity oracles: the three BM25 rankings the
+    entries build (initial = BOW_RARE top-20, intents = 'dup' and
+    'spark stream' top-20 ∩ initial), then `Diversity.java:630-712`
+    normalization, then the candidate table as initial-rank-ordered
+    parallel lists (the greedy loops consume them by index)."""
+    top = ("SELECT i.doc_id, i.score FROM {src} i JOIN dl d USING (doc_id) "
+           "ORDER BY i.score DESC, d.ext_id LIMIT 20")
+    return f"""{_bm25_scored_cte(BOW_RARE, 'init_s')},
+init AS (
+  SELECT t.doc_id, t.score,
+         row_number() OVER (ORDER BY t.score DESC, d.ext_id) AS rnk
+  FROM ({top.format(src='init_s')}) t JOIN dl d USING (doc_id)),
+{_bm25_scored_cte(['dup'], 'i0_s')},
+i0 AS (SELECT t.doc_id, t.score FROM ({top.format(src='i0_s')}) t
+       JOIN init USING (doc_id)),
+{_bm25_scored_cte(['spark', 'stream'], 'i1_s')},
+i1 AS (SELECT t.doc_id, t.score FROM ({top.format(src='i1_s')}) t
+       JOIN init USING (doc_id)),
+nrm AS (
+  SELECT CASE WHEN (SELECT coalesce(max(score), 0.0) FROM
+                    (SELECT score FROM init UNION ALL
+                     SELECT score FROM i0 UNION ALL
+                     SELECT score FROM i1)) > 1.0
+         THEN greatest((SELECT sum(score) FROM init),
+                       coalesce((SELECT sum(score) FROM i0), 0.0),
+                       coalesce((SELECT sum(score) FROM i1), 0.0))
+         ELSE 1.0 END AS nf),
+tbl AS (
+  SELECT init.doc_id, init.rnk, init.score / nf AS rel,
+         coalesce(i0.score, 0.0) / nf AS s1,
+         coalesce(i1.score, 0.0) / nf AS s2
+  FROM init LEFT JOIN i0 USING (doc_id) LEFT JOIN i1 USING (doc_id)
+       CROSS JOIN nrm),
+base AS (
+  SELECT list(doc_id ORDER BY rnk)::BIGINT[] AS ids,
+         list(rel ORDER BY rnk)::DOUBLE[] AS rel,
+         list(s1 ORDER BY rnk)::DOUBLE[] AS s1,
+         list(s2 ORDER BY rnk)::DOUBLE[] AS s2
+  FROM tbl)"""
+
+
+def _sql_diversity_xquad(lam: float = 0.5) -> str:
+    """xQuAD greedy re-ranking (`Diversity.java:415-471`) as a recursive
+    CTE: one recursion step per selection; candidate state carried as
+    parallel lists, intent coverage products as scalars; argmax =
+    first max in initial-rank order (strict `>`, matching
+    `capabilities/diversity.py:xquad`)."""
+    w = 0.5  # 1 / n_intents, two intents
+    return f"""{RPRELUDE},
+{_diversity_base_ctes()},
+sel AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS sel_doc,
+         ids, rel, s1, s2, 1.0::DOUBLE AS c1, 1.0::DOUBLE AS c2
+  FROM base
+  UNION ALL
+  SELECT step + 1, ids[k],
+         ids[1:k-1] || ids[k+1:], rel[1:k-1] || rel[k+1:],
+         s1[1:k-1] || s1[k+1:], s2[1:k-1] || s2[k+1:],
+         c1 * (1 - s1[k]), c2 * (1 - s2[k])
+  FROM (
+    SELECT *, list_position(u, list_max(u)) AS k FROM (
+      SELECT *, list_transform(range(1, len(ids) + 1),
+        i -> (1 - {lam}) * rel[i]
+             + {lam} * ({w} * s1[i] * c1 + {w} * s2[i] * c2)) AS u
+      FROM sel WHERE len(ids) > 0) t) t2)
+SELECT sel_doc AS doc_id, step::BIGINT AS rank FROM sel WHERE step > 0"""
+
+
+def _sql_diversity_pm2(lam: float = 0.5, max_result_len: int = 20) -> str:
+    """PM2 proportional re-ranking (`Diversity.java:473-605`) as a
+    recursive CTE, carrying the per-intent slot accumulators and the
+    last-selected doc's intent scores as scalars.  Keeps the reference
+    quirks: slots RESET to 0 when the last doc's intent-score sum is 0
+    (`:519-524`), and the loop appends the chosen doc then stops when
+    its score is exactly 0 (`:600-602`)."""
+    vi = 0.5 * max_result_len  # votes = |ranking| / n_intents
+    return f"""{RPRELUDE},
+{_diversity_base_ctes()},
+sel AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS sel_doc,
+         ids, s1, s2, 0.0::DOUBLE AS sl1, 0.0::DOUBLE AS sl2,
+         CAST(NULL AS DOUBLE) AS l1, CAST(NULL AS DOUBLE) AS l2,
+         false AS stop
+  FROM base
+  UNION ALL
+  SELECT step + 1, ids[k],
+         ids[1:k-1] || ids[k+1:], s1[1:k-1] || s1[k+1:],
+         s2[1:k-1] || s2[k+1:],
+         sl1n, sl2n, s1[k], s2[k], (u[k] = 0.0)
+  FROM (
+    SELECT *, list_position(u, list_max(u)) AS k FROM (
+      SELECT *, list_transform(range(1, len(ids) + 1),
+        i -> CASE WHEN qt2 > qt1
+             THEN {lam} * qt2 * s2[i] + (1 - {lam}) * qt1 * s1[i]
+             ELSE {lam} * qt1 * s1[i] + (1 - {lam}) * qt2 * s2[i]
+             END) AS u
+      FROM (
+        SELECT *, {vi} / (2 * sl1n + 1) AS qt1, {vi} / (2 * sl2n + 1) AS qt2
+        FROM (
+          SELECT *,
+            CASE WHEN l1 IS NULL OR l1 + l2 = 0 THEN 0.0
+                 ELSE sl1 + l1 / (l1 + l2) END AS sl1n,
+            CASE WHEN l1 IS NULL OR l1 + l2 = 0 THEN 0.0
+                 ELSE sl2 + l2 / (l1 + l2) END AS sl2n
+          FROM sel WHERE len(ids) > 0 AND NOT stop) t0) t1) t2) t3)
+SELECT sel_doc AS doc_id, step::BIGINT AS rank FROM sel WHERE step > 0"""
+
+
+def _zipper_ctes(kind: str, t1: str, t2: str, n: int, alias: str) -> str:
+    """Recursive-CTE transcription of the greedy position zippers, so the
+    DuckDB oracle replays the exact two-pointer the engine (and the
+    reference) runs per doc — one recursion step per pointer advance.
+
+    NEAR (`QryIopNear.java:97-116`, oracle `_near_positions`):
+      right < left        -> advance right
+      right - left <= n   -> match, advance both
+      else                -> advance left
+    WINDOW (`QryIopWindow.java:121-137`, oracle `window_positions`):
+      |a - b| < n (strict) -> match, advance both
+      else                 -> advance the min (tie: first arg)
+
+    tf(doc) = total matches = max(cnt) over the doc's recursion trace;
+    derived-list df = docs with tf > 0 (`InvList.java:143-169`)."""
+    if kind == "near":
+        match = f"(bp[j] >= ap[i] AND bp[j] - ap[i] <= {n})"
+        i_next = f"CASE WHEN bp[j] < ap[i] THEN i ELSE i + 1 END"
+        j_next = (f"CASE WHEN bp[j] < ap[i] OR bp[j] - ap[i] <= {n} "
+                  f"THEN j + 1 ELSE j END")
+    elif kind == "window":
+        match = f"(abs(ap[i] - bp[j]) < {n})"
+        i_next = (f"CASE WHEN abs(ap[i] - bp[j]) < {n} OR ap[i] <= bp[j] "
+                  f"THEN i + 1 ELSE i END")
+        j_next = (f"CASE WHEN abs(ap[i] - bp[j]) < {n} OR ap[i] > bp[j] "
+                  f"THEN j + 1 ELSE j END")
+    else:
+        raise ValueError(kind)
+    return f"""{alias}_a AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM emit
+  WHERE term = '{t1}' GROUP BY doc_id),
+{alias}_b AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM emit
+  WHERE term = '{t2}' GROUP BY doc_id),
+{alias}_z AS (
+  SELECT a.doc_id, a.ps AS ap, b.ps AS bp, 1 AS i, 1 AS j, 0 AS cnt
+  FROM {alias}_a a JOIN {alias}_b b USING (doc_id)
+  UNION ALL
+  SELECT doc_id, ap, bp, {i_next}, {j_next},
+         cnt + CASE WHEN {match} THEN 1 ELSE 0 END
+  FROM {alias}_z WHERE i <= len(ap) AND j <= len(bp)),
+{alias} AS (
+  SELECT doc_id, max(cnt)::INT AS tf FROM {alias}_z
+  GROUP BY doc_id HAVING max(cnt) > 0)"""
+
+
+def _sql_ranked_near(t1: str = "big", t2: str = "join", n: int = 3) -> str:
+    """#NEAR/n tf under RankedBoolean — full greedy-consumption tf via the
+    recursive zipper (upgrades the entry from rows-only to value-hash)."""
+    return f"""{RPRELUDE},
+{_zipper_ctes('near', t1, t2, n, 'nr')}
+SELECT d.ext_id, nr.tf::BIGINT AS score_i
+FROM nr JOIN dl d USING (doc_id)"""
+
+
+def _sql_bm25_sdm() -> str:
+    """#sum( #near/2( spark stream ) #window/5( join merge ) spark ) under
+    BM25: proximity-arm tfs via the recursive zippers, each arm scored
+    with its DERIVED df (`InvList.java:143-169`, `QrySopScore.java:96`),
+    summed per doc (`QrySopSum.java:38-52`)."""
+    bm = (f"greatest(0.0, ln((c.n - {{df}} + 0.5) / ({{df}} + 0.5)))"
+          f" * ({{tf}} / ({{tf}} + {K1} * (1 - {B} + {B} * d.doclen"
+          f" / (c.sumlen / c.ndocs_f))))")
+    return f"""{RPRELUDE},
+{_zipper_ctes('near', 'spark', 'stream', 2, 'nr')},
+{_zipper_ctes('window', 'join', 'merge', 5, 'wn')},
+nr_stats AS (SELECT count(*)::DOUBLE AS df FROM nr),
+wn_stats AS (SELECT count(*)::DOUBLE AS df FROM wn),
+contrib AS (
+  SELECT nr.doc_id, {bm.format(df='s.df', tf='nr.tf')} AS sc
+  FROM nr CROSS JOIN nr_stats s JOIN dl d USING (doc_id) CROSS JOIN corpus c
+  UNION ALL
+  SELECT wn.doc_id, {bm.format(df='s.df', tf='wn.tf')} AS sc
+  FROM wn CROSS JOIN wn_stats s JOIN dl d USING (doc_id) CROSS JOIN corpus c
+  UNION ALL
+  SELECT p.doc_id, {bm.format(df='s.df', tf='p.tf')} AS sc
+  FROM post p JOIN stats s USING (term) JOIN dl d USING (doc_id)
+       CROSS JOIN corpus c
+  WHERE p.term = 'spark'),
+scored AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)
+SELECT d.ext_id, floor(scored.score * 1e6 + 0.5)::BIGINT AS score_r
+FROM scored JOIN dl d USING (doc_id)
+ORDER BY score_r DESC, ext_id LIMIT 100"""
+
+
 def _sql_bm25_syn() -> str:
     return f"""{PRELUDE},
 syn AS (SELECT doc_id, sum(tf)::INT AS tf FROM post
@@ -1309,8 +1506,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_rare_term": (_q_bm25(BOW_RARE), _bm25_sql(BOW_RARE)),
     "bm25_stopquery": (q_bm25_stop, _bm25_sql(STOPQ)),
     "bm25_syn": (q_bm25_syn, _sql_bm25_syn()),
-    "bm25_sdm_structured": (q_bm25_sdm, None),
-    "ranked_near": (q_ranked_near, None),
+    "bm25_sdm_structured": (q_bm25_sdm, _sql_bm25_sdm()),
+    "ranked_near": (q_ranked_near, _sql_ranked_near()),
     "ranked_and": (q_ranked_and, _sql_ranked_and()),
     "ranked_or": (q_ranked_or, _sql_ranked_or()),
     "unranked_and": (q_unranked_and, _sql_unranked_and()),
@@ -1334,8 +1531,8 @@ REGISTRY: dict[str, tuple] = {
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "doclen_store": (q_doclens, _sql_doclens()),
     "docterms_forward_index": (q_docterms, _sql_docterms()),
-    "diversity_xquad": (q_diversity_xquad, None),
-    "diversity_pm2": (q_diversity_pm2, None),
+    "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),
+    "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
     "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
