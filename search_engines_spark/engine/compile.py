@@ -91,7 +91,7 @@ class Engine:
             raise ValueError("search_daat is the BM25 fast path")
         if not hasattr(self, "_seg_dir"):
             raise ValueError("no segment store attached; call attach_segments")
-        from ..indexer.segments import read_segments
+        from ..indexer.merge import read_segments_merged
         from .daat import bm25_wand_topk
         node = self.parse(qstring)
         leaves = self._term_leaves(node)
@@ -115,8 +115,12 @@ class Engine:
         stats = {t: self._stats_of(Node("term", term=t, field=field))
                  for t in terms}
         st = self.index.stats_for(field)
-        segs = read_segments(self.index.docs.sparkSession, self._seg_dir,
-                             terms=terms, num_buckets=self._seg_buckets)
+        # merged read: base ∪ any live delta generations appended since
+        # the last compaction (indexer.merge); identical to read_segments
+        # when no generations exist (one tiny manifest stat call)
+        segs = read_segments_merged(self.index.docs.sparkSession,
+                                    self._seg_dir, terms=terms,
+                                    num_buckets=self._seg_buckets)
         top = bm25_wand_topk(segs, terms, stats, st["n_docs"],
                              st["sum_len"] / st["doc_count"], k=k,
                              params=self.p, field=field,

@@ -621,6 +621,35 @@ def q_daat_wand_topk(spark, sf_dir):
             .select("ext_id", "score_r"))
 
 
+_MERGE_CACHE: dict[tuple, str] = {}
+
+
+def q_merged_segments_topk(spark, sf_dir):
+    """Incremental index lifecycle (indexer.merge — the Lucene
+    TieredMergePolicy analog): half the corpus is built as base
+    segments, the other half committed as a delta GENERATION via
+    append_segments, and the query scores base ∪ delta through the
+    merged reader with NO compaction. Results must equal a one-shot
+    build over everything, so the oracle is the plain bm25_bow5 SQL."""
+    from .indexer.merge import append_segments
+    from .indexer.segments import build_segments
+    idx = _index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_MERGE_CACHE, key, "entry_merged_segs_")
+    if created:
+        mid = idx.docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        build_segments(idx.postings.where(F.col("doc_id") < mid),
+                       idx.doclens, d, num_buckets=8)
+        append_segments(idx.postings.where(F.col("doc_id") >= mid),
+                        d, num_buckets=8)
+    eng = Engine(idx, "bm25")
+    eng.attach_segments(d, num_buckets=8)
+    res = eng.search_daat(" ".join(BOW5), k=200)
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(100)
+            .select("ext_id", "score_r"))
+
+
 _BUCKETED_CACHE: dict[tuple, str] = {}
 
 
@@ -1527,6 +1556,7 @@ REGISTRY: dict[str, tuple] = {
     "postings_term": (q_postings, _sql_postings()),
     "term_stats": (q_term_stats, _sql_term_stats()),
     "daat_wand_topk": (q_daat_wand_topk, _bm25_sql(BOW3)),
+    "merged_segments_topk": (q_merged_segments_topk, _bm25_sql(BOW5)),
     "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "doclen_store": (q_doclens, _sql_doclens()),

@@ -1,0 +1,247 @@
+"""Incremental segment generations + compaction (Lucene merge analog).
+
+The reference's index lifecycle is Lucene's: every commit writes a new
+immutable segment and a background merge policy folds small segments
+into larger ones (`Idx.java:162-197` opens the merged product; the
+merging itself lives inside Lucene 4.3's TieredMergePolicy). This
+module is that lifecycle for the compressed varbyte layout of
+`segments.py`:
+
+* `append_segments(postings, seg_dir)` — encode a DELTA of new
+  documents' postings through the SAME Arrow block encoder and commit
+  it as the next generation under `seg_dir/_delta/gen=G/bucket=B/`.
+  Idempotent by input fingerprint: re-running with an already-committed
+  delta is a no-op (foreachBatch retries, crashed drivers).
+* `read_segments_merged(...)` — base ∪ live generations, with the same
+  bucket-directory + parquet term min/max pruning applied to every
+  generation (a generation is layout-identical to the base, so the
+  pruned reader is reused verbatim).
+* `compact_segments(...)` — fold all live generations into the base:
+  ONLY the buckets the deltas touch are rebuilt (decode base + delta
+  blocks → posting rows → re-encode → dynamic partition overwrite),
+  then the generation dirs are retired. Work scales with
+  |delta| + |base postings in touched buckets|, never corpus size —
+  at 10^12 docs a nightly compaction touches the buckets the day's
+  crawl touched, nothing else.
+* `merge_stream_into_segments(...)` — bridge from `streaming.ingest`'s
+  batch_id-partitioned postings sink: appends only batches not yet
+  committed (tracked per-generation in the manifest), so stream →
+  queryable block-max segments is one idempotent call.
+
+Correctness contract: a (term, field, doc_id) posting appears in
+exactly ONE generation — the append-only-corpus invariant of
+`streaming.ingest` (new batches carry new doc_ids). Readers never
+assume block ordering across generations: `engine.daat` groups blocks
+by doc-stride and unions per-doc contributions, so a merged read
+scores exactly the postings multiset of a from-scratch build;
+`compact_segments` then makes that physical (verified block-identical
+up to block regrouping in tests/test_merge.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import POSTINGS_SCHEMA
+from .codec import varbyte_decode
+from .segments import (SEGMENT_SCHEMA, _encode_partition, _fingerprint,
+                       read_segments)
+
+_DELTA_DIR = "_delta"
+
+
+def _gen_manifest_path(seg_dir: str) -> str:
+    return os.path.join(seg_dir, "_delta_manifest.jsonl")
+
+
+def _read_gen_manifest(seg_dir: str) -> list[dict]:
+    p = _gen_manifest_path(seg_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _gen_path(seg_dir: str, gen: int) -> str:
+    return os.path.join(seg_dir, _DELTA_DIR, f"gen={gen}")
+
+
+def live_generations(seg_dir: str) -> list[int]:
+    """Generations committed but not yet compacted into the base."""
+    floor, gens = 0, []
+    for m in _read_gen_manifest(seg_dir):
+        if "compacted_through" in m:
+            floor = max(floor, int(m["compacted_through"]))
+        elif "gen" in m:
+            gens.append(int(m["gen"]))
+    return sorted(g for g in set(gens) if g > floor)
+
+
+def merged_batches(seg_dir: str) -> set[int]:
+    """Streaming batch_ids already committed to some generation
+    (compacted or live — compaction never un-commits input)."""
+    out: set[int] = set()
+    for m in _read_gen_manifest(seg_dir):
+        out.update(m.get("source_batches", []))
+    return out
+
+
+def append_segments(postings: DataFrame, seg_dir: str,
+                    num_buckets: int = 32,
+                    source_batches: list[int] | None = None,
+                    fingerprint: dict | None = None) -> dict:
+    """Commit `postings` (a delta of NEW documents, doclen inlined) as
+    the next segment generation. Returns metrics; a delta whose
+    fingerprint is already committed is skipped (idempotent retry)."""
+    os.makedirs(seg_dir, exist_ok=True)
+    fingerprint = fingerprint or _fingerprint(postings)
+    manifest = _read_gen_manifest(seg_dir)
+    for m in manifest:
+        if m.get("fingerprint") == fingerprint:
+            return {"gen": int(m["gen"]), "skipped": True,
+                    "blocks": m.get("blocks", 0),
+                    "postings": m.get("postings", 0)}
+    gen = max([int(m["gen"]) for m in manifest if "gen" in m], default=0) + 1
+    out = _gen_path(seg_dir, gen)
+    src = postings.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    part = (src.repartitionByRange(num_buckets, "bucket", "term", "doc_id")
+            .sortWithinPartitions("bucket", "term", "field", "doc_id")
+            .select("term", "field", "bucket", "doc_id", "tf",
+                    "positions", "doclen"))
+    seg = part.mapInPandas(_encode_partition, schema=SEGMENT_SCHEMA)
+    seg.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    spark = postings.sparkSession
+    counts = (spark.read.parquet(out)
+              .agg(F.count("*").alias("blocks"),
+                   F.sum("n").alias("postings")).collect()[0])
+    entry = {"gen": gen, "fingerprint": fingerprint,
+             "blocks": int(counts["blocks"] or 0),
+             "postings": int(counts["postings"] or 0)}
+    if source_batches is not None:
+        entry["source_batches"] = sorted(int(b) for b in source_batches)
+    with open(_gen_manifest_path(seg_dir), "a") as f:   # the commit point
+        f.write(json.dumps(entry) + "\n")
+    return {**entry, "skipped": False}
+
+
+def read_segments_merged(spark: SparkSession, seg_dir: str,
+                         terms: list[str] | None = None,
+                         num_buckets: int = 32) -> DataFrame:
+    """Base ∪ live generations, each read through the pruned
+    `read_segments` reader (generations are layout-identical)."""
+    df = read_segments(spark, seg_dir, terms=terms, num_buckets=num_buckets)
+    for gen in live_generations(seg_dir):
+        g = read_segments(spark, _gen_path(seg_dir, gen),
+                          terms=terms, num_buckets=num_buckets)
+        df = df.unionByName(g)
+    return df
+
+
+_DECODE_SCHEMA = POSTINGS_SCHEMA + ", bucket int"
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Inverse of `segments._encode_partition`: segment block rows →
+    posting rows (positions reconstructed from per-doc deltas with
+    doc-start absolute). Python touches blocks, numpy touches ints."""
+    for pdf in batches:
+        rows: list[dict] = []
+        for row in pdf.itertuples(index=False):
+            doc_ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
+            tfs = varbyte_decode(bytes(row.tfs_vb))
+            dls = varbyte_decode(bytes(row.doclens_vb))
+            pdeltas = varbyte_decode(bytes(row.positions_vb))
+            if pdeltas.size:
+                starts = np.concatenate(
+                    ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+                c = np.cumsum(pdeltas)
+                before = c[starts] - pdeltas[starts]
+                abs_pos = c - np.repeat(before, tfs)
+            else:
+                abs_pos = pdeltas
+            pos_lists = np.split(abs_pos, np.cumsum(tfs)[:-1])
+            for i in range(len(doc_ids)):
+                rows.append({
+                    "term": row.term, "field": row.field,
+                    "doc_id": int(doc_ids[i]), "tf": int(tfs[i]),
+                    "positions": pos_lists[i].astype(np.int32),
+                    "doclen": int(dls[i]), "bucket": int(row.bucket)})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def compact_segments(spark: SparkSession, seg_dir: str,
+                     num_buckets: int = 32, chunk: int = 8) -> dict:
+    """Fold all live generations into the base layout. Only buckets the
+    deltas touch are rebuilt; generation dirs are retired afterwards.
+    Re-running after a crash is safe: the rebuild is a dynamic partition
+    overwrite keyed by bucket (replays replace, never duplicate), and
+    the retire marker is the last step."""
+    gens = live_generations(seg_dir)
+    if not gens:
+        return {"compacted_gens": 0, "buckets_rebuilt": 0}
+    touched: set[int] = set()
+    for gen in gens:
+        root = _gen_path(seg_dir, gen)
+        if os.path.isdir(root):
+            touched.update(int(d.split("=", 1)[1])
+                           for d in os.listdir(root)
+                           if d.startswith("bucket="))
+    buckets = sorted(touched)
+    metrics = {"compacted_gens": len(gens), "buckets_rebuilt": 0,
+               "blocks": 0, "postings": 0}
+    for i in range(0, len(buckets), chunk):
+        batch = buckets[i:i + chunk]
+        blocks = read_segments_merged(spark, seg_dir,
+                                      num_buckets=num_buckets) \
+            .where(F.col("bucket").isin(batch))
+        decoded = blocks.mapInPandas(_decode_partition,
+                                     schema=_DECODE_SCHEMA)
+        part = (decoded
+                .repartitionByRange(len(batch), "bucket", "term", "doc_id")
+                .sortWithinPartitions("bucket", "term", "field", "doc_id")
+                .select("term", "field", "bucket", "doc_id", "tf",
+                        "positions", "doclen"))
+        seg = part.mapInPandas(_encode_partition, schema=SEGMENT_SCHEMA)
+        (seg.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(seg_dir))
+        counts = (spark.read.parquet(seg_dir)
+                  .where(F.col("bucket").isin(batch))
+                  .agg(F.count("*").alias("blocks"),
+                       F.sum("n").alias("postings")).collect()[0])
+        metrics["blocks"] += int(counts["blocks"] or 0)
+        metrics["postings"] += int(counts["postings"] or 0)
+        metrics["buckets_rebuilt"] += len(batch)
+    for gen in gens:                       # retire AFTER the base is whole
+        shutil.rmtree(_gen_path(seg_dir, gen), ignore_errors=True)
+    with open(_gen_manifest_path(seg_dir), "a") as f:
+        f.write(json.dumps({"compacted_through": max(gens),
+                            **metrics}) + "\n")
+    return metrics
+
+
+def merge_stream_into_segments(spark: SparkSession, stream_dir: str,
+                               seg_dir: str,
+                               num_buckets: int = 32) -> dict:
+    """Append the not-yet-merged batches of a `streaming.ingest`
+    postings sink (partitioned by batch_id) as one new generation."""
+    df = spark.read.parquet(stream_dir)
+    have = {int(r["batch_id"]) for r in
+            df.select("batch_id").distinct().collect()}
+    new = sorted(have - merged_batches(seg_dir))
+    if not new:
+        return {"skipped": True, "batches": []}
+    delta = df.where(F.col("batch_id").isin(new)).drop("batch_id")
+    out = append_segments(delta, seg_dir, num_buckets=num_buckets,
+                          source_batches=new)
+    return {**out, "batches": new}

@@ -1,0 +1,136 @@
+"""Segment generations + compaction (indexer.merge): a delta appended
+as a new generation scores identically to a from-scratch build, both
+through the merged reader and after physical compaction — the Lucene
+segment-merge lifecycle the reference delegates to TieredMergePolicy."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engines_spark.engine import Engine
+from search_engines_spark.indexer.codec import varbyte_decode
+from search_engines_spark.indexer.merge import (
+    append_segments, compact_segments, live_generations, merged_batches,
+    merge_stream_into_segments, read_segments_merged)
+from search_engines_spark.indexer.segments import build_segments, read_segments
+
+NUM_BUCKETS = 8
+SPLIT = 80  # docs [0, SPLIT) are the base build, the rest arrive as a delta
+
+
+def _postings_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault((r["term"], r["field"]), {})[r["doc_id"]] = (
+            r["tf"], list(r["positions"]))
+    return out
+
+
+def _decoded_map(block_rows):
+    out = {}
+    for r in block_rows:
+        ids = np.cumsum(varbyte_decode(bytes(r["docids_vb"])))
+        tfs = varbyte_decode(bytes(r["tfs_vb"]))
+        pdel = varbyte_decode(bytes(r["positions_vb"]))
+        off = 0
+        run = out.setdefault((r["term"], r["field"]), {})
+        for d, tf in zip(ids, tfs):
+            dp = pdel[off:off + tf]
+            run[int(d)] = (int(tf), list(np.cumsum(dp)))
+            off += tf
+    return out
+
+
+@pytest.fixture(scope="module")
+def merged_dir(spark, spark_index, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("merge_segs"))
+    base = spark_index.postings.where(F.col("doc_id") < SPLIT)
+    delta = spark_index.postings.where(F.col("doc_id") >= SPLIT)
+    build_segments(base, spark_index.doclens, d, num_buckets=NUM_BUCKETS)
+    m = append_segments(delta, d, num_buckets=NUM_BUCKETS)
+    assert m["gen"] == 1 and not m["skipped"] and m["postings"] > 0
+    return d
+
+
+def test_append_is_idempotent(spark, spark_index, merged_dir):
+    delta = spark_index.postings.where(F.col("doc_id") >= SPLIT)
+    m = append_segments(delta, merged_dir, num_buckets=NUM_BUCKETS)
+    assert m["skipped"] and m["gen"] == 1
+    assert live_generations(merged_dir) == [1]
+
+
+def test_merged_read_equals_full_postings(spark, spark_index, merged_dir):
+    want = _postings_map(spark_index.postings.collect())
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, merged_dir,
+                             num_buckets=NUM_BUCKETS).collect())
+    assert got == want
+
+
+def test_merged_read_is_term_pruned(spark, merged_dir):
+    rows = read_segments_merged(spark, merged_dir, terms=["creek", "farm"],
+                                num_buckets=NUM_BUCKETS).collect()
+    assert rows and {r["term"] for r in rows} <= {"creek", "farm"}
+
+
+def test_daat_over_generations_matches_engine(spark, spark_index, merged_dir):
+    """search_daat reads base ∪ generations transparently and stays
+    rank-identical to the set-at-a-time plan over the FULL index."""
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(merged_dir, num_buckets=NUM_BUCKETS)
+    got = eng.search_daat("fickle creek farm", k=20).collect()
+    want = eng.search("fickle creek farm", k=20).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert np.allclose([r["score"] for r in got],
+                       [r["score"] for r in want], atol=1e-9)
+
+
+def test_compaction_folds_generations(spark, spark_index, merged_dir):
+    want = _postings_map(spark_index.postings.collect())
+    m = compact_segments(spark, merged_dir, num_buckets=NUM_BUCKETS, chunk=3)
+    assert m["compacted_gens"] == 1 and m["buckets_rebuilt"] > 0
+    assert live_generations(merged_dir) == []
+    assert not os.path.isdir(os.path.join(merged_dir, "_delta", "gen=1"))
+    # base-only read now carries everything, bit-exact
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments(spark, merged_dir, num_buckets=NUM_BUCKETS).collect())
+    assert got == want
+    # second compaction is a no-op
+    assert compact_segments(spark, merged_dir,
+                            num_buckets=NUM_BUCKETS)["compacted_gens"] == 0
+    # queries unchanged post-compaction
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(merged_dir, num_buckets=NUM_BUCKETS)
+    got_q = eng.search_daat("fickle creek farm", k=20).collect()
+    want_q = eng.search("fickle creek farm", k=20).collect()
+    assert [r["doc_id"] for r in got_q] == [r["doc_id"] for r in want_q]
+
+
+def test_merge_stream_batches(spark, spark_index, tmp_path_factory):
+    """batch_id-partitioned stream sink → one generation per merge call,
+    already-merged batches never re-append."""
+    stream_dir = str(tmp_path_factory.mktemp("stream_sink"))
+    seg_dir = str(tmp_path_factory.mktemp("stream_segs"))
+    base = spark_index.postings.where(F.col("doc_id") < SPLIT)
+    build_segments(base, spark_index.doclens, seg_dir,
+                   num_buckets=NUM_BUCKETS)
+    delta = spark_index.postings.where(F.col("doc_id") >= SPLIT)
+    (delta.withColumn("batch_id",
+                      (F.col("doc_id") % 2).cast("long"))
+     .write.mode("overwrite").partitionBy("batch_id").parquet(stream_dir))
+    m = merge_stream_into_segments(spark, stream_dir, seg_dir,
+                                   num_buckets=NUM_BUCKETS)
+    assert m["batches"] == [0, 1] and not m["skipped"]
+    assert merged_batches(seg_dir) == {0, 1}
+    m2 = merge_stream_into_segments(spark, stream_dir, seg_dir,
+                                    num_buckets=NUM_BUCKETS)
+    assert m2["skipped"]
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, seg_dir,
+                             num_buckets=NUM_BUCKETS).collect())
+    assert got == _postings_map(spark_index.postings.collect())
