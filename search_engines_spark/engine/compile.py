@@ -91,7 +91,7 @@ class Engine:
             raise ValueError("search_daat is the BM25 fast path")
         if not hasattr(self, "_seg_dir"):
             raise ValueError("no segment store attached; call attach_segments")
-        from ..indexer.merge import read_segments_merged
+        from ..indexer.merge import deleted_doc_ids, read_segments_merged
         from .daat import bm25_wand_topk
         node = self.parse(qstring)
         leaves = self._term_leaves(node)
@@ -121,10 +121,16 @@ class Engine:
         segs = read_segments_merged(self.index.docs.sparkSession,
                                     self._seg_dir, terms=terms,
                                     num_buckets=self._seg_buckets)
+        # tombstone mask (indexer.merge.delete_docs): deleted docs are
+        # filtered at score time; stats stay full-corpus until a
+        # purging merge — Lucene liveDocs/docFreq semantics
+        deleted = deleted_doc_ids(self.index.docs.sparkSession,
+                                  self._seg_dir)
         top = bm25_wand_topk(segs, terms, stats, st["n_docs"],
                              st["sum_len"] / st["doc_count"], k=k,
                              params=self.p, field=field,
-                             term_weights=mult)
+                             term_weights=mult,
+                             deleted=deleted if deleted.size else None)
         return (top.join(self._doc_map(), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "ext_id", "score"))

@@ -58,7 +58,8 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                    field: str = "body",
                    term_weights: dict[str, int] | None = None,
                    stride: int = STRIDE,
-                   prune_counter=None) -> DataFrame:
+                   prune_counter=None,
+                   deleted: np.ndarray | None = None) -> DataFrame:
     """→ (doc_id, score) global top-k for BM25 #SUM over `terms`.
 
     term_stats: {term: (df, ctf)} — collected once, driver-side (tiny).
@@ -70,6 +71,11 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
     prune_counter: optional `sc.accumulator(0)` — incremented once per
     stride SKIPPED without decoding (observability for the block-max
     prune; accumulator updates flow back from the Arrow workers).
+    deleted: optional sorted array of tombstoned doc_ids
+    (`indexer.merge.deleted_doc_ids` — the Lucene liveDocs mask):
+    masked out after decode, before scoring, so a deleted doc can
+    never occupy a top-k slot; stats stay full-corpus until a purging
+    merge, matching Lucene's docFreq-includes-deletes semantics.
     """
     p = params or Models()
     w = term_weights or {}
@@ -97,6 +103,7 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
 
     idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
     stride_w = stride
+    deleted_b = deleted if deleted is not None and deleted.size else None
 
     def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # gather this partition's blocks grouped by stride
@@ -128,6 +135,8 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
             for row in grp.itertuples(index=False):
                 ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
                 mask = (ids >= lo) & (ids < hi)
+                if deleted_b is not None:
+                    mask &= ~np.isin(ids, deleted_b, assume_unique=False)
                 if not mask.any():
                     continue
                 tfs = varbyte_decode(bytes(row.tfs_vb))[mask].astype(np.float64)

@@ -145,6 +145,18 @@ FROM scored JOIN dl d USING (doc_id)
 ORDER BY score_r DESC, ext_id LIMIT {k}"""
 
 
+def _bm25_sql_deleted(terms: list[str], k: int = 100) -> str:
+    """bm25 SQL minus tombstoned candidates (doc_id % 7 == 3): scores
+    keep FULL-corpus stats — the Lucene docFreq-includes-deletes
+    contract `q_segments_delete_topk` must reproduce."""
+    return f"""{PRELUDE},
+{_bm25_scored_cte(terms, 'scored')}
+SELECT d.ext_id, floor(scored.score * 1e6 + 0.5)::BIGINT AS score_r
+FROM scored JOIN dl d USING (doc_id)
+WHERE d.doc_id % 7 <> 3
+ORDER BY score_r DESC, ext_id LIMIT {k}"""
+
+
 INDRI_VAL = ("(1 - {lam}) * ({tf} + {mu} * ({ctf} / c.sumlen))"
              " / ({dl} + {mu}) + {lam} * ({ctf} / c.sumlen)")
 
@@ -645,6 +657,34 @@ def q_merged_segments_topk(spark, sf_dir):
     eng = Engine(idx, "bm25")
     eng.attach_segments(d, num_buckets=8)
     res = eng.search_daat(" ".join(BOW5), k=200)
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(100)
+            .select("ext_id", "score_r"))
+
+
+_DELETE_CACHE: dict[tuple, str] = {}
+
+
+def q_segments_delete_topk(spark, sf_dir):
+    """Tombstone deletes over the segment store (indexer.merge
+    delete_docs — the Lucene liveDocs analog): docs with
+    doc_id % 7 == 3 are deleted AFTER the build, the DAAT read masks
+    them at score time, and scores keep full-corpus stats
+    (docFreq-includes-deletes). Oracle: the bm25_bow3 SQL minus the
+    deleted candidates."""
+    from .indexer.merge import delete_docs
+    from .indexer.segments import build_segments
+    idx = _index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_DELETE_CACHE, key, "entry_del_segs_")
+    if created:
+        build_segments(idx.postings, idx.doclens, d, num_buckets=8)
+        delete_docs(spark, d,
+                    idx.docs.where(F.col("doc_id") % 7 == 3)
+                    .select("doc_id"))
+    eng = Engine(idx, "bm25")
+    eng.attach_segments(d, num_buckets=8)
+    res = eng.search_daat(" ".join(BOW3), k=200)
     return (res.withColumn("score_r", _r(F.col("score")))
             .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(100)
             .select("ext_id", "score_r"))
@@ -1557,6 +1597,8 @@ REGISTRY: dict[str, tuple] = {
     "term_stats": (q_term_stats, _sql_term_stats()),
     "daat_wand_topk": (q_daat_wand_topk, _bm25_sql(BOW3)),
     "merged_segments_topk": (q_merged_segments_topk, _bm25_sql(BOW5)),
+    "segments_delete_topk": (q_segments_delete_topk,
+                             _bm25_sql_deleted(BOW3)),
     "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "doclen_store": (q_doclens, _sql_doclens()),

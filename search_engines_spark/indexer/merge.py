@@ -179,15 +179,57 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             yield pd.DataFrame(rows)
 
 
+_TOMBSTONE_DIR = "_tombstones"
+
+
+def delete_docs(spark: SparkSession, seg_dir: str, doc_ids) -> dict:
+    """Tombstone deletes — the Lucene liveDocs analog. Records doc_ids
+    as deleted WITHOUT touching segment data (a doc's postings are
+    scattered across every bucket its terms hash to; rewriting them
+    eagerly would be a corpus-sized job). Accepts a DataFrame with a
+    `doc_id` column or an iterable of ids; set semantics make replays
+    idempotent. Lucene-faithful scoring contract: corpus stats and df
+    keep counting deleted docs (Lucene's docFreq-includes-deletes) —
+    readers only mask the docs out of results. A purging merge
+    (`compact_segments(purge_deletes=True)` = forceMerge) removes the
+    physical postings; stats change only when the logical Index frames
+    are rebuilt over the surviving corpus."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long")
+    out = os.path.join(seg_dir, _TOMBSTONE_DIR)
+    doc_ids.select("doc_id").write.mode("append").parquet(out)
+    return {"deleted_total": int(deleted_doc_ids(spark, seg_dir).size)}
+
+
+def deleted_doc_ids(spark: SparkSession, seg_dir: str) -> np.ndarray:
+    """Distinct tombstoned doc_ids as a driver-side array (the form the
+    DAAT kernel masks with). Bounded by the delete volume between
+    purges — the same bitset-in-RAM budget Lucene's liveDocs has."""
+    p = os.path.join(seg_dir, _TOMBSTONE_DIR)
+    if not os.path.isdir(p):
+        return np.empty(0, dtype=np.int64)
+    rows = spark.read.parquet(p).select("doc_id").distinct().collect()
+    return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+
+
 def compact_segments(spark: SparkSession, seg_dir: str,
-                     num_buckets: int = 32, chunk: int = 8) -> dict:
+                     num_buckets: int = 32, chunk: int = 8,
+                     purge_deletes: bool = False) -> dict:
     """Fold all live generations into the base layout. Only buckets the
     deltas touch are rebuilt; generation dirs are retired afterwards.
     Re-running after a crash is safe: the rebuild is a dynamic partition
     overwrite keyed by bucket (replays replace, never duplicate), and
-    the retire marker is the last step."""
+    the retire marker is the last step.
+
+    purge_deletes=True additionally rewrites EVERY bucket dropping
+    tombstoned docs' postings, then clears the tombstones — Lucene's
+    forceMerge. The default merge leaves tombstones in place (read-time
+    mask) because a deleted doc's postings span arbitrary term buckets."""
     gens = live_generations(seg_dir)
-    if not gens:
+    tombs = deleted_doc_ids(spark, seg_dir) if purge_deletes else \
+        np.empty(0, dtype=np.int64)
+    if not gens and not tombs.size:
         return {"compacted_gens": 0, "buckets_rebuilt": 0}
     touched: set[int] = set()
     for gen in gens:
@@ -196,6 +238,10 @@ def compact_segments(spark: SparkSession, seg_dir: str,
             touched.update(int(d.split("=", 1)[1])
                            for d in os.listdir(root)
                            if d.startswith("bucket="))
+    if tombs.size:   # purge must visit every bucket that holds data
+        touched.update(int(d.split("=", 1)[1])
+                       for d in os.listdir(seg_dir)
+                       if d.startswith("bucket="))
     buckets = sorted(touched)
     metrics = {"compacted_gens": len(gens), "buckets_rebuilt": 0,
                "blocks": 0, "postings": 0}
@@ -206,6 +252,11 @@ def compact_segments(spark: SparkSession, seg_dir: str,
             .where(F.col("bucket").isin(batch))
         decoded = blocks.mapInPandas(_decode_partition,
                                      schema=_DECODE_SCHEMA)
+        if tombs.size:
+            tomb_df = spark.createDataFrame(
+                [(int(d),) for d in tombs], "doc_id long")
+            decoded = decoded.join(F.broadcast(tomb_df), "doc_id",
+                                   "left_anti")
         part = (decoded
                 .repartitionByRange(len(batch), "bucket", "term", "doc_id")
                 .sortWithinPartitions("bucket", "term", "field", "doc_id")
@@ -224,9 +275,14 @@ def compact_segments(spark: SparkSession, seg_dir: str,
         metrics["buckets_rebuilt"] += len(batch)
     for gen in gens:                       # retire AFTER the base is whole
         shutil.rmtree(_gen_path(seg_dir, gen), ignore_errors=True)
-    with open(_gen_manifest_path(seg_dir), "a") as f:
-        f.write(json.dumps({"compacted_through": max(gens),
-                            **metrics}) + "\n")
+    if tombs.size:
+        shutil.rmtree(os.path.join(seg_dir, _TOMBSTONE_DIR),
+                      ignore_errors=True)
+        metrics["purged_deletes"] = int(tombs.size)
+    if gens:
+        with open(_gen_manifest_path(seg_dir), "a") as f:
+            f.write(json.dumps({"compacted_through": max(gens),
+                                **metrics}) + "\n")
     return metrics
 
 

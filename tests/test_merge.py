@@ -110,6 +110,44 @@ def test_compaction_folds_generations(spark, spark_index, merged_dir):
     assert [r["doc_id"] for r in got_q] == [r["doc_id"] for r in want_q]
 
 
+def test_delete_tombstones_and_purge(spark, spark_index, tmp_path_factory):
+    """delete_docs masks docs out of DAAT results at score time with
+    full-corpus stats (Lucene liveDocs/docFreq semantics); a purging
+    merge physically removes the postings and clears the tombstones."""
+    from search_engines_spark.indexer.merge import (delete_docs,
+                                                    deleted_doc_ids)
+    d = str(tmp_path_factory.mktemp("del_segs"))
+    build_segments(spark_index.postings, spark_index.doclens, d,
+                   num_buckets=NUM_BUCKETS)
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    before = eng.search_daat("fickle creek farm", k=30).collect()
+    victims = [r["doc_id"] for r in before[:2]]
+    m = delete_docs(spark, d, victims)
+    assert m["deleted_total"] == 2
+    # idempotent replay
+    delete_docs(spark, d, victims)
+    assert list(deleted_doc_ids(spark, d)) == sorted(victims)
+    after = eng.search_daat("fickle creek farm", k=30).collect()
+    got = [(r["doc_id"], round(r["score"], 9)) for r in after]
+    # exactly the undeleted prefix, scores unchanged (full-corpus stats)
+    want = [(r["doc_id"], round(r["score"], 9)) for r in before
+            if r["doc_id"] not in victims][:len(got)]
+    assert got == want and not {v for v, _ in got} & set(victims)
+    # purge = forceMerge: postings physically gone, tombstones cleared
+    pm = compact_segments(spark, d, num_buckets=NUM_BUCKETS,
+                          purge_deletes=True)
+    assert pm["purged_deletes"] == 2 and pm["buckets_rebuilt"] > 0
+    assert deleted_doc_ids(spark, d).size == 0
+    decoded = _decoded_map(
+        r.asDict() for r in
+        read_segments(spark, d, num_buckets=NUM_BUCKETS).collect())
+    all_docs = {doc for run in decoded.values() for doc in run}
+    assert not all_docs & set(victims)
+    post = eng.search_daat("fickle creek farm", k=30).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in post] == want
+
+
 def test_merge_stream_batches(spark, spark_index, tmp_path_factory):
     """batch_id-partitioned stream sink → one generation per merge call,
     already-merged batches never re-append."""
