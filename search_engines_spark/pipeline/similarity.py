@@ -183,38 +183,66 @@ def lsh_ann_indexed(spark, path: str, query_vec: list[float], k: int = 20,
             .select("vec_id", "cos_r"))
 
 
+def _assign_cells(v: DataFrame, cent_vecs: list[list[float]]) -> DataFrame:
+    """(vec_id, v) → + `cell` = argmin squared distance to `cent_vecs`,
+    as one least-chain of JVM fold expressions (centroid table is tiny,
+    shipped as literals — no join, no shuffle)."""
+    d_cols = [F.aggregate(F.zip_with(F.col("v"),
+                                     F.array(*[F.lit(x) for x in c]),
+                                     lambda x, y: (x - y) * (x - y)),
+                          F.lit(0.0), lambda a, x: a + x).alias(f"d{i}")
+              for i, c in enumerate(cent_vecs)]
+    withd = v.select("vec_id", "v", *d_cols)
+    cell = F.lit(0)
+    best = F.col("d0")
+    for i in range(1, len(cent_vecs)):
+        cond = F.col(f"d{i}") < best
+        cell = F.when(cond, F.lit(i)).otherwise(cell)
+        best = F.when(cond, F.col(f"d{i}")).otherwise(best)
+    return withd.withColumn("cell", cell).select("vec_id", "v", "cell")
+
+
 def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
+                    refine_iters: int = 0,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> dict:
     """IVF layout at ingest: nearest-centroid cell per vector (broadcast
     least-chain over the deterministic centroid set), written partitioned
     by `cell` → `ivf_topk_indexed` reads nprobe partitions only. Returns
-    metadata (centroids inlined — they are n_cells×dim floats, tiny)."""
+    metadata (centroids inlined — they are n_cells×dim floats, tiny).
+
+    refine_iters > 0 runs that many Lloyd (k-means) iterations before
+    the final assignment: assign → per-(cell, dim) mean via posexplode +
+    groupBy (one shuffle of n·dim scalars per iteration — the standard
+    offline k-means cost), empty cells keep their previous centroid.
+    Seeded by the same deterministic id-ordered sample, so the build is
+    reproducible; the default 0 keeps the naive centroids the scan-time
+    `ivf_topk` oracle uses."""
     import json
     import os
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]])
-             for r in v.orderBy("vec_id").limit(n_cells).collect()]
-    d_cols = [F.aggregate(F.zip_with(F.col("v"),
-                                     F.array(*[F.lit(x) for x in c]),
-                                     lambda x, y: (x - y) * (x - y)),
-                          F.lit(0.0), lambda a, x: a + x).alias(f"d{i}")
-              for i, (_, c) in enumerate(cents)]
-    withd = v.select("vec_id", "v", *d_cols)
-    cell = F.lit(0)
-    best = F.col("d0")
-    for i in range(1, len(cents)):
-        cond = F.col(f"d{i}") < best
-        cell = F.when(cond, F.lit(i)).otherwise(cell)
-        best = F.when(cond, F.col(f"d{i}")).otherwise(best)
-    out = (withd.withColumn("cell", cell)
+    cent_vecs = [[float(x) for x in r["v"]]
+                 for r in v.orderBy("vec_id").limit(n_cells).collect()]
+    for _ in range(refine_iters):
+        means = (_assign_cells(v, cent_vecs)
+                 .select("cell", F.posexplode("v").alias("pos", "val"))
+                 .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+                 .collect())
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cent_vecs = [([by_pos[p] for p in range(len(by_pos))]
+                      if (by_pos := acc.get(i)) else old)
+                     for i, old in enumerate(cent_vecs)]
+    out = (_assign_cells(v, cent_vecs)
            .withColumn("nrm", norm_expr(F.col("v")))
            .select("vec_id", "v", "nrm", "cell"))
     # one writer task per cell (see write_ann_index on the fan-out hazard)
     out.repartition(F.col("cell")) \
         .write.mode("overwrite").partitionBy("cell").parquet(path)
-    meta = {"n_cells": len(cents), "centroids": [c for _, c in cents]}
+    meta = {"n_cells": len(cent_vecs), "centroids": cent_vecs,
+            "refine_iters": refine_iters}
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -255,9 +283,9 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 20,
     the query, brute-force within.
 
     Deterministic: centroids = the vectors with the `n_cells` smallest ids
-    (a seeded k-means would drift across runs; for a correctness-checkable
-    operator determinism wins — swap in `pyspark.ml.clustering.KMeans`
-    offline for production cells).
+    (for a correctness-checkable operator determinism wins; production
+    cells come from `write_ivf_index(refine_iters=N)` — deterministic
+    Lloyd refinement at ingest).
     """
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))

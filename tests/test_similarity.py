@@ -224,3 +224,34 @@ def test_ivf_indexed_reads_nprobe_cells(emb, qvec, spark, ivf_index_path):
     on_disk = {d for d in os.listdir(ivf_index_path)
                if d.startswith("cell=")}
     assert len(cells_read) <= 3 < len(on_disk)
+
+
+def test_ivf_refined_centroids_improve_recall(emb, qvec, spark,
+                                              tmp_path_factory):
+    """Lloyd-refined centroids (write_ivf_index(refine_iters=N)) are
+    deterministic across rebuilds and recall at least as much of the
+    true top-10 as the naive id-sample centroids at the same nprobe."""
+    from search_engines_spark.pipeline.similarity import (
+        ivf_topk_indexed, write_ivf_index)
+    truth = {d for d, _ in _brute(emb, qvec, 10)}
+
+    naive_path = str(tmp_path_factory.mktemp("ivf_naive"))
+    write_ivf_index(emb, naive_path, n_cells=8)
+    naive = {r["vec_id"] for r in
+             ivf_topk_indexed(spark, naive_path, qvec, k=10,
+                              nprobe=2).collect()}
+
+    ref_path = str(tmp_path_factory.mktemp("ivf_refined"))
+    meta1 = write_ivf_index(emb, ref_path, n_cells=8, refine_iters=3)
+    refined = {r["vec_id"] for r in
+               ivf_topk_indexed(spark, ref_path, qvec, k=10,
+                                nprobe=2).collect()}
+    # deterministic rebuild → identical centroids
+    meta2 = write_ivf_index(emb, str(tmp_path_factory.mktemp("ivf_r2")),
+                            n_cells=8, refine_iters=3)
+    assert meta1["centroids"] == meta2["centroids"]
+    assert meta1["centroids"] != write_ivf_index(
+        emb, str(tmp_path_factory.mktemp("ivf_r0")), n_cells=8)["centroids"]
+    assert len(truth & refined) >= len(truth & naive)
+    assert len(truth & refined) >= 5  # clustered data: refined cells
+    # keep the query's cluster together at nprobe=2
