@@ -118,6 +118,28 @@ def main() -> None:
     finally:
         shutil.rmtree(seg_dir, ignore_errors=True)
 
+    # segment lifecycle (indexer.merge): base build over 90% of docs,
+    # the newest 10% committed as a delta generation, then compaction —
+    # the steady-state incremental-ingest path; commit cost must track
+    # delta size, not corpus size
+    from pyspark.sql import functions as F
+    from search_engines_spark.indexer.merge import (append_segments,
+                                                    compact_segments)
+    merge_dir = tempfile.mkdtemp(prefix="bench_merge_")
+    try:
+        cut = int(n_docs * 0.9)
+        build_segments(idx.postings.where(F.col("doc_id") < cut),
+                       idx.doclens, merge_dir, num_buckets=32, chunk=32)
+        t0 = time.time()
+        append_segments(idx.postings.where(F.col("doc_id") >= cut),
+                        merge_dir, num_buckets=32)
+        append_s = time.time() - t0
+        t0 = time.time()
+        compact_segments(spark, merge_dir, num_buckets=32, chunk=32)
+        compact_s = time.time() - t0
+    finally:
+        shutil.rmtree(merge_dir, ignore_errors=True)
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -145,6 +167,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_sec": round(build_s, 3),
         "segment_build_sec": round(seg_build, 3),
+        "segment_append_sec": round(append_s, 3),
+        "segment_compact_sec": round(compact_s, 3),
         "files_per_sec": round(n_docs / build_s, 1),
         "n_docs": n_docs,
         "n_postings": n_postings,
