@@ -135,6 +135,64 @@ class Engine:
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "ext_id", "score"))
 
+    def search_daat_many(self, queries: dict[str, str],
+                         k: int = 100) -> DataFrame:
+        """Batched DAAT: per-query BM25 top-k for a whole query file over
+        the attached segment store in ONE segments pass
+        (engine.daat.bm25_wand_topk_many — shared block decode, per-query
+        block-max pruning). Same constraints as `search_daat` (model ==
+        'bm25', bag-of-words #SUM, one field for the whole batch); the
+        reference loops queries one-by-one (`QryEval.java:684`).
+        → (qid, doc_id, ext_id, score, rank ≤ k), tie-break doc_id asc
+        (see daat module docstring for the ext_id-coincidence argument)."""
+        from pyspark.sql import Window
+
+        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from .daat import bm25_wand_topk_many
+        if self.model != "bm25":
+            raise ValueError("search_daat_many is the BM25 fast path")
+        if not hasattr(self, "_seg_dir"):
+            raise ValueError("no segment store attached; call attach_segments")
+        bags: dict[str, dict[str, int]] = {}
+        fields: set[str] = set()
+        for qid, q in queries.items():
+            node = self.parse(q)
+            is_bow = (node.op == "sum"
+                      and all(a.op == "score" and a.args[0].op == "term"
+                              for a in node.args)) \
+                or (node.op == "score" and node.args[0].op == "term")
+            if not is_bow:
+                raise ValueError(
+                    f"search_daat_many handles bag-of-words #SUM only; "
+                    f"query {qid!r} has structured operators")
+            leaves = self._term_leaves(node)
+            fields |= {n.field for n in leaves}
+            mult: dict[str, int] = {}
+            for n in leaves:
+                mult[n.term] = mult.get(n.term, 0) + 1
+            bags[qid] = mult
+        if len(fields) > 1:
+            raise ValueError(f"search_daat_many needs a single field, "
+                             f"got {fields}")
+        field = next(iter(fields)) if fields else "body"
+        terms = sorted({t for m in bags.values() for t in m})
+        stats = {t: self._stats_of(Node("term", term=t, field=field))
+                 for t in terms}
+        st = self.index.stats_for(field)
+        spark = self.index.docs.sparkSession
+        segs = read_segments_merged(spark, self._seg_dir, terms=terms,
+                                    num_buckets=self._seg_buckets)
+        deleted = deleted_doc_ids(spark, self._seg_dir)
+        top = bm25_wand_topk_many(
+            segs, bags, stats, st["n_docs"],
+            st["sum_len"] / st["doc_count"], k=k, params=self.p,
+            field=field, deleted=deleted if deleted.size else None)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+        return (top.join(self._doc_map(), "doc_id")
+                .withColumn("rank", F.row_number().over(w))
+                .select("qid", "doc_id", "ext_id", "score", "rank"))
+
     def _term_leaves(self, node: Node) -> list[Node]:
         if node.op == "term":
             return [node]

@@ -168,3 +168,134 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                     lambda key, g: next(score_partition(iter([g]))),
                     schema="doc_id long, score double"))
     return per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_wand_topk_many(segments: DataFrame,
+                        queries: dict[str, dict[str, int]],
+                        term_stats: dict[str, tuple[int, int]],
+                        n_docs: int, avglen: float, k: int = 100,
+                        params: Models | None = None,
+                        field: str = "body",
+                        stride: int = STRIDE,
+                        deleted: np.ndarray | None = None) -> DataFrame:
+    """→ (qid, doc_id, score) per-query top-k for a BATCH of bag-of-words
+    BM25 queries over ONE segments pass.
+
+    queries: {qid: {term: multiplicity}}. The batch shape mirrors the
+    set-at-a-time one-pass plan (`Engine.search_many`) on the compressed
+    store: blocks for the UNION of all query terms are read once, each
+    surviving block is varbyte-decoded ONCE and its per-posting BM25
+    weight computed once, then every query that contains the term folds
+    the shared weights into its own accumulator — cost is one postings
+    pass regardless of query count, the production operating point for
+    reference-style query files (`QryEval.java:649-764` loops them
+    one-by-one). Block-max pruning stays per-query: a stride is skipped
+    for the queries it cannot improve while still decoding for the rest
+    (decode happens if ANY query needs the stride).
+    """
+    p = params or Models()
+    idf_q: dict[str, dict[str, float]] = {}
+    for qid, bag in queries.items():
+        idf_q[qid] = {}
+        for t, mult in bag.items():
+            if t in term_stats:
+                df_, _ = term_stats[t]
+                idf_q[qid][t] = max(0.0, math.log(
+                    (n_docs - df_ + 0.5) / (df_ + 0.5))) * mult
+    terms = sorted({t for m in idf_q.values() for t in m})
+    spark = segments.sparkSession
+    if not terms:
+        return spark.createDataFrame([],
+                                     "qid string, doc_id long, score double")
+    k1, b = p.k1, p.b
+
+    blocks = (segments
+              .where((F.col("field") == field) & F.col("term").isin(terms))
+              .select("term", "min_docid", "max_docid", "max_tf",
+                      "min_doclen", "docids_vb", "tfs_vb", "doclens_vb")
+              .withColumn("s0", (F.col("min_docid") / stride).cast("long"))
+              .withColumn("s1", (F.col("max_docid") / stride).cast("long"))
+              .withColumn("stride",
+                          F.explode(F.sequence(F.col("s0"), F.col("s1"))))
+              .withColumn("pk", (F.col("stride") / STRIDES_PER_PART)
+                          .cast("long"))
+              .drop("s0", "s1"))
+
+    idf_b = {q: dict(m) for q, m in idf_q.items()}
+    stride_w = stride
+    deleted_b = deleted if deleted is not None and deleted.size else None
+
+    def score_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series(dtype="object"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if pdf is None or len(pdf) == 0:
+            return empty
+        state = {q: {"theta": -1.0,
+                     "ids": np.empty(0, np.int64),
+                     "sc": np.empty(0, np.float64)} for q in idf_b}
+        for stride, grp in pdf.groupby("stride", sort=True):
+            # per-term block-max tf-weight bound, shared by all queries
+            tb: dict[str, float] = {}
+            for t, g in grp.groupby("term", sort=False):
+                mtf = float(g["max_tf"].max())
+                mdl = float(g["min_doclen"].min())
+                tb[t] = mtf / (mtf + k1 * (1 - b + b * mdl / avglen))
+            live = [q for q, st_ in state.items()
+                    if any(t in tb for t in idf_b[q])
+                    and (len(st_["ids"]) < k
+                         or sum(w * tb[t] for t, w in idf_b[q].items()
+                                if t in tb) >= st_["theta"])]
+            if not live:
+                continue
+            lo, hi = int(stride) * stride_w, (int(stride) + 1) * stride_w
+            # decode each term's blocks ONCE; share across queries
+            dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for row in grp.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
+                mask = (ids >= lo) & (ids < hi)
+                if deleted_b is not None:
+                    mask &= ~np.isin(ids, deleted_b)
+                if not mask.any():
+                    continue
+                tfs = varbyte_decode(bytes(row.tfs_vb))[mask].astype(np.float64)
+                dls = varbyte_decode(bytes(row.doclens_vb))[mask] \
+                    .astype(np.float64)
+                tfw = tfs / (tfs + k1 * (1 - b + b * dls / avglen))
+                prev = dec.get(row.term)
+                dec[row.term] = ((np.concatenate([prev[0], ids[mask]]),
+                                  np.concatenate([prev[1], tfw]))
+                                 if prev else (ids[mask], tfw))
+            if not dec:
+                continue
+            for q in live:
+                ids_all = [dec[t][0] for t in idf_b[q] if t in dec]
+                if not ids_all:
+                    continue
+                sc_all = [dec[t][1] * idf_b[q][t] for t in idf_b[q]
+                          if t in dec]
+                ids_c = np.concatenate(ids_all)
+                sc_c = np.concatenate(sc_all)
+                uids, inv = np.unique(ids_c, return_inverse=True)
+                sums = np.zeros(len(uids), np.float64)
+                np.add.at(sums, inv, sc_c)
+                st_ = state[q]
+                st_["ids"] = np.concatenate([st_["ids"], uids])
+                st_["sc"] = np.concatenate([st_["sc"], sums])
+                if len(st_["ids"]) > k:
+                    order = np.lexsort((st_["ids"], -st_["sc"]))[:k]
+                    st_["ids"] = st_["ids"][order]
+                    st_["sc"] = st_["sc"][order]
+                    st_["theta"] = float(st_["sc"].min())
+        frames = [pd.DataFrame({"qid": q, "doc_id": st_["ids"],
+                                "score": st_["sc"]})
+                  for q, st_ in state.items() if len(st_["ids"])]
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    from pyspark.sql import Window
+    per_part = (blocks.repartition("pk").groupBy("pk")
+                .applyInPandas(lambda key, g: score_partition(g),
+                               schema="qid string, doc_id long, score double"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_part.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k).drop("rank"))

@@ -371,6 +371,30 @@ def q_bm25_batch(spark, sf_dir):
             .select("qid", "ext_id", "rank", "score_r"))
 
 
+def q_daat_batch(spark, sf_dir):
+    """Batched DAAT over the compressed segment store: the whole trec
+    query set answered in ONE segments pass (engine.daat
+    bm25_wand_topk_many — shared block decode, per-query block-max
+    pruning). Scores are rank-identical to the DataFrame batch plan, so
+    the oracle is the same SQL as trec_topk; fetch depth 200 ≫ any
+    rounding inversion at the reported top-10."""
+    from .indexer.segments import build_segments
+    idx = _index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_SEG_CACHE, key, "entry_segs_")
+    if created:
+        build_segments(idx.postings, idx.doclens, d, num_buckets=8)
+    eng = Engine(idx, "bm25")
+    eng.attach_segments(d, num_buckets=8)
+    queries = {qid: " ".join(terms) for qid, terms in TREC_QUERIES.items()}
+    res = eng.search_daat_many(queries, k=200)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("ext_id"))
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 10)
+            .select("qid", "ext_id", "rank", "score_r"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
@@ -1607,6 +1631,7 @@ REGISTRY: dict[str, tuple] = {
     "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
+    "daat_batch_topk": (q_daat_batch, _sql_trec_topk()),
     "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "letor_features": (q_letor_features, _sql_letor_features()),

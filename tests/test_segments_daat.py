@@ -169,6 +169,32 @@ def test_block_max_pruning_fires_and_stays_exact(spark, spark_index,
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
 
+def test_search_daat_many_batch_identity(spark, spark_index, seg_dir):
+    """Batched DAAT (one segments pass for the whole query file) is
+    rank/score-identical per query to the single-query DAAT path, incl.
+    a repeated-term query and an OOV-only query (which simply yields no
+    rows — the runner's dummy-line contract covers absent qids)."""
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(seg_dir, num_buckets=NUM_BUCKETS)
+    queries = {"q1": "fickle creek farm",
+               "q2": "buffer overflow guard",
+               "q3": "creek creek farm",
+               "q4": "zzzunknownterm"}
+    got = eng.search_daat_many(queries, k=20).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert "q4" not in by_q
+    for qid in ("q1", "q2", "q3"):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        want = eng.search_daat(queries[qid], k=20).collect()
+        assert [r["doc_id"] for r in rows] == [w["doc_id"] for w in want], qid
+        for g, w in zip(rows, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+    with pytest.raises(ValueError):
+        eng.search_daat_many({"q1": "#near/2( creek farm )"})
+
+
 def test_manifest_covers_empty_buckets(spark, spark_index, tmp_path_factory):
     """Every bucket gets a manifest entry even when it owns no terms, so
     resume never relaunches work for empty buckets."""
