@@ -43,6 +43,19 @@ RETRIEVAL = {
     "indri_wand": ("indri", "#wand( 0.6 merge 0.4 batch )"),
 }
 
+# distinct bag-of-words queries for the batched-DAAT arm (the compressed
+# store handles bow #SUM; structured operators go through search_many)
+DAAT_BATCH = {
+    "d1": "spark stream join",
+    "d2": "hash merge batch window table",
+    "d3": "dup line small",
+    "d4": "data column filter",
+    "d5": "merge sort shuffle",
+    "d6": "table scan filter read",
+    "d7": "write read commit",
+    "d8": "spark merge table",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,6 +128,19 @@ def main() -> None:
                            st["sum_len"] / st["doc_count"], k=100).collect()
             times.append(time.time() - t0)
         queries["daat_wand_topk"] = round(min(times), 3)
+
+        # batched DAAT: the whole bow query file in ONE segments pass
+        # (shared block decode, per-query block-max pruning) — the
+        # compressed-store analog of batch_bm25_per_query
+        eng = Engine(idx, "bm25")
+        eng.attach_segments(seg_dir, num_buckets=32)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            eng.search_daat_many(DAAT_BATCH, k=100).collect()
+            times.append(time.time() - t0)
+        queries["daat_batch_per_query"] = round(min(times) / len(DAAT_BATCH),
+                                                3)
     finally:
         shutil.rmtree(seg_dir, ignore_errors=True)
 

@@ -19,7 +19,9 @@ Jobs measured per level (2, 8, 32 cores):
     doc-local mapInPandas; the at-scale default) — files/sec;
   * index build, jvm kernel (`build_postings` — codegen tokenizer +
     groupBy) at 8/32 for comparison;
-  * batched BM25 retrieval (`Engine.search_many`) at 8/32 — queries/sec.
+  * batched BM25 retrieval (`Engine.search_many`) at 8/32 — queries/sec;
+  * batched block-max DAAT over the compressed segment store
+    (`Engine.search_daat_many`) at 8/32 — queries/sec.
 
 Usage:
     python tools/scaling_bench.py            # all levels, writes
@@ -58,6 +60,24 @@ QUERY_SET = {
     "q10": "#sum( #near/3( data table ) column )",
     "q11": "write read commit",
     "q12": "#sum( #syn( merge join ) #near/2( hash table ) )",
+}
+
+# bow-only batch for the compressed-store DAAT path (structured
+# operators go through search_many); 12 distinct queries over the
+# corpus vocab
+DAAT_QUERY_SET = {
+    "d1": "spark stream join",
+    "d2": "hash merge batch window table",
+    "d3": "dup line small",
+    "d4": "data column filter",
+    "d5": "merge sort shuffle",
+    "d6": "table scan filter read",
+    "d7": "write read commit",
+    "d8": "spark merge table",
+    "d9": "join window filter",
+    "d10": "batch commit write stream",
+    "d11": "hash shuffle read",
+    "d12": "column sort scan",
 }
 
 
@@ -160,6 +180,30 @@ def run_one(cores: int, sf_dir: str, mult: int) -> dict:
         res["query_batch_sec"] = round(best, 2)
         res["queries_per_sec"] = round(len(QUERY_SET) / best, 2)
 
+        # ---- batched DAAT over the compressed segment store ---------------
+        # fixed 32-bucket layout at every level (same on-disk bytes);
+        # parallelism enters only through the doc-range stride partitions
+        import shutil
+        import tempfile
+        from search_engines_spark.indexer.segments import build_segments
+        seg_dir = tempfile.mkdtemp(prefix=f"scaling_segs_{cores}_")
+        try:
+            t0 = time.time()
+            build_segments(idx.postings, idx.doclens, seg_dir,
+                           num_buckets=32, chunk=32)
+            res["seg_build_sec"] = round(time.time() - t0, 2)
+            eng.attach_segments(seg_dir, num_buckets=32)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                eng.search_daat_many(DAAT_QUERY_SET, k=100).collect()
+                s = time.time() - t0
+                best = s if best is None else min(best, s)
+            res["daat_batch_sec"] = round(best, 2)
+            res["daat_queries_per_sec"] = round(len(DAAT_QUERY_SET) / best, 2)
+        finally:
+            shutil.rmtree(seg_dir, ignore_errors=True)
+
     spark.stop()
     return res
 
@@ -200,6 +244,7 @@ def main() -> None:
     a832 = _eff(r, 8, 32, "arrow_files_per_sec")
     j832 = _eff(r, 8, 32, "jvm_files_per_sec")
     q832 = _eff(r, 8, 32, "queries_per_sec")
+    d832 = _eff(r, 8, 32, "daat_queries_per_sec")
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -281,6 +326,24 @@ are position-zipper-bound over a deliberately degenerate 29-term vocab
 where every term appears in ~every document. In production the scaling
 axis for retrieval is query count, and the per-query plans are
 shuffle-minimal broadcast shapes.
+
+## Batched block-max DAAT throughput (8 vs 32 cores)
+
+`Engine.search_daat_many` — {len(DAAT_QUERY_SET)} bag-of-words BM25
+queries answered in ONE pass over the varbyte compressed segment store
+(shared block decode, per-query block-max pruning; engine/daat) — same
+corpus, fixed 32-bucket segment layout at both levels:
+
+| cores | batch sec | queries/sec |
+|---|---|---|
+| 8  | {r[8]['daat_batch_sec']} | {r[8]['daat_queries_per_sec']} |
+| 32 | {r[32]['daat_batch_sec']} | {r[32]['daat_queries_per_sec']} |
+
+(8→32 efficiency {d832:.2f} against the {bw_832:.2f} bandwidth /
+{sha_832:.2f} CPU ceilings.) The kernel partitions by doc-range
+stride, so parallelism enters through data, not per-query stages —
+the shape that transfers to N→4N executors where each stride run is an
+independent task with its own memory channel.
 
 ## Headline query latency (pointer)
 
