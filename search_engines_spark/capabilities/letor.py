@@ -119,6 +119,125 @@ def letor_features(index: Index, queries: dict[str, str],
     return out, feat_names
 
 
+def letor_features_18(index: Index, queries: dict[str, str],
+                      candidates: DataFrame,
+                      fields: tuple[str, str, str, str] = ("body", "title",
+                                                           "url", "inlink"),
+                      params: Models | None = None,
+                      spam: DataFrame | None = None,
+                      pagerank: DataFrame | None = None,
+                      urls: DataFrame | None = None,
+                      wiki_pattern: str = "wikipedia.org",
+                      feature_disable: frozenset[int] = frozenset(),
+                      analyzer: Analyzer = CANONICAL,
+                      ) -> tuple[DataFrame, dict[int, str]]:
+    """The reference's EXACT 18-slot feature layout
+    (`FeatureVector.java:190-290`):
+
+      f1  spam score (doc attribute; `:197-209`)
+      f2  URL depth = count of '/' chars in the raw url (`:211-230`)
+      f3  wiki flag = url contains "wikipedia.org" (`:233-240`)
+      f4  PageRank (side file; `:242-249`)
+      f5+3i/f6+3i/f7+3i  BM25 / Indri / term-overlap per field i over
+          body,title,url,inlink (`:251-274`)
+      f17, f18  the reference's shipped "custom" features are BOTH
+          literal copies of overlap-over-body (`:277-289`) — carried
+          verbatim, duplicates included
+      letor:featureDisable slots are absent from the output entirely
+      (the reference never computes them, `:205,218,235,...`; emission
+      keeps the ORIGINAL ids of the surviving slots)
+
+    fields: this corpus's analogs of body/title/url/inlink in slot
+    order. spam/pagerank: (doc_id, value) side frames — a missing doc
+    gets Double.MIN_VALUE ≈ 0 in the reference, which min-max
+    normalization treats the same as our 0.0 fill. urls: (doc_id, url)
+    for f2/f3; for a code corpus the natural url analog is `path`
+    (depth = directory depth).
+
+    → (per-(qid, doc_id) frame with columns f1..f18 minus disabled,
+       min-max normalized per query, {slot: column name})."""
+    m = params or Models()
+    spark = index.docs.sparkSession
+    rows = [(qid, t) for qid, q in queries.items()
+            for t in analyzer.query_terms(q)]
+    qterms = F.broadcast(spark.createDataFrame(rows,
+                                               "qid string, term string"))
+    out = candidates.select("qid", "doc_id", "rel")
+    slots: dict[int, str] = {}
+
+    def _doc_join(df: DataFrame, col: str, name: str, slot: int):
+        nonlocal out
+        if slot in feature_disable or df is None:
+            return
+        out = out.join(df.select("doc_id", F.col(col).alias(name)),
+                       "doc_id", "left")
+        slots[slot] = name
+
+    _doc_join(spam, spam.columns[1] if spam is not None else "", "f1", 1)
+    if urls is not None:
+        ucol = [c for c in urls.columns if c != "doc_id"][0]
+        depth = (F.length(ucol)
+                 - F.length(F.replace(F.col(ucol), F.lit("/"), F.lit(""))))
+        uf = urls.select(
+            "doc_id", depth.cast("double").alias("f2"),
+            F.when(F.col(ucol).contains(wiki_pattern), 1.0)
+             .otherwise(0.0).alias("f3"))
+        if 2 not in feature_disable:
+            out = out.join(uf.select("doc_id", "f2"), "doc_id", "left")
+            slots[2] = "f2"
+        if 3 not in feature_disable:
+            out = out.join(uf.select("doc_id", "f3"), "doc_id", "left")
+            slots[3] = "f3"
+    _doc_join(pagerank, pagerank.columns[1] if pagerank is not None else "",
+              "f4", 4)
+
+    overlap_body_col: str | None = None
+    for i, fld in enumerate(fields):
+        want = [s for s in (5 + i * 3, 6 + i * 3, 7 + i * 3)
+                if s not in feature_disable]
+        need_body_overlap = (fld == fields[0]
+                             and not {17, 18} <= feature_disable)
+        if not want and not need_body_overlap:
+            continue
+        fs = _field_scores(index, qterms, candidates, fld, m)
+        out = out.join(fs, ["qid", "doc_id"], "left")
+        for s, col in zip((5 + i * 3, 6 + i * 3, 7 + i * 3),
+                          (f"bm25_{fld}", f"indri_{fld}", f"overlap_{fld}")):
+            if s not in feature_disable:
+                slots[s] = col
+        if fld == fields[0]:
+            overlap_body_col = f"overlap_{fld}"
+    for s in (17, 18):
+        if s not in feature_disable and overlap_body_col is not None:
+            out = out.withColumn(f"f{s}", F.col(overlap_body_col))
+            slots[s] = f"f{s}"
+
+    for name in slots.values():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+    w = Window.partitionBy("qid")
+    for name in set(slots.values()):
+        mn, mx = F.min(name).over(w), F.max(name).over(w)
+        out = out.withColumn(
+            name, F.when(mx > mn, (F.col(name) - mn) / (mx - mn))
+                   .otherwise(F.lit(0.0)))
+    return out, dict(sorted(slots.items()))
+
+
+def svmrank_lines_slots(features: DataFrame, slots: dict[int, str],
+                        ext_ids: DataFrame) -> list[str]:
+    """SVMrank emission with the reference's ORIGINAL slot ids
+    (`FeatureVector.java:296-314` iterates the surviving feature map;
+    disabled slots leave gaps in the numbering, not renumbering)."""
+    df = (features.join(ext_ids.select("doc_id", "ext_id"), "doc_id")
+          .orderBy("qid", "ext_id").collect())
+    lines = []
+    for r in df:
+        feats = " ".join(f"{slot}:{r[name]:.6f}"
+                         for slot, name in sorted(slots.items()))
+        lines.append(f"{r['rel']} qid:{r['qid']} {feats} # {r['ext_id']}")
+    return lines
+
+
 def svmrank_lines(features: DataFrame, feat_names: list[str],
                   ext_ids: DataFrame) -> list[str]:
     """→ SVMrank rows `rel qid:Q 1:v ... # ext_id`

@@ -193,6 +193,49 @@ class Engine:
                 .withColumn("rank", F.row_number().over(w))
                 .select("qid", "doc_id", "ext_id", "score", "rank"))
 
+    def search_segments(self, qstring: str, k: int = 100) -> DataFrame:
+        """The FULL query language (Boolean / Indri / BM25, structured
+        `#NEAR/#WINDOW/#SYN/#WSUM/#WAND` included) over the attached
+        compressed segment store: decode ONLY the query terms' blocks
+        back to the logical postings shape
+        (indexer.segments.decode_to_postings — the `InvList.java:107-145`
+        materialization analog) and run the standard compiled plan
+        against them. Identical results to `search` over the
+        uncompressed index. Tombstoned docs are excluded from the
+        RESULTS, not from the decoded postings, so every statistic —
+        leaf df/ctf (term_stats table) AND derived-list df recomputed
+        from `#NEAR/#WINDOW/#SYN` output (`InvList.java:166-167`,
+        quirk: BM25 scores a derived list with its own df,
+        `QrySopScore.java:96`) — stays full-corpus, matching
+        `search_daat`'s docFreq-includes-deletes masking. `search_daat`
+        is the bag-of-words fast path; this is the completeness path
+        that makes the segment store a full index substitute."""
+        import dataclasses
+
+        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from ..indexer.segments import decode_to_postings
+        if not hasattr(self, "_seg_dir"):
+            raise ValueError("no segment store attached; call attach_segments")
+        node = self.parse(qstring)
+        terms = sorted({n.term for n in self._term_leaves(node)})
+        spark = self.index.docs.sparkSession
+        segs = read_segments_merged(spark, self._seg_dir, terms=terms,
+                                    num_buckets=self._seg_buckets)
+        deleted = deleted_doc_ids(spark, self._seg_dir)
+        decoded = decode_to_postings(segs)
+        sub = dataclasses.replace(self.index, postings=decoded)
+        eng = Engine(sub, self.model, params=self.p,
+                     analyzer=self.parser.analyzer,
+                     default_field=self.parser.default_field)
+        s = eng.eval_sop(eng.parse(qstring)).where(F.col("score") >= 0)
+        if deleted.size:
+            del_df = spark.createDataFrame(
+                [(int(x),) for x in deleted], "doc_id long")
+            s = s.join(F.broadcast(del_df), "doc_id", "left_anti")
+        res = s.join(eng._doc_map(), "doc_id")
+        return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
+                .select("doc_id", "ext_id", "score"))
+
     def _term_leaves(self, node: Node) -> list[Node]:
         if node.op == "term":
             return [node]

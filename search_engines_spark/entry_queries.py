@@ -395,6 +395,25 @@ def q_daat_batch(spark, sf_dir):
             .select("qid", "ext_id", "rank", "score_r"))
 
 
+def q_segments_structured_near(spark, sf_dir):
+    """Structured `#NEAR/2` evaluated OFF THE COMPRESSED STORE
+    (Engine.search_segments → indexer.segments.decode_to_postings — the
+    `InvList.java:107-145` materialization analog): the segment store
+    serves the FULL query language, not just the bow DAAT fast path.
+    Results are identical to the uncompressed plan, so the oracle is
+    the same SQL as near2_bool."""
+    from .indexer.segments import build_segments
+    idx = _index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_SEG_CACHE, key, "entry_segs_")
+    if created:
+        build_segments(idx.postings, idx.doclens, d, num_buckets=8)
+    eng = Engine(idx, "unrankedboolean")
+    eng.attach_segments(d, num_buckets=8)
+    res = eng.search_segments("#near/2( big join )", k=1_000_000)
+    return res.select("ext_id", F.col("score").cast("long").alias("score_i"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
@@ -1632,6 +1651,8 @@ REGISTRY: dict[str, tuple] = {
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
     "daat_batch_topk": (q_daat_batch, _sql_trec_topk()),
+    "segments_structured_near": (q_segments_structured_near,
+                                 _sql_near2_bool()),
     "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "letor_features": (q_letor_features, _sql_letor_features()),

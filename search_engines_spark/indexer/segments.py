@@ -45,7 +45,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .codec import BLOCK_SIZE, delta_encode, varbyte_encode
+from .codec import BLOCK_SIZE, delta_encode, varbyte_decode, varbyte_encode
 
 SEGMENT_SCHEMA = (
     "term string, field string, bucket int, block_seq int, n int, "
@@ -218,3 +218,51 @@ def read_segments(spark: SparkSession, out_dir: str,
         df = df.where(F.col("bucket").isin(sorted(bks)) &
                       F.col("term").isin(terms))
     return df
+
+
+def decode_to_postings(segments: DataFrame,
+                       deleted: np.ndarray | None = None) -> DataFrame:
+    """Blocks → the logical postings frame (term, field, doc_id, tf,
+    positions, doclen) — the EXACT shape `indexer.build` produces, so
+    every engine operator (Boolean, Indri, #NEAR/#WINDOW/#SYN zippers,
+    feedback/LeToR probes) can run off the compressed store without a
+    parallel uncompressed index. The Lucene materialization analog is
+    `InvList.java:107-145` (a query decodes only its own terms'
+    postings); pruning happens in the caller's
+    `read_segments(terms=...)` scan, so decode cost tracks the pruned
+    blocks, never the corpus.
+
+    deleted: optional sorted tombstone array (`merge.deleted_doc_ids`)
+    masked during decode — a deleted doc never reaches an operator,
+    while df/ctf stats stay full-corpus (Lucene liveDocs semantics).
+    """
+    deleted_b = deleted if deleted is not None and deleted.size else None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: dict[str, list] = {"term": [], "field": [], "doc_id": [],
+                                    "tf": [], "positions": [], "doclen": []}
+            for row in pdf.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
+                tfs = varbyte_decode(bytes(row.tfs_vb))
+                dls = varbyte_decode(bytes(row.doclens_vb))
+                pdel = varbyte_decode(bytes(row.positions_vb))
+                offs = np.concatenate([[0], np.cumsum(tfs)])
+                keep = (~np.isin(ids, deleted_b) if deleted_b is not None
+                        else np.ones(len(ids), dtype=bool))
+                for i in np.flatnonzero(keep):
+                    out["term"].append(row.term)
+                    out["field"].append(row.field)
+                    out["doc_id"].append(int(ids[i]))
+                    out["tf"].append(int(tfs[i]))
+                    out["positions"].append(
+                        np.cumsum(pdel[offs[i]:offs[i + 1]]).tolist())
+                    out["doclen"].append(int(dls[i]))
+            if out["term"]:
+                yield pd.DataFrame(out)
+
+    return segments.mapInPandas(
+        gen, schema="term string, field string, doc_id long, tf int, "
+                    "positions array<int>, doclen long")

@@ -175,7 +175,7 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
     from pyspark.sql import functions as F
 
     from .capabilities import ranker
-    from .capabilities.letor import letor_features, svmrank_lines
+    from .capabilities.letor import letor_features, svmrank_lines_slots
     from .io import read_pagerank_file, read_qrels_file
 
     train_q = read_query_file(params["letor:trainingQueryFile"])
@@ -189,7 +189,15 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
                      .select("doc_id", "pagerank"))
     feats_tr, names = letor_features(idx, train_q, cand_train, params=m,
                                      doc_features=doc_feats)
-    train_lines = svmrank_lines(feats_tr, names, idx.doc_map)
+    # letor:featureDisable (`FeatureVector.java:28-33`): comma list of
+    # 1-based slot ids dropped from training/classification; surviving
+    # slots keep their ORIGINAL ids (gaps, not renumbering)
+    disable = {int(x) for x in
+               params.get("letor:featureDisable", "").split(",")
+               if x.strip()}
+    slots = {i: n for i, n in enumerate(names, start=1) if i not in disable}
+    names = list(slots.values())
+    train_lines = svmrank_lines_slots(feats_tr, slots, idx.doc_map)
     if "letor:trainingFeatureVectorsFile" in params:
         with open(params["letor:trainingFeatureVectorsFile"], "w") as f:
             f.write("\n".join(train_lines) + "\n")
@@ -215,7 +223,7 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
             raise ValueError(
                 "Required parameters were missing from the parameter file: "
                 + ", ".join(missing))
-        test_lines = svmrank_lines(feats_te, names, idx.doc_map)
+        test_lines = svmrank_lines_slots(feats_te, slots, idx.doc_map)
         train_f = params["letor:trainingFeatureVectorsFile"]
         test_f = params["letor:testingFeatureVectorsFile"]
         model_f = params["letor:svmRankModelFile"]
@@ -292,6 +300,23 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                 (r["rank"], r["doc_id"], r["score"]))
         rankings_file = {q: [(d, s) for _, d, s in sorted(v) if d is not None]
                          for q, v in rankings_file.items()}
+
+    # batchQueries=true (engine extension, not a reference parameter):
+    # answer the WHOLE query file through the one-plan batch path
+    # (`Engine.search_many` — stage count constant in query count,
+    # docs/PLANS.md §2b/2c) instead of the reference's per-query loop
+    # (`QryEval.java:684`). Per-query results are identical, so the
+    # trec output is byte-identical; incompatible with fb/diversity
+    # (those branches are per-query by construction).
+    if (params.get("batchQueries") == "true" and not fb and not diversity):
+        res = (eng.search_many(queries, k=k)
+               .select("qid", "ext_id", "score"))
+        write_trec_file(res, params["trecEvalOutputPath"],
+                        run_id=params.get("runID", "run"), k=k,
+                        all_qids=list(queries))
+        if own_spark:
+            spark.stop()
+        return params["trecEvalOutputPath"]
 
     results_rows = []
     div_file_inputs: dict[str, DiversityInput] | None = None

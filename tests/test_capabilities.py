@@ -12,7 +12,7 @@ from search_engines_spark.capabilities.diversity import (
 from search_engines_spark.capabilities.feedback import (
     expand_query, rewrite_with_feedback)
 from search_engines_spark.capabilities.letor import (
-    letor_features, svmrank_lines)
+    letor_features, letor_features_18, svmrank_lines, svmrank_lines_slots)
 from search_engines_spark.engine import Engine
 from search_engines_spark.oracle import Models, run_query
 
@@ -196,3 +196,90 @@ def test_svmrank_lines_format(spark, spark_index):
     for ln in lines:
         assert ln.startswith("0 qid:7 1:")
         assert " # " in ln
+
+
+# ---------------------------------------------------- letor 18-slot layout --
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, corpus_rows):
+    """Code corpus indexed with the reference's 4-field model analogs:
+    body(content) / title(lang) / url(path) / inlink(repo)."""
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_code_corpus)
+    src = spark.createDataFrame(
+        corpus_rows,
+        "repo string, path string, commit string, lang string, content string")
+    return build_index_frames(docs_from_code_corpus(src),
+                              extra_fields={"title": "lang", "url": "path",
+                                            "inlink": "repo"})
+
+
+def _mf_cand(spark, mf_index, queries):
+    eng = Engine(mf_index, "bm25")
+    rows = []
+    for qid, q in queries.items():
+        for r in eng.search(q, k=5).collect():
+            rows.append((qid, r["doc_id"], 0))
+    return rows, spark.createDataFrame(rows,
+                                       "qid string, doc_id long, rel int")
+
+
+def test_letor_18_slot_layout(spark, mf_index):
+    """All 18 reference slots present (`FeatureVector.java:190-290`),
+    f17 == f18 == normalized overlap-over-body (the reference's shipped
+    'custom' features are literal copies of it, `:277-289`), and f2 is
+    the normalized '/'-count of the url analog (`:211-230`)."""
+    queries = {"7": "fickle creek farm", "9": "voyager probe"}
+    cand_rows, cand = _mf_cand(spark, mf_index, queries)
+    docs = mf_index.docs
+    from pyspark.sql import functions as F
+    spam = docs.select("doc_id", (((F.col("doc_id") % 5) + 1) / 5.0)
+                       .alias("spam"))
+    pr = docs.select("doc_id", (((F.col("doc_id") % 17) + 1) / 17.0)
+                     .alias("pagerank"))
+    urls = docs.select("doc_id", F.col("ext_id").alias("url"))
+    feats, slots = letor_features_18(
+        mf_index, queries, cand,
+        fields=("body", "title", "url", "inlink"),
+        spam=spam, pagerank=pr, urls=urls)
+    assert sorted(slots) == list(range(1, 19))
+    assert slots[5] == "bm25_body" and slots[16] == "overlap_inlink"
+    rows = feats.collect()
+    assert len(rows) == len(cand_rows)
+    for r in rows:
+        for n in slots.values():
+            assert 0.0 <= r[n] <= 1.0 + 1e-12, (r, n)
+        assert r[slots[17]] == r[slots[18]] == r[slots[7]]
+    # f2 replays: '/'-count of the url analog, min-max per qid
+    url_of = {r["doc_id"]: r["ext_id"] for r in docs.collect()}
+    by_qid = {}
+    for qid, d, _ in cand_rows:
+        by_qid.setdefault(qid, []).append(d)
+    want = {}
+    for qid, ds in by_qid.items():
+        depths = {d: url_of[d].count("/") for d in ds}
+        lo, hi = min(depths.values()), max(depths.values())
+        for d, v in depths.items():
+            want[(qid, d)] = (v - lo) / (hi - lo) if hi > lo else 0.0
+    for r in rows:
+        assert r[slots[2]] == pytest.approx(want[(r["qid"], r["doc_id"])])
+
+
+def test_letor_18_feature_disable(spark, mf_index):
+    """letor:featureDisable drops slots entirely; survivors keep their
+    ORIGINAL ids in the svmrank emission (gaps, not renumbering)."""
+    queries = {"7": "fickle creek farm"}
+    _, cand = _mf_cand(spark, mf_index, queries)
+    feats, slots = letor_features_18(
+        mf_index, queries, cand,
+        fields=("body", "title", "url", "inlink"),
+        feature_disable=frozenset({1, 2, 3, 4, 6, 17}))
+    assert sorted(slots) == [5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18]
+    lines = svmrank_lines_slots(feats, slots, mf_index.docs)
+    assert lines
+    for ln in lines:
+        body = ln.split(" # ")[0]
+        ids = [int(tok.split(":")[0]) for tok in body.split()[2:]]
+        assert ids == sorted(slots)
+        assert 6 not in ids and 17 not in ids

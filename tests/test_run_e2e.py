@@ -228,3 +228,36 @@ runID=t
     main(pf, spark=spark)
     lines = open(out).read().splitlines()
     assert lines == ["7 Q0 dummy 1 0 t"]
+
+
+def test_batch_queries_param_matches_per_query_loop(spark, corpus_parquet,
+                                                    tmp_path):
+    """batchQueries=true routes the whole query file through the
+    one-plan batch path; ranking (qid, ext_id, rank) is identical to the
+    reference-style per-query loop and scores agree to 1e-9 (summation
+    order may differ between the batched and per-arm plans). Includes a
+    structured query (batched proximity path) and an OOV topic (dummy
+    line must survive batching)."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qb.txt",
+                "1:fickle creek farm\n"
+                "2:#sum( #near/2( fickle creek ) farm )\n"
+                "3:zzzunknownterm\n")
+    outs = []
+    for i, extra in enumerate(("", "batchQueries=true\n")):
+        out = str(tmp_path / f"b{i}.teIn")
+        pf = _write(tmp_path, f"pb{i}.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+runID=t
+{extra}""")
+        main(pf, spark=spark)
+        outs.append(open(out).read().splitlines())
+    assert len(outs[0]) == len(outs[1])
+    for a, b in zip(outs[0], outs[1]):
+        qa, _, ea, ra, sa, _ = a.split()
+        qb, _, eb, rb, sb, _ = b.split()
+        assert (qa, ea, ra) == (qb, eb, rb)
+        assert abs(float(sa) - float(sb)) < 1e-9
+    assert any(ln.startswith("3 Q0 dummy") for ln in outs[1])

@@ -195,6 +195,53 @@ def test_search_daat_many_batch_identity(spark, spark_index, seg_dir):
         eng.search_daat_many({"q1": "#near/2( creek farm )"})
 
 
+@pytest.mark.parametrize("model,q", [
+    ("unrankedboolean", "#near/2( fickle creek )"),
+    ("rankedboolean", "#and( #window/3( creek farm ) buffer )"),
+    ("bm25", "#sum( #near/2( fickle creek ) #syn( farm creek ) overflow )"),
+    ("indri", "#wand( 0.6 #near/2( creek farm ) 0.4 buffer )"),
+])
+def test_search_segments_full_language(spark, spark_index, seg_dir, model, q):
+    """The full structured language runs off the compressed store
+    (decode_to_postings) with results identical to the uncompressed
+    plan — the segment store is a complete index substitute, not just
+    the bow fast path."""
+    eng = Engine(spark_index, model)
+    eng.attach_segments(seg_dir, num_buckets=NUM_BUCKETS)
+    got = eng.search_segments(q, k=25).collect()
+    want = eng.search(q, k=25).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_search_segments_masks_deletes(spark, spark_index, tmp_path_factory):
+    """Tombstoned docs vanish from structured results while scores keep
+    full-corpus stats (Lucene liveDocs / docFreq-includes-deletes)."""
+    from pyspark.sql import functions as F
+    from search_engines_spark.indexer.merge import delete_docs
+    d = str(tmp_path_factory.mktemp("segs_del_struct"))
+    build_segments(spark_index.postings, spark_index.doclens, d,
+                   num_buckets=NUM_BUCKETS)
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    q = "#sum( #near/2( fickle creek ) farm )"
+    before = eng.search_segments(q, k=30).collect()
+    assert before
+    victim = before[0]["doc_id"]
+    delete_docs(spark, d,
+                spark_index.docs.where(F.col("doc_id") == victim)
+                .select("doc_id"))
+    after = eng.search_segments(q, k=30).collect()
+    assert victim not in [r["doc_id"] for r in after]
+    # survivors keep their full-corpus-stats scores exactly
+    before_scores = {r["doc_id"]: r["score"] for r in before}
+    for r in after:
+        if r["doc_id"] in before_scores:
+            assert r["score"] == pytest.approx(before_scores[r["doc_id"]],
+                                               abs=1e-9)
+
+
 def test_manifest_covers_empty_buckets(spark, spark_index, tmp_path_factory):
     """Every bucket gets a manifest entry even when it owns no terms, so
     resume never relaunches work for empty buckets."""

@@ -1,0 +1,79 @@
+"""Deployment-mode gate (north rule: "runs under spark-submit
+--py-files"): package the library with tools/package_pyfiles.py, launch
+the reference-style runner through the REAL `spark-submit` from a
+neutral working directory (the repo is NOT on sys.path — only the
+shipped zip is), and check the trec output against known-good sf0.001
+values. Also proves the KStem data file loads from inside the zip."""
+
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+DRIVER = """\
+import sys
+from pyspark.sql import SparkSession
+
+# master/conf come from spark-submit; no master() in code, so the same
+# driver works on a real cluster
+spark = (SparkSession.builder.appName("submit-e2e")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+from search_engines_spark.run import main
+main(sys.argv[1], spark=spark)
+spark.stop()
+"""
+
+
+def test_build_zip_is_deterministic(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from package_pyfiles import build_zip
+    z1 = build_zip(str(tmp_path / "a.zip"))
+    z2 = build_zip(str(tmp_path / "b.zip"))
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    names = zipfile.ZipFile(z1).namelist()
+    assert "search_engines_spark/run.py" in names
+    assert "search_engines_spark/data/kstem.tsv.gz" in names
+    assert not any(n.endswith(".pyc") for n in names)
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not installed")
+@pytest.mark.skipif(not os.path.exists(SF_DIR),
+                    reason="driver testdata absent")
+def test_runner_under_spark_submit(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from package_pyfiles import build_zip
+    z = build_zip(str(tmp_path / "search_engines_spark.zip"))
+    (tmp_path / "driver.py").write_text(DRIVER)
+    (tmp_path / "q.txt").write_text("1:dup line small\n")
+    out = tmp_path / "out.teIn"
+    (tmp_path / "p.txt").write_text(
+        f"corpusPath={SF_DIR}/documents.parquet\n"
+        f"queryFilePath={tmp_path}/q.txt\n"
+        f"trecEvalOutputPath={out}\n"
+        "retrievalAlgorithm=BM25\nBM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\n"
+        "runID=submit\n")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONDONTWRITEBYTECODE"] = "1"
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", z, str(tmp_path / "driver.py"),
+         str(tmp_path / "p.txt")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420)
+    assert r.returncode == 0, r.stderr[-4000:]
+    lines = open(out).read().splitlines()
+    assert lines, "empty trec output"
+    qid, _, ext, rank, score, run_id = lines[0].split()
+    # known-good sf0.001 top hit for 'dup line small' (see verify skill)
+    assert (qid, rank, run_id) == ("1", "1", "submit")
+    assert ext.endswith("082")
+    assert abs(float(score) - 2.178021) < 1e-4

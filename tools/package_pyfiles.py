@@ -1,0 +1,48 @@
+"""Package `search_engines_spark` into a zip for `spark-submit
+--py-files` (the north-rule deployment mode: the driver script ships the
+library to every executor; nothing is installed on the cluster).
+
+    python tools/package_pyfiles.py [out.zip]      # default dist/...zip
+
+The zip contains only the package's .py sources plus its data files
+(stopwords, stem table) — deterministic content, no caches, so repeated
+builds of the same tree are byte-identical (stable zip timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+EPOCH = (1980, 1, 1, 0, 0, 0)  # fixed timestamp → reproducible zip
+
+
+def build_zip(out_path: str, repo_root: str | None = None) -> str:
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "search_engines_spark")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".",
+                exist_ok=True)
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith((".pyc", ".pyo")):
+                continue
+            full = os.path.join(dirpath, fn)
+            entries.append((full, os.path.relpath(full, root)))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for full, arc in entries:
+            with open(full, "rb") as f:
+                data = f.read()
+            info = zipfile.ZipInfo(arc, date_time=EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            zf.writestr(info, data)
+    return out_path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "dist/search_engines_spark.zip"
+    print(build_zip(out))
