@@ -268,37 +268,67 @@ class Engine:
         * proximity arms (#NEAR/#WINDOW/#SYN subtrees): ONE batched
           postings pass + ONE Arrow kernel stage evaluating every arm
           (engine.batch_structured), derived df per arm broadcast back.
-        Queries the fast path can't express (boolean models, Indri,
-        #WSUM/#WAND) keep their per-query compiled plans and are
-        unioned in."""
+
+        Flat Indri queries (`#AND/#WAND/#WSUM` over plain term arms, one
+        field) take their own single-pass plan (_indri_batch_frame): the
+        matchMin candidate set and present-term scores come from ONE
+        broadcast-joined postings pass, and the missing-term default
+        scores (`QrySopAnd.java:86-94`) collapse into a closed-form
+        column over doclen (see the frame's docstring) — no per-query
+        outer joins. Flat boolean `#AND/#OR` queries batch the same way
+        (_bool_batch_frame). Anything nested (combiners over combiners,
+        proximity under Indri, mixed fields) keeps its per-query
+        compiled plan and is unioned in."""
         from pyspark.sql import Window
         frames = []
         bow_rows: list[tuple] = []    # (qid, term, field, mult, df)
         prox_rows: list[tuple] = []   # (qid, arm_id, mult)
         arms: dict[int, tuple[str, object]] = {}     # arm_id → (field, spec)
         arm_ids: dict[tuple, int] = {}               # (field, spec) → arm_id
+        indri_entries: list[tuple] = []   # (qid, mode, field, shares, zero)
+        bool_entries: list[tuple] = []    # (qid, root, {(term, field)})
         for qid, q in queries.items():
             node = self.parse(q)
-            split = self._split_arms(node) if (bow_fast_path and
-                                               self.model == "bm25") else None
-            if split is not None:
-                bow, prox = split
-                for (term, fld), m in bow.items():
-                    df_v, _ = self._leaf_stats[(term, fld)]
-                    if df_v > 0:   # absent terms add nothing under #SUM
-                        bow_rows.append((qid, term, fld, m, df_v))
-                for (fld, spec), m in prox.items():
-                    if not self._spec_present(spec, fld):
-                        continue   # provably empty derived list (OOV)
-                    key = (fld, spec)
-                    if key not in arm_ids:
-                        arm_ids[key] = len(arm_ids)
-                        arms[arm_ids[key]] = key
-                    prox_rows.append((qid, arm_ids[key], m))
-            else:
-                frames.append(self.eval_sop(node)
-                              .where(F.col("score") >= 0)
-                              .withColumn("qid", F.lit(qid)))
+            if bow_fast_path and self.model == "bm25":
+                split = self._split_arms(node)
+                if split is not None:
+                    bow, prox = split
+                    for (term, fld), m in bow.items():
+                        df_v, _ = self._leaf_stats[(term, fld)]
+                        if df_v > 0:  # absent terms add nothing under #SUM
+                            bow_rows.append((qid, term, fld, m, df_v))
+                    for (fld, spec), m in prox.items():
+                        if not self._spec_present(spec, fld):
+                            continue   # provably empty derived list (OOV)
+                        key = (fld, spec)
+                        if key not in arm_ids:
+                            arm_ids[key] = len(arm_ids)
+                            arms[arm_ids[key]] = key
+                        prox_rows.append((qid, arm_ids[key], m))
+                    continue
+            elif (bow_fast_path and self.model == "indri"
+                  and (self.p.mu > 0 or self.p.lam > 0)):
+                # mu=lam=0 makes every smoothed probability 0 — the log
+                # reformulation below would take log(0); that degenerate
+                # configuration keeps the per-query linear-domain plan
+                ent = self._indri_entry(qid, node)
+                if ent is not None:
+                    if ent[3]:   # ≥1 in-vocabulary arm ⇒ candidates exist
+                        indri_entries.append(ent)
+                    continue
+            elif bow_fast_path and self.model in ("rankedboolean",
+                                                  "unrankedboolean"):
+                ent = self._bool_entry(qid, node)
+                if ent is not None:
+                    bool_entries.append(ent)
+                    continue
+            frames.append(self.eval_sop(node)
+                          .where(F.col("score") >= 0)
+                          .withColumn("qid", F.lit(qid)))
+        if indri_entries:
+            frames.append(self._indri_batch_frame(indri_entries))
+        if bool_entries:
+            frames.append(self._bool_batch_frame(bool_entries))
         fast = []
         if bow_rows:
             fast.append(self._bow_batch_frame(bow_rows))
@@ -459,6 +489,197 @@ class Engine:
                 ["doc_id", "field"])
         return (joined.groupBy("qid", "doc_id")
                 .agg(F.sum(score).alias("score")))
+
+    # -- Indri / boolean one-pass batch fast paths ------------------------------
+
+    def _flat_model_arms(self, node: Node):
+        """Root-level decomposition for the Indri/boolean batch fast
+        paths: (root_op, [(term, field, weight), ...]) when the tree is
+        ONE combiner over plain term #SCORE arms — None for nested
+        combiners, proximity subtrees, or shapes the model can't batch.
+        A bare single-term query returns root_op None (the caller picks
+        the model's identity combiner: #AND-of-1 and #OR-of-1 both equal
+        the term's own score)."""
+        if node.op == "score":
+            child = node.args[0]
+            if child.op != "term":
+                return None
+            return (None, [(child.term, child.field, 1.0)])
+        allowed = {"indri": ("and", "wand", "wsum"),
+                   "rankedboolean": ("and", "or"),
+                   "unrankedboolean": ("and", "or")}.get(self.model, ())
+        if node.op not in allowed:
+            return None
+        if not all(a.op == "score" and a.args[0].op == "term"
+                   for a in node.args):
+            return None
+        ws = (node.weights if node.op in ("wand", "wsum")
+              else [1.0] * len(node.args))
+        return (node.op, [(a.args[0].term, a.args[0].field, w)
+                          for a, w in zip(node.args, ws)])
+
+    def _indri_entry(self, qid: str, node: Node):
+        """→ (qid, mode, field, {term: share}, zero_flag) for a flat
+        Indri query, folding duplicate-term arms by summing their shares
+        (exact under fp: per-arm pow products and folded pow differ below
+        any rounding the contract applies). None ⇒ per-query plan.
+
+        zero_flag: a geo-combined arm with ctf=0 has p=0 for EVERY doc
+        (`QrySopScore.java:140-161` with pmle=0), so the whole product is
+        0 for every candidate — flagged instead of materialized (log(0)
+        has no column form). ctf=0 arms under #WSUM contribute exactly 0
+        and are simply dropped (their weight still counts in the
+        normalizer, `QrySopWSum.java:52-70`)."""
+        flat = self._flat_model_arms(node)
+        if flat is None:
+            return None
+        root, arms = flat
+        root = root or "and"
+        fields = {f for _, f, _ in arms}
+        if len(fields) != 1:
+            return None   # per-field doclen defaults: keep compiled plan
+        fld = next(iter(fields))
+        mode = "sum" if root == "wsum" else "geo"
+        total_w = sum(w for _, _, w in arms)
+        shares: dict[str, float] = {}
+        zero = False
+        for term, _, w in arms:
+            share = 1.0 / len(arms) if root == "and" else w / total_w
+            if self._leaf_stats[(term, fld)][1] == 0:
+                if mode == "geo":
+                    zero = True
+                continue
+            shares[term] = shares.get(term, 0.0) + share
+        return (qid, mode, fld, shares, zero)
+
+    def _bool_entry(self, qid: str, node: Node):
+        """→ (qid, root, {(term, field)}) for a flat boolean query.
+        OOV terms stay in the arm set: they can never appear in the
+        postings join, which under #AND makes the required-count filter
+        unsatisfiable (matchAll over an empty list ⇒ no results,
+        `Qry.java:248-277`) and under #OR adds nothing — both exactly
+        the per-query semantics, with no special casing."""
+        flat = self._flat_model_arms(node)
+        if flat is None:
+            return None
+        root, arms = flat
+        return (qid, root or "or", {(t, f) for t, f, _ in arms})
+
+    def _indri_batch_frame(self, entries: list[tuple]) -> DataFrame:
+        """Flat-Indri batch: → (qid, doc_id, score) for every entry from
+        ONE broadcast-joined postings pass + ONE aggregation — stage
+        count constant in query count, mirroring the BM25 bow plan.
+
+        The per-query plan (_indri_combine) outer-joins one frame per
+        arm to apply default scores to missing terms — per-QUERY stages.
+        Here the default machinery collapses algebraically. With
+        p_t(d) = (1-λ)(tf + μ·pmle_t)/(dl+μ) + λ·pmle_t and
+        d_t(dl) = p_t with tf=0 (`QrySopScore.java:123-161`):
+
+          geo (#AND/#WAND):  Π p_t^s_t
+            = exp( Σ_present s_t·(ln p_t − ln d_t(dl))  ← postings pass
+                 + Σ_all     s_t·ln d_t(dl) )           ← closed form in dl
+          sum (#WSUM):       Σ s_t·p_t
+            =      Σ_present s_t·(p_t − d_t(dl))
+                 + Σ_all     s_t·d_t(dl)
+
+        The Σ_all term needs only the query's (share, pmle) constants and
+        the candidate's doclen — shipped as ONE literal map
+        qid → array<struct<sh,pm>> and folded with F.aggregate: pure
+        codegen, no join, no extra shuffle. matchMin candidates
+        (`Qry.java:325-348`) fall out of the postings pass itself. exp∘ln
+        vs the per-query linear pow product differs at ~1e-15 relative —
+        far inside the contract's 1e-6 rounding and the golden gate's
+        1e-9."""
+        spark = self.index.postings.sparkSession
+        mu, lam = self.p.mu, self.p.lam
+        rows: list[tuple] = []     # (qid, term, field, share, pmle, geo)
+        map_entries: list[Column] = []
+        geo_qids, zero_qids = [], []
+        for qid, mode, fld, shares, zero in entries:
+            c = float(self.index.stats_for(fld)["sum_len"])
+            if mode == "geo":
+                geo_qids.append(qid)
+            if zero:
+                zero_qids.append(qid)
+            arr = []
+            for term, share in shares.items():
+                pmle = self._leaf_stats[(term, fld)][1] / c
+                rows.append((qid, term, fld, share, pmle, mode == "geo"))
+                arr.append(F.struct(F.lit(share).alias("sh"),
+                                    F.lit(pmle).alias("pm")))
+            map_entries += [F.lit(qid), F.array(*arr)]
+        qt = F.broadcast(spark.createDataFrame(
+            rows, "qid string, term string, field string, share double, "
+                  "pmle double, geo boolean"))
+        p = self.index.postings.where(
+            F.col("term").isin(sorted({r[1] for r in rows})))
+        j = p.join(qt, ["term", "field"])
+        if "doclen" not in p.columns:
+            j = j.join(self.index.doclens
+                       .select("doc_id", "field", "doclen"),
+                       ["doc_id", "field"])
+        p_tf = ((1 - lam) * (F.col("tf") + mu * F.col("pmle"))
+                / (F.col("doclen") + F.lit(mu)) + lam * F.col("pmle"))
+        p_0 = ((1 - lam) * (mu * F.col("pmle"))
+               / (F.col("doclen") + F.lit(mu)) + lam * F.col("pmle"))
+        adj = F.when(F.col("geo"),
+                     F.col("share") * (F.log(p_tf) - F.log(p_0))) \
+               .otherwise(F.col("share") * (p_tf - p_0))
+        g = (j.groupBy("qid", "doc_id")
+             .agg(F.sum(adj).alias("adj"),
+                  F.first("doclen").alias("doclen")))
+        qmap = F.create_map(*map_entries)
+        arms_of = F.element_at(qmap, F.col("qid"))
+
+        def dflt(x):
+            return ((1 - lam) * (mu * x["pm"])
+                    / (F.col("doclen") + F.lit(mu)) + lam * x["pm"])
+
+        base_geo = F.aggregate(arms_of, F.lit(0.0),
+                               lambda acc, x: acc + x["sh"] * F.log(dflt(x)))
+        base_sum = F.aggregate(arms_of, F.lit(0.0),
+                               lambda acc, x: acc + x["sh"] * dflt(x))
+        score = F.when(F.col("qid").isin(geo_qids),
+                       F.exp(F.col("adj") + base_geo)) \
+                 .otherwise(F.col("adj") + base_sum)
+        if zero_qids:
+            score = F.when(F.col("qid").isin(zero_qids), F.lit(0.0)) \
+                     .otherwise(score)
+        return g.select("qid", "doc_id", score.alias("score"))
+
+    def _bool_batch_frame(self, entries: list[tuple]) -> DataFrame:
+        """Flat-boolean batch: → (qid, doc_id, score) from one postings
+        pass. #AND (matchAll, score = min tf under rankedboolean,
+        `QrySopAnd.java:68-83`) becomes a having-count filter against a
+        literal qid → required-arm-count map; #OR (matchMin, score =
+        max tf, `QrySopOr.java:69-84`) needs no filter. Unranked scores
+        are 1.0 (`QrySopScore.java:75-81`)."""
+        spark = self.index.postings.sparkSession
+        rows = [(qid, t, f) for qid, _, pairs in entries for t, f in pairs]
+        and_entries = [(qid, pairs) for qid, root, pairs in entries
+                       if root == "and"]
+        qt = F.broadcast(spark.createDataFrame(
+            rows, "qid string, term string, field string"))
+        p = self.index.postings.where(
+            F.col("term").isin(sorted({t for _, t, _ in rows})))
+        g = (p.join(qt, ["term", "field"])
+             .groupBy("qid", "doc_id")
+             .agg(F.min("tf").alias("_min_tf"), F.max("tf").alias("_max_tf"),
+                  F.countDistinct("term", "field").alias("_nt")))
+        if and_entries:
+            need = F.create_map(*[c for qid, pairs in and_entries
+                                  for c in (F.lit(qid), F.lit(len(pairs)))])
+            and_list = [qid for qid, _ in and_entries]
+            g = g.where(~F.col("qid").isin(and_list)
+                        | (F.col("_nt") == F.element_at(need, F.col("qid"))))
+            tf_score = F.when(F.col("qid").isin(and_list), F.col("_min_tf")) \
+                        .otherwise(F.col("_max_tf"))
+        else:
+            tf_score = F.col("_max_tf")
+        score = (F.lit(1.0) if self.model == "unrankedboolean"
+                 else tf_score.cast("double"))
+        return g.select("qid", "doc_id", score.alias("score"))
 
     # ------------------------------------------------------ Iop compilation --
 

@@ -52,6 +52,14 @@ STAT_TERMS = ["spark", "stream", "join", "merge", "batch", "window",
               "data", "table"]
 TREC_QUERIES = {"q1": BOW3, "q2": ["hash", "merge", "batch"],
                 "q3": ["data", "table"]}
+# one-pass model batches (compile._indri_batch_frame / _bool_batch_frame):
+# default #AND, weighted-sum, weighted-geo / #AND, #OR, default #OR
+INDRI_BATCH_QUERIES = {"q1": "spark stream join",
+                       "q2": "#wsum( 0.5 spark 0.3 stream 0.2 join )",
+                       "q3": "#wand( 0.6 merge 0.4 batch )"}
+BOOL_BATCH_QUERIES = {"q1": "#and( spark stream )",
+                      "q2": "#or( dup merge )",
+                      "q3": "data table"}
 
 _INDEX_CACHE: dict[tuple, Index] = {}
 
@@ -161,28 +169,34 @@ INDRI_VAL = ("(1 - {lam}) * ({tf} + {mu} * ({ctf} / c.sumlen))"
              " / ({dl} + {mu}) + {lam} * ({ctf} / c.sumlen)")
 
 
-def _indri_pivot_sql(terms: list[str], combiner: str, k: int = 100) -> str:
-    """Indri matchMin candidates + per-term values with tf=0 defaults
-    (`QrySopAnd.java:86-107`), pivoted so the combiner mirrors the
-    engine's left-associative float expression exactly."""
+def _indri_pivot_ctes(terms: list[str], alias: str) -> str:
+    """CTE chain → `{alias}(doc_id, v0..vk)`: Indri matchMin candidates
+    + per-term values with tf=0 defaults (`QrySopAnd.java:86-107`),
+    pivoted so a combiner over v0..vk mirrors the engine's
+    left-associative float expression exactly. Alias-prefixed so several
+    queries' chains coexist in one batch statement."""
     cases = ",\n       ".join(
         f"max(CASE WHEN term = '{t}' THEN val END) AS v{i}"
         for i, t in enumerate(terms))
     val = INDRI_VAL.format(lam=LAM, mu=MU, tf="cell.tf", ctf="s.ctf",
                            dl="d.doclen")
-    return f"""{PRELUDE},
-q(term) AS (VALUES {_values(terms)}),
-cand AS (SELECT DISTINCT doc_id FROM post JOIN q USING (term)),
-cell AS (SELECT cand.doc_id, q.term, coalesce(p.tf, 0) AS tf
-         FROM cand CROSS JOIN q
-         LEFT JOIN post p ON p.doc_id = cand.doc_id AND p.term = q.term),
-vals AS (SELECT cell.doc_id, cell.term, {val} AS val
-         FROM cell JOIN stats s ON s.term = cell.term
+    return f"""{alias}_q(term) AS (VALUES {_values(terms)}),
+{alias}_cand AS (SELECT DISTINCT doc_id FROM post JOIN {alias}_q USING (term)),
+{alias}_cell AS (SELECT c0.doc_id, q.term, coalesce(p.tf, 0) AS tf
+         FROM {alias}_cand c0 CROSS JOIN {alias}_q q
+         LEFT JOIN post p ON p.doc_id = c0.doc_id AND p.term = q.term),
+{alias}_vals AS (SELECT cell.doc_id, cell.term, {val} AS val
+         FROM {alias}_cell cell JOIN stats s ON s.term = cell.term
               JOIN dl d ON d.doc_id = cell.doc_id
               CROSS JOIN corpus c),
-piv AS (SELECT doc_id,
+{alias} AS (SELECT doc_id,
        {cases}
-        FROM vals GROUP BY doc_id)
+        FROM {alias}_vals GROUP BY doc_id)"""
+
+
+def _indri_pivot_sql(terms: list[str], combiner: str, k: int = 100) -> str:
+    return f"""{PRELUDE},
+{_indri_pivot_ctes(terms, 'piv')}
 SELECT d.ext_id, floor(({combiner}) * 1e6 + 0.5)::BIGINT AS score_r
 FROM piv JOIN dl d USING (doc_id)
 ORDER BY score_r DESC, ext_id LIMIT {k}"""
@@ -393,6 +407,33 @@ def q_daat_batch(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 10)
             .select("qid", "ext_id", "rank", "score_r"))
+
+
+def q_indri_batch(spark, sf_dir):
+    """Flat-Indri one-pass batch (compile._indri_batch_frame): the whole
+    query set — default #AND, #WSUM, #WAND — answered from ONE
+    broadcast-joined postings pass; missing-term defaults
+    (`QrySopAnd.java:86-94`) are a closed-form doclen column, not
+    per-query outer joins. Re-ranked by rounded score for cross-engine
+    determinism; fetch depth ≫ the reported top-10."""
+    eng = Engine(_index(spark, sf_dir), "indri")
+    res = eng.search_many(INDRI_BATCH_QUERIES, k=10_000)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("ext_id"))
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 10)
+            .select("qid", "ext_id", "rank", "score_r"))
+
+
+def q_bool_batch(spark, sf_dir):
+    """Flat-boolean one-pass batch (compile._bool_batch_frame): #AND via
+    having-count against a literal required-arm map, #OR via max — one
+    postings pass for the whole batch. Integer tf scores, full result
+    sets (`QrySopAnd.java:68-83`, `QrySopOr.java:69-84`)."""
+    eng = Engine(_index(spark, sf_dir), "rankedboolean")
+    res = eng.search_many(BOOL_BATCH_QUERIES, k=1_000_000)
+    return res.select("qid", "ext_id",
+                      F.col("score").cast("long").alias("score_i"))
 
 
 def q_segments_structured_near(spark, sf_dir):
@@ -1130,6 +1171,53 @@ def _sql_doclens() -> str:
     return f"{PRELUDE}\nSELECT doc_id, doclen FROM dl"
 
 
+def _sql_indri_batch() -> str:
+    """Per-qid Indri pivot chains unioned — each arm identical to the
+    single-query `_indri_pivot_sql` oracles already pinning the engine's
+    #AND/#WSUM/#WAND semantics."""
+    specs = {
+        "q1": (["spark", "stream", "join"],
+               _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3])),
+        "q2": (["spark", "stream", "join"],
+               _sum_combiner([w / (0.5 + 0.3 + 0.2)
+                              for w in (0.5, 0.3, 0.2)])),
+        "q3": (["merge", "batch"],
+               _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)])),
+    }
+    ctes = ",\n".join(_indri_pivot_ctes(terms, f"sc_{qid}")
+                      for qid, (terms, _) in specs.items())
+    unions = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS qid, d.ext_id,
+      floor(({comb}) * 1e6 + 0.5)::BIGINT AS score_r
+ FROM sc_{qid} JOIN dl d USING (doc_id)
+ ORDER BY score_r DESC, ext_id LIMIT 10)"""
+        for qid, (_, comb) in specs.items())
+    return f"""{PRELUDE},
+{ctes},
+allq AS ({unions})
+SELECT qid, ext_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, ext_id)::BIGINT AS rank,
+       score_r
+FROM allq"""
+
+
+def _sql_bool_batch() -> str:
+    return f"""{PRELUDE}
+SELECT 'q1' AS qid, d.ext_id, least(a.tf, b.tf)::BIGINT AS score_i
+FROM (SELECT doc_id, tf FROM post WHERE term = 'spark') a
+JOIN (SELECT doc_id, tf FROM post WHERE term = 'stream') b USING (doc_id)
+JOIN dl d USING (doc_id)
+UNION ALL
+SELECT 'q2' AS qid, d.ext_id, max(p.tf)::BIGINT AS score_i
+FROM post p JOIN dl d USING (doc_id)
+WHERE p.term IN ('dup', 'merge') GROUP BY d.ext_id
+UNION ALL
+SELECT 'q3' AS qid, d.ext_id, max(p.tf)::BIGINT AS score_i
+FROM post p JOIN dl d USING (doc_id)
+WHERE p.term IN ('data', 'table') GROUP BY d.ext_id"""
+
+
 def _sql_trec_topk() -> str:
     ctes = ",\n".join(_bm25_scored_cte(terms, f"sc_{qid}")
                       for qid, terms in TREC_QUERIES.items())
@@ -1650,6 +1738,8 @@ REGISTRY: dict[str, tuple] = {
     "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
+    "indri_batch_onepass": (q_indri_batch, _sql_indri_batch()),
+    "bool_batch_onepass": (q_bool_batch, _sql_bool_batch()),
     "daat_batch_topk": (q_daat_batch, _sql_trec_topk()),
     "segments_structured_near": (q_segments_structured_near,
                                  _sql_near2_bool()),
