@@ -102,6 +102,23 @@ def main() -> None:
     eng.search_many(batch, k=100).collect()
     queries["batch_bm25_per_query"] = round((time.time() - t0) / len(batch), 3)
 
+    # flat-Indri one-pass batch (compile._indri_batch_frame): default
+    # scores collapsed to a closed-form doclen column — one postings
+    # pass for the whole query file, vs one outer-join chain per query
+    ibatch = {"i1": "spark stream join",
+              "i2": "#wsum( 0.5 spark 0.3 stream 0.2 join )",
+              "i3": "#wand( 0.6 merge 0.4 batch )",
+              "i4": "data table",
+              "i5": "merge sort shuffle",
+              "i6": "#and( table scan filter )"}
+    eng_i = Engine(idx, "indri")
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        eng_i.search_many(ibatch, k=100).collect()
+        times.append(time.time() - t0)
+    queries["batch_indri_per_query"] = round(min(times) / len(ibatch), 3)
+
     # compressed-segment build + block-max DAAT top-k (the north-star
     # WAND path over varbyte blocks)
     import shutil

@@ -65,6 +65,75 @@ def expansion_scores(index: Index, top: list[tuple[int, float]],
     return grid.groupBy("term").agg(F.sum(contrib).alias("score"))
 
 
+def expansion_scores_many(index: Index,
+                          tops: dict[str, list[tuple[int, float]]],
+                          fb_mu: float, field: str = "body"):
+    """Batched RM expansion: → (qid, term, score) for EVERY query's
+    top-doc set in one plan — the per-query loop (`QryEval.java:684` +
+    expandQuery per qid) costs two jobs per query; this is one
+    broadcast-joined postings pass + one (qid, term) aggregation for the
+    whole query file, the same batching shape as search_many.
+
+    Semantics per qid are exactly `expansion_scores` (both tf>0 and
+    tf=0 grid cells, collection-ctf mle, '.'/',' stems skipped)."""
+    spark = index.docs.sparkSession
+    c_length = float(index.stats_for(field)["sum_len"])
+    top_df = F.broadcast(spark.createDataFrame(
+        [(qid, int(d), float(s)) for qid, top in tops.items()
+         for d, s in top],
+        "qid string, doc_id long, doc_score double"))
+    doclens = (index.doclens.where(F.col("field") == field)
+               .select("doc_id", "doclen"))
+    # (doc, term, tf) of every doc that is in ANY query's top set — one
+    # forward-index scan shared by the whole batch
+    tv = (index.postings
+          .where(F.col("field") == field)
+          .join(top_df.select("doc_id").distinct(), "doc_id")
+          .select("doc_id", "term", "tf")
+          .where(~F.col("term").contains(".") & ~F.col("term").contains(",")))
+    # candidates are per qid: stems of THAT query's top docs
+    cand = (tv.join(top_df.select("qid", "doc_id"), "doc_id")
+            .select("qid", "term").distinct())
+    mle_df = (cand.join(
+        index.term_stats.where(F.col("field") == field)
+        .select("term", "ctf"), "term")
+        .select("qid", "term",
+                (F.col("ctf") / F.lit(c_length)).alias("mle")))
+    # grid per qid: its candidate terms × its top docs, tf=0 where absent
+    grid = (mle_df.join(top_df, "qid")
+            .join(tv, ["term", "doc_id"], "left")
+            .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+            .join(doclens, "doc_id"))
+    ptd = (F.col("tf") + fb_mu * F.col("mle")) / (F.col("doclen") + F.lit(fb_mu))
+    contrib = ptd * F.col("doc_score") * F.log(1.0 / F.col("mle"))
+    return grid.groupBy("qid", "term").agg(F.sum(contrib).alias("score"))
+
+
+def expand_queries(index: Index,
+                   rankings: dict[str, list[tuple[int, float]]],
+                   fb_docs: int, fb_terms: int, fb_mu: float,
+                   field: str = "body") -> dict[str, str]:
+    """Batched `expand_query`: every query's `#wand ( ... )` expansion
+    from ONE expansion plan + ONE collect (≤ |queries|·fb_terms rows)."""
+    from pyspark.sql import Window
+    tops = {qid: ranking[:fb_docs] for qid, ranking in rankings.items()
+            if ranking}
+    out = {qid: "#wand ( )" for qid in rankings}   # empty-ranking case
+    if not tops:
+        return out
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+    rows = (expansion_scores_many(index, tops, fb_mu, field)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= fb_terms)
+            .orderBy("qid", "_rk").collect())
+    parts: dict[str, list[str]] = {}
+    for r in rows:
+        parts.setdefault(r["qid"], []).append(f"{r['score']:.4f} {r['term']}")
+    for qid, ps in parts.items():
+        out[qid] = "#wand ( " + " ".join(ps) + " )"
+    return out
+
+
 def expand_query(index: Index, ranking: list[tuple[int, float]],
                  fb_docs: int, fb_terms: int, fb_mu: float,
                  field: str = "body") -> str:

@@ -579,6 +579,33 @@ def q_feedback_expand(spark, sf_dir):
             .select("term", "score_r"))
 
 
+def q_feedback_expand_batch(spark, sf_dir):
+    """Batched RM expansion (feedback.expansion_scores_many): BOTH
+    queries' candidate-term scores from ONE broadcast-joined postings
+    pass + ONE (qid, term) aggregation — the per-query expansion loop
+    (`QryEval.java:684` + expandQuery) costs two jobs per query. Top-doc
+    sets picked by rounded score + ext_id on both sides for
+    cross-engine determinism."""
+    from .capabilities.feedback import expansion_scores_many
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    tops = {}
+    for qid, terms in {"q1": BOW_RARE, "q2": BOW3}.items():
+        node = eng.parse(" ".join(terms))
+        sc = (eng.eval_sop(node).where(F.col("score") >= 0)
+              .join(idx.doc_map, "doc_id"))
+        top = (sc.withColumn("score_r", _r(F.col("score")))
+               .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(10)
+               .select("doc_id", "score").collect())
+        tops[qid] = [(r["doc_id"], r["score"]) for r in top]
+    scored = expansion_scores_many(idx, tops, fb_mu=40.0)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("term"))
+    return (scored.withColumn("score_r", _r(F.col("score")))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("qid", "term", "score_r"))
+
+
 def q_docterms(spark, sf_dir):
     """Forward index / term-vector scan (`TermVector.java:22-114` analog):
     per doc, the sorted stem:tf vector as a csv string."""
@@ -1493,25 +1520,48 @@ def _sql_fingerprints() -> str:
 FROM documents"""
 
 
-def _sql_feedback_expand() -> str:
-    return f"""{PRELUDE},
-{_bm25_scored_cte(BOW_RARE, 'fsc')},
-topd AS (SELECT fsc.doc_id, fsc.score AS doc_score
-         FROM fsc JOIN dl USING (doc_id)
-         ORDER BY floor(fsc.score * 1e6 + 0.5) DESC, dl.ext_id LIMIT 10),
-fcand AS (SELECT DISTINCT p.term FROM post p JOIN topd USING (doc_id)),
-grid AS (SELECT fcand.term, topd.doc_id, topd.doc_score,
+def _fb_ctes(terms: list[str], alias: str) -> str:
+    """CTE chain → `{alias}(term, score)`: RM expansion-term scores over
+    the rounded-score top-10 BM25 docs of `terms` (`QryEval.java:96-177`,
+    fbMu=40) — alias-prefixed so several queries' chains coexist."""
+    return f"""{_bm25_scored_cte(terms, f'{alias}_fsc')},
+{alias}_topd AS (SELECT f.doc_id, f.score AS doc_score
+         FROM {alias}_fsc f JOIN dl USING (doc_id)
+         ORDER BY floor(f.score * 1e6 + 0.5) DESC, dl.ext_id LIMIT 10),
+{alias}_cand AS (SELECT DISTINCT p.term
+                 FROM post p JOIN {alias}_topd USING (doc_id)),
+{alias}_grid AS (SELECT fc.term, td.doc_id, td.doc_score,
                 coalesce(p.tf, 0) AS tf
-         FROM fcand CROSS JOIN topd
-         LEFT JOIN post p ON p.term = fcand.term AND p.doc_id = topd.doc_id),
-fsco AS (SELECT g.term,
+         FROM {alias}_cand fc CROSS JOIN {alias}_topd td
+         LEFT JOIN post p ON p.term = fc.term AND p.doc_id = td.doc_id),
+{alias} AS (SELECT g.term,
          sum( (g.tf + 40.0 * (s.ctf / c.sumlen)) / (d.doclen + 40.0)
               * g.doc_score * ln(1.0 / (s.ctf / c.sumlen)) ) AS score
-         FROM grid g JOIN stats s USING (term)
+         FROM {alias}_grid g JOIN stats s USING (term)
               JOIN dl d ON d.doc_id = g.doc_id CROSS JOIN corpus c
-         GROUP BY g.term)
+         GROUP BY g.term)"""
+
+
+def _sql_feedback_expand() -> str:
+    return f"""{PRELUDE},
+{_fb_ctes(BOW_RARE, 'fsco')}
 SELECT term, floor(score * 1e6 + 0.5)::BIGINT AS score_r
 FROM fsco ORDER BY score_r DESC, term LIMIT 10"""
+
+
+def _sql_feedback_expand_batch() -> str:
+    specs = {"q1": BOW_RARE, "q2": BOW3}
+    ctes = ",\n".join(_fb_ctes(terms, f"e_{qid}")
+                      for qid, terms in specs.items())
+    unions = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS qid, term,
+      floor(score * 1e6 + 0.5)::BIGINT AS score_r
+ FROM e_{qid} ORDER BY score_r DESC, term LIMIT 10)"""
+        for qid in specs)
+    return f"""{PRELUDE},
+{ctes}
+SELECT * FROM (
+{unions})"""
 
 
 def _sql_docterms() -> str:
@@ -1745,6 +1795,8 @@ REGISTRY: dict[str, tuple] = {
                                  _sql_near2_bool()),
     "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
     "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
+    "feedback_expansion_batch": (q_feedback_expand_batch,
+                                 _sql_feedback_expand_batch()),
     "letor_features": (q_letor_features, _sql_letor_features()),
     "letor_features_multifield": (q_letor_multifield,
                                   _sql_letor_multifield()),

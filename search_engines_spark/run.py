@@ -304,16 +304,92 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
     # batchQueries=true (engine extension, not a reference parameter):
     # answer the WHOLE query file through the one-plan batch path
     # (`Engine.search_many` — stage count constant in query count,
-    # docs/PLANS.md §2b/2c) instead of the reference's per-query loop
+    # docs/PLANS.md §2b/2c/2g) instead of the reference's per-query loop
     # (`QryEval.java:684`). Per-query results are identical, so the
-    # trec output is byte-identical; incompatible with fb/diversity
-    # (those branches are per-query by construction).
-    if (params.get("batchQueries") == "true" and not fb and not diversity):
-        res = (eng.search_many(queries, k=k)
+    # trec output is byte-identical. With fb=true, the expansion also
+    # batches: initial rankings from ONE search_many, RM term scores for
+    # every query from ONE expansion plan (feedback.expand_queries), and
+    # the combined #wand queries re-enter one final search_many.
+    # With diversity=true (engine-ranked intents), ALL topics' initial
+    # and per-intent rankings come from ONE search_many; only the greedy
+    # re-rank (inherently sequential, ≤ depth-sized lists,
+    # `Diversity.java:415-605`) stays driver-side per topic.
+    if (params.get("batchQueries") == "true" and diversity
+            and "diversity:initialRankingFile" not in params):
+        depth = int(params.get("diversity:maxInputRankingsLength", 100))
+        intents_all = read_query_file(params["diversity:intentsFile"])
+        batch_qs = dict(queries)
+        for ik, iq in intents_all.items():
+            if ik.split(".", 1)[0] in queries:
+                batch_qs[ik] = iq
+        rows = (eng.search_many(batch_qs, k=depth)
+                .orderBy("qid", "rank").collect())
+        groups: dict[str, list] = {}
+        ext_of: dict[int, str] = {}
+        for r in rows:
+            groups.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+            ext_of[r["doc_id"]] = r["ext_id"]
+        algo = params.get("diversity:algorithm", "xquad").lower()
+        lam = float(params["diversity:lambda"])
+        out_rows = []
+        for qid in queries:
+            initial = groups.get(qid, [])
+            keep = {d for d, _ in initial}
+            ikeys = sorted((kk for kk in groups
+                            if kk.startswith(f"{qid}.")),
+                           key=lambda kk: kk.split(".", 1)[1])
+            intents = {i: {d: s for d, s in groups[kk] if d in keep}
+                       for i, kk in enumerate(ikeys)}
+            din = DiversityInput(initial=initial, intents=intents)
+            if algo == "xquad":
+                ranked = xquad(din, lam, depth=k)
+            elif algo == "pm2":
+                ranked = pm2(din, lam, max_result_len=k, depth=k)
+            else:
+                raise ValueError("Illegal Diversity Algorithm")
+            for rk, (d, s) in enumerate(ranked[:k], start=1):
+                out_rows.append((qid, ext_of[d], float(s), rk))
+        res = spark.createDataFrame(
+            out_rows, "qid string, ext_id string, score double, rank int")
+        write_trec_file(res, params["trecEvalOutputPath"],
+                        run_id=params.get("runID", "run"), k=k,
+                        all_qids=list(queries))
+        if own_spark:
+            spark.stop()
+        return params["trecEvalOutputPath"]
+    if params.get("batchQueries") == "true" and not diversity:
+        expanded_batch: dict[str, str] = {}
+        if fb:
+            from .capabilities.feedback import expand_queries
+            fb_docs = int(params["fbDocs"])
+            if rankings_file is not None:
+                for qid in queries:
+                    if qid not in rankings_file:
+                        raise ValueError(f"No query {qid} in ranking file!")
+                rankings = {qid: rankings_file[qid] for qid in queries}
+            else:
+                init = (eng.search_many(queries, k=fb_docs)
+                        .orderBy("qid", "rank").collect())
+                rankings = {qid: [] for qid in queries}
+                for r in init:
+                    rankings[r["qid"]].append((r["doc_id"], r["score"]))
+            expanded_batch = expand_queries(
+                idx, rankings, fb_docs, int(params["fbTerms"]),
+                float(params["fbMu"]))
+            w0 = float(params["fbOrigWeight"])
+            run_queries = {qid: rewrite_with_feedback(q, expanded_batch[qid],
+                                                      w0)
+                           for qid, q in queries.items()}
+        else:
+            run_queries = queries
+        res = (eng.search_many(run_queries, k=k)
                .select("qid", "ext_id", "score"))
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
                         all_qids=list(queries))
+        if fb and "fbExpansionQueryFile" in params:
+            write_expanded_query_file(params["fbExpansionQueryFile"],
+                                      expanded_batch)
         if own_spark:
             spark.stop()
         return params["trecEvalOutputPath"]

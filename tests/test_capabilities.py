@@ -76,6 +76,26 @@ def test_expanded_query_reenters_engine(spark_index, oracle_index):
         assert r["score"] == pytest.approx(s, abs=1e-9)
 
 
+def test_expand_queries_batch_matches_single(spark_index, oracle_index):
+    """Batched expansion (ONE postings pass + ONE (qid, term) agg for
+    every query, feedback.expand_queries) must produce the identical
+    expansion string the per-query path produces for each qid — incl.
+    a qid with an empty ranking."""
+    from search_engines_spark.capabilities.feedback import expand_queries
+    rankings = {
+        "q1": [(d, s) for d, _, s in
+               run_query("fickle creek farm", oracle_index, "indri", k=10)],
+        "q2": [(d, s) for d, _, s in
+               run_query("voyager", oracle_index, "bm25", k=10)],
+        "q3": [],
+    }
+    batch = expand_queries(spark_index, rankings, fb_docs=5, fb_terms=8,
+                           fb_mu=40.0)
+    for qid, ranking in rankings.items():
+        want = expand_query(spark_index, ranking, 5, 8, 40.0)
+        assert batch[qid] == want, qid
+
+
 # ------------------------------------------------------------ diversity --
 
 # The toy example hard-coded in the reference's own test constructor

@@ -90,6 +90,80 @@ fbExpansionQueryFile={exp}
     assert len(open(out).read().splitlines()) > 0
 
 
+def test_batch_fb_matches_per_query_fb(spark, corpus_parquet, tmp_path):
+    """batchQueries=true + fb=true: initial rankings from ONE
+    search_many, every query's RM expansion from ONE plan
+    (feedback.expand_queries), final combined #wand queries through one
+    more search_many — trec ranking identical to the per-query fb loop
+    (scores to 1e-9) and the expansion files agree per qid (weights to
+    the same %.4f, modulo summation-order ulps at the boundary)."""
+    d, _ = corpus_parquet
+    # fb rewrites by TEXT (`QryEval.java:740-742`): a bare multi-term
+    # query inside #wand would leave terms without weights, so fb query
+    # files use structured originals (same constraint as the reference)
+    qf = _write(tmp_path, "qfb.txt",
+                "1:#and( fickle creek farm )\n2:#and( voyager probe )\n")
+    outs, exps = [], []
+    for i, extra in enumerate(("", "batchQueries=true\n")):
+        out = str(tmp_path / f"fb{i}.teIn")
+        exp = str(tmp_path / f"fbexp{i}.txt")
+        pf = _write(tmp_path, f"pfb{i}.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=Indri
+Indri:mu=2500
+Indri:lambda=0.4
+fb=true
+fbDocs=5
+fbTerms=6
+fbMu=40
+fbOrigWeight=0.5
+fbExpansionQueryFile={exp}
+runID=t
+{extra}""")
+        main(pf, spark=spark)
+        outs.append(open(out).read().splitlines())
+        exps.append(sorted(open(exp).read().splitlines()))
+    assert len(outs[0]) == len(outs[1])
+    for a, b in zip(outs[0], outs[1]):
+        qa, _, ea, ra, sa, _ = a.split()
+        qb, _, eb, rb, sb, _ = b.split()
+        assert (qa, ea, ra) == (qb, eb, rb)
+        assert abs(float(sa) - float(sb)) < 1e-9
+    assert exps[0] == exps[1]
+
+
+@pytest.mark.parametrize("algo", ["xquad", "pm2"])
+def test_batch_diversity_matches_per_query(spark, corpus_parquet, tmp_path,
+                                           algo):
+    """batchQueries=true + diversity=true (engine-ranked intents): every
+    topic's initial AND per-intent rankings come from ONE search_many;
+    the greedy re-rank stays per-topic. Output must be byte-identical to
+    the per-query loop."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qdv.txt", "1:creek farm\n2:voyager probe\n")
+    intents = _write(tmp_path, "idv.txt",
+                     "1.1:creek\n1.2:farm\n2.1:voyager\n")
+    outs = []
+    for i, extra in enumerate(("", "batchQueries=true\n")):
+        out = str(tmp_path / f"dv_{algo}_{i}.teIn")
+        pf = _write(tmp_path, f"pdv_{algo}_{i}.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+diversity=true
+diversity:algorithm={algo}
+diversity:lambda=0.5
+diversity:intentsFile={intents}
+diversity:maxInputRankingsLength=20
+diversity:maxResultRankingLength=10
+runID=t
+{extra}""")
+        main(pf, spark=spark)
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+
+
 def test_diversity_run(spark, corpus_parquet, tmp_path):
     d, _ = corpus_parquet
     qf = _write(tmp_path, "q3.txt", "1:creek farm\n")

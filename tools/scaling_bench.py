@@ -62,6 +62,23 @@ QUERY_SET = {
     "q12": "#sum( #syn( merge join ) #near/2( hash table ) )",
 }
 
+# flat-Indri batch (compile._indri_batch_frame): default #AND, #WSUM,
+# #WAND over corpus vocab — one postings pass + closed-form defaults
+INDRI_QUERY_SET = {
+    "i1": "spark stream join",
+    "i2": "hash merge batch",
+    "i3": "dup line small",
+    "i4": "#wsum( 0.5 spark 0.3 stream 0.2 join )",
+    "i5": "#wand( 0.6 merge 0.4 batch )",
+    "i6": "data column filter",
+    "i7": "#and( table scan filter )",
+    "i8": "merge sort shuffle",
+    "i9": "#wsum( 0.7 data 0.3 table )",
+    "i10": "write read commit",
+    "i11": "#wand( 0.5 hash 0.3 shuffle 0.2 read )",
+    "i12": "column sort scan",
+}
+
 # bow-only batch for the compressed-store DAAT path (structured
 # operators go through search_many); 12 distinct queries over the
 # corpus vocab
@@ -180,6 +197,17 @@ def run_one(cores: int, sf_dir: str, mult: int) -> dict:
         res["query_batch_sec"] = round(best, 2)
         res["queries_per_sec"] = round(len(QUERY_SET) / best, 2)
 
+        # ---- batched flat-Indri retrieval (one-pass default scores) --------
+        eng_i = Engine(idx, "indri")
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            eng_i.search_many(INDRI_QUERY_SET, k=100).collect()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["indri_batch_sec"] = round(best, 2)
+        res["indri_queries_per_sec"] = round(len(INDRI_QUERY_SET) / best, 2)
+
         # ---- batched DAAT over the compressed segment store ---------------
         # fixed 32-bucket layout at every level (same on-disk bytes);
         # parallelism enters only through the doc-range stride partitions
@@ -244,6 +272,7 @@ def main() -> None:
     a832 = _eff(r, 8, 32, "arrow_files_per_sec")
     j832 = _eff(r, 8, 32, "jvm_files_per_sec")
     q832 = _eff(r, 8, 32, "queries_per_sec")
+    i832 = _eff(r, 8, 32, "indri_queries_per_sec")
     d832 = _eff(r, 8, 32, "daat_queries_per_sec")
 
     os.makedirs("BENCH", exist_ok=True)
@@ -327,6 +356,24 @@ where every term appears in ~every document. In production the scaling
 axis for retrieval is query count, and the per-query plans are
 shuffle-minimal broadcast shapes.
 
+## Batched flat-Indri throughput (8 vs 32 cores)
+
+`Engine.search_many` under the Indri model — {len(INDRI_QUERY_SET)}
+flat `#AND/#WSUM/#WAND` queries in ONE plan
+(compile._indri_batch_frame): the matchMin default-score machinery is a
+closed-form doclen column, so the whole batch is one broadcast-joined
+postings pass + one (qid, doc_id) aggregation:
+
+| cores | batch sec | queries/sec |
+|---|---|---|
+| 8  | {r[8]['indri_batch_sec']} | {r[8]['indri_queries_per_sec']} |
+| 32 | {r[32]['indri_batch_sec']} | {r[32]['indri_queries_per_sec']} |
+
+(8→32 efficiency {i832:.2f} against the {bw_832:.2f} bandwidth /
+{sha_832:.2f} CPU ceilings.) Before this plan existed, Indri queries
+fell back to one outer-join chain per query — stage count linear in
+batch size, the shape that was scheduler-bound at every level.
+
 ## Batched block-max DAAT throughput (8 vs 32 cores)
 
 `Engine.search_daat_many` — {len(DAAT_QUERY_SET)} bag-of-words BM25
@@ -356,7 +403,8 @@ corpus size until executors saturate — the batch and build numbers
 above are the ones that transfer to 100 TB.
 """)
     print(f"arrow 2->8={a28:.3f} 8->32={a832:.3f} jvm 8->32={j832:.3f} "
-          f"query 8->32={q832:.3f} -> BENCH/BASELINE.md")
+          f"query 8->32={q832:.3f} indri 8->32={i832:.3f} "
+          f"daat 8->32={d832:.3f} -> BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
