@@ -707,6 +707,43 @@ def q_letor_multifield(spark, sf_dir):
                         *[_r(F.col(n)).alias(f"{n}_r") for n in names])
 
 
+def q_letor_18slot(spark, sf_dir):
+    """The reference's EXACT 18-slot LeToR layout
+    (`FeatureVector.java:190-290`, letor.letor_features_18): f1 spam,
+    f2 url depth, f3 wiki flag, f4 PageRank, {BM25, Indri, overlap} ×
+    {body, lang, source, path} as the body/title/url/inlink analogs,
+    f17 = f18 = overlap-over-body (the reference's shipped 'custom'
+    features are literal copies, `:277-289`). Side features are
+    deterministic expressions of the documents table so DuckDB replays
+    them; min-max normalized per query."""
+    from .capabilities.letor import letor_features_18
+    idx = _fields_index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    cand_rows = []
+    for qid, terms in LETOR_MF_QUERIES.items():
+        node = eng.parse(" ".join(terms))
+        sc = (eng.eval_sop(node).where(F.col("score") >= 0)
+              .join(idx.doc_map, "doc_id")
+              .withColumn("score_r", _r(F.col("score")))
+              .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(5)
+              .select("doc_id").collect())
+        cand_rows += [(qid, r["doc_id"], 0) for r in sc]
+    cand = spark.createDataFrame(cand_rows, "qid string, doc_id long, rel int")
+    docs = _docs(spark, sf_dir)
+    spam = docs.select("doc_id",
+                       (((F.col("doc_id") % 5) + 1) / 5.0).alias("spam"))
+    pr = docs.select("doc_id",
+                     (((F.col("doc_id") % 17) + 1) / 17.0).alias("pagerank"))
+    urls = docs.select("doc_id", _url_col().alias("url"))
+    feats, slots = letor_features_18(
+        idx, {q: " ".join(t) for q, t in LETOR_MF_QUERIES.items()}, cand,
+        fields=("body", "lang", "source", "path"),
+        spam=spam, pagerank=pr, urls=urls)
+    return feats.select("qid", "doc_id",
+                        *[_r(F.col(name)).alias(f"s{slot}_r")
+                          for slot, name in sorted(slots.items())])
+
+
 def _session_tmpdir(cache: dict, key: tuple, prefix: str) -> tuple[str, bool]:
     """Per-(session, sf) scratch dir, removed at interpreter exit.
     → (dir, created_now)."""
@@ -859,16 +896,30 @@ def q_streamed_postings(spark, sf_dir):
 _FIELDS_INDEX_CACHE: dict[tuple, Index] = {}
 
 
+# deterministic url analog for the LeToR f2/f3 features (url depth /
+# wiki flag, `FeatureVector.java:211-240`): '/'-depth varies, every
+# third doc carries the wiki marker — SQL-replayable from the table
+_URL_EXPR_SQL = ("source || '/' || lang || CASE WHEN doc_id % 3 = 0 "
+                 "THEN '/wikipedia.org' ELSE '' END")
+
+
+def _url_col():
+    return F.expr(_URL_EXPR_SQL.replace("doc_id", "doc_id"))
+
+
 def _fields_index(spark, sf_dir):
-    """Index with the `lang` column as an additional field — the
+    """Index with `lang`/`source`/`path` as additional fields — the
     reference's multi-field model (`QryEval.java:23` body/title/url...,
-    field-qualified terms `QryParser.java:140-172`)."""
+    field-qualified terms `QryParser.java:140-172`); `path` is the url
+    analog (derived column, see _URL_EXPR_SQL)."""
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _FIELDS_INDEX_CACHE:
         from .indexer.build import build_index_frames, docs_from_documents_table
-        docs = docs_from_documents_table(_docs(spark, sf_dir))
+        docs = (docs_from_documents_table(_docs(spark, sf_dir))
+                .withColumn("path", _url_col()))
         _FIELDS_INDEX_CACHE[key] = build_index_frames(
-            docs, extra_fields={"lang": "lang", "source": "source"})
+            docs, extra_fields={"lang": "lang", "source": "source",
+                                "path": "path"})
     return _FIELDS_INDEX_CACHE[key]
 
 
@@ -1734,6 +1785,76 @@ SELECT qid, doc_id,
 FROM normed"""
 
 
+def _sql_letor_18slot() -> str:
+    """Replays `q_letor_18slot`: the 18-slot grid over four fields plus
+    the four doc-side slots, per-query min-max, shared rounding. Slot →
+    expression mapping mirrors `FeatureVector.java:190-290`."""
+    per_q = []
+    for qid, terms in LETOR_MF_QUERIES.items():
+        per_q.append(f"""(SELECT '{qid}' AS qid, sc_{qid}.doc_id
+  FROM sc_{qid} JOIN dl USING (doc_id)
+  ORDER BY floor(sc_{qid}.score * 1e6 + 0.5) DESC, dl.ext_id LIMIT 5)""")
+    ctes = ",\n".join(_bm25_scored_cte(t, f"sc_{q}")
+                      for q, t in LETOR_MF_QUERIES.items())
+    qterms = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, term FROM (VALUES {_values(terms)}) v(term)"
+        for qid, terms in LETOR_MF_QUERIES.items())
+    feat_ctes = ",\n".join([
+        _field_feats_cte("body", "post", "stats", "dl", "corpus"),
+        _field_feats_cte("lang", "post_lang", "stats_lang", "dl_lang",
+                         "corpus_lang"),
+        _field_feats_cte("source", "post_source", "stats_source",
+                         "dl_source", "corpus_source"),
+        _field_feats_cte("path", "post_path", "stats_path", "dl_path",
+                         "corpus_path")])
+    # slot → (column name, wide-select expression)
+    slot_exprs = [
+        (1, "f1", "((c.doc_id % 5) + 1) / 5.0"),
+        (2, "f2", "(len(u.url) - len(replace(u.url, '/', '')))::DOUBLE"),
+        (3, "f3", "CASE WHEN contains(u.url, 'wikipedia.org') "
+                  "THEN 1.0 ELSE 0.0 END"),
+        (4, "f4", "((c.doc_id % 17) + 1) / 17.0"),
+    ]
+    for i, fld in enumerate(("body", "lang", "source", "path")):
+        a = "blsp"[i]
+        for j, m in enumerate(("bm25", "indri", "overlap")):
+            slot_exprs.append((5 + i * 3 + j, f"{m}_{fld}",
+                               f"coalesce({a}.{m}_{fld}, 0.0)"))
+    slot_exprs += [(17, "f17", "coalesce(b.overlap_body, 0.0)"),
+                   (18, "f18", "coalesce(b.overlap_body, 0.0)")]
+    sel = ",\n    ".join(f"{e} AS {n}" for _, n, e in slot_exprs)
+    norm_cols = ",\n    ".join(
+        f"CASE WHEN max({n}) OVER w > min({n}) OVER w THEN "
+        f"({n} - min({n}) OVER w) / (max({n}) OVER w - min({n}) OVER w) "
+        f"ELSE 0.0 END AS {n}_n" for _, n, _ in slot_exprs)
+    out_cols = ",\n       ".join(
+        f"floor({n}_n * 1e6 + 0.5)::BIGINT AS s{s}_r"
+        for s, n, _ in slot_exprs)
+    return f"""{PRELUDE},
+{_extra_field_ctes("lang", "lang")},
+{_extra_field_ctes("source", "source")},
+{_extra_field_ctes("path", _URL_EXPR_SQL)},
+urls AS (SELECT doc_id::BIGINT AS doc_id, {_URL_EXPR_SQL} AS url
+         FROM documents),
+{ctes},
+cands AS ({" UNION ALL ".join(per_q)}),
+qt AS ({qterms}),
+{feat_ctes},
+wide AS (SELECT c.qid, c.doc_id, {sel}
+  FROM cands c
+  LEFT JOIN feats_body b ON b.qid = c.qid AND b.doc_id = c.doc_id
+  LEFT JOIN feats_lang l ON l.qid = c.qid AND l.doc_id = c.doc_id
+  LEFT JOIN feats_source s ON s.qid = c.qid AND s.doc_id = c.doc_id
+  LEFT JOIN feats_path p ON p.qid = c.qid AND p.doc_id = c.doc_id
+  LEFT JOIN urls u ON u.doc_id = c.doc_id),
+normed AS (SELECT qid, doc_id,
+    {norm_cols}
+  FROM wide WINDOW w AS (PARTITION BY qid))
+SELECT qid, doc_id,
+       {out_cols}
+FROM normed"""
+
+
 def _sql_field_qualified() -> str:
     return f"""{PRELUDE},
 langtok AS (SELECT doc_id::BIGINT AS doc_id, count(*)::INT AS ltf
@@ -1800,6 +1921,7 @@ REGISTRY: dict[str, tuple] = {
     "letor_features": (q_letor_features, _sql_letor_features()),
     "letor_features_multifield": (q_letor_multifield,
                                   _sql_letor_multifield()),
+    "letor_features_18slot": (q_letor_18slot, _sql_letor_18slot()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
