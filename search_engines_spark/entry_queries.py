@@ -455,6 +455,70 @@ def q_segments_structured_near(spark, sf_dir):
     return res.select("ext_id", F.col("score").cast("long").alias("score_i"))
 
 
+STANDING_QUERIES = {"s1": BOW_RARE, "s2": ["dup", "line", "small"]}
+
+
+def q_standing_stream(spark, sf_dir):
+    """Standing-query streaming top-k (streaming.standing,
+    applyInPandasWithState): the corpus re-arrives as a 3-file stream,
+    every micro-batch folds into per-query top-k STATE, and the final
+    state must equal batch BM25 over the frozen stats snapshot — a hard
+    oracle for the stateful streaming path (state folding is
+    order-independent, so any file split works). Standing queries keep
+    only matching docs (score > 0), hence the oracle's filter."""
+    import glob
+    import time
+
+    from .streaming.standing import standing_query_topk
+    idx = _index(spark, sf_dir)
+    st = idx.stats_for("body")
+    terms = sorted({t for ts in STANDING_QUERIES.values() for t in ts})
+    stats = {r["term"]: (r["df"], r["ctf"])
+             for r in idx.term_stats.where(F.col("term").isin(terms))
+             .collect()}
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    src, created = _session_tmpdir(_STREAM_SRC_CACHE, key, "entry_standing_")
+    if created:
+        (_docs(spark, sf_dir).select("doc_id", "text")
+         .repartitionByRange(3, "doc_id")
+         .write.mode("overwrite").parquet(f"{src}/in"))
+    captured: list[tuple[int, list]] = []
+
+    def capture(df, batch_id):
+        captured.append((batch_id, df.collect()))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/in"))
+    out = standing_query_topk(stream, STANDING_QUERIES, stats,
+                              st["n_docs"],
+                              st["sum_len"] / st["doc_count"], k=200,
+                              k1=K1, b=B)
+    q = (out.writeStream.foreachBatch(capture)
+         .outputMode("update")
+         .option("checkpointLocation", f"{src}/ckpt_{time.time_ns()}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert len(glob.glob(f"{src}/in/*.parquet")) >= 2
+    # final state per qid = its rows from the LAST trigger that updated it
+    final: dict[str, list] = {}
+    for _, rows in captured:
+        for r in rows:
+            final.setdefault(r["qid"], [])
+        touched = {r["qid"] for r in rows}
+        for qid in touched:
+            final[qid] = [r for r in rows if r["qid"] == qid]
+    res = spark.createDataFrame(
+        [(qid, r["doc_id"], float(r["score"])) for qid, rs in final.items()
+         for r in rs],
+        "qid string, doc_id long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("ext_id"))
+    return (res.join(idx.doc_map, "doc_id")
+            .withColumn("score_r", _r(F.col("score")))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 10)
+            .select("qid", "ext_id", "rank", "score_r"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
@@ -759,6 +823,7 @@ def _session_tmpdir(cache: dict, key: tuple, prefix: str) -> tuple[str, bool]:
 
 
 _SEG_CACHE: dict[tuple, str] = {}
+_STREAM_SRC_CACHE: dict[tuple, str] = {}
 
 
 def q_daat_wand_topk(spark, sf_dir):
@@ -1294,6 +1359,29 @@ UNION ALL
 SELECT 'q3' AS qid, d.ext_id, max(p.tf)::BIGINT AS score_i
 FROM post p JOIN dl d USING (doc_id)
 WHERE p.term IN ('data', 'table') GROUP BY d.ext_id"""
+
+
+def _sql_standing_topk() -> str:
+    """Replays `q_standing_stream`: the standing-query final state is
+    batch BM25 over frozen stats, keeping only matching docs
+    (score > 0 — standing state never holds non-matching docs)."""
+    ctes = ",\n".join(_bm25_scored_cte(terms, f"st_{qid}")
+                      for qid, terms in STANDING_QUERIES.items())
+    unions = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS qid, d.ext_id,
+      floor(st_{qid}.score * 1e6 + 0.5)::BIGINT AS score_r
+ FROM st_{qid} JOIN dl d USING (doc_id)
+ WHERE st_{qid}.score > 0
+ ORDER BY score_r DESC, ext_id LIMIT 10)"""
+        for qid in STANDING_QUERIES)
+    return f"""{PRELUDE},
+{ctes},
+allq AS ({unions})
+SELECT qid, ext_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, ext_id)::BIGINT AS rank,
+       score_r
+FROM allq"""
 
 
 def _sql_trec_topk() -> str:
@@ -1903,6 +1991,7 @@ REGISTRY: dict[str, tuple] = {
                              _bm25_sql_deleted(BOW3)),
     "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
+    "standing_query_topk": (q_standing_stream, _sql_standing_topk()),
     "doclen_store": (q_doclens, _sql_doclens()),
     "docterms_forward_index": (q_docterms, _sql_docterms()),
     "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),

@@ -74,15 +74,17 @@ def standing_query_topk(docs_stream: DataFrame,
                         queries: dict[str, list[str]],
                         term_stats: dict[str, tuple[int, int]],
                         n_docs: int, avglen: float,
-                        k: int = 10) -> DataFrame:
+                        k: int = 10, k1: float = 1.2,
+                        b: float = 0.75) -> DataFrame:
     """→ streaming (qid, doc_id, score, rank): each trigger emits every
     standing query's CURRENT top-k after folding in the batch's arrivals.
 
-    queries: {qid: [term, ...]} (analyzed terms).
-    """
+    queries: {qid: [term, ...]} (analyzed terms). For score-identity
+    with the batch engine pass its float32-widened k1/b
+    (`oracle.Models`/`f32` — Float.parseFloat quirk)."""
     query_terms = [(qid, t) for qid, ts in queries.items() for t in ts]
     scored = _score_stream(docs_stream, query_terms, term_stats,
-                           n_docs, avglen)
+                           n_docs, avglen, k1=k1, b=b)
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
