@@ -1,0 +1,86 @@
+"""Retrieval-quality evaluation (the reference workflow's trec_eval
+step) as pure DataFrame operators.
+
+The reference grades every run by feeding its trec-format output and a
+qrels file to the external `trec_eval` binary (README.md workflow; the
+qrels format the repo already parses in `FeatureVector.java:81-107`).
+This module re-expresses the standard metrics Spark-side so a run can be
+scored inside the same job that produced it — one join + windowed
+aggregation per run, no per-topic loops:
+
+  * P@k        precision at cutoff k
+  * AP / MAP   average precision (denominator = ALL judged-relevant
+               docs, retrieved or not — trec_eval convention)
+  * RR / MRR   reciprocal rank of the first relevant result
+  * nDCG@k     binary-gain DCG/IDCG with log2(rank+1) discount
+               (Järvelin & Kekäläinen), the trec_eval ndcg_cut family
+
+Conventions carried from trec_eval: unjudged documents count as
+non-relevant (left join, null → 0); topics with zero judged-relevant
+docs are dropped from per-topic output and averages; ranks are the
+run's own rank column (ties must already be broken, as the engine's
+score-desc/ext_id-asc contract guarantees).
+
+At 100 TB scale the shapes hold: results are ≤ topics × k rows and
+qrels are human-judgment-sized — both broadcastable; every metric is
+one (qid)-keyed window/aggregation, no shuffle wider than the run file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def evaluate_run(results: DataFrame, qrels: DataFrame,
+                 k: int = 10) -> DataFrame:
+    """results: (qid, ext_id, rank) — one row per retrieved doc, rank
+    1-based, ties pre-broken. qrels: (qid, ext_id, rel) with rel > 0 ⇒
+    relevant (graded values count as relevant; gains are binary, the
+    trec_eval `map`/`P`/`ndcg_cut` defaults).
+
+    → (qid, num_rel, num_rel_ret, p_at_k, rr, ap, ndcg_at_k), one row
+    per topic that has ≥1 judged-relevant doc."""
+    rel = (qrels.where(F.col("rel") > 0)
+           .select("qid", "ext_id", F.lit(1).alias("_rel")))
+    nrel = rel.groupBy("qid").agg(F.count("*").alias("num_rel"))
+    j = (results.select("qid", "ext_id", "rank")
+         .join(rel, ["qid", "ext_id"], "left")
+         .withColumn("_rel", F.coalesce(F.col("_rel"), F.lit(0))))
+    w = (Window.partitionBy("qid").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = j.withColumn("_cum_rel", F.sum("_rel").over(w))
+    per_doc_ap = F.when(F.col("_rel") == 1,
+                        F.col("_cum_rel") / F.col("rank")).otherwise(0.0)
+    dcg_term = F.when((F.col("_rel") == 1) & (F.col("rank") <= k),
+                      1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)
+    agg = (j.groupBy("qid").agg(
+        F.sum("_rel").alias("num_rel_ret"),
+        (F.sum(F.when((F.col("_rel") == 1) & (F.col("rank") <= k), 1)
+               .otherwise(0)) / F.lit(float(k))).alias("p_at_k"),
+        F.coalesce(F.max(F.when(F.col("_rel") == 1,
+                                1.0 / F.col("rank"))),
+                   F.lit(0.0)).alias("rr"),
+        F.sum(per_doc_ap).alias("_ap_num"),
+        F.sum(dcg_term).alias("_dcg")))
+    out = agg.join(nrel, "qid")   # inner: topics with 0 rel are dropped
+    # binary ideal DCG: the first min(num_rel, k) ranks all relevant —
+    # Σ_{i=1..m} 1/log2(i+1), expressed without a second aggregation
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("num_rel"), F.lit(k))),
+        F.lit(0.0), lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1))
+    return (out
+            .withColumn("ap", F.col("_ap_num") / F.col("num_rel"))
+            .withColumn("ndcg_at_k", F.col("_dcg") / idcg)
+            .select("qid", "num_rel", "num_rel_ret", "p_at_k", "rr",
+                    "ap", "ndcg_at_k"))
+
+
+def macro_averages(per_topic: DataFrame) -> DataFrame:
+    """→ 1-row (num_q, map, mrr, mean_p_at_k, mean_ndcg_at_k) — the
+    trec_eval `all` summary block (arithmetic mean over judged topics)."""
+    return per_topic.agg(
+        F.count("*").alias("num_q"),
+        F.avg("ap").alias("map"),
+        F.avg("rr").alias("mrr"),
+        F.avg("p_at_k").alias("mean_p_at_k"),
+        F.avg("ndcg_at_k").alias("mean_ndcg_at_k"))

@@ -519,6 +519,50 @@ def q_standing_stream(spark, sf_dir):
             .select("qid", "ext_id", "rank", "score_r"))
 
 
+def q_eval_metrics(spark, sf_dir):
+    """trec_eval-style run scoring Spark-side
+    (capabilities.evaluation.evaluate_run): BM25 top-100 per trec topic
+    against deterministic qrels (q1: doc_id % 7 = 0, q2: doc_id % 5 = 3,
+    q3: docs containing 'dup') → per-topic P@10 / RR / AP / nDCG@10 —
+    one join + windowed aggregation, no per-topic loops."""
+    from .capabilities.evaluation import evaluate_run
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    u = None
+    for qid, terms in TREC_QUERIES.items():
+        node = eng.parse(" ".join(terms))
+        s = (eng.eval_sop(node).where(F.col("score") >= 0)
+             .withColumn("qid", F.lit(qid)))
+        u = s if u is None else u.unionByName(s)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("ext_id"))
+    res = (u.join(idx.doc_map, "doc_id")
+           .withColumn("score_r", _r(F.col("score")))
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 100)
+           .select("qid", "ext_id", "rank"))
+    dm = idx.doc_map
+    dup_docs = (idx.postings
+                .where((F.col("term") == "dup") & (F.col("field") == "body"))
+                .select("doc_id").distinct())
+    qrels = (
+        dm.where(F.col("doc_id") % 7 == 0)
+        .select(F.lit("q1").alias("qid"), "ext_id", F.lit(1).alias("rel"))
+        .unionByName(
+            dm.where(F.col("doc_id") % 5 == 3)
+            .select(F.lit("q2").alias("qid"), "ext_id",
+                    F.lit(1).alias("rel")))
+        .unionByName(
+            dup_docs.join(dm, "doc_id")
+            .select(F.lit("q3").alias("qid"), "ext_id",
+                    F.lit(1).alias("rel"))))
+    per_topic = evaluate_run(res, qrels, k=10)
+    return per_topic.select(
+        "qid", "num_rel", F.col("num_rel_ret").cast("long").alias("nret"),
+        _r(F.col("p_at_k")).alias("p10_r"), _r(F.col("rr")).alias("rr_r"),
+        _r(F.col("ap")).alias("ap_r"),
+        _r(F.col("ndcg_at_k")).alias("ndcg10_r"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
@@ -1361,6 +1405,56 @@ FROM post p JOIN dl d USING (doc_id)
 WHERE p.term IN ('data', 'table') GROUP BY d.ext_id"""
 
 
+def _sql_eval_metrics() -> str:
+    """Replays `q_eval_metrics` in SQL: same run (rounded-rank top-100
+    per topic), same deterministic qrels, trec_eval conventions
+    (unjudged = non-relevant; AP denominator = all judged-relevant;
+    binary-gain nDCG with a cumulative-harmonic IDCG table)."""
+    ctes = ",\n".join(_bm25_scored_cte(terms, f"ev_{qid}")
+                      for qid, terms in TREC_QUERIES.items())
+    res_arms = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS qid, d.doc_id, d.ext_id,
+      floor(ev_{qid}.score * 1e6 + 0.5)::BIGINT AS score_r
+ FROM ev_{qid} JOIN dl d USING (doc_id)
+ ORDER BY score_r DESC, ext_id LIMIT 100)"""
+        for qid in TREC_QUERIES)
+    return f"""{PRELUDE},
+{ctes},
+resu AS (SELECT qid, doc_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, ext_id) AS rank
+  FROM ({res_arms})),
+qrels AS (
+  SELECT 'q1' AS qid, doc_id FROM dl WHERE doc_id % 7 = 0
+  UNION ALL SELECT 'q2', doc_id FROM dl WHERE doc_id % 5 = 3
+  UNION ALL SELECT DISTINCT 'q3', doc_id FROM post WHERE term = 'dup'),
+nrel AS (SELECT qid, count(*)::BIGINT AS num_rel FROM qrels GROUP BY qid),
+jo AS (SELECT r.qid, r.rank,
+       CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM resu r LEFT JOIN qrels q ON q.qid = r.qid AND q.doc_id = r.doc_id),
+cum AS (SELECT qid, rank, rel,
+       sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel FROM jo),
+agg AS (SELECT qid,
+       sum(rel)::BIGINT AS nret,
+       sum(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) / 10.0
+         AS p10,
+       coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) AS rr,
+       sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank ELSE 0.0 END)
+         AS apnum,
+       sum(CASE WHEN rel = 1 AND rank <= 10
+                THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg
+  FROM cum GROUP BY qid),
+htab AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS h
+         FROM generate_series(1, 10) t(i))
+SELECT a.qid, n.num_rel, a.nret,
+       floor(a.p10 * 1e6 + 0.5)::BIGINT AS p10_r,
+       floor(a.rr * 1e6 + 0.5)::BIGINT AS rr_r,
+       floor(a.apnum / n.num_rel * 1e6 + 0.5)::BIGINT AS ap_r,
+       floor(a.dcg / htab.h * 1e6 + 0.5)::BIGINT AS ndcg10_r
+FROM agg a JOIN nrel n USING (qid)
+JOIN htab ON htab.i = least(n.num_rel, 10)"""
+
+
 def _sql_standing_topk() -> str:
     """Replays `q_standing_stream`: the standing-query final state is
     batch BM25 over frozen stats, keeping only matching docs
@@ -1997,6 +2091,7 @@ REGISTRY: dict[str, tuple] = {
     "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),
     "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
     "trec_topk": (q_trec_topk, _sql_trec_topk()),
+    "eval_metrics": (q_eval_metrics, _sql_eval_metrics()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
     "indri_batch_onepass": (q_indri_batch, _sql_indri_batch()),
     "bool_batch_onepass": (q_bool_batch, _sql_bool_batch()),

@@ -1,0 +1,56 @@
+"""capabilities.evaluation: trec_eval-convention metrics as DataFrame ops
+— hand-computed golden values, topic-drop and zero-retrieval edges."""
+
+import math
+
+import pytest
+
+from search_engines_spark.capabilities.evaluation import (
+    evaluate_run, macro_averages)
+
+
+@pytest.fixture()
+def run_and_qrels(spark):
+    results = spark.createDataFrame(
+        [("t1", "a", 1), ("t1", "b", 2), ("t1", "c", 3),
+         ("t1", "d", 4), ("t1", "e", 5),
+         ("t2", "x", 1), ("t2", "y", 2),
+         ("t3", "a", 1)],
+        "qid string, ext_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("t1", "a", 1), ("t1", "c", 2), ("t1", "e", 1),
+         ("t1", "zz", 1),          # judged relevant, never retrieved
+         ("t2", "nope", 1),        # relevant but run missed it entirely
+         ("t3", "a", 0)],          # judged NON-relevant only ⇒ topic drops
+        "qid string, ext_id string, rel int")
+    return results, qrels
+
+
+def test_per_topic_metrics(spark, run_and_qrels):
+    results, qrels = run_and_qrels
+    rows = {r["qid"]: r for r in evaluate_run(results, qrels, k=3).collect()}
+    assert set(rows) == {"t1", "t2"}   # t3 has no judged-relevant docs
+
+    t1 = rows["t1"]
+    assert t1["num_rel"] == 4 and t1["num_rel_ret"] == 3
+    assert t1["p_at_k"] == pytest.approx(2 / 3)          # a, c in top-3
+    assert t1["rr"] == pytest.approx(1.0)
+    # AP = (1/1 + 2/3 + 3/5) / num_rel(=4) — trec_eval denominator
+    assert t1["ap"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 4)
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)            # ranks 1, 3
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 4))  # min(4, 3) = 3
+    assert t1["ndcg_at_k"] == pytest.approx(dcg / idcg)
+
+    t2 = rows["t2"]
+    assert t2["num_rel"] == 1 and t2["num_rel_ret"] == 0
+    assert t2["p_at_k"] == 0.0 and t2["rr"] == 0.0
+    assert t2["ap"] == 0.0 and t2["ndcg_at_k"] == 0.0
+
+
+def test_macro_averages(spark, run_and_qrels):
+    results, qrels = run_and_qrels
+    per_topic = evaluate_run(results, qrels, k=3)
+    m = macro_averages(per_topic).collect()[0]
+    assert m["num_q"] == 2
+    assert m["map"] == pytest.approx(((1 + 2 / 3 + 3 / 5) / 4) / 2)
+    assert m["mrr"] == pytest.approx(0.5)
