@@ -37,12 +37,19 @@ _STATS_FILE = "_stats.json"
 
 
 def save_index(idx: Index, out_dir: str,
-               num_partitions: int | None = None) -> None:
+               num_partitions: int | None = None,
+               analyzer=None) -> None:
     """Write every index table + corpus stats. Postings are laid out
     range-by-term so a query's term filter prunes row groups; docs keep
     only attribute columns (ext_id, sha256, doclen) — content stays in
     the source table, exactly as the reference index stores attributes,
-    not raw documents."""
+    not raw documents.
+
+    analyzer: the `analysis.Analyzer` the index was built with; its
+    config is recorded in the manifest so reopening restores the SAME
+    query-side chain (index/query analyzer mismatch silently breaks
+    stem matching — the reference hard-codes one chain on both sides,
+    `QryParser.java:45-47`)."""
     spark = idx.postings.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -58,9 +65,23 @@ def save_index(idx: Index, out_dir: str,
                 if c in idx.docs.columns]
     (idx.docs.select(*doc_cols).write.mode("overwrite")
      .parquet(os.path.join(out_dir, "docs")))
+    meta: dict = {"corpus_stats": idx.corpus_stats, "version": 1}
+    if analyzer is not None:
+        meta["analyzer"] = {"strip_possessive": analyzer.strip_possessive,
+                            "stem": analyzer.stem,
+                            "tokenizer": analyzer.tokenizer}
     with open(os.path.join(out_dir, _STATS_FILE), "w") as f:
-        json.dump({"corpus_stats": idx.corpus_stats,
-                   "version": 1}, f)
+        json.dump(meta, f)
+
+
+def stored_analyzer(index_dir: str):
+    """The analyzer a saved index was built with (manifest round-trip);
+    CANONICAL for manifests predating the field."""
+    from ..analysis import CANONICAL, Analyzer
+    with open(os.path.join(index_dir, _STATS_FILE)) as f:
+        meta = json.load(f)
+    cfg = meta.get("analyzer")
+    return Analyzer(**cfg) if cfg else CANONICAL
 
 
 def open_index(spark: SparkSession, index_dir: str,

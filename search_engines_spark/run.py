@@ -22,6 +22,22 @@ A reference user's workflow maps 1:1:
     diversity:maxResultRankingLength,
     diversity:initialRankingFile       same              same
 
+Engine extensions beyond the reference's parameters:
+
+    batchQueries=true        whole query file through the one-plan batch
+                             paths (search_many; composes with fb and
+                             engine-ranked diversity)
+    analyzer=parity          full Lucene-equivalent analysis chain
+                             (StandardTokenizer analog → possessive →
+                             stop → KStem) on both index and query side;
+                             saved indexes record their chain in the
+                             manifest and restore it on indexPath reopen
+    qrelsFile=... +
+    evalMetricsOutputPath=...  score the run after writing it (the
+                             reference workflow's external trec_eval
+                             step, Spark-side: P@k/RR/AP/nDCG + MAP)
+    evalK=10                 metric cutoff
+
 Run: ``python -m search_engines_spark.run parameters.txt`` (or ship the
 package with spark-submit --py-files and call ``main``).
 """
@@ -65,6 +81,27 @@ def init_model(params: dict[str, str]) -> tuple[str, Models]:
     return MODEL_NAMES[algo], m
 
 
+def runner_analyzer(params: dict[str, str]):
+    """The analysis chain this run uses on BOTH sides (index + query —
+    they must match, `QryParser.java:45-47`). `analyzer=parity` selects
+    the full Lucene-equivalent chain (StandardTokenizer analog →
+    possessive → stop → KStem, `analysis.REFERENCE_PARITY`); default is
+    the canonical SQL-expressible chain. With `indexPath`, the saved
+    manifest's recorded chain wins — the query side silently matching a
+    DIFFERENT chain than the stored postings would break stem matching."""
+    from .analysis import CANONICAL, REFERENCE_PARITY
+    if "indexPath" in params:
+        from .indexer.store import stored_analyzer
+        return stored_analyzer(params["indexPath"])
+    name = params.get("analyzer", "canonical").lower()
+    if name in ("parity", "reference", "lucene"):
+        return REFERENCE_PARITY
+    if name in ("canonical", "simple", "default"):
+        return CANONICAL
+    raise ValueError(f"unknown analyzer {name!r} "
+                     "(use 'canonical' or 'parity')")
+
+
 def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
     """`Idx.open` analog. `indexPath` (the reference's own parameter
     name, `QryEval.java:810-836`) opens a saved index directory
@@ -72,8 +109,11 @@ def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
     path or an Iceberg `table:<name>` reference (sources.load_corpus)
     indexed in-session; documents-table shape (doc_id, text, ...) or
     code-corpus shape (repo, path, commit, lang, content) — detected by
-    columns."""
-    from .indexer.build import docs_from_code_corpus
+    columns. `analyzer=parity` routes the build through the Arrow
+    analyzer UDF (build_index_frames_analyzed)."""
+    from .analysis import CANONICAL
+    from .indexer.build import (build_index_frames_analyzed,
+                                docs_from_code_corpus)
     from .indexer.store import is_index_dir
     from .indexer.store import open_index as open_saved
     from .sources import CODE_CORPUS_COLUMNS, load_corpus
@@ -85,9 +125,14 @@ def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
         return open_saved(spark, params["indexPath"])
     src = load_corpus(spark, params["corpusPath"],
                       fmt=params.get("corpusFormat", "auto"))
-    if all(c in src.columns for c in CODE_CORPUS_COLUMNS):
-        return build_index_frames(docs_from_code_corpus(src))
-    return build_index_frames(docs_from_documents_table(src))
+    docs = (docs_from_code_corpus(src)
+            if all(c in src.columns for c in CODE_CORPUS_COLUMNS)
+            else docs_from_documents_table(src))
+    ana = runner_analyzer(params)
+    if ana != CANONICAL:
+        tc = "text" if "text" in docs.columns else "content"
+        return build_index_frames_analyzed(docs, ana, text_col=tc)
+    return build_index_frames(docs)
 
 
 def _feedback_query(eng: Engine, idx: Index, qid: str, query: str,
@@ -187,8 +232,9 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
         doc_feats = (read_pagerank_file(spark, params["letor:pageRankFile"])
                      .join(idx.doc_map, "ext_id")
                      .select("doc_id", "pagerank"))
+    ana = runner_analyzer(params)
     feats_tr, names = letor_features(idx, train_q, cand_train, params=m,
-                                     doc_features=doc_feats)
+                                     doc_features=doc_feats, analyzer=ana)
     # letor:featureDisable (`FeatureVector.java:28-33`): comma list of
     # 1-based slot ids dropped from training/classification; surviving
     # slots keep their ORIGINAL ids (gaps, not renumbering)
@@ -203,12 +249,12 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
             f.write("\n".join(train_lines) + "\n")
 
     # initial BM25 top-100 per test query (`QryEval.java:454-510`)
-    eng = Engine(idx, "bm25", params=m)
+    eng = Engine(idx, "bm25", params=m, analyzer=ana)
     init = eng.search_many(queries, k=100)
     cand_test = (init.select("qid", "doc_id")
                  .withColumn("rel", F.lit(0)))
     feats_te, _ = letor_features(idx, queries, cand_test, params=m,
-                                 doc_features=doc_feats)
+                                 doc_features=doc_feats, analyzer=ana)
 
     learn = params.get("letor:svmRankLearnPath", "")
     if learn and os.path.exists(learn):
@@ -254,6 +300,38 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
             .select("qid", "ext_id", "score", "rank"))
 
 
+def _write_eval(spark: SparkSession, params: dict[str, str]) -> None:
+    """`qrelsFile` + `evalMetricsOutputPath`: score the trec run just
+    written (the reference workflow's external trec_eval step,
+    capabilities.evaluation) — one per-topic line per judged topic plus
+    the `all` macro-average block. No-op unless both params are set."""
+    if "qrelsFile" not in params or "evalMetricsOutputPath" not in params:
+        return
+    from pyspark.sql import functions as F
+
+    from .capabilities.evaluation import evaluate_run, macro_averages
+    from .io import read_qrels_file
+    res = (read_ranking_file(spark, params["trecEvalOutputPath"])
+           .where(F.col("ext_id") != "dummy"))
+    qrels = read_qrels_file(spark, params["qrelsFile"])
+    k = int(params.get("evalK", 10))
+    per = evaluate_run(res.select("qid", "ext_id", "rank"), qrels, k=k)
+    rows = per.orderBy("qid").collect()
+    with open(params["evalMetricsOutputPath"], "w") as f:
+        for r in rows:
+            f.write(f"{r['qid']} num_rel={r['num_rel']} "
+                    f"num_rel_ret={r['num_rel_ret']} "
+                    f"P@{k}={r['p_at_k']:.4f} rr={r['rr']:.4f} "
+                    f"ap={r['ap']:.4f} ndcg@{k}={r['ndcg_at_k']:.4f}\n")
+        if rows:
+            m = macro_averages(per).collect()[0]
+            f.write(f"all num_q={m['num_q']} map={m['map']:.4f} "
+                    f"mrr={m['mrr']:.4f} P@{k}={m['mean_p_at_k']:.4f} "
+                    f"ndcg@{k}={m['mean_ndcg_at_k']:.4f}\n")
+        else:
+            f.write("all num_q=0\n")
+
+
 def main(param_path: str, spark: SparkSession | None = None) -> str:
     params = read_parameter_file(param_path)
     source_keys = ("indexPath",) if "indexPath" in params else ("corpusPath",)
@@ -280,12 +358,13 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
                         all_qids=list(queries))
+        _write_eval(spark, params)
         if own_spark:
             spark.stop()
         return params["trecEvalOutputPath"]
 
     model, m = init_model(params)
-    eng = Engine(idx, model, params=m)
+    eng = Engine(idx, model, params=m, analyzer=runner_analyzer(params))
 
     fb = params.get("fb") == "true"
     diversity = params.get("diversity") == "true"
@@ -354,6 +433,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
                         all_qids=list(queries))
+        _write_eval(spark, params)
         if own_spark:
             spark.stop()
         return params["trecEvalOutputPath"]
@@ -387,6 +467,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
                         all_qids=list(queries))
+        _write_eval(spark, params)
         if fb and "fbExpansionQueryFile" in params:
             write_expanded_query_file(params["fbExpansionQueryFile"],
                                       expanded_batch)
@@ -451,6 +532,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
     write_trec_file(res, params["trecEvalOutputPath"],
                     run_id=params.get("runID", "run"), k=k,
                     all_qids=list(queries))
+    _write_eval(spark, params)
     if fb and "fbExpansionQueryFile" in params:
         write_expanded_query_file(params["fbExpansionQueryFile"], expanded_out)
     if own_spark:

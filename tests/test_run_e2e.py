@@ -164,6 +164,92 @@ runID=t
     assert outs[0] == outs[1]
 
 
+def test_qrels_eval_output(spark, corpus_parquet, tmp_path):
+    """qrelsFile + evalMetricsOutputPath score the run just written (the
+    reference's external trec_eval step, Spark-side). Qrels that mark
+    EVERY retrieved doc relevant give the exact fixed points: rr = ap =
+    ndcg = 1, P@10 = min(n, 10)/10."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qe.txt", "1:fickle creek farm\n")
+    out = str(tmp_path / "qe.teIn")
+    pf = _write(tmp_path, "pe.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+runID=t
+""")
+    main(pf, spark=spark)
+    retrieved = [ln.split()[2] for ln in open(out).read().splitlines()]
+    qrels = _write(tmp_path, "qrels.txt",
+                   "".join(f"1 0 {e} 1\n" for e in retrieved))
+    metrics = str(tmp_path / "metrics.txt")
+    pf2 = _write(tmp_path, "pe2.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+qrelsFile={qrels}
+evalMetricsOutputPath={metrics}
+runID=t
+""")
+    main(pf2, spark=spark)
+    lines = open(metrics).read().splitlines()
+    assert lines[0].startswith("1 ")
+    kv = dict(tok.split("=") for tok in lines[0].split()[1:])
+    n = len(retrieved)
+    assert float(kv["rr"]) == 1.0 and float(kv["ap"]) == 1.0
+    assert float(kv["ndcg@10"]) == 1.0
+    assert float(kv["P@10"]) == pytest.approx(min(n, 10) / 10)
+    assert lines[-1].startswith("all num_q=1")
+
+
+def test_analyzer_parity_param(spark, corpus_parquet, tmp_path):
+    """analyzer=parity selects the full Lucene-equivalent chain on BOTH
+    sides: a plural query ('creeks farms') stem-matches the corpus under
+    parity but finds nothing under the canonical chain (dummy line).
+    Saving the parity index records the chain in the manifest, and an
+    indexPath reopen restores it without the parameter."""
+    from search_engines_spark.analysis import REFERENCE_PARITY
+    from search_engines_spark.indexer.build import (
+        build_index_frames_analyzed, docs_from_documents_table)
+    from search_engines_spark.indexer.store import save_index
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qan.txt", "1:creeks farms\n")
+
+    def run(extra, tag):
+        out = str(tmp_path / f"an_{tag}.teIn")
+        pf = _write(tmp_path, f"pan_{tag}.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+runID=t
+{extra}""")
+        main(pf, spark=spark)
+        return open(out).read().splitlines()
+
+    canonical = run("", "canon")
+    assert canonical[0].startswith("1 Q0 dummy")   # no stem matching
+    parity = run("analyzer=parity\n", "parity")
+    assert parity and not parity[0].startswith("1 Q0 dummy")
+
+    # saved parity index: the manifest carries the chain; indexPath
+    # reopen must stem queries the same way with NO analyzer param
+    idx_dir = str(tmp_path / "parity_idx")
+    docs = docs_from_documents_table(spark.read.parquet(d))
+    save_index(build_index_frames_analyzed(docs, REFERENCE_PARITY),
+               idx_dir, num_partitions=2, analyzer=REFERENCE_PARITY)
+    out2 = str(tmp_path / "an_reopen.teIn")
+    pf2 = _write(tmp_path, "pan_reopen.txt", f"""indexPath={idx_dir}
+queryFilePath={qf}
+trecEvalOutputPath={out2}
+retrievalAlgorithm=BM25
+runID=t
+""")
+    main(pf2, spark=spark)
+    reopened = open(out2).read().splitlines()
+    assert [ln.split()[2] for ln in reopened] == \
+        [ln.split()[2] for ln in parity]
+
+
 def test_diversity_run(spark, corpus_parquet, tmp_path):
     d, _ = corpus_parquet
     qf = _write(tmp_path, "q3.txt", "1:creek farm\n")
