@@ -401,6 +401,13 @@ scheduler-floor-bound (a few Spark jobs × ~0.3 s); the reference's
 in-process Java engine wins at 5k docs, but wall-clock is flat in
 corpus size until executors saturate — the batch and build numbers
 above are the ones that transfer to 100 TB.
+
+**Comparing `value` across rounds:** bench.py's headline `value` is the
+wall over EVERYTHING it measures, and the measured set grows each round
+(r01 had no segment lifecycle, no batched-DAAT, no Indri-batch arms).
+Per-arm keys inside `queries` and `build_sec`/`files_per_sec` are the
+like-for-like numbers — e.g. index build r01 27.7 s (jvm builder) →
+9.8 s (arrow builder default).
 """)
     print(f"arrow 2->8={a28:.3f} 8->32={a832:.3f} jvm 8->32={j832:.3f} "
           f"query 8->32={q832:.3f} indri 8->32={i832:.3f} "
