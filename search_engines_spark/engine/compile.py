@@ -236,6 +236,49 @@ class Engine:
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
 
+    def search_segments_many(self, queries: dict[str, str],
+                             k: int = 100) -> DataFrame:
+        """Batched `search_segments`: decode the UNION of all queries'
+        terms from the compressed store ONCE (bucket-pruned scan, one
+        Arrow decode stage) and answer the whole batch through
+        `search_many`'s one-plan paths against the decoded sub-index —
+        the full structured language per query, with the batch economics
+        of the DataFrame fast paths. Tombstoned docs are masked from
+        results with full-corpus stats (same contract as
+        `search_segments`/`search_daat`).
+        → (qid, doc_id, ext_id, score, rank ≤ k)."""
+        import dataclasses
+
+        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from ..indexer.segments import decode_to_postings
+        if not hasattr(self, "_seg_dir"):
+            raise ValueError("no segment store attached; call attach_segments")
+        terms = sorted({n.term for q in queries.values()
+                        for n in self._term_leaves(self.parse(q))})
+        spark = self.index.docs.sparkSession
+        segs = read_segments_merged(spark, self._seg_dir, terms=terms,
+                                    num_buckets=self._seg_buckets)
+        deleted = deleted_doc_ids(spark, self._seg_dir)
+        sub = dataclasses.replace(self.index,
+                                  postings=decode_to_postings(segs))
+        eng = Engine(sub, self.model, params=self.p,
+                     analyzer=self.parser.analyzer,
+                     default_field=self.parser.default_field)
+        if not deleted.size:
+            return eng.search_many(queries, k=k)
+        # fetch k + |tombstones| per query so masking can never leave a
+        # deficit inside the reported top-k, then re-rank
+        res = eng.search_many(queries, k=k + int(deleted.size))
+        del_df = spark.createDataFrame(
+            [(int(x),) for x in deleted], "doc_id long")
+        from pyspark.sql import Window
+        w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                              F.asc("ext_id"))
+        return (res.join(F.broadcast(del_df), "doc_id", "left_anti")
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "doc_id", "ext_id", "score", "rank"))
+
     def _term_leaves(self, node: Node) -> list[Node]:
         if node.op == "term":
             return [node]

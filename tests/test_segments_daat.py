@@ -215,6 +215,59 @@ def test_search_segments_full_language(spark, spark_index, seg_dir, model, q):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
 
+def test_search_segments_many_batch(spark, spark_index, seg_dir):
+    """Batched full-language retrieval off the compressed store: ONE
+    bucket-pruned decode for the union of all queries' terms, then the
+    search_many one-plan paths — per-qid results identical to per-query
+    `search` over the uncompressed index (bow fast path, structured
+    arms, and per-query fallback shapes all in one batch)."""
+    queries = {
+        "b1": "fickle creek farm",
+        "b2": "#sum( #near/2( fickle creek ) farm )",
+        "b3": "buffer overflow guard",
+    }
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(seg_dir, num_buckets=NUM_BUCKETS)
+    rows = eng.search_segments_many(queries, k=15).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in queries.items():
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = eng.search(q, k=15).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], qid
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_search_segments_many_masks_deletes(spark, spark_index,
+                                            tmp_path_factory):
+    """Deletions mask batched results too, with no top-k deficit (the
+    batch fetches k + |tombstones| before masking)."""
+    from pyspark.sql import functions as F
+    from search_engines_spark.indexer.merge import delete_docs
+    d = str(tmp_path_factory.mktemp("segs_del_batch"))
+    build_segments(spark_index.postings, spark_index.doclens, d,
+                   num_buckets=NUM_BUCKETS)
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    queries = {"q1": "fickle creek farm"}
+    before = sorted(eng.search_segments_many(queries, k=5).collect(),
+                    key=lambda r: r["rank"])
+    assert len(before) == 5
+    victim = before[0]["doc_id"]
+    delete_docs(spark, d,
+                spark_index.docs.where(F.col("doc_id") == victim)
+                .select("doc_id"))
+    after = sorted(eng.search_segments_many(queries, k=5).collect(),
+                   key=lambda r: r["rank"])
+    assert victim not in [r["doc_id"] for r in after]
+    # the survivors shift up one rank; rank 5 backfills (no deficit)
+    assert [r["doc_id"] for r in after[:4]] == \
+        [r["doc_id"] for r in before[1:5]]
+    assert len(after) >= 4
+
+
 def test_search_segments_masks_deletes(spark, spark_index, tmp_path_factory):
     """Tombstoned docs vanish from structured results while scores keep
     full-corpus stats (Lucene liveDocs / docFreq-includes-deletes)."""
