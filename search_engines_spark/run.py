@@ -37,6 +37,12 @@ Engine extensions beyond the reference's parameters:
                              reference workflow's external trec_eval
                              step, Spark-side: P@k/RR/AP/nDCG + MAP)
     evalK=10                 metric cutoff
+    segmentsPath=... [+ segmentsBuckets=32]
+                             serve ranked retrieval from the compressed
+                             block-max segment store: bow BM25 via the
+                             DAAT kernel, everything else via the
+                             decode path — results identical to the
+                             DataFrame plans
 
 Run: ``python -m search_engines_spark.run parameters.txt`` (or ship the
 package with spark-submit --py-files and call ``main``).
@@ -365,6 +371,17 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
 
     model, m = init_model(params)
     eng = Engine(idx, model, params=m, analyzer=runner_analyzer(params))
+    # segmentsPath (engine extension): route the FINAL ranked retrieval
+    # through the compressed block-max segment store (indexer.segments;
+    # built offline with build_segments). Bag-of-words BM25 rides the
+    # DAAT kernel (search_daat/_many), everything else decodes its
+    # terms' blocks and runs the standard plans (search_segments/_many).
+    # Auxiliary rankings (fb initial, diversity intents) stay on the
+    # DataFrame index, which segmentsPath presumes is also open.
+    if "segmentsPath" in params:
+        eng.attach_segments(params["segmentsPath"],
+                            num_buckets=int(params.get("segmentsBuckets",
+                                                       "32")))
 
     fb = params.get("fb") == "true"
     diversity = params.get("diversity") == "true"
@@ -462,8 +479,14 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                            for qid, q in queries.items()}
         else:
             run_queries = queries
-        res = (eng.search_many(run_queries, k=k)
-               .select("qid", "ext_id", "score"))
+        if hasattr(eng, "_seg_dir"):
+            try:
+                batch_res = eng.search_daat_many(run_queries, k=k)
+            except ValueError:   # structured / non-bm25 → decode path
+                batch_res = eng.search_segments_many(run_queries, k=k)
+        else:
+            batch_res = eng.search_many(run_queries, k=k)
+        res = batch_res.select("qid", "ext_id", "score")
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
                         all_qids=list(queries))
@@ -511,9 +534,13 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
             expanded, query = _feedback_query(eng, idx, qid, query, params,
                                               rankings_file)
             expanded_out[qid] = expanded
-            rows = eng.search(query, k=k).collect()
+        if hasattr(eng, "_seg_dir"):
+            try:
+                rows = eng.search_daat(query, k=k).collect()
+            except ValueError:   # structured / non-bm25 → decode path
+                rows = eng.search_segments(query, k=k).collect()
         else:
-            rows = eng.search(query, k=k,).collect()
+            rows = eng.search(query, k=k).collect()
         for r in rows:
             results_rows.append((qid, r["ext_id"], float(r["score"])))
 

@@ -164,6 +164,42 @@ runID=t
     assert outs[0] == outs[1]
 
 
+def test_segments_path_param(spark, corpus_parquet, tmp_path):
+    """segmentsPath serves ranked retrieval from the compressed store:
+    bow BM25 through the DAAT kernel, structured queries through the
+    decode path — trec output ranking identical to the DataFrame plans,
+    in both the per-query loop and batchQueries mode."""
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_documents_table)
+    from search_engines_spark.indexer.segments import build_segments
+    d, _ = corpus_parquet
+    idx = build_index_frames(
+        docs_from_documents_table(spark.read.parquet(d)))
+    seg = str(tmp_path / "segs")
+    build_segments(idx.postings, idx.doclens, seg, num_buckets=4)
+    qf = _write(tmp_path, "qs.txt",
+                "1:fickle creek farm\n"
+                "2:#sum( #near/2( fickle creek ) farm )\n")
+    outs = {}
+    for tag, extra in (("plain", ""),
+                       ("segs", f"segmentsPath={seg}\nsegmentsBuckets=4\n"),
+                       ("segs_batch", f"segmentsPath={seg}\n"
+                                      "segmentsBuckets=4\n"
+                                      "batchQueries=true\n")):
+        out = str(tmp_path / f"sp_{tag}.teIn")
+        pf = _write(tmp_path, f"psp_{tag}.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+runID=t
+{extra}""")
+        main(pf, spark=spark)
+        outs[tag] = [(ln.split()[0], ln.split()[2], ln.split()[3])
+                     for ln in open(out).read().splitlines()]
+    assert outs["segs"] == outs["plain"]
+    assert outs["segs_batch"] == outs["plain"]
+
+
 def test_qrels_eval_output(spark, corpus_parquet, tmp_path):
     """qrelsFile + evalMetricsOutputPath score the run just written (the
     reference's external trec_eval step, Spark-side). Qrels that mark
