@@ -99,3 +99,60 @@ def test_random_boolean(q, spark_index, oracle_index):
 @settings(**COMMON)
 def test_random_indri(q, spark_index, oracle_index):
     _check(q, "indri", spark_index, oracle_index)
+
+
+# ----------------------------------------------- batched (search_many) --
+
+# Batches mix flat queries (the model fast paths: bow/closed-form
+# defaults/having-count) with nested ones (per-query fallback) and an
+# OOV term (zero-ctf semantics) in the SAME plan — the property is that
+# every qid individually still matches the oracle exactly.
+_OOV = "zzzoov"
+
+
+@st.composite
+def query_batch(draw, strat):
+    n = draw(st.integers(min_value=2, max_value=4))
+    out = {}
+    for i in range(n):
+        q = draw(strat)
+        if draw(st.booleans()) and i == 0:
+            q = q.replace(TERMS[0], _OOV, 1) if TERMS[0] in q else q
+        out[f"q{i}"] = q
+    return out
+
+
+def _check_batch(queries, model, spark_index, oracle_index):
+    eng = Engine(spark_index, model)
+    rows = eng.search_many(queries, k=30).collect()
+    by_qid: dict = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in queries.items():
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = run_query(q, oracle_index, model, Models(), k=30)
+        assert [r["doc_id"] for r in got] == [d for d, _, _ in want], (qid, q)
+        for g, (_, _, s) in zip(got, want):
+            assert g["score"] == pytest.approx(s, abs=1e-9), (qid, q)
+
+
+BATCH_COMMON = dict(max_examples=6, deadline=None, derandomize=True,
+                    suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(qs=query_batch(bm25_query()))
+@settings(**BATCH_COMMON)
+def test_random_bm25_batch(qs, spark_index, oracle_index):
+    _check_batch(qs, "bm25", spark_index, oracle_index)
+
+
+@given(qs=query_batch(boolean_query()))
+@settings(**BATCH_COMMON)
+def test_random_boolean_batch(qs, spark_index, oracle_index):
+    _check_batch(qs, "rankedboolean", spark_index, oracle_index)
+
+
+@given(qs=query_batch(indri_query()))
+@settings(**BATCH_COMMON)
+def test_random_indri_batch(qs, spark_index, oracle_index):
+    _check_batch(qs, "indri", spark_index, oracle_index)
