@@ -356,7 +356,7 @@ class Engine:
                 # configuration keeps the per-query linear-domain plan
                 ent = self._indri_entry(qid, node)
                 if ent is not None:
-                    if ent[3]:   # ≥1 in-vocabulary arm ⇒ candidates exist
+                    if ent[3] or ent[4]:   # ≥1 live arm ⇒ candidates exist
                         indri_entries.append(ent)
                     continue
             elif bow_fast_path and self.model in ("rankedboolean",
@@ -562,38 +562,60 @@ class Engine:
                           for a, w in zip(node.args, ws)])
 
     def _indri_entry(self, qid: str, node: Node):
-        """→ (qid, mode, field, {term: share}, zero_flag) for a flat
-        Indri query, folding duplicate-term arms by summing their shares
-        (exact under fp: per-arm pow products and folded pow differ below
-        any rounding the contract applies). None ⇒ per-query plan.
+        """→ (qid, mode, field, {term: share}, {prox spec: share},
+        zero_flag) for a flat Indri query — one combiner over #SCORE
+        arms whose children are terms OR proximity subtrees
+        (#NEAR/#WINDOW/#SYN, SDM shape). Duplicate arms fold by summing
+        shares (exact under fp at any rounding the contract applies).
+        None ⇒ per-query plan (nested combiners, mixed fields).
 
         zero_flag: a geo-combined arm with ctf=0 has p=0 for EVERY doc
         (`QrySopScore.java:140-161` with pmle=0), so the whole product is
         0 for every candidate — flagged instead of materialized (log(0)
         has no column form). ctf=0 arms under #WSUM contribute exactly 0
         and are simply dropped (their weight still counts in the
-        normalizer, `QrySopWSum.java:52-70`)."""
-        flat = self._flat_model_arms(node)
-        if flat is None:
+        normalizer, `QrySopWSum.java:52-70`). Proximity arms that are
+        provably empty from leaf dfs get the same treatment here; arms
+        that turn out empty at RUNTIME are resolved by the caller from
+        the batched zipper stats (same rules, data-driven ctf)."""
+        from .batch_structured import spec_of
+        if node.op == "score":
+            arms, root = [node], "and"
+        elif node.op in ("and", "wand", "wsum"):
+            arms, root = list(node.args), node.op
+        else:
             return None
-        root, arms = flat
-        root = root or "and"
-        fields = {f for _, f, _ in arms}
+        if not all(a.op == "score" for a in arms):
+            return None
+        fields = {leaf.field for a in arms
+                  for leaf in self._term_leaves(a.args[0])}
         if len(fields) != 1:
             return None   # per-field doclen defaults: keep compiled plan
         fld = next(iter(fields))
+        ws = (node.weights if root in ("wand", "wsum")
+              else [1.0] * len(arms))
         mode = "sum" if root == "wsum" else "geo"
-        total_w = sum(w for _, _, w in arms)
+        total_w = sum(ws)
         shares: dict[str, float] = {}
+        prox: dict[object, float] = {}
         zero = False
-        for term, _, w in arms:
+        for a, w in zip(arms, ws):
+            child = a.args[0]
             share = 1.0 / len(arms) if root == "and" else w / total_w
-            if self._leaf_stats[(term, fld)][1] == 0:
-                if mode == "geo":
-                    zero = True
-                continue
-            shares[term] = shares.get(term, 0.0) + share
-        return (qid, mode, fld, shares, zero)
+            if child.op == "term":
+                if self._leaf_stats[(child.term, fld)][1] == 0:
+                    if mode == "geo":
+                        zero = True
+                    continue
+                shares[child.term] = shares.get(child.term, 0.0) + share
+            else:
+                spec = spec_of(child)
+                if not self._spec_present(spec, fld):
+                    if mode == "geo":
+                        zero = True
+                    continue
+                prox[spec] = prox.get(spec, 0.0) + share
+        return (qid, mode, fld, shares, prox, zero)
 
     def _bool_entry(self, qid: str, node: Node):
         """→ (qid, root, {(term, field)}) for a flat boolean query.
@@ -612,6 +634,10 @@ class Engine:
         """Flat-Indri batch: → (qid, doc_id, score) for every entry from
         ONE broadcast-joined postings pass + ONE aggregation — stage
         count constant in query count, mirroring the BM25 bow plan.
+        Proximity arms (SDM shape) add ONE shared zipper pass
+        (batch_structured.arm_postings_frame) and a tiny per-arm ctf
+        collect, after which a derived arm is literally a term arm with
+        its own stats (`QrySopScore.java:96`).
 
         The per-query plan (_indri_combine) outer-joins one frame per
         arm to apply default scores to missing terms — per-QUERY stages.
@@ -634,34 +660,87 @@ class Engine:
         vs the per-query linear pow product differs at ~1e-15 relative —
         far inside the contract's 1e-6 rounding and the golden gate's
         1e-9."""
+        from .batch_structured import arm_postings_frame
         spark = self.index.postings.sparkSession
         mu, lam = self.p.mu, self.p.lam
-        rows: list[tuple] = []     # (qid, term, field, share, pmle, geo)
+        has_doclen = "doclen" in self.index.postings.columns
+
+        # ---- proximity arms: ONE batched zipper pass for the whole
+        # batch; derived (ctf) per arm is a tiny aggregate of the
+        # persisted zipped frame collected as literals, so derived
+        # arms score and default EXACTLY like term arms
+        # (`QrySopScore.java:96` — a derived list carries its own stats)
+        arm_ids: dict[tuple, int] = {}
+        for _, _, fld, _, prox, _ in entries:
+            for spec in prox:
+                arm_ids.setdefault((fld, spec), len(arm_ids))
+        zipped = None
+        arm_ctf: dict[int, int] = {}
+        if arm_ids:
+            arms = {aid: key for key, aid in arm_ids.items()}
+            zipped = arm_postings_frame(self.index.postings, arms)
+            if not has_doclen:
+                zipped = (zipped.drop("doclen")
+                          .join(self.index.doclens
+                                .select("doc_id", "field", "doclen"),
+                                ["doc_id", "field"]))
+            zipped = zipped.persist()
+            for r in (zipped.groupBy("arm_id")
+                      .agg(F.sum("tf").alias("ctf")).collect()):
+                arm_ctf[r["arm_id"]] = int(r["ctf"])
+
+        rows: list[tuple] = []       # (qid, term, field, share, pmle, geo)
+        prox_rows: list[tuple] = []  # (arm_id, qid, share, pmle, geo)
         map_entries: list[Column] = []
         geo_qids, zero_qids = [], []
-        for qid, mode, fld, shares, zero in entries:
+        for qid, mode, fld, shares, prox, zero in entries:
             c = float(self.index.stats_for(fld)["sum_len"])
             if mode == "geo":
                 geo_qids.append(qid)
-            if zero:
-                zero_qids.append(qid)
             arr = []
             for term, share in shares.items():
                 pmle = self._leaf_stats[(term, fld)][1] / c
                 rows.append((qid, term, fld, share, pmle, mode == "geo"))
                 arr.append(F.struct(F.lit(share).alias("sh"),
                                     F.lit(pmle).alias("pm")))
-            map_entries += [F.lit(qid), F.array(*arr)]
-        qt = F.broadcast(spark.createDataFrame(
-            rows, "qid string, term string, field string, share double, "
-                  "pmle double, geo boolean"))
-        p = self.index.postings.where(
-            F.col("term").isin(sorted({r[1] for r in rows})))
-        j = p.join(qt, ["term", "field"])
-        if "doclen" not in p.columns:
-            j = j.join(self.index.doclens
-                       .select("doc_id", "field", "doclen"),
-                       ["doc_id", "field"])
+            for spec, share in prox.items():
+                ctf = arm_ctf.get(arm_ids[(fld, spec)], 0)
+                if ctf == 0:   # empty at runtime: same rules as ctf=0 terms
+                    if mode == "geo":
+                        zero = True
+                    continue
+                pmle = ctf / c
+                prox_rows.append((arm_ids[(fld, spec)], qid, share, pmle,
+                                  mode == "geo"))
+                arr.append(F.struct(F.lit(share).alias("sh"),
+                                    F.lit(pmle).alias("pm")))
+            if zero:
+                zero_qids.append(qid)
+            if arr:
+                map_entries += [F.lit(qid), F.array(*arr)]
+        if not rows and not prox_rows:
+            return spark.createDataFrame(
+                [], "qid string, doc_id long, score double")
+        cols = ["qid", "doc_id", "tf", "doclen", "share", "pmle", "geo"]
+        present = None
+        if rows:
+            qt = F.broadcast(spark.createDataFrame(
+                rows, "qid string, term string, field string, share double, "
+                      "pmle double, geo boolean"))
+            p = self.index.postings.where(
+                F.col("term").isin(sorted({r[1] for r in rows})))
+            j = p.join(qt, ["term", "field"])
+            if not has_doclen:
+                j = j.join(self.index.doclens
+                           .select("doc_id", "field", "doclen"),
+                           ["doc_id", "field"])
+            present = j.select(*cols)
+        if prox_rows:
+            pqt = F.broadcast(spark.createDataFrame(
+                prox_rows, "arm_id int, qid string, share double, "
+                           "pmle double, geo boolean"))
+            j2 = zipped.join(pqt, "arm_id").select(*cols)
+            present = j2 if present is None else present.unionByName(j2)
         p_tf = ((1 - lam) * (F.col("tf") + mu * F.col("pmle"))
                 / (F.col("doclen") + F.lit(mu)) + lam * F.col("pmle"))
         p_0 = ((1 - lam) * (mu * F.col("pmle"))
@@ -669,7 +748,7 @@ class Engine:
         adj = F.when(F.col("geo"),
                      F.col("share") * (F.log(p_tf) - F.log(p_0))) \
                .otherwise(F.col("share") * (p_tf - p_0))
-        g = (j.groupBy("qid", "doc_id")
+        g = (present.groupBy("qid", "doc_id")
              .agg(F.sum(adj).alias("adj"),
                   F.first("doclen").alias("doclen")))
         qmap = F.create_map(*map_entries)

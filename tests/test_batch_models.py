@@ -26,7 +26,18 @@ INDRI_QUERIES = {
     "i7": "#and( zzzunknownterm creek )",             # OOV ⇒ all scores 0
     "i8": "#wsum( 0.7 creek 0.3 zzzunknownterm )",    # OOV arm drops out,
                                                       # weight stays in W
-    "i9": "#and( creek #near/1( creek farm ) )",      # nested ⇒ per-query
+    # SDM shapes: proximity arms ride the shared zipper pass; derived
+    # ctf collected per arm makes them literal-stat arms
+    "i9": "#and( creek #near/1( creek farm ) )",
+    "i10": "#wand( 0.7 creek 0.3 #near/2( fickle creek ) )",
+    "i11": "#and( #window/8( creek farm ) farm )",
+    "i12": "#wsum( 0.5 #near/1( creek farm ) 0.5 voyager )",
+    "i13": "#and( creek #near/3( zzzunknownterm farm ) )",  # provably
+                                                      # empty arm ⇒ geo 0
+    "i14": "#wsum( 0.6 creek 0.4 #near/1( voyager creek ) )",  # likely
+                                                      # runtime-empty arm
+    "i15": "#wand( 0.5 #and( fickle creek ) 0.5 farm )",  # nested
+                                                      # combiner ⇒ per-query
 }
 
 BOOL_QUERIES = {
@@ -71,11 +82,11 @@ def test_indri_batch_identity(spark_index, oracle_index):
 
 
 def test_indri_batch_plan_is_one_pass(spark_index):
-    """The flat queries must NOT fan out per-query stages: the batch
-    plan contains exactly one postings aggregation keyed (qid, doc_id)
-    and zero outer joins (the per-query default machinery would print
-    one left-join chain per query)."""
-    flat = {q: s for q, s in INDRI_QUERIES.items() if q != "i9"}
+    """The flat queries — SDM proximity arms included — must NOT fan out
+    per-query stages: zero outer joins in the optimized batch plan (the
+    per-query default machinery would print one left-join chain per
+    query)."""
+    flat = {q: s for q, s in INDRI_QUERIES.items() if q != "i15"}
     eng = Engine(spark_index, "indri")
     plan = (eng.search_many(flat, k=10)
             ._jdf.queryExecution().optimizedPlan().toString())
