@@ -84,6 +84,25 @@ def live_generations(seg_dir: str) -> list[int]:
     return sorted(g for g in set(gens) if g > floor)
 
 
+def folded_map(seg_dir: str) -> dict[int, set[int]]:
+    """{gen: buckets already rebuilt into the base} for LIVE generations
+    — the per-(gen, bucket) compaction progress journal. A crashed
+    `compact_segments` leaves the chunks it committed recorded here, so
+    (a) replays skip them instead of double-encoding their delta
+    postings, and (b) `read_segments_merged` stops reading a
+    generation's bucket the moment the base holds its rows (no
+    double-count in the crash window either)."""
+    floor, out = 0, {}
+    for m in _read_gen_manifest(seg_dir):
+        if "compacted_through" in m:
+            floor = max(floor, int(m["compacted_through"]))
+        elif "folded_buckets" in m:
+            for g in m.get("gens", []):
+                out.setdefault(int(g), set()).update(
+                    int(b) for b in m["folded_buckets"])
+    return {g: b for g, b in out.items() if g > floor}
+
+
 def merged_batches(seg_dir: str) -> set[int]:
     """Streaming batch_ids already committed to some generation
     (compacted or live — compaction never un-commits input)."""
@@ -139,9 +158,13 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
     """Base ∪ live generations, each read through the pruned
     `read_segments` reader (generations are layout-identical)."""
     df = read_segments(spark, seg_dir, terms=terms, num_buckets=num_buckets)
+    folded = folded_map(seg_dir)
     for gen in live_generations(seg_dir):
         g = read_segments(spark, _gen_path(seg_dir, gen),
                           terms=terms, num_buckets=num_buckets)
+        done = folded.get(gen)
+        if done:   # buckets the base already holds (partial compaction)
+            g = g.where(~F.col("bucket").isin(sorted(done)))
         df = df.unionByName(g)
     return df
 
@@ -181,6 +204,13 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 _TOMBSTONE_DIR = "_tombstones"
 
+# Fault-injection hook for crash-replay tests: called with
+# ("chunk_written", i) after a chunk's Spark job commits and
+# ("chunk_journaled", i) after its manifest entry lands. Tests raise
+# from it to simulate a driver crash at either boundary; None in
+# production.
+_test_crash_hook = None
+
 
 def delete_docs(spark: SparkSession, seg_dir: str, doc_ids) -> dict:
     """Tombstone deletes — the Lucene liveDocs analog. Records doc_ids
@@ -218,15 +248,39 @@ def compact_segments(spark: SparkSession, seg_dir: str,
                      purge_deletes: bool = False) -> dict:
     """Fold all live generations into the base layout. Only buckets the
     deltas touch are rebuilt; generation dirs are retired afterwards.
-    Re-running after a crash is safe: the rebuild is a dynamic partition
-    overwrite keyed by bucket (replays replace, never duplicate), and
-    the retire marker is the last step.
+
+    Crash-replay safety (per-chunk commit granularity):
+    * every committed chunk appends a `folded_buckets` journal entry;
+      replays SKIP already-folded buckets and `read_segments_merged`
+      excludes a generation's folded buckets, so the crash window
+      between a chunk commit and generation retirement never
+      double-counts delta postings (readers or re-runs);
+    * the residual window between the Spark job commit and the journal
+      append is closed by deduping decoded rows on (term, field,
+      doc_id) — a replayed chunk re-encodes each posting exactly once;
+    * the `compacted_through` retire marker is written BEFORE the
+      generation dirs are removed; a crash in between leaves orphan
+      dirs that no reader references, swept on the next compaction.
 
     purge_deletes=True additionally rewrites EVERY bucket dropping
     tombstoned docs' postings, then clears the tombstones — Lucene's
-    forceMerge. The default merge leaves tombstones in place (read-time
-    mask) because a deleted doc's postings span arbitrary term buckets."""
+    forceMerge. A bucket whose postings are ALL tombstoned yields an
+    inert placeholder block (n=0), so the dynamic partition overwrite
+    still replaces its directory — stale postings can never resurrect.
+    The default merge leaves tombstones in place (read-time mask)
+    because a deleted doc's postings span arbitrary term buckets."""
+    floor = 0
+    for m in _read_gen_manifest(seg_dir):
+        if "compacted_through" in m:
+            floor = max(floor, int(m["compacted_through"]))
+    delta_root = os.path.join(seg_dir, _DELTA_DIR)
+    if os.path.isdir(delta_root):          # sweep retired-orphan dirs
+        for d in os.listdir(delta_root):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) <= floor:
+                shutil.rmtree(os.path.join(delta_root, d),
+                              ignore_errors=True)
     gens = live_generations(seg_dir)
+    folded = folded_map(seg_dir)
     tombs = deleted_doc_ids(spark, seg_dir) if purge_deletes else \
         np.empty(0, dtype=np.int64)
     if not gens and not tombs.size:
@@ -242,16 +296,25 @@ def compact_segments(spark: SparkSession, seg_dir: str,
         touched.update(int(d.split("=", 1)[1])
                        for d in os.listdir(seg_dir)
                        if d.startswith("bucket="))
+    else:            # replay: buckets already folded for every live gen
+        touched = {b for b in touched
+                   if any(b not in folded.get(g, set()) for g in gens)}
     buckets = sorted(touched)
     metrics = {"compacted_gens": len(gens), "buckets_rebuilt": 0,
                "blocks": 0, "postings": 0}
     for i in range(0, len(buckets), chunk):
         batch = buckets[i:i + chunk]
+        # read_segments_merged already excludes each generation's folded
+        # buckets — a partially-compacted bucket decodes base-only here
         blocks = read_segments_merged(spark, seg_dir,
                                       num_buckets=num_buckets) \
             .where(F.col("bucket").isin(batch))
         decoded = blocks.mapInPandas(_decode_partition,
                                      schema=_DECODE_SCHEMA)
+        # idempotent replay: if a crash landed between the chunk's job
+        # commit and its journal append, base ∪ gens holds each delta
+        # posting twice; the duplicates are identical rows
+        decoded = decoded.dropDuplicates(["term", "field", "doc_id"])
         if tombs.size:
             tomb_df = spark.createDataFrame(
                 [(int(d),) for d in tombs], "doc_id long")
@@ -263,9 +326,17 @@ def compact_segments(spark: SparkSession, seg_dir: str,
                 .select("term", "field", "bucket", "doc_id", "tf",
                         "positions", "doclen"))
         seg = part.mapInPandas(_encode_partition, schema=SEGMENT_SCHEMA)
+        if tombs.size:
+            # a fully-tombstoned bucket would emit NO rows and dynamic
+            # overwrite would leave its stale directory live — pin every
+            # batch bucket with an inert placeholder block (n=0; every
+            # reader/decoder yields nothing for it)
+            seg = seg.unionByName(_placeholder_blocks(spark, batch))
         (seg.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(seg_dir))
+        if _test_crash_hook is not None:
+            _test_crash_hook("chunk_written", i // chunk)
         counts = (spark.read.parquet(seg_dir)
                   .where(F.col("bucket").isin(batch))
                   .agg(F.count("*").alias("blocks"),
@@ -273,17 +344,33 @@ def compact_segments(spark: SparkSession, seg_dir: str,
         metrics["blocks"] += int(counts["blocks"] or 0)
         metrics["postings"] += int(counts["postings"] or 0)
         metrics["buckets_rebuilt"] += len(batch)
-    for gen in gens:                       # retire AFTER the base is whole
+        with open(_gen_manifest_path(seg_dir), "a") as f:   # chunk journal
+            f.write(json.dumps({"folded_buckets": batch,
+                                "gens": gens}) + "\n")
+        if _test_crash_hook is not None:
+            _test_crash_hook("chunk_journaled", i // chunk)
+    if gens:   # retire marker FIRST; dir removal is recoverable garbage
+        with open(_gen_manifest_path(seg_dir), "a") as f:
+            f.write(json.dumps({"compacted_through": max(gens),
+                                **metrics}) + "\n")
+    for gen in gens:
         shutil.rmtree(_gen_path(seg_dir, gen), ignore_errors=True)
     if tombs.size:
         shutil.rmtree(os.path.join(seg_dir, _TOMBSTONE_DIR),
                       ignore_errors=True)
         metrics["purged_deletes"] = int(tombs.size)
-    if gens:
-        with open(_gen_manifest_path(seg_dir), "a") as f:
-            f.write(json.dumps({"compacted_through": max(gens),
-                                **metrics}) + "\n")
     return metrics
+
+
+def _placeholder_blocks(spark: SparkSession, buckets: list[int]) -> DataFrame:
+    """One inert (n=0, empty varbyte) block row per bucket — pins a
+    partition directory through dynamic overwrite. Decoders emit zero
+    postings for it (`varbyte_decode(b"")` is empty) and pruned readers
+    drop it up front (`read_segments` filters n > 0)."""
+    rows = [("", "", int(b), 0, 0, 0, 0, 0, 0,
+             bytearray(), bytearray(), bytearray(), bytearray())
+            for b in buckets]
+    return spark.createDataFrame(rows, SEGMENT_SCHEMA)
 
 
 def merge_stream_into_segments(spark: SparkSession, stream_dir: str,

@@ -207,8 +207,10 @@ def read_segments(spark: SparkSession, out_dir: str,
                   terms: list[str] | None = None,
                   num_buckets: int = 32) -> DataFrame:
     """Scan segment blocks, pruned to the query terms' buckets (directory
-    pruning on `bucket`) + parquet row-group min/max on `term`."""
-    df = spark.read.parquet(out_dir)
+    pruning on `bucket`) + parquet row-group min/max on `term`. n=0
+    placeholder blocks (partition pins written by a purging
+    `merge.compact_segments`) are dropped at the scan."""
+    df = spark.read.parquet(out_dir).where(F.col("n") > 0)
     if terms:
         import pyspark.sql.functions as SF
         bks = {r["b"] for r in

@@ -148,6 +148,91 @@ def test_delete_tombstones_and_purge(spark, spark_index, tmp_path_factory):
     assert [(r["doc_id"], round(r["score"], 9)) for r in post] == want
 
 
+def _fresh_base_plus_delta(spark_index, tmp_path_factory, name):
+    d = str(tmp_path_factory.mktemp(name))
+    base = spark_index.postings.where(F.col("doc_id") < SPLIT)
+    delta = spark_index.postings.where(F.col("doc_id") >= SPLIT)
+    build_segments(base, spark_index.doclens, d, num_buckets=NUM_BUCKETS)
+    append_segments(delta, d, num_buckets=NUM_BUCKETS)
+    return d
+
+
+def _crash_at(point, idx):
+    def hook(stage, i):
+        if stage == point and i == idx:
+            raise RuntimeError(f"injected crash at {stage}[{i}]")
+    return hook
+
+
+@pytest.mark.parametrize("crash_point", ["chunk_written", "chunk_journaled"])
+def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
+                                       crash_point):
+    """Driver crash at either per-chunk commit boundary (after the Spark
+    job commit / after the journal append) must leave (a) readers
+    correct in the crash window — no double-counted delta postings —
+    and (b) a replayed compaction producing the exact from-scratch
+    postings multiset."""
+    from search_engines_spark.indexer import merge as merge_mod
+    d = _fresh_base_plus_delta(spark_index, tmp_path_factory,
+                               f"crash_{crash_point}")
+    want = _postings_map(spark_index.postings.collect())
+    merge_mod._test_crash_hook = _crash_at(crash_point, 0)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+    finally:
+        merge_mod._test_crash_hook = None
+    # crash-window read: base now holds chunk 0's merged buckets while
+    # gen 1 is still live — the merged reader must not double-count
+    # (journaled case: folded_buckets excludes them; unjournaled case:
+    # the chunk IS double-visible to raw readers, so only the replayed
+    # compaction is gated for it)
+    if crash_point == "chunk_journaled":
+        got_mid = _decoded_map(
+            r.asDict() for r in
+            read_segments_merged(spark, d,
+                                 num_buckets=NUM_BUCKETS).collect())
+        assert got_mid == want
+        assert live_generations(d) == [1]
+    # replay to completion: every posting encoded exactly once
+    m = compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+    assert m["compacted_gens"] == 1
+    assert live_generations(d) == []
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got == want
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    got_q = eng.search_daat("fickle creek farm", k=20).collect()
+    want_q = eng.search("fickle creek farm", k=20).collect()
+    assert [r["doc_id"] for r in got_q] == [r["doc_id"] for r in want_q]
+    assert np.allclose([r["score"] for r in got_q],
+                       [r["score"] for r in want_q], atol=1e-9)
+
+
+def test_purge_all_docs_never_resurrects(spark, spark_index,
+                                         tmp_path_factory):
+    """purge_deletes with EVERY doc tombstoned: dynamic overwrite gets a
+    placeholder row per bucket, so buckets whose postings were all
+    deleted are physically replaced — a subsequent read finds zero live
+    postings instead of the pre-purge files coming back unmasked."""
+    from search_engines_spark.indexer.merge import delete_docs
+    d = str(tmp_path_factory.mktemp("purge_all"))
+    build_segments(spark_index.postings, spark_index.doclens, d,
+                   num_buckets=NUM_BUCKETS)
+    all_ids = [r["doc_id"] for r in
+               spark_index.docs.select("doc_id").collect()]
+    delete_docs(spark, d, all_ids)
+    pm = compact_segments(spark, d, num_buckets=NUM_BUCKETS,
+                          purge_deletes=True)
+    assert pm["purged_deletes"] == len(all_ids)
+    assert read_segments(spark, d, num_buckets=NUM_BUCKETS).count() == 0
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    assert eng.search_daat("fickle creek farm", k=10).count() == 0
+
+
 def test_merge_stream_batches(spark, spark_index, tmp_path_factory):
     """batch_id-partitioned stream sink → one generation per merge call,
     already-merged batches never re-append."""
