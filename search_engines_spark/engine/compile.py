@@ -91,7 +91,7 @@ class Engine:
             raise ValueError("search_daat is the BM25 fast path")
         if not hasattr(self, "_seg_dir"):
             raise ValueError("no segment store attached; call attach_segments")
-        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from ..indexer.merge import deleted_docs_df, read_segments_merged
         from .daat import bm25_wand_topk
         node = self.parse(qstring)
         leaves = self._term_leaves(node)
@@ -123,14 +123,15 @@ class Engine:
                                     num_buckets=self._seg_buckets)
         # tombstone mask (indexer.merge.delete_docs): deleted docs are
         # filtered at score time; stats stay full-corpus until a
-        # purging merge — Lucene liveDocs/docFreq semantics
-        deleted = deleted_doc_ids(self.index.docs.sparkSession,
+        # purging merge — Lucene liveDocs/docFreq semantics. The mask is
+        # a lazy DataFrame cogrouped per doc-stride inside the kernel —
+        # never a driver array
+        deleted = deleted_docs_df(self.index.docs.sparkSession,
                                   self._seg_dir)
         top = bm25_wand_topk(segs, terms, stats, st["n_docs"],
                              st["sum_len"] / st["doc_count"], k=k,
                              params=self.p, field=field,
-                             term_weights=mult,
-                             deleted=deleted if deleted.size else None)
+                             term_weights=mult, deleted=deleted)
         return (top.join(self._doc_map(), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "ext_id", "score"))
@@ -147,7 +148,7 @@ class Engine:
         (see daat module docstring for the ext_id-coincidence argument)."""
         from pyspark.sql import Window
 
-        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from ..indexer.merge import deleted_docs_df, read_segments_merged
         from .daat import bm25_wand_topk_many
         if self.model != "bm25":
             raise ValueError("search_daat_many is the BM25 fast path")
@@ -182,11 +183,11 @@ class Engine:
         spark = self.index.docs.sparkSession
         segs = read_segments_merged(spark, self._seg_dir, terms=terms,
                                     num_buckets=self._seg_buckets)
-        deleted = deleted_doc_ids(spark, self._seg_dir)
+        deleted = deleted_docs_df(spark, self._seg_dir)
         top = bm25_wand_topk_many(
             segs, bags, stats, st["n_docs"],
             st["sum_len"] / st["doc_count"], k=k, params=self.p,
-            field=field, deleted=deleted if deleted.size else None)
+            field=field, deleted=deleted)
         w = Window.partitionBy("qid").orderBy(F.desc("score"),
                                               F.asc("doc_id"))
         return (top.join(self._doc_map(), "doc_id")
@@ -212,7 +213,7 @@ class Engine:
         that makes the segment store a full index substitute."""
         import dataclasses
 
-        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from ..indexer.merge import deleted_docs_df, read_segments_merged
         from ..indexer.segments import decode_to_postings
         if not hasattr(self, "_seg_dir"):
             raise ValueError("no segment store attached; call attach_segments")
@@ -221,17 +222,15 @@ class Engine:
         spark = self.index.docs.sparkSession
         segs = read_segments_merged(spark, self._seg_dir, terms=terms,
                                     num_buckets=self._seg_buckets)
-        deleted = deleted_doc_ids(spark, self._seg_dir)
+        deleted = deleted_docs_df(spark, self._seg_dir)
         decoded = decode_to_postings(segs)
         sub = dataclasses.replace(self.index, postings=decoded)
         eng = Engine(sub, self.model, params=self.p,
                      analyzer=self.parser.analyzer,
                      default_field=self.parser.default_field)
         s = eng.eval_sop(eng.parse(qstring)).where(F.col("score") >= 0)
-        if deleted.size:
-            del_df = spark.createDataFrame(
-                [(int(x),) for x in deleted], "doc_id long")
-            s = s.join(F.broadcast(del_df), "doc_id", "left_anti")
+        if deleted is not None:
+            s = s.join(F.broadcast(deleted), "doc_id", "left_anti")
         res = s.join(eng._doc_map(), "doc_id")
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
@@ -245,11 +244,14 @@ class Engine:
         the full structured language per query, with the batch economics
         of the DataFrame fast paths. Tombstoned docs are masked from
         results with full-corpus stats (same contract as
-        `search_segments`/`search_daat`).
+        `search_segments`/`search_daat`): the mask anti-joins the scored
+        candidates INSIDE the batched plan, before the per-query
+        row_number/limit — fetch depth stays k no matter how many
+        deletes are pending.
         → (qid, doc_id, ext_id, score, rank ≤ k)."""
         import dataclasses
 
-        from ..indexer.merge import deleted_doc_ids, read_segments_merged
+        from ..indexer.merge import deleted_docs_df, read_segments_merged
         from ..indexer.segments import decode_to_postings
         if not hasattr(self, "_seg_dir"):
             raise ValueError("no segment store attached; call attach_segments")
@@ -258,26 +260,13 @@ class Engine:
         spark = self.index.docs.sparkSession
         segs = read_segments_merged(spark, self._seg_dir, terms=terms,
                                     num_buckets=self._seg_buckets)
-        deleted = deleted_doc_ids(spark, self._seg_dir)
+        deleted = deleted_docs_df(spark, self._seg_dir)
         sub = dataclasses.replace(self.index,
                                   postings=decode_to_postings(segs))
         eng = Engine(sub, self.model, params=self.p,
                      analyzer=self.parser.analyzer,
                      default_field=self.parser.default_field)
-        if not deleted.size:
-            return eng.search_many(queries, k=k)
-        # fetch k + |tombstones| per query so masking can never leave a
-        # deficit inside the reported top-k, then re-rank
-        res = eng.search_many(queries, k=k + int(deleted.size))
-        del_df = spark.createDataFrame(
-            [(int(x),) for x in deleted], "doc_id long")
-        from pyspark.sql import Window
-        w = Window.partitionBy("qid").orderBy(F.desc("score"),
-                                              F.asc("ext_id"))
-        return (res.join(F.broadcast(del_df), "doc_id", "left_anti")
-                .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select("qid", "doc_id", "ext_id", "score", "rank"))
+        return eng.search_many(queries, k=k, exclude_docs=deleted)
 
     def _term_leaves(self, node: Node) -> list[Node]:
         if node.op == "term":
@@ -295,7 +284,8 @@ class Engine:
         return self.index.docs.select("doc_id", "ext_id")
 
     def search_many(self, queries: dict[str, str], k: int = 100,
-                    bow_fast_path: bool = True) -> DataFrame:
+                    bow_fast_path: bool = True,
+                    exclude_docs: DataFrame | None = None) -> DataFrame:
         """Batch: → (qid, doc_id, ext_id, score, rank ≤ k) for all queries
         in one plan (the reference loops queries sequentially,
         `QryEval.java:684`).
@@ -321,7 +311,12 @@ class Engine:
         outer joins. Flat boolean `#AND/#OR` queries batch the same way
         (_bool_batch_frame). Anything nested (combiners over combiners,
         proximity under Indri, mixed fields) keeps its per-query
-        compiled plan and is unioned in."""
+        compiled plan and is unioned in.
+
+        exclude_docs: optional (doc_id) frame anti-joined against the
+        scored candidates BEFORE the per-query rank/limit (tombstone
+        masking for the segment paths) — scores keep full-corpus stats,
+        the excluded docs just never occupy a top-k slot."""
         from pyspark.sql import Window
         frames = []
         bow_rows: list[tuple] = []    # (qid, term, field, mult, df)
@@ -395,6 +390,9 @@ class Engine:
                 [], "qid string, doc_id long, ext_id string, "
                     "score double, rank int")
         u = reduce(lambda l, r: l.unionByName(r), frames)
+        if exclude_docs is not None:
+            u = u.join(F.broadcast(exclude_docs.select("doc_id")),
+                       "doc_id", "left_anti")
         u = u.join(self._doc_map(), "doc_id")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
         return (u.withColumn("rank", F.row_number().over(w))

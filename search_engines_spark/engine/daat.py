@@ -38,7 +38,6 @@ strictly below θ, so results are exact, not approximate.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -59,7 +58,7 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                    term_weights: dict[str, int] | None = None,
                    stride: int = STRIDE,
                    prune_counter=None,
-                   deleted: np.ndarray | None = None) -> DataFrame:
+                   deleted=None) -> DataFrame:
     """→ (doc_id, score) global top-k for BM25 #SUM over `terms`.
 
     term_stats: {term: (df, ctf)} — collected once, driver-side (tiny).
@@ -71,11 +70,14 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
     prune_counter: optional `sc.accumulator(0)` — incremented once per
     stride SKIPPED without decoding (observability for the block-max
     prune; accumulator updates flow back from the Arrow workers).
-    deleted: optional sorted array of tombstoned doc_ids
-    (`indexer.merge.deleted_doc_ids` — the Lucene liveDocs mask):
-    masked out after decode, before scoring, so a deleted doc can
-    never occupy a top-k slot; stats stay full-corpus until a purging
-    merge, matching Lucene's docFreq-includes-deletes semantics.
+    deleted: optional tombstone mask (`indexer.merge.deleted_docs_df`
+    DataFrame, or an id array for convenience — converted): docs are
+    masked out after decode, before scoring, so a deleted doc can never
+    occupy a top-k slot; stats stay full-corpus until a purging merge,
+    matching Lucene's docFreq-includes-deletes semantics. The mask is
+    COGROUPED with the blocks on the doc-stride partition key — each
+    task receives only its own strides' tombstones, so the mask never
+    rides a UDF closure and a delete-heavy store stays scale-safe.
     """
     p = params or Models()
     w = term_weights or {}
@@ -103,15 +105,12 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
 
     idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
     stride_w = stride
-    deleted_b = deleted if deleted is not None and deleted.size else None
 
-    def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # gather this partition's blocks grouped by stride
-        pdf = pd.concat(list(pdfs), ignore_index=True) if pdfs else None
+    def score_partition(pdf: pd.DataFrame,
+                        deleted_b: np.ndarray | None) -> pd.DataFrame:
         if pdf is None or len(pdf) == 0:
-            yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                "score": pd.Series(dtype="float64")})
-            return
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
         theta = -1.0
         top_ids = np.empty(0, dtype=np.int64)
         top_sc = np.empty(0, dtype=np.float64)
@@ -161,13 +160,44 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                 order = np.lexsort((top_ids, -top_sc))[:k]
                 top_ids, top_sc = top_ids[order], top_sc[order]
                 theta = float(top_sc.min())
-        yield pd.DataFrame({"doc_id": top_ids, "score": top_sc})
+        return pd.DataFrame({"doc_id": top_ids, "score": top_sc})
 
-    per_part = (blocks.repartition("pk").groupBy("pk")
-                .applyInPandas(
-                    lambda key, g: next(score_partition(iter([g]))),
-                    schema="doc_id long, score double"))
+    per_part = _apply_with_tombstones(
+        blocks, deleted, stride, score_partition,
+        "doc_id long, score double")
     return per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
+                           score_fn, schema: str) -> DataFrame:
+    """Run `score_fn(blocks_pdf, deleted_ids | None)` per `pk` partition
+    group. With a tombstone mask, the mask rows are COGROUPED on the
+    same doc-stride `pk` the blocks shuffle on — each task sees only
+    the deleted ids that can appear in its own strides, nothing rides
+    the closure, and an empty group costs nothing."""
+    if deleted is not None and not isinstance(deleted, DataFrame):
+        arr = np.asarray(deleted, dtype=np.int64)   # convenience form
+        if arr.size:
+            deleted = blocks.sparkSession.createDataFrame(
+                [(int(x),) for x in arr], "doc_id long")
+        else:
+            deleted = None
+    if deleted is None:
+        return (blocks.groupBy("pk")
+                .applyInPandas(lambda key, g: score_fn(g, None),
+                               schema=schema))
+    tomb = (deleted
+            .withColumn("pk", ((F.col("doc_id") / stride).cast("long")
+                               / STRIDES_PER_PART).cast("long"))
+            .select("pk", "doc_id"))
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        dels = (np.sort(right["doc_id"].to_numpy(np.int64))
+                if len(right) else None)
+        return score_fn(left, dels)
+
+    return (blocks.groupBy("pk").cogroup(tomb.groupBy("pk"))
+            .applyInPandas(run, schema=schema))
 
 
 def bm25_wand_topk_many(segments: DataFrame,
@@ -177,7 +207,7 @@ def bm25_wand_topk_many(segments: DataFrame,
                         params: Models | None = None,
                         field: str = "body",
                         stride: int = STRIDE,
-                        deleted: np.ndarray | None = None) -> DataFrame:
+                        deleted=None) -> DataFrame:
     """→ (qid, doc_id, score) per-query top-k for a BATCH of bag-of-words
     BM25 queries over ONE segments pass.
 
@@ -223,9 +253,9 @@ def bm25_wand_topk_many(segments: DataFrame,
 
     idf_b = {q: dict(m) for q, m in idf_q.items()}
     stride_w = stride
-    deleted_b = deleted if deleted is not None and deleted.size else None
 
-    def score_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_partition(pdf: pd.DataFrame,
+                        deleted_b: np.ndarray | None) -> pd.DataFrame:
         empty = pd.DataFrame({"qid": pd.Series(dtype="object"),
                               "doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
@@ -293,9 +323,9 @@ def bm25_wand_topk_many(segments: DataFrame,
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     from pyspark.sql import Window
-    per_part = (blocks.repartition("pk").groupBy("pk")
-                .applyInPandas(lambda key, g: score_partition(g),
-                               schema="qid string, doc_id long, score double"))
+    per_part = _apply_with_tombstones(
+        blocks, deleted, stride, score_partition,
+        "qid string, doc_id long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k).drop("rank"))

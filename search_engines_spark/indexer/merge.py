@@ -233,14 +233,27 @@ def delete_docs(spark: SparkSession, seg_dir: str, doc_ids) -> dict:
 
 
 def deleted_doc_ids(spark: SparkSession, seg_dir: str) -> np.ndarray:
-    """Distinct tombstoned doc_ids as a driver-side array (the form the
-    DAAT kernel masks with). Bounded by the delete volume between
-    purges — the same bitset-in-RAM budget Lucene's liveDocs has."""
+    """Distinct tombstoned doc_ids as a driver-side array. Only for
+    driver-bounded uses (purge compaction metrics, tests); query paths
+    mask with `deleted_docs_df` so the tombstone set never has to fit
+    on the driver or in a UDF closure."""
     p = os.path.join(seg_dir, _TOMBSTONE_DIR)
     if not os.path.isdir(p):
         return np.empty(0, dtype=np.int64)
     rows = spark.read.parquet(p).select("doc_id").distinct().collect()
     return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+
+
+def deleted_docs_df(spark: SparkSession, seg_dir: str) -> DataFrame | None:
+    """Distinct tombstoned doc_ids as a lazy DataFrame (None when no
+    tombstones exist) — the scale-safe mask form: readers anti-join or
+    cogroup it instead of shipping an id array in a closure, so a
+    delete-heavy store between purges never grows the driver heap or
+    task binaries."""
+    p = os.path.join(seg_dir, _TOMBSTONE_DIR)
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
 
 
 def compact_segments(spark: SparkSession, seg_dir: str,

@@ -233,6 +233,45 @@ def test_purge_all_docs_never_resurrects(spark, spark_index,
     assert eng.search_daat("fickle creek farm", k=10).count() == 0
 
 
+def test_mask_with_deletes_far_exceeding_k(spark, spark_index,
+                                           tmp_path_factory):
+    """Delete-heavy store between purges (|deleted| ≫ k): masking must
+    live INSIDE the plans — a cogrouped mask for the DAAT kernel and a
+    left-anti join before the per-query rank for the decode path — with
+    fetch depth k, never a driver array or a k+|deleted| over-fetch."""
+    from search_engines_spark.indexer.merge import delete_docs
+    d = str(tmp_path_factory.mktemp("mask_scale"))
+    build_segments(spark_index.postings, spark_index.doclens, d,
+                   num_buckets=NUM_BUCKETS)
+    eng = Engine(spark_index, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    k = 5
+    full = eng.search("fickle creek farm", k=1000).collect()
+    # tombstone ~60% of the corpus, including some of the current top-k
+    all_ids = sorted(r["doc_id"] for r in
+                     spark_index.docs.select("doc_id").collect())
+    victims = {i for i in all_ids if i % 5 != 0} | \
+        {r["doc_id"] for r in full[:2]}
+    delete_docs(spark, d, sorted(victims))
+    assert len(victims) > 20 * k
+    want = [(r["doc_id"], round(r["score"], 9)) for r in full
+            if r["doc_id"] not in victims][:k]
+    got_daat = [(r["doc_id"], round(r["score"], 9))
+                for r in eng.search_daat("fickle creek farm", k=k).collect()]
+    assert got_daat == want
+    res = eng.search_segments_many(
+        {"q1": "fickle creek farm", "q2": "#near/2( creek farm )"}, k=k)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan           # mask inside the batched plan
+    rows = res.collect()
+    assert not {r["doc_id"] for r in rows} & victims
+    got_q1 = [(r["doc_id"], round(r["score"], 9))
+              for r in sorted((r for r in rows if r["qid"] == "q1"),
+                              key=lambda r: r["rank"])]
+    assert got_q1 == want
+    assert max(r["rank"] for r in rows) <= k
+
+
 def test_merge_stream_batches(spark, spark_index, tmp_path_factory):
     """batch_id-partitioned stream sink → one generation per merge call,
     already-merged batches never re-append."""
