@@ -12,8 +12,11 @@ aggregation per run, no per-topic loops:
   * AP / MAP   average precision (denominator = ALL judged-relevant
                docs, retrieved or not — trec_eval convention)
   * RR / MRR   reciprocal rank of the first relevant result
-  * nDCG@k     binary-gain DCG/IDCG with log2(rank+1) discount
-               (Järvelin & Kekäläinen), the trec_eval ndcg_cut family
+  * nDCG@k     GRADED-gain DCG/IDCG with log2(rank+1) discount
+               (Järvelin & Kekäläinen): gain = rel, the trec_eval
+               ndcg_cut convention, so graded qrels (rel > 1) score
+               exactly as trec_eval does; binary qrels degenerate to
+               the familiar 1/log2 form
 
 Conventions carried from trec_eval: unjudged documents count as
 non-relevant (left join, null → 0); topics with zero judged-relevant
@@ -35,24 +38,35 @@ def evaluate_run(results: DataFrame, qrels: DataFrame,
                  k: int = 10) -> DataFrame:
     """results: (qid, ext_id, rank) — one row per retrieved doc, rank
     1-based, ties pre-broken. qrels: (qid, ext_id, rel) with rel > 0 ⇒
-    relevant (graded values count as relevant; gains are binary, the
-    trec_eval `map`/`P`/`ndcg_cut` defaults).
+    relevant. P@k / AP / RR use binary relevance, nDCG uses gain = rel
+    (the trec_eval `map`/`P`/`ndcg_cut` conventions). Duplicate
+    (qid, ext_id) judgment rows are collapsed to their max rel before
+    anything counts them.
 
     → (qid, num_rel, num_rel_ret, p_at_k, rr, ap, ndcg_at_k), one row
     per topic that has ≥1 judged-relevant doc."""
-    rel = (qrels.where(F.col("rel") > 0)
-           .select("qid", "ext_id", F.lit(1).alias("_rel")))
-    nrel = rel.groupBy("qid").agg(F.count("*").alias("num_rel"))
+    rel = (qrels.groupBy("qid", "ext_id")
+           .agg(F.max("rel").alias("_gain"))
+           .where(F.col("_gain") > 0)
+           .select("qid", "ext_id", F.col("_gain").cast("double")))
+    nrel = rel.groupBy("qid").agg(
+        F.count("*").alias("num_rel"),
+        # ideal gain profile for nDCG: judged gains sorted descending,
+        # truncated at k — graded IDCG without a second pass
+        F.slice(F.sort_array(F.collect_list("_gain"), asc=False),
+                1, k).alias("_ideal"))
     j = (results.select("qid", "ext_id", "rank")
          .join(rel, ["qid", "ext_id"], "left")
-         .withColumn("_rel", F.coalesce(F.col("_rel"), F.lit(0))))
+         .withColumn("_gain", F.coalesce(F.col("_gain"), F.lit(0.0)))
+         .withColumn("_rel", (F.col("_gain") > 0).cast("int")))
     w = (Window.partitionBy("qid").orderBy("rank")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     j = j.withColumn("_cum_rel", F.sum("_rel").over(w))
     per_doc_ap = F.when(F.col("_rel") == 1,
                         F.col("_cum_rel") / F.col("rank")).otherwise(0.0)
     dcg_term = F.when((F.col("_rel") == 1) & (F.col("rank") <= k),
-                      1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)
+                      F.col("_gain") / F.log2(F.col("rank") + 1)) \
+        .otherwise(0.0)
     agg = (j.groupBy("qid").agg(
         F.sum("_rel").alias("num_rel_ret"),
         (F.sum(F.when((F.col("_rel") == 1) & (F.col("rank") <= k), 1)
@@ -63,11 +77,13 @@ def evaluate_run(results: DataFrame, qrels: DataFrame,
         F.sum(per_doc_ap).alias("_ap_num"),
         F.sum(dcg_term).alias("_dcg")))
     out = agg.join(nrel, "qid")   # inner: topics with 0 rel are dropped
-    # binary ideal DCG: the first min(num_rel, k) ranks all relevant —
-    # Σ_{i=1..m} 1/log2(i+1), expressed without a second aggregation
+    # graded ideal DCG: Σ_i ideal_gain_i / log2(i+1) over the sorted
+    # top-min(num_rel, k) gains
     idcg = F.aggregate(
-        F.sequence(F.lit(1), F.least(F.col("num_rel"), F.lit(k))),
-        F.lit(0.0), lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1))
+        F.zip_with(F.col("_ideal"),
+                   F.sequence(F.lit(1), F.size("_ideal")),
+                   lambda g, i: g / F.log2(i.cast("double") + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
     return (out
             .withColumn("ap", F.col("_ap_num") / F.col("num_rel"))
             .withColumn("ndcg_at_k", F.col("_dcg") / idcg)

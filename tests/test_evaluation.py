@@ -37,14 +37,52 @@ def test_per_topic_metrics(spark, run_and_qrels):
     assert t1["rr"] == pytest.approx(1.0)
     # AP = (1/1 + 2/3 + 3/5) / num_rel(=4) — trec_eval denominator
     assert t1["ap"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 4)
-    dcg = 1 / math.log2(2) + 1 / math.log2(4)            # ranks 1, 3
-    idcg = sum(1 / math.log2(i + 1) for i in range(1, 4))  # min(4, 3) = 3
+    # graded gains (gain = rel, trec_eval ndcg_cut): a(rel 1)@1, c(rel 2)@3
+    dcg = 1 / math.log2(2) + 2 / math.log2(4)
+    # ideal profile = judged gains sorted desc, top-3: [2, 1, 1]
+    idcg = 2 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
     assert t1["ndcg_at_k"] == pytest.approx(dcg / idcg)
 
     t2 = rows["t2"]
     assert t2["num_rel"] == 1 and t2["num_rel_ret"] == 0
     assert t2["p_at_k"] == 0.0 and t2["rr"] == 0.0
     assert t2["ap"] == 0.0 and t2["ndcg_at_k"] == 0.0
+
+
+def test_duplicate_qrels_rows_collapse(spark, run_and_qrels):
+    """Duplicate (qid, ext_id) judgments collapse to max rel — they must
+    not inflate num_rel/num_rel_ret through the left join, and a dup
+    pair of (rel 0, rel 1) counts as relevant once."""
+    results, qrels = run_and_qrels
+    noisy = qrels.unionByName(spark.createDataFrame(
+        [("t1", "a", 1), ("t1", "a", 1),     # exact dups
+         ("t3", "a", 1)],                    # upgrades t3's rel-0 row
+        "qid string, ext_id string, rel int"))
+    clean = {r["qid"]: r for r in evaluate_run(results, qrels, k=3).collect()}
+    got = {r["qid"]: r for r in evaluate_run(results, noisy, k=3).collect()}
+    t1c, t1g = clean["t1"], got["t1"]
+    assert (t1g["num_rel"], t1g["num_rel_ret"]) == \
+        (t1c["num_rel"], t1c["num_rel_ret"])
+    assert t1g["ap"] == pytest.approx(t1c["ap"])
+    assert t1g["ndcg_at_k"] == pytest.approx(t1c["ndcg_at_k"])
+    # t3 now has one relevant doc, retrieved at rank 1
+    assert got["t3"]["num_rel"] == 1 and got["t3"]["rr"] == 1.0
+    assert got["t3"]["ndcg_at_k"] == pytest.approx(1.0)
+
+
+def test_binary_qrels_unchanged_by_graded_gains(spark):
+    """With rel ∈ {0,1}, graded-gain nDCG is numerically the binary
+    form — the driver's eval_metrics oracle contract."""
+    results = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "qid string, ext_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q", "b", 1), ("q", "zz", 1)],
+        "qid string, ext_id string, rel int")
+    r = evaluate_run(results, qrels, k=3).collect()[0]
+    dcg = 1 / math.log2(3)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)   # min(num_rel=2, k)
+    assert r["ndcg_at_k"] == pytest.approx(dcg / idcg)
 
 
 def test_macro_averages(spark, run_and_qrels):
