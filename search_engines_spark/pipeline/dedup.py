@@ -228,7 +228,11 @@ def _sign_banded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     are re-joined for the surviving candidate pairs, so the shuffle
     volume is O(n·bands·8B), not O(n·dim·8B·bands)."""
     from .similarity import ANN_PLANES, _planes
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:   # empty embeddings frame → empty banded frame
+        return emb.sparkSession.createDataFrame(
+            [], "vid long, band int, bsig string")
+    dim = len(head[0])
     planes = _planes(dim, ANN_PLANES)
     rows_per_band = ANN_PLANES // EMB_LSH_BANDS
     v = emb.select(F.col(id_col).cast("long").alias("vid"),

@@ -133,7 +133,12 @@ def write_ann_index(emb: DataFrame, path: str,
     (also persisted as _ann_meta.json next to the data)."""
     import json
     import os
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:
+        raise ValueError(
+            "write_ann_index: embeddings frame is empty — refusing to "
+            "write an index with no vectors (and no inferable dim)")
+    dim = len(head[0])
     planes = _planes(dim, n_planes)
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))

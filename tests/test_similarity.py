@@ -255,3 +255,18 @@ def test_ivf_refined_centroids_improve_recall(emb, qvec, spark,
     assert len(truth & refined) >= len(truth & naive)
     assert len(truth & refined) >= 5  # clustered data: refined cells
     # keep the query's cluster together at nprobe=2
+
+
+def test_empty_embeddings_guards(spark, tmp_path_factory):
+    """Empty embeddings frame: near-dup LSH returns an empty typed frame
+    (consistent with the engine's empty-batch guards) and
+    write_ann_index refuses with a clear error instead of a TypeError
+    from first()[0] on None."""
+    from search_engines_spark.pipeline.dedup import embedding_near_dup_pairs
+    from search_engines_spark.pipeline.similarity import write_ann_index
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(empty, threshold=0.5, method="lsh")
+    assert out.columns == ["vec_a", "vec_b", "cos_r"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        write_ann_index(empty, str(tmp_path_factory.mktemp("ann_empty")))
