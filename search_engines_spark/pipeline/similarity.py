@@ -197,13 +197,16 @@ def _assign_cells(v: DataFrame, cent_vecs: list[list[float]]) -> DataFrame:
                                      lambda x, y: (x - y) * (x - y)),
                           F.lit(0.0), lambda a, x: a + x).alias(f"d{i}")
               for i, c in enumerate(cent_vecs)]
-    withd = v.select("vec_id", "v", *d_cols)
-    cell = F.lit(0)
-    best = F.col("d0")
-    for i in range(1, len(cent_vecs)):
-        cond = F.col(f"d{i}") < best
-        cell = F.when(cond, F.lit(i)).otherwise(cell)
-        best = F.when(cond, F.col(f"d{i}")).otherwise(best)
+    # materialize the distances as COLUMNS first, then argmin over
+    # attribute references — a nested when-chain where each step embeds
+    # the previous `best` expression twice is exponential in n_cells
+    # (Catalyst analysis alone took minutes at n_cells=16)
+    withd = (v.select("vec_id", "v", *d_cols)
+             .withColumn("_best", F.least(*[F.col(f"d{i}")
+                                            for i in range(len(cent_vecs))])))
+    # first index attaining the min — the strict-< chain's tie rule
+    cell = F.coalesce(*[F.when(F.col(f"d{i}") == F.col("_best"), F.lit(i))
+                        for i in range(len(cent_vecs))])
     return withd.withColumn("cell", cell).select("vec_id", "v", "cell")
 
 
