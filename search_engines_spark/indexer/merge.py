@@ -169,6 +169,28 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
     return df
 
 
+def read_segments_for_docs(spark: SparkSession, seg_dir: str,
+                           doc_ids, num_buckets: int = 32) -> DataFrame:
+    """Segment blocks that can contain postings of the given docs — the
+    forward-index probe for a segments-only deployment (feedback's
+    TermVector scan, `QryEval.java:96-147`, needs every stem of a few
+    top docs). A doc's postings span arbitrary term buckets, but blocks
+    carry [min_docid, max_docid], so the scan keeps only blocks whose
+    doc range covers a wanted id — one OR-chain predicate over block
+    metadata (wanted sets are fbDocs-sized, ≤ hundreds), never a full
+    decode. Pair with `segments.decode_to_postings(...)` + a doc_id
+    filter for the logical rows."""
+    ids = sorted({int(d) for d in doc_ids})
+    df = read_segments_merged(spark, seg_dir, num_buckets=num_buckets)
+    if not ids:
+        return df.where(F.lit(False))
+    cond = None
+    for d in ids:
+        c = (F.col("min_docid") <= d) & (F.col("max_docid") >= d)
+        cond = c if cond is None else (cond | c)
+    return df.where(cond)
+
+
 _DECODE_SCHEMA = POSTINGS_SCHEMA + ", bucket int"
 
 

@@ -38,7 +38,7 @@ _STATS_FILE = "_stats.json"
 
 def save_index(idx: Index, out_dir: str,
                num_partitions: int | None = None,
-               analyzer=None) -> None:
+               analyzer=None, include_postings: bool = True) -> None:
     """Write every index table + corpus stats. Postings are laid out
     range-by-term so a query's term filter prunes row groups; docs keep
     only attribute columns (ext_id, sha256, doclen) — content stays in
@@ -50,13 +50,17 @@ def save_index(idx: Index, out_dir: str,
     query-side chain (index/query analyzer mismatch silently breaks
     stem matching — the reference hard-codes one chain on both sides,
     `QryParser.java:45-47`)."""
-    spark = idx.postings.sparkSession
+    spark = idx.docs.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    (idx.postings
-     .repartitionByRange(num_partitions, "term", "doc_id")
-     .sortWithinPartitions("term", "field", "doc_id")
-     .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
+    if include_postings:
+        # include_postings=False writes the segments-only store shape:
+        # attribute/doclen/term-stat tables here, postings served from
+        # a compressed segment dir (indexer.segments) instead
+        (idx.postings
+         .repartitionByRange(num_partitions, "term", "doc_id")
+         .sortWithinPartitions("term", "field", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
     (idx.doclens.write.mode("overwrite")
      .parquet(os.path.join(out_dir, "doclens")))
     (idx.term_stats.write.mode("overwrite")
@@ -88,11 +92,18 @@ def open_index(spark: SparkSession, index_dir: str,
                cache: bool = True) -> Index:
     """Reopen a saved index: lazy parquet scans + the tiny stats dict
     from `_stats.json`. No job runs until the first query; the doc_map
-    projection is persisted (every query's final join touches it)."""
+    projection is persisted (every query's final join touches it).
+
+    A store without a `postings/` directory opens with postings=None —
+    the segments-only deployment shape: retrieval, feedback, and
+    diversity run off a compressed segment store (`segmentsPath`), and
+    only the attribute/doclen/term-stat tables live here. Operators
+    that genuinely need the uncompressed postings table raise."""
     with open(os.path.join(index_dir, _STATS_FILE)) as f:
         meta = json.load(f)
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    pdir = os.path.join(index_dir, "postings")
+    postings = spark.read.parquet(pdir) if os.path.isdir(pdir) else None
     doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
     doc_map = docs.select("doc_id", "ext_id")
     if cache:

@@ -141,6 +141,53 @@ def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
     return build_index_frames(docs)
 
 
+def _search_one(eng: Engine, query: str, k: int):
+    """One ranked retrieval through whatever store the engine has:
+    segments attached → DAAT fast path, decode path for anything the
+    kernel can't take; otherwise the DataFrame index plans. Keeps every
+    ranking consumer (final retrieval, fb initial, diversity intents)
+    working in a segments-only deployment."""
+    if hasattr(eng, "_seg_dir"):
+        try:
+            return eng.search_daat(query, k=k)
+        except ValueError:   # structured / non-bm25 → decode path
+            return eng.search_segments(query, k=k)
+    return eng.search(query, k=k)
+
+
+def _search_batch(eng: Engine, queries: dict[str, str], k: int):
+    """Batched `_search_one` — one-plan batch paths on either store."""
+    if hasattr(eng, "_seg_dir"):
+        try:
+            return eng.search_daat_many(queries, k=k)
+        except ValueError:
+            return eng.search_segments_many(queries, k=k)
+    return eng.search_many(queries, k=k)
+
+
+def _expand_index(idx: Index, eng: Engine, top_doc_ids) -> Index:
+    """Index whose postings cover the given docs, for RM expansion's
+    forward-index probe. With the postings table deployed it IS the
+    index; in a segments-only deployment the probe decodes just the
+    blocks whose doc range covers a top doc
+    (`merge.read_segments_for_docs` — fbDocs-bounded, never a corpus
+    decode)."""
+    if idx.postings is not None:
+        return idx
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from .indexer.merge import read_segments_for_docs
+    from .indexer.segments import decode_to_postings
+    ids = sorted({int(d) for d in top_doc_ids})
+    spark = idx.docs.sparkSession
+    blocks = read_segments_for_docs(spark, eng._seg_dir, ids,
+                                    num_buckets=eng._seg_buckets)
+    dec = decode_to_postings(blocks).where(F.col("doc_id").isin(ids))
+    return dataclasses.replace(idx, postings=dec)
+
+
 def _feedback_query(eng: Engine, idx: Index, qid: str, query: str,
                     params: dict[str, str],
                     rankings: dict[str, list] | None) -> tuple[str, str]:
@@ -156,8 +203,9 @@ def _feedback_query(eng: Engine, idx: Index, qid: str, query: str,
         ranking = rankings[qid]
     else:
         ranking = [(r["doc_id"], r["score"])
-                   for r in eng.search(query, k=fb_docs).collect()]
-    expanded = expand_query(idx, ranking, fb_docs, fb_terms, fb_mu)
+                   for r in _search_one(eng, query, fb_docs).collect()]
+    fb_idx = _expand_index(idx, eng, [d for d, _ in ranking[:fb_docs]])
+    expanded = expand_query(fb_idx, ranking, fb_docs, fb_terms, fb_mu)
     return expanded, rewrite_with_feedback(query, expanded, w)
 
 
@@ -201,11 +249,11 @@ def _diversity_rankings(eng: Engine, idx: Index, qid: str, query: str,
     """Initial + per-intent rankings from the engine itself
     (`QryEval.java:522-567` branch)."""
     initial = [(r["doc_id"], r["score"])
-               for r in eng.search(query, k=depth).collect()]
+               for r in _search_one(eng, query, depth).collect()]
     keep = {d for d, _ in initial}
     intent_scores: dict[int, dict[int, float]] = {}
     for i, (ikey, iq) in enumerate(sorted(intents.items())):
-        rows = eng.search(iq, k=depth).collect()
+        rows = _search_one(eng, iq, depth).collect()
         intent_scores[i] = {r["doc_id"]: r["score"] for r in rows
                             if r["doc_id"] in keep}
     return DiversityInput(initial=initial, intents=intent_scores)
@@ -348,10 +396,19 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
     own_spark = spark is None
     spark = spark or get_spark("search-engines-run")
     idx = open_index(spark, params)
+    if idx.postings is None and "segmentsPath" not in params:
+        raise ValueError(
+            "index store has no postings table; a segments-only "
+            "deployment needs segmentsPath=<segment dir>")
     queries = read_query_file(params["queryFilePath"])
     k = int(params.get("diversity:maxResultRankingLength", 100))
 
     if params.get("retrievalAlgorithm", "BM25").lower() == "letor":
+        if idx.postings is None:
+            raise ValueError(
+                "retrievalAlgorithm=letor needs the postings table "
+                "(per-field scoring probes); rebuild the store with "
+                "include_postings=True")
         # entry point C never enters the per-query loop below
         # (`QryEval.java:274-295` replaces processQuery with re-ranking)
         m = Models()
@@ -371,13 +428,15 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
 
     model, m = init_model(params)
     eng = Engine(idx, model, params=m, analyzer=runner_analyzer(params))
-    # segmentsPath (engine extension): route the FINAL ranked retrieval
-    # through the compressed block-max segment store (indexer.segments;
-    # built offline with build_segments). Bag-of-words BM25 rides the
-    # DAAT kernel (search_daat/_many), everything else decodes its
-    # terms' blocks and runs the standard plans (search_segments/_many).
-    # Auxiliary rankings (fb initial, diversity intents) stay on the
-    # DataFrame index, which segmentsPath presumes is also open.
+    # segmentsPath (engine extension): route ALL ranked retrieval —
+    # final, fb initial, diversity intents — through the compressed
+    # block-max segment store (indexer.segments; built offline with
+    # build_segments). Bag-of-words BM25 rides the DAAT kernel
+    # (search_daat/_many), everything else decodes its terms' blocks
+    # and runs the standard plans (search_segments/_many); feedback's
+    # forward-index probe decodes the top docs' blocks
+    # (_expand_index). A store saved with include_postings=False plus
+    # segmentsPath is therefore a complete retrieval deployment.
     if "segmentsPath" in params:
         eng.attach_segments(params["segmentsPath"],
                             num_buckets=int(params.get("segmentsBuckets",
@@ -418,7 +477,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         for ik, iq in intents_all.items():
             if ik.split(".", 1)[0] in queries:
                 batch_qs[ik] = iq
-        rows = (eng.search_many(batch_qs, k=depth)
+        rows = (_search_batch(eng, batch_qs, depth)
                 .orderBy("qid", "rank").collect())
         groups: dict[str, list] = {}
         ext_of: dict[int, str] = {}
@@ -465,13 +524,16 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                         raise ValueError(f"No query {qid} in ranking file!")
                 rankings = {qid: rankings_file[qid] for qid in queries}
             else:
-                init = (eng.search_many(queries, k=fb_docs)
+                init = (_search_batch(eng, queries, fb_docs)
                         .orderBy("qid", "rank").collect())
                 rankings = {qid: [] for qid in queries}
                 for r in init:
                     rankings[r["qid"]].append((r["doc_id"], r["score"]))
+            fb_idx = _expand_index(
+                idx, eng, [d for rk in rankings.values()
+                           for d, _ in rk[:fb_docs]])
             expanded_batch = expand_queries(
-                idx, rankings, fb_docs, int(params["fbTerms"]),
+                fb_idx, rankings, fb_docs, int(params["fbTerms"]),
                 float(params["fbMu"]))
             w0 = float(params["fbOrigWeight"])
             run_queries = {qid: rewrite_with_feedback(q, expanded_batch[qid],
@@ -479,13 +541,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                            for qid, q in queries.items()}
         else:
             run_queries = queries
-        if hasattr(eng, "_seg_dir"):
-            try:
-                batch_res = eng.search_daat_many(run_queries, k=k)
-            except ValueError:   # structured / non-bm25 → decode path
-                batch_res = eng.search_segments_many(run_queries, k=k)
-        else:
-            batch_res = eng.search_many(run_queries, k=k)
+        batch_res = _search_batch(eng, run_queries, k)
         res = batch_res.select("qid", "ext_id", "score")
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
@@ -534,13 +590,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
             expanded, query = _feedback_query(eng, idx, qid, query, params,
                                               rankings_file)
             expanded_out[qid] = expanded
-        if hasattr(eng, "_seg_dir"):
-            try:
-                rows = eng.search_daat(query, k=k).collect()
-            except ValueError:   # structured / non-bm25 → decode path
-                rows = eng.search_segments(query, k=k).collect()
-        else:
-            rows = eng.search(query, k=k).collect()
+        rows = _search_one(eng, query, k).collect()
         for r in rows:
             results_rows.append((qid, r["ext_id"], float(r["score"])))
 

@@ -200,6 +200,87 @@ runID=t
     assert outs["segs_batch"] == outs["plain"]
 
 
+def test_segments_only_deployment(spark, corpus_parquet, tmp_path):
+    """fb=true and diversity=true runs against ONLY the compressed
+    segment store — index dir saved with include_postings=False (no
+    postings parquet at all) + segmentsPath. Every ranking (final, fb
+    initial, diversity intents) and feedback's forward-index probe must
+    come off the segments, and the trec output must match the full
+    corpusPath deployment rank-for-rank (scores to 1e-9), in both the
+    per-query loop and batchQueries mode."""
+    import os
+
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_documents_table)
+    from search_engines_spark.indexer.segments import build_segments
+    from search_engines_spark.indexer.store import open_index, save_index
+    d, _ = corpus_parquet
+    idx = build_index_frames(
+        docs_from_documents_table(spark.read.parquet(d)))
+    store = str(tmp_path / "so_store")
+    save_index(idx, store, include_postings=False)
+    seg = str(tmp_path / "so_segs")
+    build_segments(idx.postings, idx.doclens, seg, num_buckets=4)
+    assert not os.path.isdir(os.path.join(store, "postings"))
+    assert open_index(spark, store, cache=False).postings is None
+
+    fbq = _write(tmp_path, "so_qfb.txt",
+                 "1:#and( fickle creek farm )\n2:#and( voyager probe )\n")
+    fb_cfg = ("retrievalAlgorithm=Indri\nIndri:mu=2500\nIndri:lambda=0.4\n"
+              "fb=true\nfbDocs=5\nfbTerms=6\nfbMu=40\nfbOrigWeight=0.5\n")
+    divq = _write(tmp_path, "so_qdiv.txt", "1:creek farm\n")
+    intents = _write(tmp_path, "so_i.txt", "1.1:creek\n1.2:farm\n")
+    div_cfg = ("retrievalAlgorithm=BM25\ndiversity=true\n"
+               "diversity:algorithm=xquad\ndiversity:lambda=0.5\n"
+               f"diversity:intentsFile={intents}\n"
+               "diversity:maxInputRankingsLength=20\n"
+               "diversity:maxResultRankingLength=10\n")
+    for batch in ("", "batchQueries=true\n"):
+        for tag, qf, cfg in (("fb", fbq, fb_cfg), ("div", divq, div_cfg)):
+            runs = {}
+            for src, base in (
+                    ("full", f"corpusPath={d}\n"),
+                    ("segonly", f"indexPath={store}\nsegmentsPath={seg}\n"
+                                "segmentsBuckets=4\n")):
+                out = str(tmp_path / f"so_{tag}_{src}_{len(batch)}.teIn")
+                pf = _write(tmp_path,
+                            f"so_p_{tag}_{src}_{len(batch)}.txt",
+                            f"{base}queryFilePath={qf}\n"
+                            f"trecEvalOutputPath={out}\n"
+                            f"{cfg}runID=t\n{batch}")
+                main(pf, spark=spark)
+                runs[src] = open(out).read().splitlines()
+            assert runs["full"] and \
+                len(runs["full"]) == len(runs["segonly"]), (tag, batch)
+            for a, b in zip(runs["full"], runs["segonly"]):
+                qa, _, ea, ra, sa, _ = a.split()
+                qb, _, eb, rb, sb, _ = b.split()
+                assert (qa, ea, ra) == (qb, eb, rb), (tag, batch)
+                assert abs(float(sa) - float(sb)) < 1e-9
+
+
+def test_segments_only_requires_segments_path(spark, corpus_parquet,
+                                              tmp_path):
+    """A postings-less store without segmentsPath (or with letor, which
+    needs the postings table) fails fast with a clear error."""
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_documents_table)
+    from search_engines_spark.indexer.store import save_index
+    d, _ = corpus_parquet
+    idx = build_index_frames(
+        docs_from_documents_table(spark.read.parquet(d)))
+    store = str(tmp_path / "noseg_store")
+    save_index(idx, store, include_postings=False)
+    qf = _write(tmp_path, "noseg_q.txt", "1:creek\n")
+    pf = _write(tmp_path, "noseg_p.txt", f"""indexPath={store}
+queryFilePath={qf}
+trecEvalOutputPath={tmp_path / 'noseg.teIn'}
+retrievalAlgorithm=BM25
+""")
+    with pytest.raises(ValueError, match="segments-only"):
+        main(pf, spark=spark)
+
+
 def test_qrels_eval_output(spark, corpus_parquet, tmp_path):
     """qrelsFile + evalMetricsOutputPath score the run just written (the
     reference's external trec_eval step, Spark-side). Qrels that mark
