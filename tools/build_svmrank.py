@@ -1,0 +1,48 @@
+"""Build the reference's shipped svm_rank binaries for e2e testing.
+
+The reference trains/classifies by shelling out to SVMrank
+(`QryEval.java:303-313`; tarball shipped at `QryEval/svm_rank.tar.gz`,
+SVMrank by T. Joachims). This helper extracts and compiles that tarball
+FROM THE REFERENCE CHECKOUT at test time — the sources and binaries are
+never vendored into this repo (the SVMlight license permits research
+use, not redistribution). gcc >= 10 defaults to -fno-common, which
+breaks the pre-C99 tentative definitions in svm_light; -fcommon
+restores the historical behavior.
+
+Usage: `python tools/build_svmrank.py [dest_dir]`, or import `build`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tarfile
+
+TARBALL = "/root/reference/QryEval/svm_rank.tar.gz"
+
+
+def build(dest: str, tarball: str = TARBALL) -> tuple[str, str] | None:
+    """Extract + compile into `dest`; → (learn_path, classify_path), or
+    None when the tarball/toolchain is unavailable or the build fails
+    (callers skip, they don't error — the ml fallback covers them)."""
+    if not (os.path.exists(tarball) and shutil.which("gcc")
+            and shutil.which("make")):
+        return None
+    os.makedirs(dest, exist_ok=True)
+    with tarfile.open(tarball) as tf:
+        tf.extractall(dest, filter="data")
+    r = subprocess.run(["make", "-s", "CFLAGS=-O3 -fcommon"],
+                       cwd=dest, capture_output=True, text=True)
+    learn = os.path.join(dest, "svm_rank_learn")
+    classify = os.path.join(dest, "svm_rank_classify")
+    if r.returncode != 0 or not (os.path.exists(learn)
+                                 and os.path.exists(classify)):
+        return None
+    return learn, classify
+
+
+if __name__ == "__main__":
+    import sys
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/svm_rank_build"
+    print(build(dest))
