@@ -38,7 +38,9 @@ from __future__ import annotations
 import gzip
 import os
 import re
+import unicodedata
 from dataclasses import dataclass
+from functools import lru_cache
 
 # Lucene's classic English stop set (33 words) — public knowledge.
 STOPWORDS: frozenset[str] = frozenset(
@@ -63,31 +65,176 @@ def tokenize(text: str) -> list[str]:
     return [t for t in TOKEN_SPLIT_RE.split(text.lower()) if t]
 
 
-# ------------------------------------------------- StandardTokenizer (ASCII) --
+# ------------------------------------ StandardTokenizer (UAX#29, Unicode 6.1) --
 
-# ASCII-subset approximation of UAX#29 word-break as StandardTokenizer
-# (Lucene 4.3 / Unicode 6.1) applies it: a token is a run of word chars
-# (letters/digits/underscore — underscore is ExtendNumLet, so snake_case
-# stays ONE token) optionally joined by `'` `.` `:` between letters
-# (MidLetter/MidNumLet) or `.` `,` between digits (MidNum/MidNumLet).
-# Verified against the real chain (tools/lucene_dump/AnalyzerDump.java →
-# tests/fixtures/analyzer_golden_*.txt): "o'brien", "a.b.c", "a:b",
-# "foo_bar", "3,14", "1.2.3", "www.example.com", "i18n" all one token;
-# "state-of-the-art" four; "user@host.com" two. Remaining deltas
-# (documented, not load-bearing for the ASCII corpora): Unicode
-# apostrophes (U+2019), full UAX#29 Extend/Format handling, and CJK/Thai
-# segmentation are not implemented.
-_STANDARD_JOIN = (r"(?:(?<=[^\W\d_])['.:](?=[^\W\d_])"
-                  r"|(?<=\d)[.,](?=\d))")
-STANDARD_TOKEN_RE = re.compile(rf"\w+(?:{_STANDARD_JOIN}\w+)*")
+# UAX#29 word-break as StandardTokenizer (Lucene 4.3 / Unicode 6.1)
+# applies it, verified case-by-case against the real chain
+# (tools/lucene_dump/AnalyzerDump.java → tests/fixtures/
+# analyzer_golden_*.txt, including the Unicode probe block):
+#
+# * ALetter/Numeric runs join across each other (WB5/8/9/10): "i18n",
+#   "a_1" one token; underscore (Pc) is ExtendNumLet and may START or
+#   END a token ("_foo", "bar_" — WB13a/b).
+# * Single MidLetter (: · U+05F4 …) or MidNumLet (' . ’ ＇ ．) joins
+#   letter⋯letter; single MidNum (, ; …) or MidNumLet joins digit⋯digit
+#   (WB6/7/11/12). Both sides must be the SAME side-class: "3.x" and
+#   "a'1" break; "3'4", "3;4", "a.b.c" join. Two mids in a row break
+#   ("a..b").
+# * Extend (Mn/Mc/Me, ZWNJ/ZWJ) and Format (Cf: soft hyphen, LRM, …)
+#   are transparent (WB4): they never break and stay IN the token
+#   ("foo\xadbar", "café" one token each); leading ones drop.
+# * Han and Hiragana emit one token PER CHARACTER; Katakana (incl.
+#   halfwidth + U+30FC chouon) and Thai/Lao/Myanmar/Khmer emit
+#   contiguous same-class runs; neither joins Latin or digits
+#   ("testあtest" → 3 tokens, "ก1" → 2).
+# * Hebrew geresh U+05F3 is ALetter in Unicode 6.1 ("מ׳ר" one token);
+#   U+02BC is Lm → ALetter ("oʼs" one token, NOT possessive-stripped).
+#
+# Lowercasing is LowerCaseFilter's per-codepoint SIMPLE mapping, not
+# str.lower()'s full/contextual one: "ΒΙΒΛΟΣ" → "βιβλοσ" (no final
+# sigma), "İ" → plain "i" (no combining dot).
+_WB_MIDLETTER = frozenset((0x3A, 0xB7, 0x5F4, 0x2027, 0xFE13, 0xFE55,
+                           0xFF1A))
+_WB_MIDNUMLET = frozenset((0x27, 0x2E, 0x2019, 0xFE52, 0xFF07, 0xFF0E))
+_WB_MIDNUM = frozenset((0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C,
+                        0x7F8, 0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54,
+                        0xFF0C, 0xFF1B))
+# token-forming classes that continue a run of the same/compatible class
+_WB_JOIN_OK = frozenset((
+    ("AL", "AL"), ("AL", "NUM"), ("NUM", "AL"), ("NUM", "NUM"),
+    ("KATA", "KATA"), ("SEA", "SEA"),
+    ("ENL", "AL"), ("ENL", "NUM"), ("ENL", "KATA"), ("ENL", "ENL"),
+    ("AL", "ENL"), ("NUM", "ENL"), ("KATA", "ENL"),
+))
+
+
+@lru_cache(maxsize=None)
+def _wb_class(cp: int) -> str:
+    """Word-break class of a codepoint (Unicode 6.1 subset Lucene uses)."""
+    if cp < 128:  # ASCII fast path
+        if 0x61 <= cp <= 0x7A or 0x41 <= cp <= 0x5A:
+            return "AL"
+        if 0x30 <= cp <= 0x39:
+            return "NUM"
+        if cp == 0x5F:
+            return "ENL"
+        if cp == 0x27 or cp == 0x2E:
+            return "MNL"
+        if cp == 0x3A:
+            return "ML"
+        if cp == 0x2C or cp == 0x3B:
+            return "MN"
+        return "X"
+    if cp in _WB_MIDLETTER:
+        return "ML"
+    if cp in _WB_MIDNUMLET:
+        return "MNL"
+    if cp in _WB_MIDNUM:
+        return "MN"
+    if cp == 0x200C or cp == 0x200D:  # ZWNJ/ZWJ: Extend at Unicode 6.1
+        return "EXT"
+    if cp == 0x5F3:  # Hebrew geresh: ALetter at Unicode 6.1
+        return "AL"
+    ch = chr(cp)
+    cat = unicodedata.category(ch)
+    if cat in ("Mn", "Mc", "Me") or cat == "Cf":
+        return "EXT"  # Extend / Format: transparent (WB4)
+    if cat == "Pc":
+        return "ENL"
+    if cat == "Nd":
+        return "NUM"
+    if cat[0] == "L":
+        if 0x3041 <= cp <= 0x309F:
+            return "HIRA"
+        if (0x30A0 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF
+                or 0xFF66 <= cp <= 0xFF9F):
+            return "KATA"
+        if (0x2E80 <= cp <= 0x2EFF or 0x3400 <= cp <= 0x4DBF
+                or 0x4E00 <= cp <= 0x9FFF or 0xF900 <= cp <= 0xFAFF
+                or 0x20000 <= cp <= 0x2FA1F):
+            return "IDEO"
+        if (0x0E00 <= cp <= 0x0EFF or 0x1000 <= cp <= 0x109F
+                or 0x1780 <= cp <= 0x17FF):
+            return "SEA"
+        return "AL"
+    return "X"
+
+
+# Simple (per-codepoint) lowercase exceptions where Python's full mapping
+# is multi-char: only U+0130 İ (full: "i̇", simple: "i").
+_SIMPLE_LOWER_FIX = {"İ": "i"}
+
+
+@lru_cache(maxsize=None)
+def _simple_lower(ch: str) -> str:
+    fix = _SIMPLE_LOWER_FIX.get(ch)
+    if fix is not None:
+        return fix
+    low = ch.lower()  # per-char: no final-sigma context, no full mappings
+    return low if len(low) == 1 else ch
+
+
+def _lower(token: str) -> str:
+    if token.isascii():
+        return token.lower()
+    return "".join(_simple_lower(c) for c in token)
 
 
 def tokenize_standard(text: str) -> list[str]:
-    """StandardTokenizer-analog tokens, lowercased, case preserved in
-    joiners (apostrophes/dots kept inside tokens)."""
+    """StandardTokenizer-analog tokens, lowercased per-codepoint
+    (joiners and transparent Extend/Format chars kept inside tokens)."""
     if not text:
         return []
-    return STANDARD_TOKEN_RE.findall(text.lower())
+    # collapse transparency (WB4): Extend/Format chars append to the
+    # previous unit; leading ones drop
+    units: list[tuple[str, str]] = []  # (class, chars)
+    for ch in text:
+        cls = _wb_class(ord(ch))
+        if cls == "EXT":
+            if units:
+                prev_cls, prev_s = units[-1]
+                units[-1] = (prev_cls, prev_s + ch)
+            continue
+        units.append((cls, ch))
+
+    tokens: list[str] = []
+    cur: list[str] = []
+    prev_cls = ""  # base class of the last non-mid unit in cur
+
+    def flush():
+        nonlocal cur, prev_cls
+        if cur:
+            tokens.append("".join(cur))
+            cur = []
+        prev_cls = ""
+
+    n = len(units)
+    i = 0
+    while i < n:
+        cls, s = units[i]
+        if cls in ("AL", "NUM", "KATA", "ENL", "SEA"):
+            if cur and (prev_cls, cls) in _WB_JOIN_OK:
+                cur.append(s)
+            else:
+                flush()
+                cur = [s]
+            prev_cls = cls
+        elif cls in ("ML", "MNL", "MN"):
+            nxt = units[i + 1][0] if i + 1 < n else ""
+            if (cur and prev_cls == nxt
+                    and ((prev_cls == "AL" and cls in ("ML", "MNL"))
+                         or (prev_cls == "NUM" and cls in ("MN", "MNL")))):
+                cur.append(s)  # WB6/7/11/12: single mid, same class both sides
+            else:
+                flush()
+        elif cls in ("HIRA", "IDEO"):
+            flush()
+            tokens.append(s)  # one token per character (+ attached marks)
+        else:  # X: break, discard
+            flush()
+        i += 1
+    flush()
+    return [_lower(t) for t in tokens]
 
 
 # --------------------------------------------------------------- KStem table --
@@ -142,7 +289,9 @@ def kstem(term: str) -> str:
     strips the 'd'. Known fallback deltas vs the real filter exist for
     contrived OOV forms (e.g. 'zzzflies'); every natural-language word
     routes through the table."""
-    if len(term) < 3 or not term.isalpha():
+    if len(term) < 3 or not (term.isascii() and term.isalpha()):
+        # KStemmer only touches pure a-z words — non-ASCII letters pass
+        # through untouched (probed: 'cafés', 'müllers' unchanged)
         return term
     table = _load_kstem_table()
     hit = table.get(term)
@@ -178,9 +327,12 @@ class Analyzer:
         if self.tokenizer == "standard":
             toks = tokenize_standard(text)
             if self.strip_possessive:
-                # EnglishPossessiveFilter: strip a trailing 's; the token
-                # keeps its position (one token either way)
-                toks = [t[:-2] if t.endswith("'s") else t for t in toks]
+                # EnglishPossessiveFilter: strip a trailing 's (ASCII,
+                # U+2019, or U+FF07 apostrophe — the filter's exact set;
+                # U+02BC is NOT in it, probed); the token keeps its
+                # position (one token either way)
+                toks = [t[:-2] if t.endswith(("'s", "’s", "＇s"))
+                        else t for t in toks]
         else:
             toks = tokenize(text)
         out: list[tuple[str, int]] = []

@@ -10,10 +10,11 @@ jars). Each expected line is `token@pos token@pos ...` with 1-based
 positions that COUNT stopword gaps (`Idx.java:84-90` doclen semantics).
 
 REFERENCE_PARITY must reproduce every token and every position
-byte-for-byte. This is the gate for VERDICT items 1 (KStem parity) and 4
-(StandardTokenizer semantics); remaining deltas (Unicode apostrophes,
-full UAX#29 Extend handling, CJK) are documented in analysis.py and do
-not appear in ASCII corpora.
+byte-for-byte. The fixture includes a Unicode probe block (lines 92+):
+U+2019/fullwidth apostrophes, Extend/Format transparency (soft hyphen,
+LRM/RLM, ZWNJ/ZWJ, combining marks), per-codepoint simple lowercasing
+(no final sigma, İ→i), Han/Hiragana per-char vs Katakana/Thai runs,
+Hebrew geresh, and the KStem non-ASCII gate.
 """
 
 import os
@@ -60,6 +61,36 @@ def test_standard_tokenizer_joins():
     assert tokenize_standard("user@host.com") == ["user", "host.com"]
     # digit-dot-letter does NOT join (UAX#29 needs same class both sides)
     assert tokenize_standard("3.x") == ["3", "x"]
+
+
+def test_unicode_word_break():
+    # U+2019 is MidNumLet: joins letter⋯letter AND digit⋯digit
+    assert tokenize_standard("O’Brien 3’4") == ["o’brien", "3’4"]
+    # Extend/Format chars are transparent and kept in the token
+    assert tokenize_standard("foo­bar café") == \
+        ["foo­bar", "café"]
+    # leading transparents drop
+    assert tokenize_standard("́abc") == ["abc"]
+    # Han/Hiragana per char; Katakana runs (incl. U+30FC)
+    assert tokenize_standard("日本語 テストー ひらがな") == \
+        ["日", "本", "語", "テストー", "ひ", "ら", "が", "な"]
+    # Thai runs don't join digits or Latin
+    assert tokenize_standard("ก1 ไทยabc") == ["ก", "1", "ไทย", "abc"]
+
+
+def test_simple_lowercase_not_full():
+    # per-codepoint simple lowercase: no contextual final sigma, İ→i
+    assert tokenize_standard("ΒΙΒΛΟΣ") == ["βιβλοσ"]
+    assert tokenize_standard("İSTANBUL Iİi") == ["istanbul", "iii"]
+
+
+def test_unicode_possessive_and_kstem_gate():
+    # ’s strips; ʼs (U+02BC, a letter) does not
+    dl, pairs = REFERENCE_PARITY.analyze("the people’s oʼs")
+    assert pairs == [("people", 2), ("oʼs", 3)]
+    # KStem never touches non-ASCII words
+    assert kstem("cafés") == "cafés"
+    assert kstem("müllers") == "müllers"
 
 
 def test_possessive_single_token_single_position():

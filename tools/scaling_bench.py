@@ -1,9 +1,21 @@
 """Multi-parallelism-level scaling benchmark (north rule evidence).
 
 The sandbox has no multi-executor cluster, so N vs 4N executors is
-proxied by the same job at two `local[k]` levels over the SAME input
-(the sf corpus replicated `--mult` times with remapped doc_ids —
-deterministic, derived only from the driver-provided testdata).
+proxied by the same job at two `local[k]` levels over the SAME input.
+
+Two deterministic corpora (pick with --corpus):
+
+* ``zipf`` (default): `--ndocs` documents whose tokens are drawn from a
+  50k-term Zipf(1) vocabulary via pure-codegen xxhash64 expressions —
+  deterministic at every parallelism level, no external data, and
+  REALISTIC term statistics (t12 ≈ 60% df, t5000 ≈ 0.2% df), so
+  structured-operator intersections are selective the way production
+  corpora are. This replaced the replicated sf corpus as the headline
+  workload because the sf documents table has a 31-term vocabulary:
+  every NEAR/WINDOW arm intersected ~the whole corpus there, which
+  benchmarks the degenerate worst case, not the operator.
+* ``replicate``: the sf corpus replicated `--mult` times with remapped
+  doc_ids (the r01/r02 workload, kept for cross-round comparison).
 
 **The proxy has a hardware ceiling this script measures explicitly.**
 local[k] threads share ONE machine's DRAM and SMT pipeline, unlike 4N
