@@ -2,12 +2,16 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas UDFs over `mapInPandas`.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (clearly marked below): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (seeded from the content hash) produces stable
-pseudo-pixels. Everything Spark-side — schemas, partitioning, UDF
-signatures, Arrow batch shapes — is real and tested
+Decode is REAL for BMP, PNG, and PCM WAV payloads via the
+dependency-free codecs in `pipeline.codecs` (stdlib zlib/wave/struct +
+numpy): `decode_image`/`decode_audio` sniff the magic bytes and decode
+for real; `make_media_table(real_payloads=True)` synthesizes
+deterministic real BMP/WAV payloads so the whole pipeline runs
+non-fake in tests. Formats needing external codecs (JPEG, MP3, video
+containers) still raise NotImplementedError unless `fake=True`, in
+which case a deterministic fake decoder (seeded from the content hash)
+produces stable pseudo-pixels. Everything Spark-side — schemas,
+partitioning, UDF signatures, Arrow batch shapes — is real and tested
 (tests/test_multimodal.py).
 
 Scale notes: binary payloads ride in the same parquet row group as their
@@ -28,6 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from . import codecs
+
 MEDIA_SCHEMA = ("media_id long, kind string, mime string, width int, "
                 "height int, duration_ms int, payload binary")
 
@@ -35,12 +41,19 @@ FEATURE_DIM = 32
 
 
 def make_media_table(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     real_payloads: bool = False) -> DataFrame:
     """Deterministic synthetic media table derived from `documents`
-    (no external data): payload = utf-8 bytes of the text, metadata from
-    simple hashes — a stand-in with the exact production schema."""
+    (no external data) with the exact production schema.
+
+    real_payloads=False: payload = utf-8 bytes of the text (opaque —
+    exercises the fake-decode path). real_payloads=True: image rows get
+    a REAL 16×12 BMP and audio rows a REAL 0.1 s PCM WAV, both seeded
+    from sha256(text) via `pipeline.codecs`, so decode/resize/feature
+    kernels run their real branches; video rows keep opaque bytes
+    (container parsing needs external codecs)."""
     h = F.crc32(F.col(text_col))
-    return docs.select(
+    out = docs.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.pmod(h, F.lit(3)) + 1).cast("int")).alias("kind"),
@@ -49,6 +62,34 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
         (F.pmod(h, F.lit(480)) + 16).cast("int").alias("height"),
         (F.pmod(h, F.lit(60000))).cast("int").alias("duration_ms"),
         F.encode(F.col(text_col), "utf-8").alias("payload"))
+    if not real_payloads:
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pay = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                seed = hashlib.sha256(bytes(payload)).digest()
+                rs = np.random.RandomState(
+                    np.frombuffer(seed[:4], dtype=np.uint32)[0])
+                if kind == "image":
+                    img = rs.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+                    pay.append(codecs.encode_bmp(img))
+                elif kind == "audio":
+                    t = np.arange(800) / 8000.0
+                    freq = 200 + float(seed[4]) * 8
+                    pay.append(codecs.encode_wav(
+                        np.sin(2 * np.pi * freq * t) * 0.8, 8000))
+                else:
+                    pay.append(bytes(payload))
+            out_pdf = pdf.copy()
+            out_pdf["payload"] = pay
+            out_pdf["mime"] = [
+                {"image": "image/bmp", "audio": "audio/wav"}.get(
+                    k, "application/octet-stream") for k in pdf["kind"]]
+            yield out_pdf
+
+    return out.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
@@ -58,16 +99,48 @@ def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
     return np.frombuffer((seed * reps)[:n], dtype=np.uint8).astype(np.float64)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB — real decode requires an image codec not in this container.
+def decode_image_2d(payload: bytes) -> np.ndarray | None:
+    """REAL decode → (h, w, 3) uint8 for BMP/PNG payloads (pure
+    stdlib/numpy codecs, `pipeline.codecs`); None if the format isn't
+    one we can decode without external libraries (JPEG etc.)."""
+    kind = codecs.sniff(payload)
+    if kind == "bmp":
+        return codecs.decode_bmp(payload)
+    if kind == "png":
+        px = codecs.decode_png(payload)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
+    return None
 
-    Production: replace the body with e.g. PIL/libvips decode; the UDF
-    signature and batch shape stay identical."""
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """→ flat float64 grayscale intensities. REAL for BMP/PNG (sniffed
+    from magic bytes); other formats need codecs this container lacks
+    and raise unless `fake=True` (deterministic pseudo-pixels)."""
+    px = decode_image_2d(payload)
+    if px is not None:
+        return px.astype(np.float64).mean(axis=2).ravel()
     if not fake:
         raise NotImplementedError(
-            "image codec not available in this environment; "
-            "call with fake=True for the deterministic test decoder")
+            "payload is not BMP/PNG and no external image codec is "
+            "available; call with fake=True for the deterministic "
+            "test decoder")
     return _fake_pixels(payload, 64 * 64)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """→ mono float64 samples in [-1, 1]. REAL for PCM WAV; other
+    formats raise unless `fake=True`."""
+    if codecs.sniff(payload) == "wav":
+        samples, _ = codecs.decode_wav(payload)
+        return samples
+    if not fake:
+        raise NotImplementedError(
+            "payload is not PCM WAV and no external audio codec is "
+            "available; call with fake=True for the deterministic "
+            "test decoder")
+    return _fake_pixels(payload, 4096) / 128.0 - 1.0
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -79,7 +152,15 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "audio":
+                    # RMS energy per window — scaled to the same 0..255
+                    # range as pixel means so features stay comparable
+                    x = decode_audio(bytes(payload), fake=fake)
+                    chunks = np.array_split(x, FEATURE_DIM)
+                    feats.append([float(np.sqrt((c ** 2).mean()) * 255.0)
+                                  for c in chunks])
+                    continue
                 px = decode_image(bytes(payload), fake=fake)
                 # fixed-dim pooled feature: mean of FEATURE_DIM equal chunks
                 chunks = np.array_split(px, FEATURE_DIM)
@@ -94,13 +175,21 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def resize_image(media: DataFrame, w: int, h: int,
                  fake: bool = True) -> DataFrame:
-    """→ (media_id, width, height, payload) resized. STUB resample:
-    nearest-neighbor over the fake pixel grid."""
+    """→ (media_id, width, height, payload) resized. REAL 2-D
+    nearest-neighbor resample + BMP re-encode for decodable payloads
+    (BMP/PNG); the fake path resamples the pseudo-pixel grid."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
+                px2 = decode_image_2d(bytes(payload))
+                if px2 is not None:
+                    yi = np.linspace(0, px2.shape[0] - 1, h).round()
+                    xi = np.linspace(0, px2.shape[1] - 1, w).round()
+                    res = px2[yi.astype(np.int64)][:, xi.astype(np.int64)]
+                    out.append(codecs.encode_bmp(res))
+                    continue
                 px = decode_image(bytes(payload), fake=fake)
                 idx = (np.linspace(0, len(px) - 1, w * h)).astype(np.int64)
                 out.append(px[idx].astype(np.uint8).tobytes())
