@@ -107,11 +107,21 @@ MODELS = [
     ("rankedboolean", "queries_bool.txt", "golden_rankedboolean.teIn"),
     ("bm25", "queries_bm25.txt", "golden_bm25.teIn"),
     ("indri", "queries_indri.txt", "golden_indri.teIn"),
+    # queries2.txt-shaped SDM templates (`/root/reference/QryEval/
+    # queries2.txt`): #wand( 0.7 #and(bow) 0.2 #and(#near/1 bigrams)
+    # 0.1 #and(#window/8 bigrams) ) — the exact query shape behind the
+    # reference's Indri-Sdm.teIn run, re-issued over the toy index so
+    # it is replayable in-sandbox. Exercises the Indri zero-ctf quirk
+    # (an SDM arm whose proximity list is empty corpus-wide scores the
+    # whole #WAND product 0.0) and ext_id tie-breaks at equal scores.
+    ("indri", "queries_sdm.txt", "golden_indri_sdm.teIn"),
 ]
 
 
 @pytest.mark.parametrize("model,qfile,gfile",
-                         MODELS, ids=[m[0] for m in MODELS])
+                         MODELS,
+                         ids=[m[2].removeprefix("golden_")
+                              .removesuffix(".teIn") for m in MODELS])
 def test_reference_binary_golden(spark, toy_index, model, qfile, gfile):
     """Engine == the reference binary, on the reference's own index:
     identical (qid, rank, ext_id) lists, scores to 1e-9."""
