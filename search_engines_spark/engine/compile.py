@@ -70,6 +70,13 @@ class Engine:
         (`ScoreList.java:87-114`, truncate `QryEval.java:748-752`)."""
         node = self.parse(qstring)
         s = self.eval_sop(node).where(F.col("score") >= 0)  # QryEval.java:437
+        ext = self._extid_expr()
+        if ext is not None:
+            # ext_id is order-isomorphic to doc_id (Index.extid_docid_fmt):
+            # the ScoreList tie-break runs on doc_id and ext_id becomes a
+            # projection — top-k never touches the corpus-sized doc_map
+            return (s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .select("doc_id", ext.alias("ext_id"), "score"))
         res = s.join(self._doc_map(), "doc_id")
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
@@ -132,6 +139,10 @@ class Engine:
                              st["sum_len"] / st["doc_count"], k=k,
                              params=self.p, field=field,
                              term_weights=mult, deleted=deleted)
+        ext = self._extid_expr()
+        if ext is not None:
+            return (top.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .select("doc_id", ext.alias("ext_id"), "score"))
         return (top.join(self._doc_map(), "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .select("doc_id", "ext_id", "score"))
@@ -190,6 +201,11 @@ class Engine:
             field=field, deleted=deleted)
         w = Window.partitionBy("qid").orderBy(F.desc("score"),
                                               F.asc("doc_id"))
+        ext = self._extid_expr()
+        if ext is not None:
+            return (top.withColumn("rank", F.row_number().over(w))
+                    .withColumn("ext_id", ext)
+                    .select("qid", "doc_id", "ext_id", "score", "rank"))
         return (top.join(self._doc_map(), "doc_id")
                 .withColumn("rank", F.row_number().over(w))
                 .select("qid", "doc_id", "ext_id", "score", "rank"))
@@ -231,6 +247,10 @@ class Engine:
         s = eng.eval_sop(eng.parse(qstring)).where(F.col("score") >= 0)
         if deleted is not None:
             s = s.join(F.broadcast(deleted), "doc_id", "left_anti")
+        ext = eng._extid_expr()
+        if ext is not None:
+            return (s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .select("doc_id", ext.alias("ext_id"), "score"))
         res = s.join(eng._doc_map(), "doc_id")
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
@@ -282,6 +302,19 @@ class Engine:
         if self.index.doc_map is not None:
             return self.index.doc_map
         return self.index.docs.select("doc_id", "ext_id")
+
+    def _extid_expr(self) -> Column | None:
+        """ext_id as a pure doc_id expression when the index declares
+        `extid_docid_fmt` ("prefix:width" → concat(prefix, lpad(doc_id,
+        width, '0')), order-isomorphic to doc_id) — the top-k paths then
+        skip the doc_map join entirely; None = join resolution."""
+        fmt = self.index.extid_docid_fmt
+        if not fmt:
+            return None
+        prefix, width = fmt.rsplit(":", 1)
+        return F.concat(F.lit(prefix),
+                        F.lpad(F.col("doc_id").cast("string"),
+                               int(width), "0"))
 
     def search_many(self, queries: dict[str, str], k: int = 100,
                     bow_fast_path: bool = True,
@@ -393,6 +426,17 @@ class Engine:
         if exclude_docs is not None:
             u = u.join(F.broadcast(exclude_docs.select("doc_id")),
                        "doc_id", "left_anti")
+        ext = self._extid_expr()
+        if ext is not None:
+            # tie-break on doc_id (order-isomorphic, Index.extid_docid_fmt)
+            # and project ext_id AFTER the per-query limit: the batch plan
+            # carries k·|Q| ids to resolution, not every scored candidate
+            w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                                  F.asc("doc_id"))
+            return (u.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k)
+                    .withColumn("ext_id", ext)
+                    .select("qid", "doc_id", "ext_id", "score", "rank"))
         u = u.join(self._doc_map(), "doc_id")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ext_id"))
         return (u.withColumn("rank", F.row_number().over(w))

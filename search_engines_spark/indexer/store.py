@@ -70,6 +70,8 @@ def save_index(idx: Index, out_dir: str,
     (idx.docs.select(*doc_cols).write.mode("overwrite")
      .parquet(os.path.join(out_dir, "docs")))
     meta: dict = {"corpus_stats": idx.corpus_stats, "version": 1}
+    if idx.extid_docid_fmt:
+        meta["extid_docid_fmt"] = idx.extid_docid_fmt
     if analyzer is not None:
         meta["analyzer"] = {"strip_possessive": analyzer.strip_possessive,
                             "stem": analyzer.stem,
@@ -115,6 +117,7 @@ def open_index(spark: SparkSession, index_dir: str,
         term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
         corpus_stats=meta["corpus_stats"],
         doc_map=doc_map,
+        extid_docid_fmt=meta.get("extid_docid_fmt"),
     )
 
 

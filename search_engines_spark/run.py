@@ -131,14 +131,17 @@ def open_index(spark: SparkSession, params: dict[str, str]) -> Index:
         return open_saved(spark, params["indexPath"])
     src = load_corpus(spark, params["corpusPath"],
                       fmt=params.get("corpusFormat", "auto"))
-    docs = (docs_from_code_corpus(src)
-            if all(c in src.columns for c in CODE_CORPUS_COLUMNS)
-            else docs_from_documents_table(src))
+    if all(c in src.columns for c in CODE_CORPUS_COLUMNS):
+        docs, fmt = docs_from_code_corpus(src), None
+    else:
+        from .indexer.build import documents_extid_fmt
+        docs, fmt = docs_from_documents_table(src), documents_extid_fmt(src)
     ana = runner_analyzer(params)
     if ana != CANONICAL:
         tc = "text" if "text" in docs.columns else "content"
-        return build_index_frames_analyzed(docs, ana, text_col=tc)
-    return build_index_frames(docs)
+        return build_index_frames_analyzed(docs, ana, text_col=tc,
+                                           extid_docid_fmt=fmt)
+    return build_index_frames(docs, extid_docid_fmt=fmt)
 
 
 def _search_one(eng: Engine, query: str, k: int):

@@ -1,0 +1,99 @@
+"""ext_id-by-projection resolution (Index.extid_docid_fmt).
+
+When ext_id == concat('doc', lpad(doc_id, 9, '0')) for every doc (the
+documents-table build), the engine tie-breaks on doc_id and PROJECTS
+ext_id instead of joining the corpus-sized doc_map — per-query id
+resolution is O(k), not O(corpus). These tests pin (a) rank-and-score
+identity against the always-correct join path, ties included
+(`ScoreList.java:87-114` tie-break semantics), and (b) the plan
+property itself: a single-term query's optimized plan contains no join
+at all under the projection path.
+"""
+
+import dataclasses
+
+import pytest
+
+from search_engines_spark.engine.compile import Engine
+from search_engines_spark.indexer.build import (
+    build_index_frames, docs_from_documents_table, documents_extid_fmt)
+
+DOCS = [
+    (0, "dup line small dup"),
+    (1, "dup line"),
+    (2, "small line engine"),
+    (3, "dup line small dup"),          # exact tie with doc 0
+    (4, "engine scores dup small"),
+    (5, "line line line"),
+    (6, "dup line small dup"),          # second tie — 3-way tie group
+]
+
+
+@pytest.fixture(scope="module")
+def doc_index(spark):
+    src = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fmt = documents_extid_fmt(src)
+    assert fmt == "doc:9"
+    return build_index_frames(docs_from_documents_table(src),
+                              extid_docid_fmt=fmt)
+
+
+def _rows(df):
+    return [(r["ext_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_search_identical_to_join_path_with_ties(spark, doc_index):
+    joined = dataclasses.replace(doc_index, extid_docid_fmt=None)
+    cases = [("bm25", "dup line small"), ("bm25", "dup"),
+             ("indri", "#and( dup small )"), ("indri", "dup line"),
+             ("rankedboolean", "#and( dup small )")]
+    for model, q in cases:
+        a = _rows(Engine(doc_index, model).search(q, k=10))
+        b = _rows(Engine(joined, model).search(q, k=10))
+        assert a == b, f"{model} {q!r}"
+    # the 3-way score tie (docs 0/3/6) resolves ext_id-ascending
+    top = _rows(Engine(doc_index, "bm25").search("dup line small", k=10))
+    tie_ids = [e for e, _ in top if e in
+               ("doc000000000", "doc000000003", "doc000000006")]
+    assert tie_ids == ["doc000000000", "doc000000003", "doc000000006"]
+
+
+def test_search_many_identical_to_join_path(spark, doc_index):
+    joined = dataclasses.replace(doc_index, extid_docid_fmt=None)
+    qs = {"q1": "dup line small", "q2": "engine", "q3": "#sum( dup small )"}
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["rank"], r["ext_id"], round(r["score"], 9))
+        for r in df.collect())
+    assert key(Engine(doc_index, "bm25").search_many(qs, k=5)) == \
+        key(Engine(joined, "bm25").search_many(qs, k=5))
+
+
+def test_single_term_plan_has_no_join(doc_index):
+    plan = (Engine(doc_index, "bm25").search("dup", k=5)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Join" not in plan
+    # while the join path, by construction, has one
+    joined = dataclasses.replace(doc_index, extid_docid_fmt=None)
+    plan_j = (Engine(joined, "bm25").search("dup", k=5)
+              ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Join" in plan_j
+
+
+def test_fmt_refused_outside_bounds(spark):
+    out_of_range = spark.createDataFrame(
+        [(0, "a b"), (10 ** 9, "a c")], "doc_id long, text string")
+    assert documents_extid_fmt(out_of_range) is None
+    negative = spark.createDataFrame(
+        [(-1, "a b"), (2, "a c")], "doc_id long, text string")
+    assert documents_extid_fmt(negative) is None
+
+
+def test_store_roundtrip_preserves_fmt(spark, doc_index, tmp_path):
+    from search_engines_spark.indexer.store import open_index, save_index
+    d = str(tmp_path / "idx")
+    save_index(doc_index, d, num_partitions=2)
+    reopened = open_index(spark, d)
+    assert reopened.extid_docid_fmt == "doc:9"
+    a = _rows(Engine(doc_index, "bm25").search("dup line small", k=10))
+    b = _rows(Engine(reopened, "bm25").search("dup line small", k=10))
+    assert a == b
