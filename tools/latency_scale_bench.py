@@ -1,0 +1,77 @@
+"""Per-query latency vs corpus size (the BASELINE.json p50 metric).
+
+Single-query wall time at sf0.1 is a few Spark jobs × ~0.3 s of
+scheduler floor — the data work is invisible at 5k docs. This bench
+makes that claim falsifiable: the SAME warm query set at 32 cores over
+the sf0.1 corpus at 1×, 10×, and 100× deterministic replication
+(5k → 500k docs). If per-query latency is flat while the corpus grows
+100×, the cost is scheduling, not data — the regime where adding
+executors (or queries per batch) is the scaling axis. Run ALONE (bench
+discipline): results are meaningless under concurrent load.
+
+Usage: python tools/latency_scale_bench.py  # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import RETRIEVAL  # noqa: E402  (the headline warm-query set)
+
+MULTS = (1, 10, 100)
+
+
+def run_level(spark, sf_dir: str, mult: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.engine.compile import Engine
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_documents_table)
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = src.count()
+    if mult > 1:
+        src = (spark.range(mult).crossJoin(src)
+               .withColumn("doc_id", F.col("doc_id") + F.col("id") * n_base)
+               .drop("id"))
+    idx = build_index_frames(docs_from_documents_table(src),
+                             builder="arrow", extid_docid_fmt="doc:9")
+    idx.postings.count()  # materialize before timing
+    out: dict = {"n_docs": n_base * mult}
+    warm = []
+    for name, (model, q) in RETRIEVAL.items():
+        eng = Engine(idx, model)
+        times = []
+        for _ in range(3):  # 1 cold + 2 warm, min-of-warm
+            t0 = time.time()
+            eng.search(q, k=100).collect()
+            times.append(time.time() - t0)
+        out[name] = round(min(times[1:]), 3)
+        warm.append(min(times[1:]))
+    out["p50"] = round(statistics.median(warm), 3)
+    for df in (idx.postings, idx.doclens, idx.doc_map):
+        df.unpersist()
+    return out
+
+
+def main() -> None:
+    from search_engines_spark.session import get_spark
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("latency-scale", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long").count()  # warm Arrow workers
+    levels = {m: run_level(spark, sf_dir, m) for m in MULTS}
+    print(json.dumps({"metric": "warm_query_latency_vs_corpus_size",
+                      "unit": "sec", "cores": 32, "levels": levels}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
