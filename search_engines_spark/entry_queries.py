@@ -585,6 +585,13 @@ def q_dedup_embedding(spark, sf_dir):
                                        method="brute")
 
 
+def q_dedup_cc(spark, sf_dir):
+    """Near-dup CLUSTERS: star-contraction connected components over the
+    MinHash-LSH candidate graph + smallest-doc_id retention policy.
+    Oracle: recursive-CTE transitive closure over the same pairs."""
+    return dd.dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Sign-LSH banded near-dup — the default/scale path; the oracle
     replays the identical seeded planes as literals, so the approximate
@@ -1528,6 +1535,34 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id"""
 
 
+def _sql_dedup_cc() -> str:
+    """Connected components as a recursive transitive closure: reach
+    enumerates every (node, reachable node) pair over the SAME
+    MinHash-LSH candidate edges the Spark operator uses (the full
+    `_sql_dedup_minhash()` query nests as the `pairs` CTE), then the
+    component is the least reachable id. Small graphs only — the
+    closure is O(n·|component|); the Spark side's star contraction is
+    the scale algorithm this oracle falsifies."""
+    return f"""WITH RECURSIVE pairs AS (
+{_sql_dedup_minhash()}
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, least(min(v), u) AS component
+         FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN comp c USING (doc_id)"""
+
+
 def _sql_dedup_simhash() -> str:
     nb = dd.SIMHASH_BITS
     sums = ",\n         ".join(
@@ -2065,7 +2100,6 @@ JOIN dl d USING (doc_id)"""
 # fully pytest-covered and were driver-green in earlier rounds.
 REGISTRY: dict[str, tuple] = {
     "bm25_bow3": (_q_bm25(BOW3), _bm25_sql(BOW3)),
-    "bm25_stopquery": (q_bm25_stop, _bm25_sql(STOPQ)),
     "bm25_syn": (q_bm25_syn, _sql_bm25_syn()),
     "bm25_sdm_structured": (q_bm25_sdm, _sql_bm25_sdm()),
     "ranked_near": (q_ranked_near, _sql_ranked_near()),
@@ -2114,6 +2148,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
     "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
+    "dedup_cc_clusters": (q_dedup_cc, _sql_dedup_cc()),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
     "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_lsh_indexed": (q_ann_lsh_indexed, _sql_ann_lsh()),
@@ -2123,6 +2158,9 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_quality, _sql_quality()),
     "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "bm25_stopquery": (q_bm25_stop, _bm25_sql(STOPQ)),  # stopword-
+    # inclusive doclen stays hard-gated by doclen_store (in-window) +
+    # the reference-binary goldens + pytest
     "bm25_bow5": (_q_bm25(BOW5), _bm25_sql(BOW5)),
     "bm25_rare_term": (_q_bm25(BOW_RARE), _bm25_sql(BOW_RARE)),
     "ranked_or": (q_ranked_or, _sql_ranked_or()),

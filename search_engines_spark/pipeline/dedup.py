@@ -319,3 +319,99 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
              .withColumn("cos_r", F.floor(F.col("cos") * 1e6 + 0.5).cast("long"))
              .where(F.col("cos_r") >= int(threshold * 1e6)))
     return pairs.select("vec_a", "vec_b", "cos_r")
+
+
+# ------------------------------------------------- connected components --
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+    s = _symmetric(e).distinct()
+    m = (s.groupBy("u").agg(F.min("v").alias("m"))
+         .withColumn("m", F.least("m", F.col("u"))))
+    return (s.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct edges high→low, then emit (v, m) for v ∈ N(u) ∪ {u},
+    m = min(N(u)); self-loops dropped."""
+    d = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (d.join(m, "u")
+           .select(F.col("v").alias("u"), F.col("m").alias("v"))
+           .union(m.select("u", F.col("m").alias("v"))))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 30) -> DataFrame:
+    """(doc_id, component) for every node of `pairs`; component = the
+    smallest doc_id reachable.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log² n) rounds of
+    two skew-resistant shuffles each (groupBy-node min + join back).
+    Min-label propagation would need one round per graph DIAMETER — a
+    10^6-doc boilerplate chain is 10^6 rounds; star-contraction is the
+    shape that survives web-scale dedup graphs. The driver loop carries
+    only an order-insensitive convergence checksum per round; lineage
+    is cut with localCheckpoint so the plan does not deepen with
+    iterations.
+    """
+    e = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                      F.col(b_col).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        n, h = (e.agg(F.count("*"),
+                      F.expr("bit_xor(xxhash64(u, v))"))  # order-free,
+                # cannot overflow (sum would, under ANSI mode)
+                .first() or (0, 0))
+        if (n, h) == prev:
+            break
+        prev = (n, h)
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in "
+                           f"{max_iter} rounds")
+    # fixpoint = stars centered at each component's minimum node
+    return (e.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("component"))
+            .union(e.select(F.col("v").alias("doc_id"),
+                            F.col("v").alias("component")))
+            .distinct())
+
+
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate CLUSTERS with a retention policy: connected
+    components over the MinHash-LSH candidate graph, canonical
+    representative = the smallest doc_id per component.
+
+    → (doc_id, component, keep) for EVERY document; keep = 1 iff the
+    doc is its component's representative (singletons keep themselves).
+    This is the operator a training-data pipeline actually runs — pair
+    emission alone under-deletes: near-dup similarity is not
+    transitive-closed, so A≈B and B≈C must drop BOTH B and C even when
+    (A, C) never collides in a band.
+    """
+    cc = connected_components(
+        minhash_dedup_pairs(docs, text_col, id_col))
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(cc, "doc_id", "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col("doc_id")))
+            .withColumn("keep",
+                        (F.col("doc_id") == F.col("component"))
+                        .cast("int")))

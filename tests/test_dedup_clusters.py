@@ -1,0 +1,80 @@
+"""Connected-components near-dup clustering (pipeline.dedup).
+
+The star-contraction result is cross-checked against a pure-Python
+union-find on fixed random graphs — the oracle is independent of the
+Spark implementation. `dedup_clusters` is additionally pinned on the
+transitivity case its docstring claims matters: A≈B and B≈C with (A, C)
+never colliding must still collapse all three into one component.
+"""
+
+import random
+
+import pytest
+
+from search_engines_spark.pipeline.dedup import (
+    connected_components, dedup_clusters)
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component, only nodes touching an edge
+    touched = {x for e in edges for x in e}
+    return {x: find(x) for x in sorted(touched)}
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+
+
+def test_path_graph_collapses_to_min(spark):
+    # a chain is the worst case for label propagation; star contraction
+    # must still land every node on the minimum
+    edges = [(i, i + 1) for i in range(1, 9)]
+    assert _cc(spark, edges) == {i: 1 for i in range(1, 10)}
+
+
+def test_disjoint_cliques(spark):
+    edges = ([(a, b) for a in range(1, 4) for b in range(a + 1, 4)]
+             + [(a, b) for a in range(10, 13) for b in range(a + 1, 13)])
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(70)})
+    assert _cc(spark, edges) == _uf_components(n, edges)
+
+
+def test_empty_pairs(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_dedup_clusters_keep_policy(spark):
+    # identical texts collide in every LSH band (J = 1) — deterministic;
+    # the representative is the smallest doc_id, everyone else drops,
+    # and docs with no candidate pair keep themselves
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, dup), (3, filler)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["component"], r["keep"])
+            for r in dedup_clusters(docs).collect()}
+    assert rows == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
