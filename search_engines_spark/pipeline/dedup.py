@@ -415,3 +415,24 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
             .withColumn("keep",
                         (F.col("doc_id") == F.col("component"))
                         .cast("int")))
+
+
+def embedding_dedup_clusters(emb: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             method: str = "lsh") -> DataFrame:
+    """`dedup_clusters` for the embedding modality: connected components
+    over the cosine near-dup candidate graph (sign-LSH banded by
+    default), smallest-vec_id representative.
+    → (vec_id, component, keep) for every vector."""
+    cc = connected_components(
+        embedding_near_dup_pairs(emb, threshold, id_col, vec_col, method),
+        a_col="vec_a", b_col="vec_b")
+    return (emb.select(F.col(id_col).cast("long").alias("vec_id"))
+            .join(cc.withColumnRenamed("doc_id", "vec_id"),
+                  "vec_id", "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col("vec_id")))
+            .withColumn("keep",
+                        (F.col("vec_id") == F.col("component"))
+                        .cast("int")))

@@ -78,3 +78,16 @@ def test_dedup_clusters_keep_policy(spark):
     rows = {r["doc_id"]: (r["component"], r["keep"])
             for r in dedup_clusters(docs).collect()}
     assert rows == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
+
+
+def test_embedding_dedup_clusters(spark):
+    from search_engines_spark.pipeline.dedup import embedding_dedup_clusters
+    # vectors 0/1/2 identical (cos = 1 → same sign signature, every band
+    # collides — deterministic), vector 3 orthogonal
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0, 0.5]), (1, [1.0, 0.0, 2.0, 0.5]),
+         (2, [1.0, 0.0, 2.0, 0.5]), (3, [-1.0, 3.0, -2.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: (r["component"], r["keep"])
+            for r in embedding_dedup_clusters(emb, threshold=0.9).collect()}
+    assert rows == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
