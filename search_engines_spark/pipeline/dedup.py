@@ -366,15 +366,24 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     10^6-doc boilerplate chain is 10^6 rounds; star-contraction is the
     shape that survives web-scale dedup graphs. The driver loop carries
     only an order-insensitive convergence checksum per round; lineage
-    is cut with localCheckpoint so the plan does not deepen with
-    iterations.
+    is cut every round so the plan does not deepen with iterations —
+    via reliable `checkpoint()` when the session has a checkpoint dir
+    configured (executor loss mid-job replays from storage, the
+    10^12-file posture), else `localCheckpoint()` (executor-local
+    blocks — fine single-JVM / test scale).
     """
-    e = (pairs.select(F.col(a_col).cast("long").alias("u"),
-                      F.col(b_col).cast("long").alias("v"))
-         .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    def _cut(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint()
+        return df.localCheckpoint()
+
+    e = _cut(pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _cut(_small_star(_large_star(e)))
         n, h = (e.agg(F.count("*"),
                       F.expr("bit_xor(xxhash64(u, v))"))  # order-free,
                 # cannot overflow (sum would, under ANSI mode)
