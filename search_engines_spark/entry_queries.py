@@ -25,6 +25,7 @@ from .analysis import STOPWORDS
 from .engine.compile import Engine
 from .oracle import Models as _Models
 from .indexer.build import Index, index_documents_table
+from .pipeline import codestats as cst
 from .pipeline import dedup as dd
 from .pipeline import similarity as sim
 from .pipeline import textstats as ts
@@ -671,6 +672,32 @@ def q_quality(spark, sf_dir):
 
 def q_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir))
+
+
+def q_code_tokens(spark, sf_dir):
+    """Identifier-aware code tokenization (comments stripped, camel/snake
+    split) — the normalization layer for the source-code corpus shape
+    (BASELINE.json input_hint)."""
+    return cst.code_token_stats(_docs(spark, sf_dir))
+
+
+def q_winnow_fps(spark, sf_dir):
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    k-gram md5-prefix hashes, window-min selection — exploded (doc_id, fp)
+    set. The oracle replays the identical k/w/hash in DuckDB list SQL."""
+    return cst.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Code near-dup candidates: self-join on winnowed fps, pair count
+    ≥ WINNOW_MIN_SHARED — the corpus-scale MOSS shape."""
+    return cst.winnow_dedup_pairs(_docs(spark, sf_dir))
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII / secret counts + email-redacted fingerprint, all regexp
+    codegen."""
+    return cst.pii_scan(_docs(spark, sf_dir))
 
 
 def q_feedback_expand(spark, sf_dir):
@@ -1780,11 +1807,85 @@ FROM ratios"""
 
 
 def _sql_fingerprints() -> str:
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark's is '' —
+    # zero-token docs must hash identically on both sides
     return """SELECT doc_id::BIGINT AS doc_id,
        sha256(text) AS fp_exact,
-       md5(array_to_string(list_filter(
+       md5(coalesce(array_to_string(list_filter(
            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-           t -> t <> ''), ' ')) AS fp_norm
+           t -> t <> ''), ' '), '')) AS fp_norm
+FROM documents"""
+
+
+def _code_toks_sql() -> str:
+    """DuckDB expression for `codestats.code_tokens_expr` over `text`,
+    built from the module's own pattern constants (Java `$n` backrefs →
+    RE2 `\\n`; DuckDB needs the explicit 'g' flag Spark implies)."""
+    s1 = cst.CAMEL1_SUB.replace("$", "\\")
+    s2 = cst.CAMEL2_SUB.replace("$", "\\")
+    return (
+        "list_filter(regexp_split_to_array(lower("
+        f"regexp_replace(regexp_replace("
+        f"regexp_replace(regexp_replace(text, '{cst.BLOCK_COMMENT_RE}', ' ', 'g'),"
+        f" '{cst.LINE_COMMENT_RE}', ' ', 'g'),"
+        f" '{cst.CAMEL1_RE}', '{s1}', 'g'),"
+        f" '{cst.CAMEL2_RE}', '{s2}', 'g')),"
+        " '[^a-z0-9]+'), t -> t <> '')")
+
+
+def _sql_code_tokens() -> str:
+    return f"""WITH t AS (SELECT doc_id, {_code_toks_sql()} AS toks
+           FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       len(toks)::BIGINT AS n_code_tokens,
+       len(list_distinct(toks))::BIGINT AS n_uniq_code,
+       md5(coalesce(array_to_string(toks, ' '), '')) AS stream_hash
+FROM t"""
+
+
+def _winnow_fp_ctes() -> str:
+    """CTE chain → `fp(doc_id, fp)`: the winnowed fingerprint set with
+    the exact k/w/hash of `codestats.winnow_fingerprints`."""
+    k, w = cst.WINNOW_K, cst.WINNOW_W
+    return f"""WITH t AS (SELECT doc_id, {_code_toks_sql()} AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(toks) - {k} + 1, 0)),
+          i -> ('0x' || substr(md5(array_to_string(
+                   list_slice(toks, i, i + {k} - 1), ' ')), 1, 8)
+               )::UBIGINT::BIGINT) AS kh
+      FROM t),
+w AS (SELECT doc_id,
+        CASE WHEN len(kh) < {w} THEN list_distinct(kh)
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(kh) - {w} + 1),
+                    j -> list_aggregate(list_slice(kh, j, j + {w} - 1),
+                                        'min')))
+        END AS fps
+      FROM g),
+fp AS (SELECT doc_id::BIGINT AS doc_id, unnest(fps) AS fp FROM w)"""
+
+
+def _sql_winnow_fps() -> str:
+    return f"{_winnow_fp_ctes()}\nSELECT doc_id, fp FROM fp"
+
+
+def _sql_winnow_pairs() -> str:
+    return f"""{_winnow_fp_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {cst.WINNOW_MIN_SHARED}"""
+
+
+def _sql_pii_scan() -> str:
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in cst.PII_PATTERNS.items())
+    email = cst.PII_PATTERNS["email"]
+    return f"""SELECT doc_id::BIGINT AS doc_id,
+       {counts},
+       md5(regexp_replace(text, '{email}', '<EMAIL>', 'g')) AS redacted_hash
 FROM documents"""
 
 
@@ -2096,8 +2197,12 @@ JOIN dl d USING (doc_id)"""
 # bm25_bow3 + index_open_bm25's oracle, ranked_or → ranked_and,
 # indri_wsum → indri_wand's weighted shares, dedup_embedding →
 # dedup_embedding_lsh, ann_lsh_bucketed → ann_lsh_indexed, identical
-# candidate set) are rotated past it — see the tail block. They remain
-# fully pytest-covered and were driver-green in earlier rounds.
+# candidate set, letor_features / letor_features_multifield →
+# letor_features_18slot, the full grid, feedback_expansion →
+# feedback_expansion_batch, same plan batched, dedup_ngram_jaccard →
+# dedup_minhash_lsh + code_winnow_pairs, the same shingle-join shape)
+# are rotated past it — see the tail block. They remain fully
+# pytest-covered and were driver-green in earlier rounds.
 REGISTRY: dict[str, tuple] = {
     "bm25_bow3": (_q_bm25(BOW3), _bm25_sql(BOW3)),
     "bm25_syn": (q_bm25_syn, _sql_bm25_syn()),
@@ -2137,18 +2242,17 @@ REGISTRY: dict[str, tuple] = {
     "segments_structured_near": (q_segments_structured_near,
                                  _sql_near2_bool()),
     "index_open_bm25": (q_index_open, _bm25_sql(BOW_RARE)),
-    "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
     "feedback_expansion_batch": (q_feedback_expand_batch,
                                  _sql_feedback_expand_batch()),
-    "letor_features": (q_letor_features, _sql_letor_features()),
-    "letor_features_multifield": (q_letor_multifield,
-                                  _sql_letor_multifield()),
     "letor_features_18slot": (q_letor_18slot, _sql_letor_18slot()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
-    "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
     "dedup_cc_clusters": (q_dedup_cc, _sql_dedup_cc()),
+    "code_token_stats": (q_code_tokens, _sql_code_tokens()),
+    "code_winnow_fps": (q_winnow_fps, _sql_winnow_fps()),
+    "code_winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
+    "pii_scan": (q_pii_scan, _sql_pii_scan()),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
     "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_lsh_indexed": (q_ann_lsh_indexed, _sql_ann_lsh()),
@@ -2169,6 +2273,11 @@ REGISTRY: dict[str, tuple] = {
         _sum_combiner([w / (0.5 + 0.3 + 0.2) for w in (0.5, 0.3, 0.2)]))),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding(0.3)),
     "ann_lsh_bucketed": (q_ann_lsh, _sql_ann_lsh()),
+    "feedback_expansion": (q_feedback_expand, _sql_feedback_expand()),
+    "letor_features": (q_letor_features, _sql_letor_features()),
+    "letor_features_multifield": (q_letor_multifield,
+                                  _sql_letor_multifield()),
+    "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
 }
 
 

@@ -1,0 +1,192 @@
+"""Code-aware pipeline operators over the source-code corpus shape
+(BASELINE.json input_hint: repo/path/commit/lang/content — the `documents`
+table is the same text payload at driver scale).
+
+Three operator families a training-data pipeline needs for CODE that the
+plain-text operators in `textstats`/`dedup` don't cover:
+
+* **identifier-aware tokenization** — camelCase / PascalCase / snake_case
+  splitting plus per-language comment stripping, so `getFooBar` and
+  `get_foo_bar` normalize to the same token stream;
+* **winnowing fingerprints** (Schleimer, Wilkerson, Aiken, "Winnowing:
+  Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+  algorithm): k-gram rolling hashes, minimum per sliding window of w,
+  guaranteeing every match of length ≥ w+k−1 shares a fingerprint while
+  keeping only ~2/(w+1) of the k-gram hashes — the standard code-clone
+  detector at corpus scale;
+* **PII / secret scanning** — emails, IPv4s, AWS-key-shaped ids, long hex
+  blobs, counted per document with a redacted-text fingerprint.
+
+Design for 100 TB: tokenization, token stats, and PII scanning are single
+narrow JVM projections (regexp codegen, zero shuffle). Winnowing is the
+one operator with per-document sequential structure (rolling window
+minimum); it runs as a doc-local Arrow `mapInPandas` kernel — numpy
+sliding-window min over hashlib-md5 k-gram hashes — map-only with zero
+shuffle, the same kernel shape as the postings builder. The winnow pair
+join shuffles on the 32-bit fingerprint (uniform key), and its candidate
+volume is the winnowed ~2/(w+1) fraction of k-grams, not the full k-gram
+set — the same banding economics as MinHash-LSH. Hashes use the
+md5-prefix scheme of `dedup.token_hash32` (md5 bytes are engine-
+independent), so every operator is oracle-checkable in DuckDB; constants
+are module-level so `entry_queries` inlines identical values into the
+oracle SQL and the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WINNOW_K = 5        # k-gram length (tokens)
+WINNOW_W = 4        # winnowing window (hashes); match ≥ w+k−1 tokens → shared fp
+WINNOW_MIN_SHARED = 2   # pair reported when ≥ this many shared fingerprints
+
+# Comment syntax shared across the corpus's languages. Block comments are
+# stripped first (non-greedy, dot-matches-newline), then line comments.
+# RE2-safe (no lookaround) so DuckDB replays the identical patterns.
+BLOCK_COMMENT_RE = r"(?s)/\*.*?\*/"
+LINE_COMMENT_RE = r"(//|#|--)[^\n]*"
+
+# Two-step camel split: HTTPServer → HTTP Server, then getFoo → get Foo.
+CAMEL1_RE, CAMEL1_SUB = r"([A-Z]+)([A-Z][a-z])", r"$1 $2"
+CAMEL2_RE, CAMEL2_SUB = r"([a-z0-9])([A-Z])", r"$1 $2"
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b",
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "hex_secret": r"\b[0-9a-f]{32,}\b",
+}
+
+
+def strip_comments(text_col: Column) -> Column:
+    """Remove block then line comments (language-agnostic superset)."""
+    return F.regexp_replace(
+        F.regexp_replace(text_col, BLOCK_COMMENT_RE, " "),
+        LINE_COMMENT_RE, " ")
+
+
+def code_tokens_expr(text_col: Column) -> Column:
+    """Identifier-aware token array: comments stripped, camel boundaries
+    exploded, snake/punct separation, lowercased."""
+    decamel = F.regexp_replace(
+        F.regexp_replace(strip_comments(text_col), CAMEL1_RE, CAMEL1_SUB),
+        CAMEL2_RE, CAMEL2_SUB)
+    return F.filter(F.split(F.lower(decamel), "[^a-z0-9]+"),
+                    lambda t: t != "")
+
+
+def code_token_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_code_tokens, n_uniq_code, stream_hash): the normalized
+    identifier token stream per document. `stream_hash` (md5 of the
+    space-joined stream) is the content-falsifiable bit — two docs whose
+    code differs only in comments / identifier casing style collide here.
+    One narrow projection, zero shuffle."""
+    toks = code_tokens_expr(F.col(text_col))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_code_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_code"),
+        F.md5(F.array_join(toks, " ")).alias("stream_hash"))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """→ (doc_id, fp) exploded winnowed fingerprint set (distinct per doc).
+
+    Window minimum per the paper §2.2: every window of w consecutive
+    k-gram hashes contributes its minimum; duplicates collapse.
+    Guarantees: any shared token run of length ≥ w+k−1 produces a shared
+    fp (no false negatives above the guarantee threshold); expected
+    density 2/(w+1) of k-grams retained.
+
+    Shape: tokenization is ONE JVM projection (evaluated exactly once per
+    document — the Arrow boundary materializes it); k-gram hashing and
+    the sliding minimum are a doc-local `mapInPandas` kernel (numpy
+    sliding-window min, hashlib md5 — identical bytes to the JVM/DuckDB
+    md5). Zero shuffle, map-only, same kernel shape as the postings
+    builder. A pure-expression formulation (nested `transform`/`slice`
+    lambdas) is semantically identical but re-evaluates the upstream
+    token expression per lambda element — O(n²) regex passes per doc,
+    measured ~70× slower — so the Arrow kernel is the default."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    toks = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       code_tokens_expr(F.col(text_col)).alias("toks"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_ids: list[np.ndarray] = []
+            out_fps: list[np.ndarray] = []
+            for doc_id, tok_arr in zip(pdf["doc_id"].to_numpy(),
+                                       pdf["toks"]):
+                tok_list = list(tok_arr)
+                if len(tok_list) < k:
+                    continue
+                kh = np.fromiter(
+                    (int(hashlib.md5(
+                        " ".join(tok_list[i:i + k]).encode()
+                     ).hexdigest()[:8], 16)
+                     for i in range(len(tok_list) - k + 1)),
+                    dtype=np.int64)
+                if len(kh) < w:
+                    fps = np.unique(kh)
+                else:
+                    fps = np.unique(np.lib.stride_tricks
+                                    .sliding_window_view(kh, w).min(axis=1))
+                out_ids.append(np.full(len(fps), doc_id, dtype=np.int64))
+                out_fps.append(fps)
+            if out_ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(out_ids),
+                    "fp": np.concatenate(out_fps)})
+            else:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "fp": pd.Series(dtype="int64")})
+
+    return toks.mapInPandas(kernel, "doc_id long, fp long")
+
+
+def winnow_dedup_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = WINNOW_K,
+                       w: int = WINNOW_W,
+                       min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """Code near-dup candidates: → (doc_a, doc_b, n_shared) for pairs
+    sharing ≥ min_shared winnowed fingerprints (doc_a < doc_b).
+
+    The MOSS corpus shape: self-join on the 32-bit fp (one shuffle on a
+    uniform key), pair-count aggregation, threshold. Candidate volume is
+    sum over fps of C(df,2) on the winnowed ~2/(w+1) density — boilerplate
+    shared by millions of files makes a hot fp, which AQE skew-join splits;
+    a df cap (like `dedup.ngram_jaccard_pairs`) can be layered on top for
+    adversarial corpora."""
+    fp = winnow_fingerprints(docs, text_col, id_col, k, w)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_email, n_ipv4, n_aws_key, n_hex_secret, redacted_hash).
+
+    Counts per pattern plus md5 of the email-redacted text (the cheap
+    proof that redaction is a pure projection too). All `regexp_count` /
+    `regexp_replace` codegen — zero shuffle, scan-speed on 100 TB."""
+    cols = [F.col(id_col).cast("long").alias("doc_id")]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                    .cast("long").alias(f"n_{name}"))
+    cols.append(F.md5(F.regexp_replace(
+        F.col(text_col), PII_PATTERNS["email"], "<EMAIL>"))
+        .alias("redacted_hash"))
+    return docs.select(*cols)
