@@ -200,6 +200,14 @@ def main() -> None:
     sim.cosine_topk(emb, qvec, k=20).collect()
     queries["ann_cosine_topk"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    cst.winnow_dedup_pairs(docs).count()
+    queries["code_winnow_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cst.pii_scan(docs).count()
+    queries["pii_scan"] = round(time.time() - t0, 3)
+
     total = time.time() - t_total
     retrieval_times = [queries[k] for k in RETRIEVAL]  # warm latencies
     print(json.dumps({

@@ -14,9 +14,9 @@ stopword positions (`Idx.java:84-90`), built scalably:
 * postings aggregation groups on (term, doc_id) — skew-free key (the hot-term
   problem only exists for per-term grouping, which we do only for the tiny
   `term_stats` aggregate where map-side partial aggregation absorbs it);
-* segment layout (compression, block-max metadata) lives in
-  `indexer.segments`; persistence + manifests + resume in
-  `indexer.manifest`.
+* segment layout (compression, block-max metadata), persistence,
+  per-partition manifests, and resume live in `indexer.segments`;
+  delta generations + tombstones + compaction in `indexer.merge`.
 
 All frames are lazy; callers decide what to persist.
 """
