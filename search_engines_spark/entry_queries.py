@@ -26,6 +26,7 @@ from .engine.compile import Engine
 from .oracle import Models as _Models
 from .indexer.build import Index, index_documents_table
 from .pipeline import codestats as cst
+from .pipeline import curation as cur
 from .pipeline import dedup as dd
 from .pipeline import similarity as sim
 from .pipeline import textstats as ts
@@ -698,6 +699,44 @@ def q_pii_scan(spark, sf_dir):
     """PII / secret counts + email-redacted fingerprint, all regexp
     codegen."""
     return cst.pii_scan(_docs(spark, sf_dir))
+
+
+def q_license_scan(spark, sf_dir):
+    """Per-file license detection (SPDX tag, then header-phrase priority
+    cascade) — the compliance gate of a source-code training pipeline."""
+    return cst.license_scan(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rule keep/drop verdict with ','-joined violation reasons
+    over `quality_features` — still one codegen projection."""
+    return ts.quality_filter(_docs(spark, sf_dir))
+
+
+def q_corpus_composition(spark, sf_dir):
+    """Per-(lang, source) corpus composition report: doc/char/token
+    totals + exact distinct-text count (HLL at 100 TB)."""
+    return ts.corpus_composition(_docs(spark, sf_dir))
+
+
+BENCH_MOD = 41  # every doc_id ≡ 0 (mod 41) plays the "eval set" role
+
+
+def q_decontam_scan(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any distinct
+    {cur.DECONTAM_K}-gram with the deterministic bench split (doc_id %
+    41 == 0) — GPT-3-appendix-C-style n-gram overlap, broadcast bench
+    side."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    return cur.decontaminate(docs, bench)
+
+
+def q_sample_temperature(spark, sf_dir):
+    """Deterministic alpha=0.5 temperature sampling over (lang, source)
+    groups — per-doc keep verdict, pure function of (doc_id, group
+    sizes)."""
+    return cur.sample_temperature(_docs(spark, sf_dir))
 
 
 def q_feedback_expand(spark, sf_dir):
@@ -1878,6 +1917,116 @@ GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {cst.WINNOW_MIN_SHARED}"""
 
 
+def _sql_license_scan() -> str:
+    """Replays `codestats.license_scan`: SPDX tag wins, else the FIRST
+    matching phrase of LICENSE_PHRASES in priority order, else 'none'
+    (a CASE cascade IS first-match-wins)."""
+    arms = "\n            ".join(
+        f"WHEN regexp_matches(text, '{pat}') THEN '{name}'"
+        for name, pat in cst.LICENSE_PHRASES)
+    return f"""WITH s AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(regexp_extract(text, '{cst.SPDX_RE}', 1)) AS spdx_id,
+         text
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN spdx_id <> '' THEN spdx_id
+            {arms}
+            ELSE 'none' END AS license,
+       spdx_id
+FROM s"""
+
+
+def _sql_quality_filter() -> str:
+    """`quality_features` ratios (the _sql_quality CTEs) → Gopher-rule
+    verdict; concat_ws skips NULL arms identically in DuckDB and Spark."""
+    stop = _lang_count_sql(ts.LANG_MARKERS["en"])
+    return f"""{PRELUDE},
+base AS (SELECT d.doc_id, toks,
+                len(toks) AS n_tok,
+                {stop} AS stop_cnt,
+                length(text) AS n_chars,
+                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  AS digits,
+                list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+         FROM documents d JOIN docs0 USING (doc_id)),
+r AS (SELECT doc_id, n_tok::BIGINT AS n_tokens,
+    floor(CASE WHEN n_tok > 0 THEN stop_cnt / n_tok ELSE 0.0 END
+          * 1e6 + 0.5)::BIGINT AS stop_r,
+    floor(CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END
+          * 1e6 + 0.5)::BIGINT AS digit_r,
+    floor(CASE WHEN n_tok > 0 THEN tok_chars / n_tok ELSE 0.0 END
+          * 1e6 + 0.5)::BIGINT AS avgtok_r
+  FROM base),
+v AS (SELECT doc_id, concat_ws(',',
+    CASE WHEN n_tokens < {ts.FILTER_MIN_TOKENS} THEN 'too_few_tokens' END,
+    CASE WHEN stop_r = 0 THEN 'no_stopwords' END,
+    CASE WHEN stop_r > {ts.FILTER_MAX_STOP_R} THEN 'stop_heavy' END,
+    CASE WHEN digit_r > {ts.FILTER_MAX_DIGIT_R} THEN 'digit_heavy' END,
+    CASE WHEN avgtok_r < {ts.FILTER_MIN_AVGTOK_R} THEN 'tokens_too_short' END,
+    CASE WHEN avgtok_r > {ts.FILTER_MAX_AVGTOK_R} THEN 'tokens_too_long' END
+  ) AS reasons FROM r)
+SELECT doc_id,
+       (CASE WHEN reasons = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
+       reasons
+FROM v"""
+
+
+def _sql_corpus_composition() -> str:
+    return r"""SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS n_chars_sum,
+       sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')))::BIGINT AS n_tokens_sum,
+       count(DISTINCT sha256(text))::BIGINT AS n_distinct_texts
+FROM documents GROUP BY lang, source"""
+
+
+def _sql_decontam_scan() -> str:
+    """Replays `curation.decontaminate` with k = DECONTAM_K over the
+    doc_id % BENCH_MOD bench split: distinct word-k-grams, bench grams
+    deduped, per-doc totals and hit counts, verdict at
+    DECONTAM_MIN_HITS."""
+    k = cur.DECONTAM_K
+    return f"""{PRELUDE},
+ng AS (SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= {k} THEN
+      list_transform(range(1, len(toks) - {k - 2}),
+                     i -> array_to_string(toks[i:i+{k - 1}], ' '))
+      ELSE [] END) AS gram
+  FROM docs0)),
+bng AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {BENCH_MOD} = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM ng GROUP BY doc_id),
+hit AS (SELECT ng.doc_id, count(*)::BIGINT AS n_hits
+        FROM ng JOIN bng USING (gram) GROUP BY ng.doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) >= {cur.DECONTAM_MIN_HITS})::BIGINT
+         AS contaminated
+FROM (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hit h USING (doc_id)"""
+
+
+def _sql_sample_temperature() -> str:
+    """Replays `curation.sample_temperature` (alpha = 0.5 over
+    (lang, source)): window group counts, global min, rate
+    1e6/sqrt(n_g/n_min), salted-md5 keep hash — sqrt and division are
+    IEEE-correctly-rounded in both engines, so rate_r matches
+    bit-identically."""
+    rate = "floor(1e6 / sqrt(n_group::DOUBLE / n_min::DOUBLE) + 0.5)::BIGINT"
+    return f"""WITH g AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, source,
+         count(*) OVER (PARTITION BY lang, source)::BIGINT AS n_group
+  FROM documents),
+m AS (SELECT min(n_group) AS n_min FROM g)
+SELECT doc_id, lang, source, n_group,
+       {rate} AS rate_r,
+       ((('0x' || substr(md5('{cur.SAMPLE_SALT}' || doc_id::VARCHAR), 1, 8))
+         ::UBIGINT::BIGINT % 1000000) < {rate})::BIGINT AS kept
+FROM g, m"""
+
+
 def _sql_pii_scan() -> str:
     counts = ",\n       ".join(
         f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
@@ -2211,9 +2360,7 @@ REGISTRY: dict[str, tuple] = {
     "ranked_and": (q_ranked_and, _sql_ranked_and()),
     "unranked_and": (q_unranked_and, _sql_unranked_and()),
     "field_qualified_and": (q_field_qualified, _sql_field_qualified()),
-    "near2_bool": (q_near2_bool, _sql_near2_bool()),
     "window3_bool": (q_window3_bool, _sql_window3_bool()),
-    "indri_term": (q_indri_term, _sql_indri_term()),
     "indri_and": (q_indri_and, _indri_pivot_sql(
         ["spark", "stream", "join"],
         _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3]))),
@@ -2222,11 +2369,9 @@ REGISTRY: dict[str, tuple] = {
         _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
     "postings_term": (q_postings, _sql_postings()),
     "term_stats": (q_term_stats, _sql_term_stats()),
-    "daat_wand_topk": (q_daat_wand_topk, _bm25_sql(BOW3)),
     "merged_segments_topk": (q_merged_segments_topk, _bm25_sql(BOW5)),
     "segments_delete_topk": (q_segments_delete_topk,
                              _bm25_sql_deleted(BOW3)),
-    "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "standing_query_topk": (q_standing_stream, _sql_standing_topk()),
     "doclen_store": (q_doclens, _sql_doclens()),
@@ -2254,14 +2399,30 @@ REGISTRY: dict[str, tuple] = {
     "code_winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
     "pii_scan": (q_pii_scan, _sql_pii_scan()),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
-    "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_lsh_indexed": (q_ann_lsh_indexed, _sql_ann_lsh()),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _sql_ann_ivf()),
     "text_langid": (q_langid, _sql_langid()),
     "text_token_counts": (q_token_counts, _sql_token_counts()),
     "text_quality": (q_quality, _sql_quality()),
     "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
+    "license_scan": (q_license_scan, _sql_license_scan()),
+    "quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
+    "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
+    "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "near2_bool": (q_near2_bool, _sql_near2_bool()),  # NEAR/2 gated by
+    # in-window ranked_near + segments_structured_near (same oracle SQL)
+    "indri_term": (q_indri_term, _sql_indri_term()),  # single-term Indri
+    # #SCORE gated by in-window indri_and/indri_wand/indri_batch_onepass
+    # + the reference-binary goldens
+    "daat_wand_topk": (q_daat_wand_topk, _bm25_sql(BOW3)),  # single-
+    # query DAAT: same kernel as in-window daat_batch_topk + pytest
+    # accumulator-verified block-max skips
+    "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
+    # bucketed layout gated by in-window term_stats + pytest
+    "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),  # brute baseline;
+    # the scale paths ann_lsh_indexed / ann_ivf_indexed stay in-window
     "bm25_stopquery": (q_bm25_stop, _bm25_sql(STOPQ)),  # stopword-
     # inclusive doclen stays hard-gated by doclen_store (in-window) +
     # the reference-binary goldens + pytest
@@ -2278,6 +2439,9 @@ REGISTRY: dict[str, tuple] = {
     "letor_features_multifield": (q_letor_multifield,
                                   _sql_letor_multifield()),
     "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
+    "license_scan": (q_license_scan, _sql_license_scan()),
+    "quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
 }
 
 

@@ -57,6 +57,21 @@ PII_PATTERNS: dict[str, str] = {
     "hex_secret": r"\b[0-9a-f]{32,}\b",
 }
 
+# License detection: SPDX tag first (the machine-readable ground truth),
+# then header-phrase heuristics in FIXED priority order (first match wins
+# — deterministic when a file embeds several license texts). RE2-safe,
+# so DuckDB replays the identical patterns.
+SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("apache-2.0", r"Apache License,?\s+Version 2\.0"),
+    ("mit", r"Permission is hereby granted, free of charge"),
+    ("gpl", r"GNU General Public License"),
+    ("lgpl", r"GNU Lesser General Public License"),
+    ("bsd", r"Redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"Mozilla Public License,?\s+v(ersion)?\.?\s*2\.0"),
+    ("unlicense", r"This is free and unencumbered software"),
+)
+
 
 def strip_comments(text_col: Column) -> Column:
     """Remove block then line comments (language-agnostic superset)."""
@@ -190,3 +205,26 @@ def pii_scan(docs: DataFrame, text_col: str = "text",
         F.col(text_col), PII_PATTERNS["email"], "<EMAIL>"))
         .alias("redacted_hash"))
     return docs.select(*cols)
+
+
+def license_scan(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, license, spdx_id): per-file license detection — the
+    compliance gate every source-code training pipeline runs before a
+    corpus ships.
+
+    `spdx_id` = the first `SPDX-License-Identifier:` tag (lowercased;
+    '' when absent). `license` = the tag when present, else the first
+    matching header phrase of LICENSE_PHRASES in priority order, else
+    'none'. Pure `regexp_extract`/`rlike` codegen projection — zero
+    shuffle, scan-speed at any corpus size; the license→repo rollup is
+    `corpus_composition` territory."""
+    spdx = F.lower(F.regexp_extract(F.col(text_col), SPDX_RE, 1))
+    phrase: Column = F.lit("none")
+    for name, pat in reversed(LICENSE_PHRASES):
+        phrase = F.when(F.col(text_col).rlike(pat), F.lit(name)) \
+                  .otherwise(phrase)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(spdx != "", spdx).otherwise(phrase).alias("license"),
+        spdx.alias("spdx_id"))

@@ -1,0 +1,137 @@
+"""Corpus-assembly operators: benchmark decontamination and deterministic
+temperature sampling.
+
+These close the last two steps of a training-data pipeline after
+dedup/quality/license filtering (`pipeline.dedup`, `textstats`,
+`codestats`): strip documents that leak evaluation data, then mix the
+surviving groups to a target temperature.
+
+Design for 100 TB:
+
+* **Decontamination** is the canonical asymmetric join: the corpus side
+  is petabytes, the benchmark side is an eval set (thousands of docs,
+  at most a few million distinct n-grams). The benchmark n-gram set is
+  therefore **broadcast**; the corpus side is one explode + broadcast
+  semi-join + `groupBy(doc_id)` whose key is uniform (doc_id, never
+  n-gram), so map-side partial aggregation absorbs everything and the
+  only shuffle is doc_id-keyed hit counts — no corpus-sized state, no
+  skew. The n-gram window (`DECONTAM_K` consecutive tokens) follows the
+  published recipe (GPT-3 appendix C / PaLM: 8–13-gram overlap; scaled
+  to this corpus's short synthetic docs).
+* **Temperature sampling** (XLM-R §3.1-style, fixed here at
+  alpha = 0.5) is one window over the group key + a pure-codegen
+  deterministic keep decision — `hash(doc) % 1e6 < rate(group)` — so a
+  re-run, a resumed job, or a different partitioning keeps EXACTLY the
+  same rows (no `rand()`, which would break resumability and the
+  driver's oracle gate). Group rates are `(n_g / n_min)^(alpha-1)`
+  with alpha = 0.5, i.e. `1 / sqrt(n_g / n_min)`: the smallest group
+  keeps 100%, larger groups are downsampled toward the temperature —
+  and `sqrt`/division are IEEE-correctly-rounded in both Spark and
+  DuckDB, so the oracle replays the arithmetic bit-identically.
+
+All constants are module-level so `entry_queries` inlines the same
+values into the DuckDB oracle SQL — engine and oracle share one
+parameterization and cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import token_hash32
+from .textstats import _tokens
+
+DECONTAM_K = 5       # n-gram window (tokens) for overlap detection
+DECONTAM_MIN_HITS = 1  # distinct shared n-grams that flag a doc
+SAMPLE_SALT = "smp|"   # domain-separates the keep-decision hash
+
+
+def ngrams(docs: DataFrame, k: int = DECONTAM_K, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, gram) exploded word-k-gram strings, DISTINCT per doc.
+    Docs with < k tokens produce no rows. Generalizes
+    `dedup.with_shingles` (fixed k=3) to the decontamination window."""
+    g = (f"case when size(_toks) >= {k} then "
+         f"transform(sequence(1, size(_toks)-{k - 1}), "
+         f"i -> concat_ws(' ', slice(_toks, i, {k}))) "
+         f"else array() end")
+    return (docs
+            .select(F.col(id_col).cast("long").alias("doc_id"),
+                    _tokens(text_col).alias("_toks"))
+            .select("doc_id", F.explode(F.expr(g)).alias("gram"))
+            .distinct())
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  k: int = DECONTAM_K,
+                  min_hits: int = DECONTAM_MIN_HITS,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_grams, n_hits, contaminated): per-corpus-doc count of
+    distinct k-grams, distinct k-grams shared with ANY benchmark doc,
+    and the keep/drop verdict (`n_hits >= min_hits`).
+
+    `bench` is the evaluation set to protect (same text/id columns).
+    Plan shape: the benchmark's distinct gram set is broadcast into an
+    inner join against the corpus grams (BroadcastHashJoin — the corpus
+    side never shuffles for the probe); hit counts aggregate on doc_id
+    with map-side combine; the per-doc gram totals ride the same
+    doc_id-keyed aggregation. Every doc appears in the output (zero
+    grams / zero hits for short or clean docs)."""
+    corpus_grams = ngrams(docs, k, text_col, id_col)
+    bench_grams = ngrams(bench, k, text_col, id_col) \
+        .select("gram").distinct()
+    totals = corpus_grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"))
+    hits = (corpus_grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    out = (base.join(totals, "doc_id", "left")
+           .join(hits, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                   F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+    return out.withColumn(
+        "contaminated",
+        (F.col("n_hits") >= min_hits).cast("long"))
+
+
+def sample_temperature(docs: DataFrame,
+                       by: tuple[str, ...] = ("lang", "source"),
+                       id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, by..., n_group, rate_r, kept): deterministic
+    alpha = 0.5 temperature sampling across the `by` groups.
+
+    Per-group keep rate = `1 / sqrt(n_g / n_min)` (as a floor(r*1e6+0.5)
+    integer `rate_r`): the smallest group keeps everything, a group 4×
+    the smallest keeps half — post-sampling group sizes are
+    proportional to sqrt(n_g), the alpha = 0.5 temperature mix. The
+    keep decision is a salted md5 hash of doc_id against `rate_r`, so
+    membership is a pure function of (doc_id, group sizes): re-runs and
+    resumed jobs keep identical rows, and expected group sizes hit the
+    temperature targets (md5 is uniform in [0, 1e6)).
+
+    One window over the group key (a single shuffle, partial-agg-free
+    but group-count-bounded state) + one broadcast scalar (the global
+    min, a one-row frame — no driver collect, the whole operator is one
+    lazy plan) — then pure codegen. Every input doc appears in the
+    output with its verdict."""
+    n_g = F.count("*").over(Window.partitionBy(*by))
+    df = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                     *by).withColumn("n_group", n_g.cast("long"))
+    n_min = df.agg(F.min("n_group").alias("_n_min"))
+    df = df.crossJoin(F.broadcast(n_min))
+    rate_r = F.floor(
+        F.lit(1e6) / F.sqrt(F.col("n_group").cast("double")
+                            / F.col("_n_min").cast("double"))
+        + F.lit(0.5)).cast("long")
+    keep_hash = F.pmod(
+        token_hash32(F.concat(F.lit(SAMPLE_SALT),
+                              F.col("doc_id").cast("string"))),
+        F.lit(1_000_000))
+    return (df.withColumn("rate_r", rate_r)
+            .withColumn("kept",
+                        (keep_hash < F.col("rate_r")).cast("long"))
+            .drop("_n_min"))

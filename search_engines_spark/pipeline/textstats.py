@@ -110,6 +110,64 @@ def quality_features(docs: DataFrame, text_col: str = "text",
         r(quality).alias("quality_r"))
 
 
+# Gopher-style curation thresholds (Rae et al. 2021 §A1.1: 50–100k words,
+# mean word length 3–10, stop-word presence required — scaled to this
+# corpus and the floor(r·1e6+0.5) integer ratios of `quality_features`).
+# Module-level so `entry_queries` inlines identical values into the
+# oracle SQL.
+FILTER_MIN_TOKENS = 30           # Gopher's 50-word floor, scaled
+FILTER_MAX_STOP_R = 700_000      # stopword fraction > 0.70 → boilerplate prose
+FILTER_MAX_DIGIT_R = 200_000     # digit fraction > 0.20 → tables/ids, not text
+FILTER_MIN_AVGTOK_R = 2_000_000  # mean token length < 2 → fragment noise
+FILTER_MAX_AVGTOK_R = 12_000_000  # mean token length > 12 → minified/encoded
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, keep, reasons): the Gopher-rule keep/drop verdict over
+    `quality_features`, with `reasons` a ','-joined fixed-order list of
+    the violated rules ('' when kept) and `keep` ∈ {0,1}.
+
+    Still one narrow projection (the features compose into the same
+    WholeStageCodegen span) — zero shuffle; a 100 TB curation pass is a
+    filtered scan."""
+    feats = quality_features(docs, text_col, id_col)
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < FILTER_MIN_TOKENS),
+        ("no_stopwords", F.col("stop_r") == 0),   # Gopher's stop-word gate
+        ("stop_heavy", F.col("stop_r") > FILTER_MAX_STOP_R),
+        ("digit_heavy", F.col("digit_r") > FILTER_MAX_DIGIT_R),
+        ("tokens_too_short", F.col("avgtok_r") < FILTER_MIN_AVGTOK_R),
+        ("tokens_too_long", F.col("avgtok_r") > FILTER_MAX_AVGTOK_R),
+    ]
+    reasons = F.concat_ws(",", *[
+        F.when(cond, F.lit(name)) for name, cond in rules])
+    return feats.select(
+        "doc_id",
+        F.when(reasons == "", 1).otherwise(0).cast("long").alias("keep"),
+        reasons.alias("reasons"))
+
+
+def corpus_composition(docs: DataFrame, by: tuple[str, ...] = ("lang", "source"),
+                       text_col: str = "text") -> DataFrame:
+    """→ per-group corpus report: (by..., n_docs, n_chars_sum,
+    n_tokens_sum, n_distinct_texts) — the composition table a curation
+    run publishes (what share of the corpus is each language/source, and
+    how duplicated is it).
+
+    ONE groupBy with map-side partial aggregation; `n_distinct_texts`
+    counts distinct sha256(text) — exact here for the oracle gate; at
+    100 TB swap in `approx_count_distinct` (HLL) for a shuffle whose
+    per-group state is a constant-size sketch instead of a hash set."""
+    return (docs.groupBy(*[F.col(c) for c in by])
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.length(text_col)).cast("long").alias("n_chars_sum"),
+                 F.sum(F.size(_tokens(text_col))).cast("long")
+                 .alias("n_tokens_sum"),
+                 F.countDistinct(F.sha2(F.col(text_col), 256))
+                 .cast("long").alias("n_distinct_texts")))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, fp_exact, fp_norm): raw-text sha256 and md5 of the

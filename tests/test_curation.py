@@ -1,0 +1,169 @@
+"""Corpus-curation operators (pipeline.textstats / pipeline.codestats):
+license detection, Gopher-rule quality filtering, per-group composition
+report.
+
+Same two-way pinning as test_codestats: hand-computable planted cases,
+plus a DuckDB replay of the *entry oracle SQL itself* — the driver's own
+compare in miniature. Plan shape: license/quality are shuffle-free
+projections; composition is exactly one exchange.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import search_engines_spark.entry_queries as eq
+from search_engines_spark.pipeline import codestats as cs
+from search_engines_spark.pipeline import curation as cur
+from search_engines_spark.pipeline import textstats as ts
+
+MIT_DOC = ("/* Permission is hereby granted, free of charge, to any "
+           "person obtaining a copy of this software */ def f(): pass")
+APACHE_DOC = ("# Licensed under the Apache License, Version 2.0 (the "
+              "'License'); full prose follows " + "word " * 30)
+SPDX_DOC = ("// SPDX-License-Identifier: BSD-3-Clause\n"
+            "// plus a GNU General Public License mention that must LOSE "
+            "to the tag\n" + "token stream body here " * 10)
+GPL_DOC = ("This program is free software under the GNU General Public "
+           "License as published by the Free Software Foundation "
+           + "clause " * 20)
+PLAIN_DOC = ("a perfectly ordinary paragraph of english text with many "
+             "common words flowing along nicely " * 3)
+DIGIT_DOC = "id 4821 9932 1203 8474 code 5561 7789 2210 3345 9087 " * 4
+TINY_DOC = "just three tokens"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, MIT_DOC, "en", "srcA"), (1, APACHE_DOC, "en", "srcA"),
+            (2, SPDX_DOC, "en", "srcB"), (3, GPL_DOC, "en", "srcB"),
+            (4, PLAIN_DOC, "en", "srcB"), (5, DIGIT_DOC, "en", "srcC"),
+            (6, TINY_DOC, "en", "srcC"), (7, PLAIN_DOC, "en", "srcC")]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_license_detection(docs):
+    got = {r.doc_id: r for r in cs.license_scan(docs).collect()}
+    assert got[0].license == "mit"
+    assert got[1].license == "apache-2.0"
+    # SPDX tag beats any phrase match, and is surfaced lowercased
+    assert got[2].license == "bsd-3-clause"
+    assert got[2].spdx_id == "bsd-3-clause"
+    assert got[3].license == "gpl"
+    assert got[4].license == "none"
+    assert got[4].spdx_id == ""
+
+
+def test_quality_filter_verdicts(docs):
+    got = {r.doc_id: r for r in ts.quality_filter(docs).collect()}
+    assert got[4].keep == 1 and got[4].reasons == ""
+    assert got[6].keep == 0 and "too_few_tokens" in got[6].reasons
+    assert got[5].keep == 0 and "digit_heavy" in got[5].reasons
+
+
+def test_corpus_composition_rollup(docs):
+    got = {(r.lang, r.source): r
+           for r in ts.corpus_composition(docs).collect()}
+    assert got[("en", "srcA")].n_docs == 2
+    c = got[("en", "srcC")]
+    assert c.n_docs == 3
+    # srcC holds a duplicated PLAIN_DOC? no — 5,6,7 are all distinct
+    assert c.n_distinct_texts == 3
+    b = got[("en", "srcB")]
+    assert b.n_docs == 3 and b.n_distinct_texts == 3
+    # duplicate detection: srcC's 7 repeats PLAIN_DOC which lives in srcB,
+    # so WITHIN-group distinct counts stay 3; a cross-group dup is the
+    # dedup family's job, not the composition report's
+
+
+BENCH_TEXT = ("the quick brown fox jumps over the lazy dog while "
+              "seventeen engineers review the streaming join operator")
+LEAKED = ("intro paragraph unrelated words first then quick brown fox "
+          "jumps over the copied span ends here with fresh material")
+CLEAN = "completely different vocabulary about gardens and rainfall " * 3
+
+
+def test_decontaminate_verdicts(spark):
+    docs = spark.createDataFrame(
+        [(0, BENCH_TEXT), (1, LEAKED), (2, CLEAN), (3, "too few toks")],
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 0)
+    got = {r.doc_id: r for r in cur.decontaminate(docs, bench).collect()}
+    assert got[0].contaminated == 1          # the bench doc itself
+    # LEAKED copies "quick brown fox jumps over" — one shared 5-gram
+    assert got[1].contaminated == 1 and got[1].n_hits >= 1
+    assert got[2].contaminated == 0 and got[2].n_hits == 0
+    assert got[3].n_grams == 0 and got[3].contaminated == 0
+    assert len(got) == 4                     # every doc gets a verdict
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with filler words alpha beta gamma delta")
+         for i in range(20)], "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 0)
+    plan = cur.decontaminate(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # bench side never shuffles
+
+
+def test_sample_temperature_rates(spark):
+    rows = [(i, "en", "small") for i in range(4)] + \
+           [(100 + i, "en", "big") for i in range(16)]
+    docs = spark.createDataFrame(
+        [(i, "x", lang, src) for i, lang, src in rows],
+        "doc_id long, text string, lang string, source string")
+    out = cur.sample_temperature(docs).collect()
+    assert len(out) == 20                    # every doc gets a verdict
+    rates = {r.source: r.rate_r for r in out}
+    assert rates["small"] == 1_000_000       # n_min group keeps all
+    assert rates["big"] == 500_000           # 4x size -> 1/sqrt(4) rate
+    assert all(r.kept == 1 for r in out if r.source == "small")
+    # determinism: a re-run keeps the identical rows (hash, not rand)
+    again = {r.doc_id: r.kept for r in cur.sample_temperature(docs).collect()}
+    assert all(again[r.doc_id] == r.kept for r in out)
+
+
+def test_entry_oracle_parity(spark, docs, corpus_rows):
+    """Driver compare in miniature for the three curation entries, over
+    planted docs + the synthetic source-code corpus."""
+    rows = [(r.doc_id, r.text, r.lang, r.source) for r in docs.collect()]
+    rows += [(100 + i, cr["content"], cr["lang"], cr["repo"])
+             for i, cr in enumerate(corpus_rows)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+
+    cases = {
+        "license_scan": lambda: cs.license_scan(sdf),
+        "quality_filter": lambda: ts.quality_filter(sdf),
+        "corpus_composition": lambda: ts.corpus_composition(sdf),
+        "decontam_scan": lambda: cur.decontaminate(
+            sdf, sdf.where(F.col("doc_id") % eq.BENCH_MOD == 0)),
+        "sample_temperature": lambda: cur.sample_temperature(sdf),
+    }
+    osql = eq.oracle_sql()
+    for name, fn in cases.items():
+        got = fn().toPandas()
+        want = con.execute(osql[name]).fetchdf()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True)
+        want = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns), ignore_index=True)
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), name
+        assert got.astype(str).equals(want.astype(str)), name
+
+
+def test_plan_shapes(docs):
+    for df in (cs.license_scan(docs), ts.quality_filter(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection, zero shuffle
+    comp_plan = ts.corpus_composition(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert comp_plan.count("Exchange") <= 2  # partial agg + distinct pass
