@@ -277,7 +277,7 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         idx.postings.count()           # materialize the persisted index
         eng = Engine(idx, "bm25")
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             eng.search_many(q_set, k=100).collect()
             s = time.time() - t0
@@ -288,7 +288,7 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         # ---- batched flat-Indri retrieval (one-pass default scores) --------
         eng_i = Engine(idx, "indri")
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             eng_i.search_many(i_set, k=100).collect()
             s = time.time() - t0
@@ -310,7 +310,7 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
             res["seg_build_sec"] = round(time.time() - t0, 2)
             eng.attach_segments(seg_dir, num_buckets=32)
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 eng.search_daat_many(d_set, k=100).collect()
                 s = time.time() - t0
@@ -327,7 +327,7 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
             winnow_fingerprints)
         wdocs = src.select("doc_id", "text").repartition(cores * 2)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n_fp = winnow_fingerprints(wdocs).count()
             s = time.time() - t0
