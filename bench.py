@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from search_engines_spark.engine.compile import Engine  # noqa: E402
 from search_engines_spark.indexer.build import index_documents_table  # noqa: E402
+from search_engines_spark.pipeline import codestats as cst  # noqa: E402
 from search_engines_spark.pipeline import dedup as dd  # noqa: E402
 from search_engines_spark.pipeline import similarity as sim  # noqa: E402
 from search_engines_spark.session import get_spark  # noqa: E402
@@ -207,6 +208,14 @@ def main() -> None:
     t0 = time.time()
     cst.pii_scan(docs).count()
     queries["pii_scan"] = round(time.time() - t0, 3)
+
+    # end-to-end corpus-assembly funnel (quality -> license -> dedup ->
+    # decontam -> temperature sample) — the full curation pass in one plan
+    from search_engines_spark.pipeline import curation as cur
+    t0 = time.time()
+    bench_split = docs.where(F.col("doc_id") % 41 == 0)
+    cur.curate_corpus(docs, bench_split)[1].collect()
+    queries["curation_funnel"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
     retrieval_times = [queries[k] for k in RETRIEVAL]  # warm latencies

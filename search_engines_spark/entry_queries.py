@@ -739,6 +739,16 @@ def q_sample_temperature(spark, sf_dir):
     return cur.sample_temperature(_docs(spark, sf_dir))
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end corpus-assembly funnel (quality → license → exact
+    dedup → decontam → temperature sample): the per-stage survivor
+    report of `curation.curate_corpus`."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    _, funnel = cur.curate_corpus(docs, bench)
+    return funnel
+
+
 def q_feedback_expand(spark, sf_dir):
     """Indri-RM expansion-term scores over the top-10 BM25 docs of the
     rare-term query (`QryEval.java:78-200`); top-10 terms by rounded
@@ -1917,13 +1927,19 @@ GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {cst.WINNOW_MIN_SHARED}"""
 
 
+def _license_arms() -> str:
+    """The LICENSE_PHRASES priority cascade as CASE arms (first match
+    wins) — shared by _sql_license_scan and _sql_curation_funnel."""
+    return "\n            ".join(
+        f"WHEN regexp_matches(text, '{pat}') THEN '{name}'"
+        for name, pat in cst.LICENSE_PHRASES)
+
+
 def _sql_license_scan() -> str:
     """Replays `codestats.license_scan`: SPDX tag wins, else the FIRST
     matching phrase of LICENSE_PHRASES in priority order, else 'none'
     (a CASE cascade IS first-match-wins)."""
-    arms = "\n            ".join(
-        f"WHEN regexp_matches(text, '{pat}') THEN '{name}'"
-        for name, pat in cst.LICENSE_PHRASES)
+    arms = _license_arms()
     return f"""WITH s AS (
   SELECT doc_id::BIGINT AS doc_id,
          lower(regexp_extract(text, '{cst.SPDX_RE}', 1)) AS spdx_id,
@@ -1937,12 +1953,12 @@ SELECT doc_id,
 FROM s"""
 
 
-def _sql_quality_filter() -> str:
-    """`quality_features` ratios (the _sql_quality CTEs) → Gopher-rule
-    verdict; concat_ws skips NULL arms identically in DuckDB and Spark."""
+def _quality_verdict_ctes() -> str:
+    """The base/r/v CTE chain of `textstats.quality_filter` (appended
+    after PRELUDE) — shared by _sql_quality_filter and
+    _sql_curation_funnel."""
     stop = _lang_count_sql(ts.LANG_MARKERS["en"])
-    return f"""{PRELUDE},
-base AS (SELECT d.doc_id, toks,
+    return f"""base AS (SELECT d.doc_id, toks,
                 len(toks) AS n_tok,
                 {stop} AS stop_cnt,
                 length(text) AS n_chars,
@@ -1965,7 +1981,14 @@ v AS (SELECT doc_id, concat_ws(',',
     CASE WHEN digit_r > {ts.FILTER_MAX_DIGIT_R} THEN 'digit_heavy' END,
     CASE WHEN avgtok_r < {ts.FILTER_MIN_AVGTOK_R} THEN 'tokens_too_short' END,
     CASE WHEN avgtok_r > {ts.FILTER_MAX_AVGTOK_R} THEN 'tokens_too_long' END
-  ) AS reasons FROM r)
+  ) AS reasons FROM r)"""
+
+
+def _sql_quality_filter() -> str:
+    """`quality_features` ratios (the _sql_quality CTEs) → Gopher-rule
+    verdict; concat_ws skips NULL arms identically in DuckDB and Spark."""
+    return f"""{PRELUDE},
+{_quality_verdict_ctes()}
 SELECT doc_id,
        (CASE WHEN reasons = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
        reasons
@@ -1981,20 +2004,27 @@ def _sql_corpus_composition() -> str:
 FROM documents GROUP BY lang, source"""
 
 
-def _sql_decontam_scan() -> str:
-    """Replays `curation.decontaminate` with k = DECONTAM_K over the
-    doc_id % BENCH_MOD bench split: distinct word-k-grams, bench grams
-    deduped, per-doc totals and hit counts, verdict at
-    DECONTAM_MIN_HITS."""
+def _decontam_ctes() -> str:
+    """ng (distinct word-k-grams of every doc) + bng (the deduped grams
+    of the doc_id % BENCH_MOD bench split) — shared by
+    _sql_decontam_scan and _sql_curation_funnel."""
     k = cur.DECONTAM_K
-    return f"""{PRELUDE},
-ng AS (SELECT DISTINCT doc_id, gram FROM (
+    return f"""ng AS (SELECT DISTINCT doc_id, gram FROM (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= {k} THEN
       list_transform(range(1, len(toks) - {k - 2}),
                      i -> array_to_string(toks[i:i+{k - 1}], ' '))
       ELSE [] END) AS gram
   FROM docs0)),
-bng AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {BENCH_MOD} = 0),
+bng AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {BENCH_MOD} = 0)"""
+
+
+def _sql_decontam_scan() -> str:
+    """Replays `curation.decontaminate` with k = DECONTAM_K over the
+    doc_id % BENCH_MOD bench split: distinct word-k-grams, bench grams
+    deduped, per-doc totals and hit counts, verdict at
+    DECONTAM_MIN_HITS."""
+    return f"""{PRELUDE},
+{_decontam_ctes()},
 tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM ng GROUP BY doc_id),
 hit AS (SELECT ng.doc_id, count(*)::BIGINT AS n_hits
         FROM ng JOIN bng USING (gram) GROUP BY ng.doc_id)
@@ -2006,6 +2036,52 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents) d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN hit h USING (doc_id)"""
+
+
+def _sql_curation_funnel() -> str:
+    """Replays `curation.curate_corpus` stage by stage: Gopher quality
+    verdict → license allowlist → exact dedup (min doc_id per text) →
+    decontamination vs the doc_id % BENCH_MOD bench split → alpha=0.5
+    temperature sampling on the SURVIVORS' (lang, source) group sizes —
+    emitting the per-stage survivor counts."""
+    allow = ", ".join(f"'{lic}'" for lic in cur.ALLOW_LICENSES)
+    rate = "floor(1e6 / sqrt(n_group::DOUBLE / n_min::DOUBLE) + 0.5)::BIGINT"
+    spdx = f"lower(regexp_extract(text, '{cst.SPDX_RE}', 1))"
+    return f"""{PRELUDE},
+{_quality_verdict_ctes()},
+s1 AS (SELECT doc_id FROM v WHERE reasons = ''),
+lic AS (SELECT doc_id::BIGINT AS doc_id,
+               CASE WHEN {spdx} <> '' THEN {spdx}
+            {_license_arms()}
+            ELSE 'none' END AS license
+        FROM documents),
+s2 AS (SELECT s1.doc_id FROM s1 JOIN lic USING (doc_id)
+       WHERE license IN ({allow})),
+s3 AS (SELECT doc_id FROM (
+         SELECT d.doc_id::BIGINT AS doc_id,
+                min(d.doc_id::BIGINT) OVER (PARTITION BY d.text) AS keep_id
+         FROM documents d JOIN s2 ON d.doc_id = s2.doc_id)
+       WHERE doc_id = keep_id),
+{_decontam_ctes()},
+cont AS (SELECT ng.doc_id FROM ng JOIN bng USING (gram)
+         GROUP BY ng.doc_id
+         HAVING count(*) >= {cur.DECONTAM_MIN_HITS}),
+s4 AS (SELECT doc_id FROM s3
+       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+grp AS (SELECT d.doc_id::BIGINT AS doc_id,
+               count(*) OVER (PARTITION BY d.lang, d.source)::BIGINT
+                 AS n_group
+        FROM documents d JOIN s4 ON d.doc_id = s4.doc_id),
+m AS (SELECT min(n_group) AS n_min FROM grp),
+s5 AS (SELECT doc_id FROM grp, m
+       WHERE (('0x' || substr(md5('{cur.SAMPLE_SALT}' || doc_id::VARCHAR),
+               1, 8))::UBIGINT::BIGINT % 1000000) < {rate})
+SELECT '00_input' AS stage, count(*)::BIGINT AS n_docs FROM documents
+UNION ALL SELECT '01_quality', count(*)::BIGINT FROM s1
+UNION ALL SELECT '02_license', count(*)::BIGINT FROM s2
+UNION ALL SELECT '03_exact_dedup', count(*)::BIGINT FROM s3
+UNION ALL SELECT '04_decontam', count(*)::BIGINT FROM s4
+UNION ALL SELECT '05_sample', count(*)::BIGINT FROM s5"""
 
 
 def _sql_sample_temperature() -> str:
@@ -2378,7 +2454,6 @@ REGISTRY: dict[str, tuple] = {
     "docterms_forward_index": (q_docterms, _sql_docterms()),
     "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),
     "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
-    "trec_topk": (q_trec_topk, _sql_trec_topk()),
     "eval_metrics": (q_eval_metrics, _sql_eval_metrics()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
     "indri_batch_onepass": (q_indri_batch, _sql_indri_batch()),
@@ -2410,7 +2485,12 @@ REGISTRY: dict[str, tuple] = {
     "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
+    "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "trec_topk": (q_trec_topk, _sql_trec_topk()),  # trec sink format
+    # stays byte-for-byte gated by tests/test_reference_golden.py
+    # (HW1-queries-UB.teIn reproduction) + in-window bm25_batch_onepass
+    # (same oracle SQL)
     "near2_bool": (q_near2_bool, _sql_near2_bool()),  # NEAR/2 gated by
     # in-window ranked_near + segments_structured_near (same oracle SQL)
     "indri_term": (q_indri_term, _sql_indri_term()),  # single-term Indri

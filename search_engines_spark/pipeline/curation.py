@@ -36,14 +36,23 @@ parameterization and cannot drift.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .codestats import license_scan
 from .dedup import token_hash32
-from .textstats import _tokens
+from .textstats import _tokens, quality_filter
 
 DECONTAM_K = 5       # n-gram window (tokens) for overlap detection
 DECONTAM_MIN_HITS = 1  # distinct shared n-grams that flag a doc
 SAMPLE_SALT = "smp|"   # domain-separates the keep-decision hash
+
+# Copyleft licenses excluded by default — the standard code-corpus
+# compliance policy ('none' kept: most source files carry no header and
+# inherit the repo license, resolved upstream of this per-file gate).
+ALLOW_LICENSES = ("none", "mit", "apache-2.0", "bsd", "mpl-2.0",
+                  "unlicense")
 
 
 def ngrams(docs: DataFrame, k: int = DECONTAM_K, text_col: str = "text",
@@ -135,3 +144,68 @@ def sample_temperature(docs: DataFrame,
             .withColumn("kept",
                         (keep_hash < F.col("rate_r")).cast("long"))
             .drop("_n_min"))
+
+
+def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
+                  allow_licenses: tuple[str, ...] = ALLOW_LICENSES,
+                  by: tuple[str, ...] = ("lang", "source"),
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """The end-to-end corpus-assembly funnel — quality filter → license
+    allowlist → exact dedup → benchmark decontamination → temperature
+    sampling — returning `(kept, funnel)`:
+
+    * `kept`: the surviving rows of `docs` (original columns);
+    * `funnel`: (stage, n_docs) — the per-stage survivor counts a
+      curation run publishes (each stage name is prefixed with its
+      order, so the report sorts correctly as text).
+
+    Composition order is the cheap-first / shuffle-last discipline:
+    the two zero-shuffle projections (quality, license) run first and
+    shrink the corpus before anything that exchanges data; exact dedup
+    (one sha-keyed window over duplicate-sized groups), decontamination
+    (broadcast bench probe), and sampling (group-key window) then touch
+    only survivors. Every stage is deterministic, so re-runs keep
+    identical rows — the resumability contract of the north rule.
+    """
+    d0 = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.col(text_col).alias("text"), *by)
+
+    q = quality_filter(d0).where(F.col("keep") == 1).select("doc_id")
+    s1 = d0.join(q, "doc_id")
+
+    lic = (license_scan(s1)
+           .where(F.col("license").isin(*allow_licenses))
+           .select("doc_id"))
+    s2 = s1.join(lic, "doc_id")
+
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    s3 = (s2.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") == 1).drop("_rn"))
+
+    if bench is not None:
+        clean = (decontaminate(s3, bench)
+                 .where(F.col("contaminated") == 0).select("doc_id"))
+        s4 = s3.join(clean, "doc_id")
+    else:
+        s4 = s3
+
+    s5 = (sample_temperature(s4, by=by)
+          .where(F.col("kept") == 1).select("doc_id"))
+    # the survivor-id frame derives from `docs` (a self-join): give both
+    # join keys fresh unambiguous names before the semi-join
+    keep_ids = s5.select(F.col("doc_id").alias("__keep_doc_id"))
+    kept = (docs.withColumn("__join_id", F.col(id_col).cast("long"))
+            .join(keep_ids,
+                  F.col("__join_id") == F.col("__keep_doc_id"),
+                  "left_semi")
+            .drop("__join_id"))
+
+    stages = [("00_input", d0), ("01_quality", s1), ("02_license", s2),
+              ("03_exact_dedup", s3), ("04_decontam", s4),
+              ("05_sample", kept)]
+    funnel = reduce(DataFrame.unionByName, [
+        df.agg(F.count("*").cast("long").alias("n_docs"))
+          .select(F.lit(name).alias("stage"), "n_docs")
+        for name, df in stages])
+    return kept, funnel

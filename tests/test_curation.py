@@ -125,6 +125,40 @@ def test_sample_temperature_rates(spark):
     assert all(again[r.doc_id] == r.kept for r in out)
 
 
+BENCH_FULL = ("an original evaluation prompt holds rare words zeta theta "
+              "kappa sigma omega across its span and keeps going with "
+              "plenty more ordinary filler so the quality gate accepts "
+              "it easily every single time without any trouble at all")
+LEAK_FULL = ("training sample that quietly copied zeta theta kappa sigma "
+             "omega from the benchmark but otherwise talks about compilers "
+             "and registers and stack frames for long enough to pass the "
+             "quality filter with room to spare in token count")
+SURVIVOR = ("gardens need rainfall and patient tending through the long "
+            "growing season while bees carry pollen between rows of "
+            "vegetables and the gardener keeps careful notes about which "
+            "seeds sprouted earliest this year")
+
+
+def test_curate_corpus_funnel(spark):
+    rows = [(0, BENCH_FULL), (1, "too tiny"), (2, GPL_DOC),
+            (3, PLAIN_DOC), (4, PLAIN_DOC), (5, LEAK_FULL),
+            (6, SURVIVOR)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src") for i, t in rows],
+        "doc_id long, text string, lang string, source string")
+    bench = docs.where(F.col("doc_id") == 0)
+    kept, funnel = cur.curate_corpus(docs, bench)
+    f = {r.stage: r.n_docs for r in funnel.collect()}
+    assert f == {"00_input": 7,
+                 "01_quality": 6,      # doc 1 too short
+                 "02_license": 5,      # doc 2 is GPL
+                 "03_exact_dedup": 4,  # doc 4 duplicates doc 3
+                 "04_decontam": 2,     # docs 0 and 5 share a 5-gram
+                 "05_sample": 2}       # one group -> rate 1e6, all kept
+    assert {r.doc_id for r in kept.collect()} == {3, 6}
+    assert set(kept.columns) == set(docs.columns)  # original shape
+
+
 def test_entry_oracle_parity(spark, docs, corpus_rows):
     """Driver compare in miniature for the three curation entries, over
     planted docs + the synthetic source-code corpus."""
@@ -146,6 +180,8 @@ def test_entry_oracle_parity(spark, docs, corpus_rows):
         "decontam_scan": lambda: cur.decontaminate(
             sdf, sdf.where(F.col("doc_id") % eq.BENCH_MOD == 0)),
         "sample_temperature": lambda: cur.sample_temperature(sdf),
+        "curation_funnel": lambda: cur.curate_corpus(
+            sdf, sdf.where(F.col("doc_id") % eq.BENCH_MOD == 0))[1],
     }
     osql = eq.oracle_sql()
     for name, fn in cases.items():
