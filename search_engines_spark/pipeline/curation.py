@@ -75,7 +75,8 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                   k: int = DECONTAM_K,
                   min_hits: int = DECONTAM_MIN_HITS,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  broadcast_bench: bool = True) -> DataFrame:
     """→ (doc_id, n_grams, n_hits, contaminated): per-corpus-doc count of
     distinct k-grams, distinct k-grams shared with ANY benchmark doc,
     and the keep/drop verdict (`n_hits >= min_hits`).
@@ -86,14 +87,19 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     side never shuffles for the probe); hit counts aggregate on doc_id
     with map-side combine; the per-doc gram totals ride the same
     doc_id-keyed aggregation. Every doc appears in the output (zero
-    grams / zero hits for short or clean docs)."""
+    grams / zero hits for short or clean docs). Set
+    `broadcast_bench=False` when the protected set is itself too large
+    to broadcast (e.g. decontaminating against another corpus): the
+    probe becomes a gram-keyed shuffle join — AQE skew-splits hot
+    boilerplate grams."""
     corpus_grams = ngrams(docs, k, text_col, id_col)
     bench_grams = ngrams(bench, k, text_col, id_col) \
         .select("gram").distinct()
     totals = corpus_grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"))
+    probe = F.broadcast(bench_grams) if broadcast_bench else bench_grams
     hits = (corpus_grams
-            .join(F.broadcast(bench_grams), "gram")
+            .join(probe, "gram")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_hits")))
     base = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()

@@ -159,6 +159,35 @@ def test_curate_corpus_funnel(spark):
     assert set(kept.columns) == set(docs.columns)  # original shape
 
 
+def test_decontaminate_matches_bruteforce(spark):
+    """Property check: on a seeded random corpus, the operator's
+    per-doc (n_grams, n_hits, contaminated) equals a plain-Python
+    recomputation of distinct 5-gram sets — independent of the SQL/
+    DataFrame formulation on both sides."""
+    import random
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 25))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_ids = {i for i in range(60) if i % 7 == 0}
+    bench = docs.where(F.col("doc_id").isin(sorted(bench_ids)))
+
+    def grams(text):
+        t = [w for w in text.lower().split() if w]
+        return {" ".join(t[i:i + 5]) for i in range(len(t) - 4)}
+
+    bgrams = set().union(*(grams(t) for i, t in rows if i in bench_ids))
+    got = {r.doc_id: r for r in cur.decontaminate(docs, bench).collect()}
+    assert len(got) == 60
+    for i, t in rows:
+        g = grams(t)
+        h = len(g & bgrams)
+        assert (got[i].n_grams, got[i].n_hits, got[i].contaminated) == \
+            (len(g), h, int(h >= 1)), i
+
+
 def test_entry_oracle_parity(spark, docs, corpus_rows):
     """Driver compare in miniature for the three curation entries, over
     planted docs + the synthetic source-code corpus."""
