@@ -47,7 +47,23 @@ from ..indexer.codec import varbyte_decode
 from ..oracle import Models
 
 STRIDE = 4096  # docs per stride; pruning granularity
-STRIDES_PER_PART = 8
+STRIDES_PER_PART = 8  # ceiling on strides per scoring task
+
+
+def _strides_per_part(spark, n_docs: int, stride: int) -> int:
+    """Strides per `applyInPandas` group, sized to the cluster.
+
+    A fixed width under-parallelizes: 500k docs / 4096-doc strides /
+    8 strides-per-group = 16 scoring tasks no matter how many cores the
+    cluster has. Target ~2 groups per slot (headroom for stragglers —
+    zipf corpora make stride work uneven) and cap at STRIDES_PER_PART
+    so small clusters keep wide-enough groups for the shared block-max
+    θ to build up inside each task. Exactness never depends on the
+    grouping; only prune efficiency and parallelism do.
+    """
+    n_strides = max(1, -(-n_docs // stride))
+    target_groups = max(1, spark.sparkContext.defaultParallelism) * 2
+    return max(1, min(STRIDES_PER_PART, -(-n_strides // target_groups)))
 
 
 def bm25_wand_topk(segments: DataFrame, terms: list[str],
@@ -89,6 +105,7 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
         return spark.createDataFrame([], "doc_id long, score double")
     k1, b = p.k1, p.b
 
+    spp = _strides_per_part(segments.sparkSession, n_docs, stride)
     blocks = (segments
               .where((F.col("field") == field) & F.col("term").isin(terms))
               .select("term", "min_docid", "max_docid", "max_tf",
@@ -99,8 +116,7 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
               .withColumn("s1", (F.col("max_docid") / stride).cast("long"))
               .withColumn("stride",
                           F.explode(F.sequence(F.col("s0"), F.col("s1"))))
-              .withColumn("pk", (F.col("stride") / STRIDES_PER_PART)
-                          .cast("long"))
+              .withColumn("pk", (F.col("stride") / spp).cast("long"))
               .drop("s0", "s1"))
 
     idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
@@ -163,13 +179,13 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
         return pd.DataFrame({"doc_id": top_ids, "score": top_sc})
 
     per_part = _apply_with_tombstones(
-        blocks, deleted, stride, score_partition,
+        blocks, deleted, stride, spp, score_partition,
         "doc_id long, score double")
     return per_part.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
-                           score_fn, schema: str) -> DataFrame:
+                           spp: int, score_fn, schema: str) -> DataFrame:
     """Run `score_fn(blocks_pdf, deleted_ids | None)` per `pk` partition
     group. With a tombstone mask, the mask rows are COGROUPED on the
     same doc-stride `pk` the blocks shuffle on — each task sees only
@@ -188,7 +204,7 @@ def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
                                schema=schema))
     tomb = (deleted
             .withColumn("pk", ((F.col("doc_id") / stride).cast("long")
-                               / STRIDES_PER_PART).cast("long"))
+                               / spp).cast("long"))
             .select("pk", "doc_id"))
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -239,6 +255,7 @@ def bm25_wand_topk_many(segments: DataFrame,
                                      "qid string, doc_id long, score double")
     k1, b = p.k1, p.b
 
+    spp = _strides_per_part(spark, n_docs, stride)
     blocks = (segments
               .where((F.col("field") == field) & F.col("term").isin(terms))
               .select("term", "min_docid", "max_docid", "max_tf",
@@ -247,8 +264,7 @@ def bm25_wand_topk_many(segments: DataFrame,
               .withColumn("s1", (F.col("max_docid") / stride).cast("long"))
               .withColumn("stride",
                           F.explode(F.sequence(F.col("s0"), F.col("s1"))))
-              .withColumn("pk", (F.col("stride") / STRIDES_PER_PART)
-                          .cast("long"))
+              .withColumn("pk", (F.col("stride") / spp).cast("long"))
               .drop("s0", "s1"))
 
     idf_b = {q: dict(m) for q, m in idf_q.items()}
@@ -324,7 +340,7 @@ def bm25_wand_topk_many(segments: DataFrame,
 
     from pyspark.sql import Window
     per_part = _apply_with_tombstones(
-        blocks, deleted, stride, score_partition,
+        blocks, deleted, stride, spp, score_partition,
         "qid string, doc_id long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (per_part.withColumn("rank", F.row_number().over(w))

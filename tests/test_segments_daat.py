@@ -314,3 +314,28 @@ def _terms_of(node):
     for a in node.args:
         out.extend(_terms_of(a))
     return out
+
+
+def test_strides_per_part_tracks_parallelism():
+    """Scoring-group width adapts to the cluster: a 32-slot cluster gets
+    ~2 groups per slot over 500k docs instead of the old fixed-width 16
+    groups, and small clusters keep the width capped at
+    STRIDES_PER_PART so θ still builds up within each task."""
+    from search_engines_spark.engine.daat import (_strides_per_part,
+                                                  STRIDES_PER_PART, STRIDE)
+
+    class _SC:
+        def __init__(self, p):
+            self.defaultParallelism = p
+
+    class _Spark:
+        def __init__(self, p):
+            self.sparkContext = _SC(p)
+
+    n_strides = -(-500_000 // STRIDE)  # 123
+    spp32 = _strides_per_part(_Spark(32), 500_000, STRIDE)
+    assert -(-n_strides // spp32) >= 32 * 1.5  # ≥1.5 groups per slot
+    assert _strides_per_part(_Spark(8), 500_000, STRIDE) <= STRIDES_PER_PART
+    assert _strides_per_part(_Spark(2), 500_000, STRIDE) == STRIDES_PER_PART
+    # degenerate corpora never produce a zero/negative width
+    assert _strides_per_part(_Spark(32), 100, STRIDE) == 1
