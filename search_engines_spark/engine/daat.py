@@ -51,19 +51,21 @@ STRIDES_PER_PART = 8  # ceiling on strides per scoring task
 
 
 def _strides_per_part(spark, n_docs: int, stride: int) -> int:
-    """Strides per `applyInPandas` group, sized to the cluster.
+    """Strides per `applyInPandas` scoring group: fixed width.
 
-    A fixed width under-parallelizes: 500k docs / 4096-doc strides /
-    8 strides-per-group = 16 scoring tasks no matter how many cores the
-    cluster has. Target ~2 groups per slot (headroom for stragglers —
-    zipf corpora make stride work uneven) and cap at STRIDES_PER_PART
-    so small clusters keep wide-enough groups for the shared block-max
-    θ to build up inside each task. Exactness never depends on the
-    grouping; only prune efficiency and parallelism do.
+    Group count therefore scales with DATA (``n_strides / width``), not
+    with the cluster: at production corpus sizes (10^9+ docs) that is
+    orders of magnitude more groups than slots, so the stage is never
+    slot-starved where it matters. An adaptive variant that narrowed
+    groups to force ~2 groups/slot on small corpora was measured
+    SLOWER at 32 cores on the 500k-doc bench (5.77 s @ 8 → 7.45 s @ 32,
+    vs 5.03 → 4.79 s fixed-width; BENCH/BASELINE.md): narrower groups
+    duplicate varbyte block decode across groups, give the shared
+    block-max θ fewer strides to build up over, and add no DRAM
+    bandwidth on a bandwidth-bound kernel. Exactness never depends on
+    the grouping; only prune efficiency and task shape do.
     """
-    n_strides = max(1, -(-n_docs // stride))
-    target_groups = max(1, spark.sparkContext.defaultParallelism) * 2
-    return max(1, min(STRIDES_PER_PART, -(-n_strides // target_groups)))
+    return STRIDES_PER_PART
 
 
 def bm25_wand_topk(segments: DataFrame, terms: list[str],

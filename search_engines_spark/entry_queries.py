@@ -2519,9 +2519,6 @@ REGISTRY: dict[str, tuple] = {
     "letor_features_multifield": (q_letor_multifield,
                                   _sql_letor_multifield()),
     "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
-    "license_scan": (q_license_scan, _sql_license_scan()),
-    "quality_filter": (q_quality_filter, _sql_quality_filter()),
-    "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
 }
 
 

@@ -316,11 +316,12 @@ def _terms_of(node):
     return out
 
 
-def test_strides_per_part_tracks_parallelism():
-    """Scoring-group width adapts to the cluster: a 32-slot cluster gets
-    ~2 groups per slot over 500k docs instead of the old fixed-width 16
-    groups, and small clusters keep the width capped at
-    STRIDES_PER_PART so θ still builds up within each task."""
+def test_strides_per_part_fixed_width():
+    """Scoring-group width is fixed; group count scales with data, not
+    slots. An adaptive width (~2 groups/slot) was measured slower at 32
+    cores on the 500k-doc bench — narrower groups duplicate block decode
+    and starve the block-max θ — so the width stays STRIDES_PER_PART at
+    every parallelism level (see the _strides_per_part docstring)."""
     from search_engines_spark.engine.daat import (_strides_per_part,
                                                   STRIDES_PER_PART, STRIDE)
 
@@ -332,10 +333,9 @@ def test_strides_per_part_tracks_parallelism():
         def __init__(self, p):
             self.sparkContext = _SC(p)
 
+    for cores in (2, 8, 32):
+        assert _strides_per_part(_Spark(cores), 500_000, STRIDE) \
+            == STRIDES_PER_PART
+    # group count is data-driven: 500k docs → ≥15 groups even at 2 cores
     n_strides = -(-500_000 // STRIDE)  # 123
-    spp32 = _strides_per_part(_Spark(32), 500_000, STRIDE)
-    assert -(-n_strides // spp32) >= 32 * 1.5  # ≥1.5 groups per slot
-    assert _strides_per_part(_Spark(8), 500_000, STRIDE) <= STRIDES_PER_PART
-    assert _strides_per_part(_Spark(2), 500_000, STRIDE) == STRIDES_PER_PART
-    # degenerate corpora never produce a zero/negative width
-    assert _strides_per_part(_Spark(32), 100, STRIDE) == 1
+    assert -(-n_strides // STRIDES_PER_PART) >= 15

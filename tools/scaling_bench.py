@@ -548,7 +548,12 @@ corpus, fixed 32-bucket segment layout at both levels:
 {sha_832:.2f} CPU ceilings.) The kernel partitions by doc-range
 stride, so parallelism enters through data, not per-query stages —
 the shape that transfers to N→4N executors where each stride run is an
-independent task with its own memory channel.
+independent task with its own memory channel. The scoring-group width
+is FIXED at 8 strides (group count grows with corpus size): an
+adaptive ~2-groups-per-slot width was measured slower at 32 cores
+(5.77 → 7.45 s on this workload) because narrower groups duplicate
+block decode and starve the shared block-max θ on a bandwidth-bound
+kernel (`engine/daat.py:_strides_per_part`).
 
 ## Winnowing fingerprint throughput (8 vs 32 cores)
 
@@ -601,7 +606,10 @@ wall over EVERYTHING it measures, and the measured set grows each round
 (r01 had no segment lifecycle, no batched-DAAT, no Indri-batch arms).
 Per-arm keys inside `queries` and `build_sec`/`files_per_sec` are the
 like-for-like numbers — e.g. index build r01 27.7 s (jvm builder) →
-9.8 s (arrow builder default).
+9.8 s (arrow builder default). From r03 bench.py also emits
+`value_core`: build + the FROZEN r01 arm set (`bench.py:CORE_ARMS`) —
+the cross-round-comparable headline. Recomputed from per-arm keys for
+earlier rounds: r01 `value_core` = 53.65 s, r02 = 37.12 s.
 """)
     print(f"arrow 2->8={a28:.3f} 8->32={a832:.3f} jvm 8->32={j832:.3f} "
           f"query 8->32={q832:.3f} indri 8->32={i832:.3f} "
