@@ -13,11 +13,16 @@ formats the Python stdlib + numpy can handle for real:
   decoder; production swaps in a C codec behind the same sniff).
 * **WAV** — PCM 8/16/32-bit via the stdlib `wave` module, mixed to
   mono float64 in [-1, 1].
+* **AVI** — RIFF container with uncompressed 24-bit DIB ('00db')
+  video frames (struct + numpy): the classic "raw video" AVI that
+  needs no codec at all, only container parsing. Frame pixel data is
+  the same bottom-up padded BGR layout as BMP.
 
 Encoders for the same formats exist so tests and the synthetic media
 table can produce REAL payloads deterministically (no external data).
-JPEG/MP3/video containers stay unsupported: `sniff` returns None and
-the multimodal kernels fall back to the gated fake path.
+Compressed formats (JPEG, MP3, H.264) stay unsupported: `sniff`
+returns None and the multimodal kernels fall back to the gated fake
+path.
 """
 
 from __future__ import annotations
@@ -35,13 +40,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(data: bytes) -> str | None:
-    """'bmp' | 'png' | 'wav' | None from magic bytes."""
+    """'bmp' | 'png' | 'wav' | 'avi' | None from magic bytes."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -180,6 +187,103 @@ def encode_png(arr: np.ndarray) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+# ----------------------------------------------------------------------- AVI --
+
+def _dib_rows(frame: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → bottom-up padded BGR pixel rows (the shared
+    BMP/AVI-DIB layout)."""
+    h, w, _ = frame.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _undib_rows(raw: bytes, w: int, h: int) -> np.ndarray:
+    """Inverse of `_dib_rows` → (h, w, 3) uint8 RGB."""
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8,
+                         count=stride * h).reshape(h, stride)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
+    """→ ((n, h, w, 3) uint8 RGB frames, fps). Uncompressed 24-bit DIB
+    ('..db' chunks) only — the codec-free AVI flavor `encode_avi`
+    writes. Walks the RIFF chunk tree with plain struct offsets; chunk
+    bodies pad to even length per the RIFF spec."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = None
+    rate, scale, bpp = 0, 1, 24
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, rate, scale, bpp
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", data, pos + 4)
+            body_at = pos + 8
+            if tag == b"LIST":
+                walk(body_at + 4, body_at + ln)   # skip the list type fourcc
+            elif tag == b"avih":
+                w, h = struct.unpack_from("<II", data, body_at + 32)
+            elif tag == b"strh":
+                if data[body_at:body_at + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", data, body_at + 20)
+            elif tag == b"strf":
+                (bpp,) = struct.unpack_from("<H", data, body_at + 14)
+            elif tag[2:4] in (b"db", b"dc") and ln:
+                frames.append(data[body_at:body_at + ln])
+            pos = body_at + ln + (ln & 1)         # even-size padding
+
+    walk(12, len(data))
+    if w is None or not frames:
+        raise ValueError("AVI without avih header or video frames")
+    if bpp != 24:
+        raise ValueError(f"unsupported AVI frame depth {bpp}")
+    fps = rate / scale if scale else 0.0
+    return np.stack([_undib_rows(f, w, h) for f in frames]), fps
+
+
+def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """(n, h, w, 3) uint8 RGB → uncompressed-DIB AVI bytes ('00db'
+    frames + idx1 index), decodable by `decode_avi` and any standard
+    player."""
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = a.shape
+    payloads = [_dib_rows(f) for f in a]
+    frame_size = len(payloads[0])
+    scale, rate = 1000, int(round(fps * 1000))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", int(1e6 * scale / max(rate, 1)),
+                       frame_size * int(max(fps, 1)), 0, 0x10, n, 0, 1,
+                       frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            scale, rate, 0, n, frame_size,
+                                            0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body, idx, off = b"", b"", 4
+    for p in payloads:
+        ck = chunk(b"00db", p)
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(p))
+        movi_body += ck
+        off += len(ck)
+    riff = b"AVI " + hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # ----------------------------------------------------------------------- WAV --

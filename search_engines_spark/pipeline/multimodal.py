@@ -2,15 +2,16 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas UDFs over `mapInPandas`.
 
-Decode is REAL for BMP, PNG, and PCM WAV payloads via the
-dependency-free codecs in `pipeline.codecs` (stdlib zlib/wave/struct +
-numpy): `decode_image`/`decode_audio` sniff the magic bytes and decode
-for real; `make_media_table(real_payloads=True)` synthesizes
-deterministic real BMP/WAV payloads so the whole pipeline runs
-non-fake in tests. Formats needing external codecs (JPEG, MP3, video
-containers) still raise NotImplementedError unless `fake=True`, in
-which case a deterministic fake decoder (seeded from the content hash)
-produces stable pseudo-pixels. Everything Spark-side — schemas,
+Decode is REAL for BMP, PNG, PCM WAV, and uncompressed-DIB AVI
+payloads via the dependency-free codecs in `pipeline.codecs` (stdlib
+zlib/wave/struct + numpy): `decode_image`/`decode_audio`/`decode_video`
+sniff the magic bytes and decode for real; `make_media_table(
+real_payloads=True)` synthesizes deterministic real BMP/WAV/AVI
+payloads so the whole pipeline — including video frame-sampling — runs
+non-fake in tests. Formats needing external codecs (JPEG, MP3, H.264)
+still raise NotImplementedError unless `fake=True`, in which case a
+deterministic fake decoder (seeded from the content hash) produces
+stable pseudo-pixels. Everything Spark-side — schemas,
 partitioning, UDF signatures, Arrow batch shapes — is real and tested
 (tests/test_multimodal.py).
 
@@ -48,10 +49,10 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
 
     real_payloads=False: payload = utf-8 bytes of the text (opaque —
     exercises the fake-decode path). real_payloads=True: image rows get
-    a REAL 16×12 BMP and audio rows a REAL 0.1 s PCM WAV, both seeded
-    from sha256(text) via `pipeline.codecs`, so decode/resize/feature
-    kernels run their real branches; video rows keep opaque bytes
-    (container parsing needs external codecs)."""
+    a REAL 16×12 BMP, audio rows a REAL 0.1 s PCM WAV, and video rows a
+    REAL 4-frame uncompressed-DIB AVI at 4 fps, all seeded from
+    sha256(text) via `pipeline.codecs`, so decode/resize/feature/
+    frame-sample kernels run their real branches."""
     h = F.crc32(F.col(text_col))
     out = docs.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -81,12 +82,17 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
                     pay.append(codecs.encode_wav(
                         np.sin(2 * np.pi * freq * t) * 0.8, 8000))
                 else:
-                    pay.append(bytes(payload))
+                    frames = rs.randint(0, 256, (4, 12, 16, 3),
+                                        dtype=np.uint8)
+                    pay.append(codecs.encode_avi(frames, fps=4.0))
             out_pdf = pdf.copy()
             out_pdf["payload"] = pay
             out_pdf["mime"] = [
-                {"image": "image/bmp", "audio": "audio/wav"}.get(
+                {"image": "image/bmp", "audio": "audio/wav",
+                 "video": "video/avi"}.get(
                     k, "application/octet-stream") for k in pdf["kind"]]
+            # metadata stays truthful: the real AVI is 4 frames @ 4 fps
+            out_pdf.loc[out_pdf["kind"] == "video", "duration_ms"] = 1000
             yield out_pdf
 
     return out.mapInPandas(kernel, schema=MEDIA_SCHEMA)
@@ -143,6 +149,25 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     return _fake_pixels(payload, 4096) / 128.0 - 1.0
 
 
+def decode_video(payload: bytes,
+                 fake: bool = False) -> tuple[np.ndarray, float]:
+    """→ ((n, h, w, 3) uint8 RGB frames, fps). REAL for uncompressed-DIB
+    AVI (`pipeline.codecs.decode_avi`); other containers need external
+    codecs and raise unless `fake=True` (4 deterministic 16×16
+    pseudo-frames at 4 fps)."""
+    if codecs.sniff(payload) == "avi":
+        return codecs.decode_avi(payload)
+    if not fake:
+        raise NotImplementedError(
+            "payload is not an uncompressed-DIB AVI and no external "
+            "video codec is available; call with fake=True for the "
+            "deterministic test decoder")
+    frames = np.stack([
+        _fake_pixels(payload + i.to_bytes(4, "big"), 16 * 16 * 3)
+        .astype(np.uint8).reshape(16, 16, 3) for i in range(4)])
+    return frames, 4.0
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """→ (media_id, kind, feature array<double>[FEATURE_DIM]) via
     mapInPandas; one Arrow batch in → one out, no per-row Python at the
@@ -161,7 +186,12 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     feats.append([float(np.sqrt((c ** 2).mean()) * 255.0)
                                   for c in chunks])
                     continue
-                px = decode_image(bytes(payload), fake=fake)
+                if kind == "video" and codecs.sniff(bytes(payload)) == "avi":
+                    frames, _ = decode_video(bytes(payload))
+                    # temporal mean → gray → pooled, same range as images
+                    px = frames.astype(np.float64).mean(axis=(0, 3)).ravel()
+                else:
+                    px = decode_image(bytes(payload), fake=fake)
                 # fixed-dim pooled feature: mean of FEATURE_DIM equal chunks
                 chunks = np.array_split(px, FEATURE_DIM)
                 feats.append([float(c.mean()) for c in chunks])
@@ -205,7 +235,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """video rows → one row per sampled frame (media_id, frame_no, ts_ms,
     payload) — the explode-shaped UDTF pattern: mapInPandas may emit more
-    rows than it consumes."""
+    rows than it consumes. REAL for AVI payloads: the frame nearest each
+    every_ms timestamp is re-encoded as a standalone BMP, so sampled
+    frames feed straight back into `decode_image`/`resize_image`/
+    `extract_features`. Non-AVI payloads take the gated fake path."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -213,12 +246,25 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     "payload": []}
             for media_id, dur, payload in zip(
                     pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
-                n = max(1, int(dur) // every_ms)
-                for i in range(n):
-                    px = _fake_pixels(bytes(payload) + i.to_bytes(4, "big"),
-                                      256) if fake else None
-                    if px is None:
-                        raise NotImplementedError("video codec unavailable")
+                payload = bytes(payload)
+                if codecs.sniff(payload) == "avi":
+                    frames, fps = decode_video(payload)
+                    dur = int(len(frames) / fps * 1000) if fps else int(dur)
+                    for i in range(max(1, dur // every_ms)):
+                        fi = min(int(round(i * every_ms * fps / 1000.0)),
+                                 len(frames) - 1)
+                        rows["media_id"].append(int(media_id))
+                        rows["frame_no"].append(fi)
+                        rows["ts_ms"].append(i * every_ms)
+                        rows["payload"].append(codecs.encode_bmp(frames[fi]))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "payload is not an uncompressed-DIB AVI and no "
+                        "external video codec is available; pass fake=True "
+                        "for the deterministic test decoder")
+                for i in range(max(1, int(dur) // every_ms)):
+                    px = _fake_pixels(payload + i.to_bytes(4, "big"), 256)
                     rows["media_id"].append(int(media_id))
                     rows["frame_no"].append(i)
                     rows["ts_ms"].append(i * every_ms)

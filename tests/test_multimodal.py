@@ -30,6 +30,9 @@ def test_decode_gated_for_unsupported_formats():
         mm.decode_image(b"\xff\xd8\xff not decodable", fake=False)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3 not decodable", fake=False)
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"\x00\x00\x00\x18ftypmp42 not decodable",
+                        fake=False)
 
 
 def test_codec_round_trips():
@@ -44,6 +47,13 @@ def test_codec_round_trips():
     assert rate == 8000 and np.abs(y - x).max() < 1e-3
     assert C.sniff(C.encode_bmp(img)) == "bmp"
     assert C.sniff(b"\xff\xd8\xff") is None
+    # AVI: even and odd widths (stride + RIFF even-size padding)
+    for shape in ((5, 12, 16, 3), (3, 7, 9, 3)):
+        vid = rng.randint(0, 256, shape, dtype=np.uint8)
+        data = C.encode_avi(vid, fps=4.0)
+        assert C.sniff(data) == "avi"
+        frames, fps = C.decode_avi(data)
+        assert fps == 4.0 and (frames == vid).all()
 
 
 def test_real_image_decode_no_fake():
@@ -77,6 +87,25 @@ def test_real_media_pipeline_end_to_end(spark):
     for r in out:
         px = C.decode_bmp(bytes(r["payload"]))
         assert px.shape == (6, 8, 3)
+    # real video: AVI payloads frame-sample WITHOUT the fake decoder,
+    # and each sampled frame is a standalone decodable BMP
+    vids = real.where("kind = 'video'")
+    assert mimes.get("video") == "video/avi"
+    sampled = mm.sample_frames(vids, every_ms=250, fake=False).collect()
+    assert len(sampled) == vids.count() * 4  # 4 frames @ 4 fps, 1 s
+    for r in sampled:
+        px = C.decode_bmp(bytes(r["payload"]))
+        assert px.shape == (12, 16, 3)
+    # sampled frame pixels match the container's frames exactly
+    one = vids.limit(1).collect()[0]
+    frames, fps = mm.decode_video(bytes(one["payload"]))
+    got = sorted((r["frame_no"], bytes(r["payload"])) for r in sampled
+                 if r["media_id"] == one["media_id"])
+    for fi, bmp in got:
+        assert (C.decode_bmp(bmp) == frames[fi]).all()
+    # video features run the real temporal-mean branch
+    vfeats = mm.extract_features(vids, fake=False).collect()
+    assert len(vfeats) == vids.count() > 0
     # determinism: same docs → byte-identical payloads
     again = {r["media_id"]: bytes(r["payload"])
              for r in mm.make_media_table(docs, real_payloads=True).collect()}
