@@ -81,12 +81,17 @@ class Engine:
         return (res.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
                 .select("doc_id", "ext_id", "score"))
 
-    def attach_segments(self, seg_dir: str, num_buckets: int = 32) -> None:
+    def attach_segments(self, seg_dir: str, num_buckets: int = 32,
+                        as_of: int | None = None) -> None:
         """Point the engine at a compressed segment store
         (indexer.segments); bag-of-words BM25 then routes through the
-        block-max DAAT path in `search_daat`."""
+        block-max DAAT path in `search_daat`. `as_of=G` pins every
+        segment read to the store's snapshot at generation G (appends
+        and deletions after G are invisible — indexer.merge time
+        travel); history reaches back to the compaction floor."""
         self._seg_dir = seg_dir
         self._seg_buckets = num_buckets
+        self._seg_as_of = as_of
 
     def search_daat(self, qstring: str, k: int = 100) -> DataFrame:
         """Bag-of-words BM25 top-k over the attached segment store via
@@ -127,14 +132,15 @@ class Engine:
         # when no generations exist (one tiny manifest stat call)
         segs = read_segments_merged(self.index.docs.sparkSession,
                                     self._seg_dir, terms=terms,
-                                    num_buckets=self._seg_buckets)
+                                    num_buckets=self._seg_buckets,
+                                    as_of=self._seg_as_of)
         # tombstone mask (indexer.merge.delete_docs): deleted docs are
         # filtered at score time; stats stay full-corpus until a
         # purging merge — Lucene liveDocs/docFreq semantics. The mask is
         # a lazy DataFrame cogrouped per doc-stride inside the kernel —
         # never a driver array
         deleted = deleted_docs_df(self.index.docs.sparkSession,
-                                  self._seg_dir)
+                                  self._seg_dir, as_of=self._seg_as_of)
         top = bm25_wand_topk(segs, terms, stats, st["n_docs"],
                              st["sum_len"] / st["doc_count"], k=k,
                              params=self.p, field=field,
@@ -193,8 +199,10 @@ class Engine:
         st = self.index.stats_for(field)
         spark = self.index.docs.sparkSession
         segs = read_segments_merged(spark, self._seg_dir, terms=terms,
-                                    num_buckets=self._seg_buckets)
-        deleted = deleted_docs_df(spark, self._seg_dir)
+                                    num_buckets=self._seg_buckets,
+                                    as_of=self._seg_as_of)
+        deleted = deleted_docs_df(spark, self._seg_dir,
+                                  as_of=self._seg_as_of)
         top = bm25_wand_topk_many(
             segs, bags, stats, st["n_docs"],
             st["sum_len"] / st["doc_count"], k=k, params=self.p,
@@ -237,8 +245,10 @@ class Engine:
         terms = sorted({n.term for n in self._term_leaves(node)})
         spark = self.index.docs.sparkSession
         segs = read_segments_merged(spark, self._seg_dir, terms=terms,
-                                    num_buckets=self._seg_buckets)
-        deleted = deleted_docs_df(spark, self._seg_dir)
+                                    num_buckets=self._seg_buckets,
+                                    as_of=self._seg_as_of)
+        deleted = deleted_docs_df(spark, self._seg_dir,
+                                  as_of=self._seg_as_of)
         decoded = decode_to_postings(segs)
         sub = dataclasses.replace(self.index, postings=decoded)
         eng = Engine(sub, self.model, params=self.p,
@@ -279,8 +289,10 @@ class Engine:
                         for n in self._term_leaves(self.parse(q))})
         spark = self.index.docs.sparkSession
         segs = read_segments_merged(spark, self._seg_dir, terms=terms,
-                                    num_buckets=self._seg_buckets)
-        deleted = deleted_docs_df(spark, self._seg_dir)
+                                    num_buckets=self._seg_buckets,
+                                    as_of=self._seg_as_of)
+        deleted = deleted_docs_df(spark, self._seg_dir,
+                                  as_of=self._seg_as_of)
         sub = dataclasses.replace(self.index,
                                   postings=decode_to_postings(segs))
         eng = Engine(sub, self.model, params=self.p,

@@ -27,6 +27,13 @@ module is that lifecycle for the compressed varbyte layout of
   batch_id-partitioned postings sink: appends only batches not yet
   committed (tracked per-generation in the manifest), so stream →
   queryable block-max segments is one idempotent call.
+* `update_segments(...)` — supersede documents (incremental re-crawl of
+  an evolving corpus): append the new versions as a generation +
+  tombstone the old doc_ids, one idempotent lifecycle op.
+* snapshot reads — `read_segments_merged(..., as_of=G)` reproduces the
+  store exactly as of generation G (generations > G and deletions
+  stamped after G are invisible); history expires at the compaction
+  floor, the Iceberg snapshot-expiration analog.
 
 Correctness contract: a (term, field, doc_id) posting appears in
 exactly ONE generation — the append-only-corpus invariant of
@@ -152,14 +159,46 @@ def append_segments(postings: DataFrame, seg_dir: str,
     return {**entry, "skipped": False}
 
 
+def compaction_floor(seg_dir: str) -> int:
+    """Highest generation already folded into the base — the horizon
+    below which history is physically gone (the Iceberg
+    snapshot-expiration analog): `as_of` reads can reach back only to
+    generations ≥ this floor."""
+    floor = 0
+    for m in _read_gen_manifest(seg_dir):
+        if "compacted_through" in m:
+            floor = max(floor, int(m["compacted_through"]))
+    return floor
+
+
+def latest_generation(seg_dir: str) -> int:
+    """Highest committed generation (compacted or live); 0 = base only."""
+    return max([int(m["gen"]) for m in _read_gen_manifest(seg_dir)
+                if "gen" in m], default=0)
+
+
 def read_segments_merged(spark: SparkSession, seg_dir: str,
                          terms: list[str] | None = None,
-                         num_buckets: int = 32) -> DataFrame:
+                         num_buckets: int = 32,
+                         as_of: int | None = None) -> DataFrame:
     """Base ∪ live generations, each read through the pruned
-    `read_segments` reader (generations are layout-identical)."""
+    `read_segments` reader (generations are layout-identical).
+
+    `as_of=G` is a snapshot read: only generations ≤ G participate, so
+    the result is exactly what a reader saw right after generation G
+    committed (time travel over the append lifecycle). History reaches
+    back only to the compaction floor — `compact_segments` folds
+    generations into the base irreversibly (Iceberg snapshot
+    expiration); asking for an expired snapshot raises."""
+    if as_of is not None and as_of < compaction_floor(seg_dir):
+        raise ValueError(
+            f"snapshot as_of={as_of} expired: generations through "
+            f"{compaction_floor(seg_dir)} are compacted into the base")
     df = read_segments(spark, seg_dir, terms=terms, num_buckets=num_buckets)
     folded = folded_map(seg_dir)
     for gen in live_generations(seg_dir):
+        if as_of is not None and gen > as_of:
+            continue
         g = read_segments(spark, _gen_path(seg_dir, gen),
                           terms=terms, num_buckets=num_buckets)
         done = folded.get(gen)
@@ -170,7 +209,8 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
 
 
 def read_segments_for_docs(spark: SparkSession, seg_dir: str,
-                           doc_ids, num_buckets: int = 32) -> DataFrame:
+                           doc_ids, num_buckets: int = 32,
+                           as_of: int | None = None) -> DataFrame:
     """Segment blocks that can contain postings of the given docs — the
     forward-index probe for a segments-only deployment (feedback's
     TermVector scan, `QryEval.java:96-147`, needs every stem of a few
@@ -181,7 +221,8 @@ def read_segments_for_docs(spark: SparkSession, seg_dir: str,
     decode. Pair with `segments.decode_to_postings(...)` + a doc_id
     filter for the logical rows."""
     ids = sorted({int(d) for d in doc_ids})
-    df = read_segments_merged(spark, seg_dir, num_buckets=num_buckets)
+    df = read_segments_merged(spark, seg_dir, num_buckets=num_buckets,
+                              as_of=as_of)
     if not ids:
         return df.where(F.lit(False))
     cond = None
@@ -250,7 +291,12 @@ def delete_docs(spark: SparkSession, seg_dir: str, doc_ids) -> dict:
         doc_ids = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long")
     out = os.path.join(seg_dir, _TOMBSTONE_DIR)
-    doc_ids.select("doc_id").write.mode("append").parquet(out)
+    # stamp the snapshot the deletion belongs to: visible to readers at
+    # as_of ≥ this generation (deletions fold into the CURRENT snapshot
+    # rather than opening a new one — set semantics keep replays cheap)
+    gen = latest_generation(seg_dir)
+    (doc_ids.select("doc_id", F.lit(gen).cast("int").alias("gen"))
+     .write.mode("append").parquet(out))
     return {"deleted_total": int(deleted_doc_ids(spark, seg_dir).size)}
 
 
@@ -266,16 +312,64 @@ def deleted_doc_ids(spark: SparkSession, seg_dir: str) -> np.ndarray:
     return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
 
 
-def deleted_docs_df(spark: SparkSession, seg_dir: str) -> DataFrame | None:
+def deleted_docs_df(spark: SparkSession, seg_dir: str,
+                    as_of: int | None = None) -> DataFrame | None:
     """Distinct tombstoned doc_ids as a lazy DataFrame (None when no
     tombstones exist) — the scale-safe mask form: readers anti-join or
     cogroup it instead of shipping an id array in a closure, so a
     delete-heavy store between purges never grows the driver heap or
-    task binaries."""
+    task binaries. `as_of=G`: only deletions stamped at generation ≤ G
+    (snapshot read); tombstones written before stamping existed count
+    as generation 0 (visible at every snapshot)."""
     p = os.path.join(seg_dir, _TOMBSTONE_DIR)
     if not os.path.isdir(p):
         return None
-    return spark.read.parquet(p).select("doc_id").distinct()
+    # mergeSchema: a store that predates gen-stamping may mix stamped
+    # and unstamped tombstone files; unstamped rows read as null → gen 0
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    if as_of is not None:
+        gen = (F.coalesce(F.col("gen"), F.lit(0))
+               if "gen" in df.columns else F.lit(0))
+        df = df.where(gen <= as_of)
+    return df.select("doc_id").distinct()
+
+
+def update_segments(spark: SparkSession, seg_dir: str,
+                    postings: DataFrame, replaces,
+                    num_buckets: int = 32,
+                    fingerprint: dict | None = None) -> dict:
+    """Replace documents in one lifecycle op: commit `postings` (the NEW
+    document versions, carrying NEW doc_ids) as the next generation and
+    tombstone `replaces` (the superseded versions' doc_ids).
+
+    This is the incremental-crawl op for an evolving code corpus: the
+    same repo:path at a new commit is a new (repo, path, commit) key →
+    a new doc_id (`build.docs_from_code_corpus`), so an update never
+    mutates postings in place — it supersedes. Cost is
+    O(|delta postings|) + a tombstone append, never corpus-sized.
+
+    Ordering + idempotence: the append commits FIRST (fingerprint-keyed,
+    so replays skip it), tombstones second (set semantics). A crash
+    between the two leaves both versions briefly visible — re-running
+    the same update converges. Snapshot semantics line up exactly: the
+    tombstones are stamped with the new generation, so `as_of = gen`
+    sees only the new versions and `as_of = gen - 1` only the old ones.
+
+    `replaces`: DataFrame with a doc_id column or an iterable of ids —
+    compute it for a crawl delta with `superseded_doc_ids`."""
+    out = append_segments(postings, seg_dir, num_buckets=num_buckets,
+                          fingerprint=fingerprint)
+    dels = delete_docs(spark, seg_dir, replaces)
+    return {**out, **dels}
+
+
+def superseded_doc_ids(docs: DataFrame, delta: DataFrame) -> DataFrame:
+    """doc_ids of every indexed version of a (repo, path) that a crawl
+    delta re-ingests — the `replaces` input of `update_segments`. The
+    delta side is |changed files|-sized, so the join broadcasts."""
+    keys = delta.select("repo", "path").distinct()
+    return docs.join(F.broadcast(keys), ["repo", "path"], "inner") \
+        .select("doc_id")
 
 
 def compact_segments(spark: SparkSession, seg_dir: str,

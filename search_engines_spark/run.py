@@ -37,7 +37,7 @@ Engine extensions beyond the reference's parameters:
                              reference workflow's external trec_eval
                              step, Spark-side: P@k/RR/AP/nDCG + MAP)
     evalK=10                 metric cutoff
-    segmentsPath=... [+ segmentsBuckets=32]
+    segmentsPath=... [+ segmentsBuckets=32, segmentsAsOf=<gen>]
                              serve ranked retrieval from the compressed
                              block-max segment store: bow BM25 via the
                              DAAT kernel, everything else via the
@@ -186,7 +186,8 @@ def _expand_index(idx: Index, eng: Engine, top_doc_ids) -> Index:
     ids = sorted({int(d) for d in top_doc_ids})
     spark = idx.docs.sparkSession
     blocks = read_segments_for_docs(spark, eng._seg_dir, ids,
-                                    num_buckets=eng._seg_buckets)
+                                    num_buckets=eng._seg_buckets,
+                                    as_of=getattr(eng, "_seg_as_of", None))
     dec = decode_to_postings(blocks).where(F.col("doc_id").isin(ids))
     return dataclasses.replace(idx, postings=dec)
 
@@ -441,9 +442,14 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
     # (_expand_index). A store saved with include_postings=False plus
     # segmentsPath is therefore a complete retrieval deployment.
     if "segmentsPath" in params:
+        # segmentsAsOf=<gen> pins the whole run to a store snapshot
+        # (indexer.merge time travel) — reproducible re-runs against an
+        # evolving index
+        as_of = params.get("segmentsAsOf")
         eng.attach_segments(params["segmentsPath"],
                             num_buckets=int(params.get("segmentsBuckets",
-                                                       "32")))
+                                                       "32")),
+                            as_of=None if as_of is None else int(as_of))
 
     fb = params.get("fb") == "true"
     diversity = params.get("diversity") == "true"

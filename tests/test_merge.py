@@ -296,3 +296,95 @@ def test_merge_stream_batches(spark, spark_index, tmp_path_factory):
         read_segments_merged(spark, seg_dir,
                              num_buckets=NUM_BUCKETS).collect())
     assert got == _postings_map(spark_index.postings.collect())
+
+
+def test_update_supersedes_and_time_travels(spark, corpus_rows,
+                                            tmp_path_factory):
+    """update_segments re-ingests changed files at a new commit (new
+    doc_ids appended, old versions tombstoned) and `as_of` pins reads to
+    each snapshot; compaction expires history."""
+    from search_engines_spark.indexer.build import (build_index_frames,
+                                                    build_postings,
+                                                    docs_from_code_corpus)
+    from search_engines_spark.indexer.merge import (compaction_floor,
+                                                    superseded_doc_ids,
+                                                    update_segments)
+    d = str(tmp_path_factory.mktemp("upd_segs"))
+    schema = "repo string, path string, commit string, lang string, content string"
+    src_v1 = spark.createDataFrame(corpus_rows, schema)
+    idx_v1 = build_index_frames(docs_from_code_corpus(src_v1))
+    build_segments(idx_v1.postings, idx_v1.doclens, d,
+                   num_buckets=NUM_BUCKETS)
+
+    # the crawl delta: two files re-ingested at a new commit, content
+    # changed — one keeps its topical terms, one gains a unique term
+    changed = [r for r in corpus_rows
+               if "fickle" in r["content"]][:2]
+    assert len(changed) == 2
+    delta_rows = [{**r, "commit": "f" * 40,
+                   "content": r["content"] + " renovated"}
+                  for r in changed]
+    delta_src = spark.createDataFrame(delta_rows, schema)
+    offset = idx_v1.docs.agg(F.max("doc_id")).first()[0] + 1
+    delta_docs = docs_from_code_corpus(delta_src) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+
+    # the logical index over v1 ∪ delta is the stats source (full-corpus
+    # stats until a purging merge — same contract as delete_docs)
+    union_src = src_v1.unionByName(delta_src)
+    docs_union = docs_from_code_corpus(src_v1).unionByName(
+        delta_docs)  # v1 keeps its ids; delta ids start at offset
+    idx_union = build_index_frames(docs_union)
+    eng = Engine(idx_union, "bm25")
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    before = eng.search_daat("fickle creek farm", k=30).collect()
+    assert before and union_src.count() == len(corpus_rows) + 2
+
+    victims = superseded_doc_ids(idx_v1.docs, delta_src)
+    vids = {r["doc_id"] for r in victims.collect()}
+    assert len(vids) == 2
+    m = update_segments(spark, d, build_postings(delta_docs), victims,
+                        num_buckets=NUM_BUCKETS)
+    assert m["gen"] == 1 and not m["skipped"] and m["deleted_total"] == 2
+
+    # current read: old versions gone, new versions (ids >= offset) live
+    after = eng.search_daat("fickle creek farm", k=30).collect()
+    got_ids = {r["doc_id"] for r in after}
+    assert not got_ids & vids
+    assert any(i >= offset for i in got_ids)
+    # scores match the set-at-a-time plan over the union index minus
+    # the superseded docs (full-corpus stats, like delete_docs)
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in eng.search("fickle creek farm", k=40).collect()
+            if r["doc_id"] not in vids][:len(after)]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in after] == want
+    # the new content is searchable...
+    ren = eng.search_daat("renovated", k=10).collect()
+    assert {r["doc_id"] for r in ren} == {offset, offset + 1}
+
+    # ...and time travel reproduces the pre-update snapshot exactly
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS, as_of=0)
+    got0 = eng.search_daat("fickle creek farm", k=30).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got0] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in before]
+    assert eng.search_daat("renovated", k=10).collect() == []
+
+    # replaying the same update converges (append skipped by fingerprint,
+    # tombstones are a set)
+    m2 = update_segments(spark, d, build_postings(delta_docs), victims,
+                         num_buckets=NUM_BUCKETS)
+    assert m2["skipped"] and m2["deleted_total"] == 2
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS)
+    again = eng.search_daat("fickle creek farm", k=30).collect()
+    assert [(r["doc_id"], r["score"]) for r in again] == \
+        [(r["doc_id"], r["score"]) for r in after]
+
+    # compaction folds gen 1 into the base: snapshot 0 expires
+    compact_segments(spark, d, num_buckets=NUM_BUCKETS)
+    assert compaction_floor(d) == 1
+    post = eng.search_daat("fickle creek farm", k=30).collect()
+    assert [(r["doc_id"], r["score"]) for r in post] == \
+        [(r["doc_id"], r["score"]) for r in after]
+    eng.attach_segments(d, num_buckets=NUM_BUCKETS, as_of=0)
+    with pytest.raises(ValueError, match="expired"):
+        eng.search_daat("fickle creek farm", k=5).collect()
