@@ -1030,6 +1030,88 @@ def q_segments_delete_topk(spark, sf_dir):
             .select("ext_id", "score_r"))
 
 
+_UPDATE_CACHE: dict[tuple, str] = {}
+_UPD_OFF = 10_000_000          # new-version doc_id offset (< 10^9 keeps
+_UPD_SUFFIX = " renovated index"  # the doc:9 ext_id projection valid)
+
+
+def q_segments_update_topk(spark, sf_dir):
+    """Document updates over the segment store (indexer.merge
+    update_segments — the incremental-crawl lifecycle): docs with
+    doc_id % 11 == 5 are re-ingested with `_UPD_SUFFIX` appended and a
+    NEW doc_id (+_UPD_OFF); the old versions are tombstoned in the same
+    op. Scores keep full-corpus stats over old ∪ new versions until a
+    purging merge (same docFreq-includes-deletes contract as deletes).
+    Oracle: bm25 over documents UNION ALL the updated versions, minus
+    the superseded originals."""
+    from .indexer.build import (build_index_frames, build_postings,
+                                docs_from_documents_table)
+    from .indexer.merge import update_segments
+    from .indexer.segments import build_segments
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    src = _docs(spark, sf_dir)
+    upd = (src.where(F.col("doc_id") % 11 == 5)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(_UPD_OFF))
+           .withColumn("text", F.concat(F.col("text"), F.lit(_UPD_SUFFIX))))
+    # the logical index spans old ∪ new versions (the stats source)
+    ikey = ("updated",) + key
+    if ikey not in _INDEX_CACHE:
+        _INDEX_CACHE[ikey] = build_index_frames(
+            docs_from_documents_table(src.unionByName(upd)),
+            extid_docid_fmt="doc:9")
+    idx = _INDEX_CACHE[ikey]
+    d, created = _session_tmpdir(_UPDATE_CACHE, key, "entry_upd_segs_")
+    if created:
+        # physical store: v1 base from the plain index, then one update op
+        v1 = _index(spark, sf_dir)
+        build_segments(v1.postings, v1.doclens, d, num_buckets=8)
+        update_segments(
+            spark, d,
+            build_postings(docs_from_documents_table(upd)),
+            src.where(F.col("doc_id") % 11 == 5).select("doc_id"),
+            num_buckets=8)
+    eng = Engine(idx, "bm25")
+    eng.attach_segments(d, num_buckets=8)
+    res = eng.search_daat(" ".join(BOW3), k=200)
+    return (res.withColumn("score_r", _r(F.col("score")))
+            .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(100)
+            .select("ext_id", "score_r"))
+
+
+def _bm25_sql_updated(terms: list[str], k: int = 100) -> str:
+    """bm25 SQL over documents ∪ updated versions (doc_id % 11 == 5
+    re-ingested at doc_id+_UPD_OFF with `_UPD_SUFFIX` appended), minus
+    the superseded originals — the `q_segments_update_topk` contract."""
+    return f"""WITH docs0 AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'doc' || lpad(doc_id::VARCHAR, 9, '0') AS ext_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+  UNION ALL
+  SELECT (doc_id + {_UPD_OFF})::BIGINT,
+         'doc' || lpad((doc_id + {_UPD_OFF})::VARCHAR, 9, '0'),
+         list_filter(regexp_split_to_array(
+             lower(text || '{_UPD_SUFFIX}'), '[^a-z0-9]+'), t -> t <> '')
+  FROM documents WHERE doc_id % 11 = 5),
+dl AS (SELECT doc_id, ext_id, len(toks)::BIGINT AS doclen FROM docs0),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1)::INT AS pos FROM docs0),
+emit AS (SELECT * FROM tok WHERE term NOT IN ({STOPLIST})),
+post AS (SELECT term, doc_id, count(*)::INT AS tf
+         FROM emit GROUP BY term, doc_id),
+stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
+          FROM post GROUP BY term),
+corpus AS (SELECT (SELECT count(*) FROM docs0)::DOUBLE AS n,
+                  (SELECT sum(doclen) FROM dl)::DOUBLE AS sumlen,
+                  (SELECT count(*) FROM dl)::DOUBLE AS ndocs_f),
+{_bm25_scored_cte(terms, 'scored')}
+SELECT d.ext_id, floor(scored.score * 1e6 + 0.5)::BIGINT AS score_r
+FROM scored JOIN dl d USING (doc_id)
+WHERE NOT (d.doc_id % 11 = 5 AND d.doc_id < {_UPD_OFF})
+ORDER BY score_r DESC, ext_id LIMIT {k}"""
+
+
 _BUCKETED_CACHE: dict[tuple, str] = {}
 
 
@@ -2445,9 +2527,10 @@ REGISTRY: dict[str, tuple] = {
         _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
     "postings_term": (q_postings, _sql_postings()),
     "term_stats": (q_term_stats, _sql_term_stats()),
-    "merged_segments_topk": (q_merged_segments_topk, _bm25_sql(BOW5)),
     "segments_delete_topk": (q_segments_delete_topk,
                              _bm25_sql_deleted(BOW3)),
+    "segments_update_topk": (q_segments_update_topk,
+                             _bm25_sql_updated(BOW3)),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "standing_query_topk": (q_standing_stream, _sql_standing_topk()),
     "doclen_store": (q_doclens, _sql_doclens()),
@@ -2487,6 +2570,10 @@ REGISTRY: dict[str, tuple] = {
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "merged_segments_topk": (q_merged_segments_topk, _bm25_sql(BOW5)),
+    # append+merged-read gated by in-window segments_update_topk (which
+    # appends a generation AND tombstones) + segments_delete_topk +
+    # segments_structured_near; pytest test_merge.py covers it directly
     "trec_topk": (q_trec_topk, _sql_trec_topk()),  # trec sink format
     # stays byte-for-byte gated by tests/test_reference_golden.py
     # (HW1-queries-UB.teIn reproduction) + in-window bm25_batch_onepass
