@@ -57,7 +57,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import POSTINGS_SCHEMA
-from .codec import varbyte_decode
 from .segments import (SEGMENT_SCHEMA, _encode_partition, _fingerprint,
                        read_segments)
 
@@ -238,31 +237,15 @@ _DECODE_SCHEMA = POSTINGS_SCHEMA + ", bucket int"
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Inverse of `segments._encode_partition`: segment block rows →
     posting rows (positions reconstructed from per-doc deltas with
-    doc-start absolute). Python touches blocks, numpy touches ints."""
+    doc-start absolute), carrying `bucket` through for the rebuild.
+    Batch-vectorized via `segments.decode_blocks_batch` — numpy touches
+    ints, Python touches nothing per posting."""
+    from .segments import decode_blocks_batch
     for pdf in batches:
-        rows: list[dict] = []
-        for row in pdf.itertuples(index=False):
-            doc_ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
-            tfs = varbyte_decode(bytes(row.tfs_vb))
-            dls = varbyte_decode(bytes(row.doclens_vb))
-            pdeltas = varbyte_decode(bytes(row.positions_vb))
-            if pdeltas.size:
-                starts = np.concatenate(
-                    ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
-                c = np.cumsum(pdeltas)
-                before = c[starts] - pdeltas[starts]
-                abs_pos = c - np.repeat(before, tfs)
-            else:
-                abs_pos = pdeltas
-            pos_lists = np.split(abs_pos, np.cumsum(tfs)[:-1])
-            for i in range(len(doc_ids)):
-                rows.append({
-                    "term": row.term, "field": row.field,
-                    "doc_id": int(doc_ids[i]), "tf": int(tfs[i]),
-                    "positions": pos_lists[i].astype(np.int32),
-                    "doclen": int(dls[i]), "bucket": int(row.bucket)})
-        if rows:
-            yield pd.DataFrame(rows)
+        out = decode_blocks_batch(pdf, extra_cols=("bucket",))
+        if out is not None:
+            yield out[["term", "field", "doc_id", "tf", "positions",
+                       "doclen", "bucket"]]
 
 
 _TOMBSTONE_DIR = "_tombstones"
