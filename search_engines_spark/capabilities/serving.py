@@ -1,0 +1,124 @@
+"""Result-serving features over the positional index: snippets,
+spelling suggestions, facet counts.
+
+The reference stops at the trec_eval sink (`QryEval.java:781-801`); a
+deployed search frontend additionally needs, per result page: a query-
+biased snippet with hit highlighting (the classic KWIC window — made
+possible here by the positional postings the north rule mandates), a
+"did you mean" suggestion for zero/low-hit terms, and facet counts over
+document metadata. All three are beyond-reference, required for a
+usable engine, and implemented as pure DataFrame plans:
+
+* `snippets` — ZERO shuffle beyond one broadcast join of the (tiny,
+  k-row) result list onto docs: tokenization and best-window selection
+  are nested higher-order column expressions (`transform`/`filter`/
+  `aggregate`) inside one WholeStageCodegen projection. No UDF.
+* `suggest_terms` — candidate generation is a BANDED equi-join against
+  the term dictionary (same first character + length within ±1), never
+  an all-pairs `levenshtein` scan: at a 10^8-term dictionary the band
+  key prunes candidates by ~3 orders of magnitude before the edit-
+  distance filter runs. Probes are query-sized → broadcast.
+* `facet_counts` — conjunctive match via the same having-count postings
+  plan the boolean engine uses, then one map-side-combined groupBy on
+  the facet key. The only shuffles are the (doc-keyed, skew-free) match
+  aggregation and the facet-sized final rollup.
+
+Snippet determinism contract (shared with the DuckDB oracle in
+entry_queries): tokens = the canonical analyzer split (1-based
+positions over ALL tokens, `analysis.SPARK_TOKENS_EXPR`); candidate
+windows anchor at each query-term hit position p and span
+[p, p + window); the best window maximizes DISTINCT query terms
+covered, tie-broken by the SMALLEST anchor position; the snippet is the
+token slice joined by single spaces, with hit tokens wrapped in
+``[`` ``]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..analysis import SPARK_TOKENS_EXPR
+
+
+def snippets(results: DataFrame, docs: DataFrame, terms: list[str],
+             window: int = 8, text_col: str = "text") -> DataFrame:
+    """Query-biased snippets for a result list.
+
+    results: any frame with a doc_id column (e.g. Engine.search output —
+    k rows, broadcast side). docs: the corpus frame (doc_id, text_col).
+    → results + (snippet string, n_hit_terms int); rows with no hit
+    (possible when results came from another field) get n_hit_terms=0
+    and a document-prefix snippet."""
+    if not terms:
+        raise ValueError("snippets needs at least one query term")
+    tset = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    toks = SPARK_TOKENS_EXPR.format(col=text_col)
+    d = (docs.select("doc_id", text_col)
+         .join(F.broadcast(results), "doc_id")
+         .withColumn("_toks", F.expr(toks))
+         # hit positions: 1-based over ALL tokens (the index convention)
+         .withColumn("_hits", F.expr(
+             f"filter(transform(_toks, (t, i) -> struct(i + 1 as pos, "
+             f"t as term)), h -> h.term in ({tset}))")))
+    # best anchor: max distinct terms in [pos, pos+window), tie → min pos
+    best = F.expr(
+        f"aggregate(_hits, struct(0 as score, 1 as start), (acc, a) -> "
+        f"if((size(array_distinct(transform(filter(_hits, h -> "
+        f"h.pos >= a.pos and h.pos < a.pos + {int(window)}), "
+        f"h -> h.term)))) > acc.score, "
+        f"struct(size(array_distinct(transform(filter(_hits, h -> "
+        f"h.pos >= a.pos and h.pos < a.pos + {int(window)}), "
+        f"h -> h.term))) as score, a.pos as start), acc))")
+    d = d.withColumn("_best", best)
+    snippet = F.expr(
+        f"array_join(transform(slice(_toks, _best.start, {int(window)}), "
+        f"t -> if(t in ({tset}), concat('[', t, ']'), t)), ' ')")
+    return (d.withColumn("snippet", snippet)
+            .withColumn("n_hit_terms", F.col("_best.score"))
+            .drop("_toks", "_hits", "_best", text_col))
+
+
+def suggest_terms(term_stats: DataFrame, probes: list[str],
+                  max_dist: int = 1, n: int = 3,
+                  field: str = "body") -> DataFrame:
+    """"Did you mean": for each probe, the top-n dictionary terms within
+    `max_dist` edits, ranked df desc then term asc. Banded candidate
+    join (first char + length ±max_dist) keeps the dictionary side an
+    equi-join, never an all-pairs scan. → (probe, suggestion, df, rank)."""
+    spark = term_stats.sparkSession
+    p = (spark.createDataFrame([(t,) for t in sorted(set(probes))],
+                               "probe string")
+         .withColumn("_c1", F.substring("probe", 1, 1))
+         .withColumn("_len", F.length("probe")))
+    cand = (term_stats.where(F.col("field") == field)
+            .select("term", "df")
+            .withColumn("_c1", F.substring("term", 1, 1))
+            .withColumn("_len", F.length("term")))
+    joined = (cand.join(F.broadcast(p), "_c1")
+              .where(F.abs(cand["_len"] - p["_len"]) <= max_dist)
+              .where(F.levenshtein("term", "probe") <= max_dist)
+              .where(F.col("term") != F.col("probe")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("probe").orderBy(F.desc("df"), F.asc("term"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+            .select("probe", F.col("term").alias("suggestion"), "df",
+                    "rank"))
+
+
+def facet_counts(postings: DataFrame, docs: DataFrame, terms: list[str],
+                 facet_cols: list[str], field: str = "body") -> DataFrame:
+    """Facet rollup over the conjunctive (#AND) match set of `terms`:
+    → (*facet_cols, n_docs), one row per populated facet combination.
+    Match = the boolean having-count plan (docs containing ALL terms);
+    facets come from one groupBy with map-side partial aggregation."""
+    ts = sorted(set(terms))
+    match = (postings
+             .where((F.col("field") == field) & F.col("term").isin(ts))
+             .groupBy("doc_id")
+             .agg(F.countDistinct("term").alias("_nt"))
+             .where(F.col("_nt") == len(ts))
+             .select("doc_id"))
+    return (docs.join(match, "doc_id")
+            .groupBy(*facet_cols)
+            .agg(F.count("*").alias("n_docs")))

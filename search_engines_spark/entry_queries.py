@@ -521,6 +521,109 @@ def q_standing_stream(spark, sf_dir):
             .select("qid", "ext_id", "rank", "score_r"))
 
 
+SNIPPET_W = 8
+SPELL_PROBES = ["stram", "mergee", "batc"]
+FACET_TERMS = ["merge", "batch"]
+
+
+def q_search_snippets(spark, sf_dir):
+    """Query-biased snippets (capabilities.serving.snippets) for the
+    BOW3 BM25 top-10: best window = max distinct query terms anchored
+    at a hit position, tie → earliest; hits wrapped in [ ]. Selection
+    uses the rounded-score ordering so both sides pick the same docs."""
+    from .capabilities import serving
+    idx = _index(spark, sf_dir)
+    eng = Engine(idx, "bm25")
+    node = eng.parse(" ".join(BOW3))
+    s = (eng.eval_sop(node).where(F.col("score") >= 0)
+         .join(eng._doc_map(), "doc_id")
+         .withColumn("score_r", _r(F.col("score")))
+         .orderBy(F.desc("score_r"), F.asc("ext_id")).limit(10)
+         .select("doc_id", "ext_id"))
+    out = serving.snippets(s, idx.docs, BOW3, window=SNIPPET_W)
+    return out.select("ext_id",
+                      F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+                      "snippet")
+
+
+def _sql_search_snippets() -> str:
+    tset = ", ".join(f"'{t}'" for t in sorted(set(BOW3)))
+    return f"""{PRELUDE},
+{_bm25_scored_cte(BOW3, 'scored')},
+top10 AS (SELECT d.doc_id, d.ext_id
+  FROM scored JOIN dl d USING (doc_id)
+  ORDER BY floor(scored.score * 1e6 + 0.5) DESC, d.ext_id LIMIT 10),
+hits AS (SELECT t.doc_id, t.term, t.pos
+         FROM tok t JOIN top10 USING (doc_id)
+         WHERE t.term IN ({tset})),
+anch AS (SELECT h1.doc_id, h1.pos AS start,
+    (SELECT count(DISTINCT h2.term) FROM hits h2
+      WHERE h2.doc_id = h1.doc_id AND h2.pos >= h1.pos
+        AND h2.pos < h1.pos + {SNIPPET_W}) AS score
+  FROM hits h1),
+best AS (SELECT doc_id, start, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, start ASC) AS rn
+         FROM anch)
+SELECT t.ext_id,
+       coalesce(b.score, 0)::BIGINT AS n_hit_terms,
+       array_to_string(list_transform(
+         d0.toks[coalesce(b.start, 1):coalesce(b.start, 1) + {SNIPPET_W - 1}],
+         t2 -> CASE WHEN t2 IN ({tset}) THEN '[' || t2 || ']'
+               ELSE t2 END), ' ') AS snippet
+FROM top10 t JOIN docs0 d0 USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = t.doc_id"""
+
+
+def q_spell_suggest(spark, sf_dir):
+    """"Did you mean" (capabilities.serving.suggest_terms): banded
+    candidate join (first char + length ±1) against the term
+    dictionary, levenshtein ≤ 1, ranked df desc / term asc, top-3."""
+    from .capabilities import serving
+    idx = _index(spark, sf_dir)
+    out = serving.suggest_terms(idx.term_stats, SPELL_PROBES)
+    return out.select("probe", "suggestion", F.col("df").cast("long"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_spell_suggest() -> str:
+    probes = ", ".join(f"('{p}')" for p in sorted(set(SPELL_PROBES)))
+    return f"""{PRELUDE},
+probes(probe) AS (VALUES {probes}),
+cand AS (SELECT p.probe, s.term AS suggestion, s.df
+  FROM stats s CROSS JOIN probes p
+  WHERE substr(s.term, 1, 1) = substr(p.probe, 1, 1)
+    AND abs(length(s.term) - length(p.probe)) <= 1
+    AND levenshtein(s.term, p.probe) <= 1
+    AND s.term <> p.probe),
+ranked AS (SELECT probe, suggestion, df,
+           row_number() OVER (PARTITION BY probe
+                              ORDER BY df DESC, suggestion ASC) AS rank
+           FROM cand)
+SELECT probe, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3"""
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet rollup (capabilities.serving.facet_counts) over the #AND
+    match set of FACET_TERMS, keyed (lang, source)."""
+    from .capabilities import serving
+    idx = _index(spark, sf_dir)
+    out = serving.facet_counts(idx.postings, idx.docs, FACET_TERMS,
+                               ["lang", "source"])
+    return out.select("lang", "source", F.col("n_docs").cast("long"))
+
+
+def _sql_facet_counts() -> str:
+    tset = ", ".join(f"'{t}'" for t in sorted(set(FACET_TERMS)))
+    return f"""{PRELUDE},
+match AS (SELECT doc_id FROM post WHERE term IN ({tset})
+          GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(FACET_TERMS))})
+SELECT d.lang, d.source, count(*)::BIGINT AS n_docs
+FROM documents d JOIN match ON match.doc_id = d.doc_id
+GROUP BY d.lang, d.source"""
+
+
 def q_eval_metrics(spark, sf_dir):
     """trec_eval-style run scoring Spark-side
     (capabilities.evaluation.evaluate_run): BM25 top-100 per trec topic
@@ -2526,18 +2629,18 @@ REGISTRY: dict[str, tuple] = {
         ["merge", "batch"],
         _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
     "postings_term": (q_postings, _sql_postings()),
-    "term_stats": (q_term_stats, _sql_term_stats()),
     "segments_delete_topk": (q_segments_delete_topk,
                              _bm25_sql_deleted(BOW3)),
     "segments_update_topk": (q_segments_update_topk,
                              _bm25_sql_updated(BOW3)),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
     "standing_query_topk": (q_standing_stream, _sql_standing_topk()),
-    "doclen_store": (q_doclens, _sql_doclens()),
-    "docterms_forward_index": (q_docterms, _sql_docterms()),
     "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),
     "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
     "eval_metrics": (q_eval_metrics, _sql_eval_metrics()),
+    "search_snippets": (q_search_snippets, _sql_search_snippets()),
+    "spell_suggest": (q_spell_suggest, _sql_spell_suggest()),
+    "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
     "indri_batch_onepass": (q_indri_batch, _sql_indri_batch()),
     "bool_batch_onepass": (q_bool_batch, _sql_bool_batch()),
@@ -2570,6 +2673,15 @@ REGISTRY: dict[str, tuple] = {
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "term_stats": (q_term_stats, _sql_term_stats()),
+    # df/ctf stats gated by in-window bm25/indri scoring entries (their
+    # idf/pmle terms) + rotated bucketed_term_stats + pytest
+    "doclen_store": (q_doclens, _sql_doclens()),
+    # stopword-inclusive doclen gated by every in-window scoring entry
+    # (doclen is in each BM25/Indri denominator) + pytest
+    "docterms_forward_index": (q_docterms, _sql_docterms()),
+    # forward index gated by in-window feedback_expansion_batch (its
+    # TermVector probe reads docterms) + pytest
     "merged_segments_topk": (q_merged_segments_topk, _bm25_sql(BOW5)),
     # append+merged-read gated by in-window segments_update_topk (which
     # appends a generation AND tombstones) + segments_delete_topk +

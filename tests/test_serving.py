@@ -1,0 +1,98 @@
+"""Result-serving features (capabilities.serving): query-biased
+snippets over the positional tokenization, banded spelling suggestions,
+facet rollups — rule falsifiability on hand-built docs plus plan shape
+(snippets must add only a broadcast of the k-row result list)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engines_spark.capabilities import serving
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # doc 1: 'alpha' at pos 1 and 'beta' at pos 9 — no 8-window
+        # covers both from anchor 1; anchor 9 covers beta only
+        (1, "alpha x x x x x x x beta x x x"),
+        # doc 2: both terms inside one window anchored at pos 3
+        (2, "x x alpha beta x x x x x x"),
+        # doc 3: 1-term window early, 2-term window later — later wins
+        (3, "alpha x x x x x x x x x alpha x beta x"),
+        # doc 4: no query terms at all
+        (4, "nothing relevant here at all"),
+        # doc 5: tie on score=1 → earliest anchor wins
+        (5, "x beta x x x x x x x x x x beta x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _snips(spark, tiny, ids, terms, window=8):
+    res = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = serving.snippets(res, tiny, terms, window=window)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_snippet_window_rule(spark, tiny):
+    s = _snips(spark, tiny, [1, 2, 3, 4, 5], ["alpha", "beta"])
+    # doc 1: no window covers both; anchor 1 (score 1) ties anchor 9 →
+    # earliest wins, alpha highlighted
+    assert s[1]["n_hit_terms"] == 1
+    assert s[1]["snippet"].startswith("[alpha]")
+    # doc 2: anchor 3 covers both
+    assert s[2]["n_hit_terms"] == 2
+    assert s[2]["snippet"] == "[alpha] [beta] x x x x x x"
+    # doc 3: the LATER 2-term window beats the earlier 1-term one
+    assert s[3]["n_hit_terms"] == 2
+    assert s[3]["snippet"].startswith("[alpha] x [beta]")
+    # doc 4: no hits → document-prefix snippet, zero hit terms
+    assert s[4]["n_hit_terms"] == 0
+    assert s[4]["snippet"] == "nothing relevant here at all"
+    # doc 5: equal scores → earliest anchor
+    assert s[5]["n_hit_terms"] == 1
+    assert s[5]["snippet"].startswith("[beta]")
+
+
+def test_snippet_window_width(spark, tiny):
+    s = _snips(spark, tiny, [2], ["alpha", "beta"], window=3)
+    assert s[2]["snippet"] == "[alpha] [beta] x"
+    assert s[2]["n_hit_terms"] == 2
+
+
+def test_snippet_plan_broadcasts_results(spark, tiny):
+    res = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    sn = serving.snippets(res, tiny, ["alpha"])
+    plan = sn._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_suggest_terms_banded(spark, spark_index):
+    # 'mergee' (insertion), 'scorf' (substitution) — both distance 1
+    out = serving.suggest_terms(spark_index.term_stats,
+                                ["mergee", "scorf", "merge"])
+    got = {(r["probe"], r["suggestion"]) for r in out.collect()}
+    assert ("mergee", "merge") in got
+    assert ("scorf", "score") in got
+    # a probe equal to a dictionary term never suggests itself
+    assert all(p != s for p, s in got)
+    # ranking: df desc then term asc, rank capped at n
+    rows = out.where(F.col("probe") == "merge").collect()
+    dfs = [r["df"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert dfs == sorted(dfs, reverse=True) and len(rows) <= 3
+
+
+def test_facet_counts_equals_manual(spark, spark_index):
+    out = serving.facet_counts(spark_index.postings, spark_index.docs,
+                               ["merge", "segment"], ["lang"])
+    got = {r["lang"]: r["n_docs"] for r in out.collect()}
+    # manual: docs whose postings contain BOTH terms
+    have = (spark_index.postings
+            .where(F.col("term").isin(["merge", "segment"])
+                   & (F.col("field") == "body"))
+            .groupBy("doc_id").agg(F.countDistinct("term").alias("n"))
+            .where(F.col("n") == 2).select("doc_id"))
+    want = {r["lang"]: r["n"] for r in
+            spark_index.docs.join(have, "doc_id")
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == want and sum(got.values()) > 0
