@@ -171,6 +171,22 @@ def main() -> None:
             times.append(time.time() - t0)
         queries["daat_batch_per_query"] = round(min(times) / len(DAAT_BATCH),
                                                 3)
+
+        # full structured language off the compressed store: one
+        # bucket-pruned scan + ONE batch-vectorized block decode for the
+        # union of the batch's terms (segments.decode_blocks_batch),
+        # then the one-plan search_many paths
+        sbatch = {"s1": "#near/2( spark stream )",
+                  "s2": "#window/5( join merge )",
+                  "s3": "spark stream join",
+                  "s4": "#syn( merge batch )"}
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            eng.search_segments_many(sbatch, k=100).collect()
+            times.append(time.time() - t0)
+        queries["segments_structured_per_query"] = round(
+            min(times) / len(sbatch), 3)
     finally:
         shutil.rmtree(seg_dir, ignore_errors=True)
 
@@ -228,6 +244,14 @@ def main() -> None:
     bench_split = docs.where(F.col("doc_id") % 41 == 0)
     cur.curate_corpus(docs, bench_split)[1].collect()
     queries["curation_funnel"] = round(time.time() - t0, 3)
+
+    # result serving: query-biased snippets for a top-10 page (one
+    # broadcast of the result list + one codegen projection)
+    from search_engines_spark.capabilities import serving
+    res = Engine(idx, "bm25").search("spark stream join", k=10)
+    t0 = time.time()
+    serving.snippets(res, idx.docs, ["spark", "stream", "join"]).collect()
+    queries["snippets_top10"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
     retrieval_times = [queries[k] for k in RETRIEVAL]  # warm latencies
