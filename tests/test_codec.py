@@ -46,3 +46,48 @@ def test_block_compresses():
     blk = encode_block(doc_ids, tfs, flat, tfs, np.full(128, 50))
     # 128 docids with delta 3 → 1 byte each vs 8 raw
     assert len(blk["docids_vb"]) == 128
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_encode_decode_blocks_batch_roundtrip(data):
+    """Property: _encode_partition → decode_blocks_batch is the identity
+    on the postings multiset (batch-vectorized decode: four varbyte
+    calls per batch, segmented cumsums) — pure pandas, no Spark."""
+    import pandas as pd
+
+    from search_engines_spark.indexer.segments import (_encode_partition,
+                                                       decode_blocks_batch)
+    n_docs = data.draw(st.integers(min_value=0, max_value=40))
+    rows = []
+    for d in range(n_docs):
+        terms = data.draw(st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee"]),
+            min_size=1, max_size=4, unique=True))
+        doclen = data.draw(st.integers(min_value=4, max_value=60))
+        for t in sorted(terms):
+            tf = data.draw(st.integers(min_value=1,
+                                       max_value=min(5, doclen)))
+            pos = sorted(data.draw(st.lists(
+                st.integers(min_value=1, max_value=doclen),
+                min_size=tf, max_size=tf, unique=True)))
+            rows.append({"term": t, "field": "body", "bucket": 0,
+                         "doc_id": d, "tf": tf,
+                         "positions": np.array(pos, dtype=np.int32),
+                         "doclen": doclen})
+    rows.sort(key=lambda r: (r["term"], r["field"], r["doc_id"]))
+    pdf = pd.DataFrame(rows) if rows else pd.DataFrame(
+        columns=["term", "field", "bucket", "doc_id", "tf", "positions",
+                 "doclen"])
+    blocks = list(_encode_partition(iter([pdf])))
+    if not rows:
+        assert decode_blocks_batch(pd.DataFrame(
+            columns=["term", "field", "n", "docids_vb", "tfs_vb",
+                     "doclens_vb", "positions_vb"])) is None
+        return
+    dec = decode_blocks_batch(pd.concat(blocks, ignore_index=True))
+    got = {(r.term, r.field, r.doc_id): (r.tf, list(r.positions), r.doclen)
+           for r in dec.itertuples(index=False)}
+    want = {(r["term"], r["field"], r["doc_id"]):
+            (r["tf"], list(r["positions"]), r["doclen"]) for r in rows}
+    assert got == want
