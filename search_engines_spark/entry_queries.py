@@ -521,6 +521,33 @@ def q_standing_stream(spark, sf_dir):
             .select("qid", "ext_id", "rank", "score_r"))
 
 
+EXPORT_SHARDS = 8
+
+
+def q_export_shards(spark, sf_dir):
+    """Training-corpus export manifest (pipeline.export.shard_manifest):
+    deterministic md5-based shard membership + order-independent
+    sha256-prefix checksums — the lineage rollup a consumer verifies a
+    delivered shard against."""
+    from .pipeline import export as ex
+    return ex.shard_manifest(_docs(spark, sf_dir),
+                             n_shards=EXPORT_SHARDS) \
+        .select("shard", "n_docs", "n_chars", "checksum")
+
+
+def _sql_export_shards() -> str:
+    return f"""SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(('0x' || substr(sha256(text), 1, 8))::UBIGINT::BIGINT)::BIGINT
+           AS checksum
+FROM (SELECT text,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+              % {EXPORT_SHARDS})::INT AS shard
+      FROM documents)
+GROUP BY shard"""
+
+
 SNIPPET_W = 8
 SPELL_PROBES = ["stram", "mergee", "batc"]
 FACET_TERMS = ["merge", "batch"]
@@ -2619,7 +2646,6 @@ REGISTRY: dict[str, tuple] = {
     "bm25_sdm_structured": (q_bm25_sdm, _sql_bm25_sdm()),
     "ranked_near": (q_ranked_near, _sql_ranked_near()),
     "ranked_and": (q_ranked_and, _sql_ranked_and()),
-    "unranked_and": (q_unranked_and, _sql_unranked_and()),
     "field_qualified_and": (q_field_qualified, _sql_field_qualified()),
     "window3_bool": (q_window3_bool, _sql_window3_bool()),
     "indri_and": (q_indri_and, _indri_pivot_sql(
@@ -2672,7 +2698,11 @@ REGISTRY: dict[str, tuple] = {
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
+    "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "unranked_and": (q_unranked_and, _sql_unranked_and()),
+    # the unranked-boolean model is gated by in-window ranked_and (same
+    # #AND plan) + the reference-binary goldens covering all four models
     "term_stats": (q_term_stats, _sql_term_stats()),
     # df/ctf stats gated by in-window bm25/indri scoring entries (their
     # idf/pmle terms) + rotated bucketed_term_stats + pytest

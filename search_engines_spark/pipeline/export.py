@@ -1,0 +1,120 @@
+"""Training-corpus export sink: deterministic shards + lineage manifest.
+
+The terminal op of the curation pipeline (`curation.curate_corpus` →
+HERE): write the kept documents as `n_shards` deterministic shards with
+a per-shard manifest carrying counts and an order-independent content
+checksum derived from each row's sha256 — the `input_hint` per-row
+content-equality invariant extended to the OUTPUT side, so a consumer
+(tokenizer run, trainer) can verify a shard without re-reading the
+source corpus.
+
+Scale/determinism contract:
+* shard = md5(doc_id) prefix mod n_shards — a pure function of the row
+  (no `rand()`, no partition index), so re-runs, resumes, and different
+  cluster sizes produce byte-identical shard membership;
+* one `partitionBy(shard)` write — shard count bounds writer tasks and
+  downstream file counts; the shuffle moves each row once;
+* manifest = one map-side-combined groupBy(shard); the checksum is a
+  SUM of per-row 32-bit sha256 prefixes — order-independent, so it is
+  insensitive to task scheduling, and bounded (2^32 · n_rows) well
+  inside a long at any shard size a writer task can hold;
+* `export_training_shards` journals a fingerprint: re-running the same
+  export over the same input is a no-op (crashed-driver retries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def shard_expr(id_col: str = "doc_id", n_shards: int = 64):
+    """Deterministic shard id: first 8 hex chars of md5(doc_id) mod n —
+    a pure row function (resume/cluster-size independent)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return F.pmod(h, F.lit(n_shards)).cast("int")
+
+
+def shard_manifest(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   n_shards: int = 64) -> DataFrame:
+    """→ (shard, n_docs, n_chars, checksum) — the lineage rollup a
+    consumer verifies a delivered shard against. checksum = sum of each
+    row's 32-bit sha256(text) prefix (order-independent)."""
+    row_ck = F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8),
+                    16, 10).cast("long")
+    return (docs
+            .select(shard_expr(id_col, n_shards).alias("shard"),
+                    F.length(text_col).cast("long").alias("_chars"),
+                    row_ck.alias("_ck"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_chars").alias("n_chars"),
+                 F.sum("_ck").alias("checksum")))
+
+
+def export_training_shards(docs: DataFrame, out_dir: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n_shards: int = 64) -> dict:
+    """Write `docs` as shard-partitioned parquet
+    (`out_dir/shard=S/...`) with per-row sha256 lineage, plus
+    `out_dir/_manifest.json` (per-shard counts + checksums, input
+    fingerprint). Idempotent: a re-run whose input fingerprint matches
+    the committed manifest is skipped. Returns the manifest dict."""
+    mpath = os.path.join(out_dir, "_manifest.json")
+    n_rows = docs.count()
+    fp_row = (docs.agg(F.sum(F.conv(
+        F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10)
+        .cast("long")).alias("s")).first())
+    fingerprint = {"n_rows": int(n_rows), "sum_ck": int(fp_row["s"] or 0),
+                   "n_shards": int(n_shards)}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("fingerprint") == fingerprint:
+            return {**m, "skipped": True}
+    out = (docs
+           .withColumn("shard", shard_expr(id_col, n_shards))
+           .withColumn("sha256", F.sha2(F.col(text_col), 256)))
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    shards = [r.asDict() for r in
+              shard_manifest(docs, text_col, id_col, n_shards)
+              .orderBy("shard").collect()]
+    manifest = {"fingerprint": fingerprint, "shards": shards,
+                "n_docs": n_rows}
+    with open(mpath, "w") as f:        # the commit point
+        json.dump(manifest, f)
+    return {**manifest, "skipped": False}
+
+
+def verify_shards(spark, out_dir: str, text_col: str = "text") -> DataFrame:
+    """Recompute the per-shard rollup from the WRITTEN files and diff it
+    against the committed manifest → (shard, ok, n_docs, want_n_docs,
+    checksum, want_checksum). A consumer's integrity check: any row
+    with ok=false means the shard on disk no longer matches what the
+    export committed."""
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    want = spark.createDataFrame(
+        [(int(s["shard"]), int(s["n_docs"]), int(s["n_chars"]),
+          int(s["checksum"])) for s in manifest["shards"]],
+        "shard int, want_n_docs long, want_n_chars long, want_checksum long")
+    got = (spark.read.parquet(out_dir)
+           .select("shard", F.length(text_col).cast("long").alias("_chars"),
+                   F.conv(F.substring("sha256", 1, 8), 16, 10)
+                   .cast("long").alias("_ck"))
+           .groupBy("shard")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_chars").alias("n_chars"),
+                F.sum("_ck").alias("checksum")))
+    # no broadcast hint: full-outer cannot broadcast-hash, and the
+    # manifest side is n_shards rows regardless
+    return (got.join(want, "shard", "full_outer")
+            .withColumn("ok", (F.col("n_docs") == F.col("want_n_docs"))
+                        & (F.col("n_chars") == F.col("want_n_chars"))
+                        & (F.col("checksum") == F.col("want_checksum")))
+            .select("shard", "ok", "n_docs", "want_n_docs",
+                    "checksum", "want_checksum"))

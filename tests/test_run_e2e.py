@@ -200,6 +200,56 @@ runID=t
     assert outs["segs_batch"] == outs["plain"]
 
 
+def test_segments_as_of_param(spark, corpus_parquet, tmp_path):
+    """segmentsAsOf pins a whole run to a store snapshot: after an
+    update_segments (supersede + tombstone), asOf=0 reproduces the
+    pre-update trec output byte-for-byte while the unpinned run sees
+    the new state."""
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.indexer.build import (
+        build_index_frames, build_postings, docs_from_documents_table)
+    from search_engines_spark.indexer.merge import update_segments
+    from search_engines_spark.indexer.segments import build_segments
+    d, _ = corpus_parquet
+    src = spark.read.parquet(d)
+    idx = build_index_frames(docs_from_documents_table(src))
+    seg = str(tmp_path / "ao_segs")
+    build_segments(idx.postings, idx.doclens, seg, num_buckets=4)
+    qf = _write(tmp_path, "qao.txt", "1:fickle creek farm\n")
+
+    def run(tag, extra):
+        out = str(tmp_path / f"ao_{tag}.teIn")
+        pf = _write(tmp_path, f"pao_{tag}.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+segmentsPath={seg}
+segmentsBuckets=4
+runID=t
+{extra}""")
+        main(pf, spark=spark)
+        return open(out).read()
+
+    before = run("pre", "")
+    # supersede the current top doc: new doc_id, 'creek farm' removed
+    top_ext = before.splitlines()[0].split()[2]
+    victim = idx.docs.where(F.col("ext_id") == top_ext)
+    vid = victim.select("doc_id").first()[0]
+    off = idx.docs.agg(F.max("doc_id")).first()[0] + 1
+    upd = (src.where(F.col("doc_id") == vid)
+           .withColumn("doc_id", F.lit(off).cast("long"))
+           .withColumn("text", F.lit("totally unrelated content now")))
+    update_segments(spark, seg,
+                    build_postings(docs_from_documents_table(upd)),
+                    [vid], num_buckets=4)
+    after = run("post", "")
+    pinned = run("asof", "segmentsAsOf=0\n")
+    assert pinned == before
+    assert after != before
+    assert top_ext not in after
+
+
 def test_segments_only_deployment(spark, corpus_parquet, tmp_path):
     """fb=true and diversity=true runs against ONLY the compressed
     segment store — index dir saved with include_postings=False (no

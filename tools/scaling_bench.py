@@ -32,8 +32,12 @@ Jobs measured per level (2, 8, 32 cores):
   * index build, jvm kernel (`build_postings` — codegen tokenizer +
     groupBy) at 8/32 for comparison;
   * batched BM25 retrieval (`Engine.search_many`) at 8/32 — queries/sec;
+  * batched flat-Indri retrieval (one-pass default scores) at 8/32;
   * batched block-max DAAT over the compressed segment store
-    (`Engine.search_daat_many`) at 8/32 — queries/sec.
+    (`Engine.search_daat_many`) at 8/32 — queries/sec;
+  * FULL structured language off the compressed store
+    (`Engine.search_segments_many` — batch-vectorized block decode);
+  * winnowing fingerprints (doc-local map-only kernel).
 
 Usage:
     python tools/scaling_bench.py            # all levels, writes
@@ -106,6 +110,17 @@ ZIPF_DAAT_QUERY_SET = {  # bow-only for the compressed-store DAAT pass
     "d12": "t88 t89 t52 t430",
 }
 
+ZIPF_SEG_QUERY_SET = {  # FULL structured language off the compressed
+    "s1": "#near/2( t15 t320 )",       # store: one bucket-pruned scan +
+    "s2": "#window/5( t33 t210 )",     # ONE batch-vectorized decode for
+    "s3": "t12 t240 t3100",            # the union of the batch's terms
+    "s4": "#syn( t150 t151 )",
+    "s5": "#sum( #near/3( t120 t46 ) t950 )",
+    "s6": "#near/4( t610 t1200 )",
+    "s7": "#window/4( t220 t18 )",
+    "s8": "#sum( #syn( t88 t89 ) t52 )",
+}
+
 # ---- replicate-corpus query sets (r01/r02 workload, 31-term vocab) ----------
 
 # batched-query workload: bag-of-words + structured, over corpus vocab
@@ -159,6 +174,17 @@ DAAT_QUERY_SET = {
     "d12": "column sort scan",
 }
 
+SEG_QUERY_SET = {  # structured language off the compressed store
+    "s1": "#near/2( spark stream )",
+    "s2": "#window/5( join merge )",
+    "s3": "spark stream join",
+    "s4": "#syn( merge batch )",
+    "s5": "#sum( #near/3( data table ) column )",
+    "s6": "#near/4( table scan )",
+    "s7": "#window/4( hash table )",
+    "s8": "#sum( #syn( merge join ) batch )",
+}
+
 
 # ------------------------------------------------- hardware microbenchmarks --
 
@@ -183,10 +209,14 @@ def hw_ceilings(levels=LEVELS) -> dict:
     out: dict[int, dict] = {}
     for name, fn in (("sha", _sha_task), ("bw", _bw_task)):
         for k in levels:
-            t0 = time.time()
-            with multiprocessing.Pool(k) as p:
-                p.map(fn, range(64))
-            out.setdefault(k, {})[name] = round(time.time() - t0, 1)
+            best = None
+            for _ in range(2):   # min-of-2: the ceiling is a denominator
+                t0 = time.time()
+                with multiprocessing.Pool(k) as p:
+                    p.map(fn, range(64))
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            out.setdefault(k, {})[name] = round(best, 1)
     return out
 
 
@@ -241,11 +271,13 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         lambda it: it, schema="id long").count()
     if corpus == "zipf":
         src, n_docs = _zipf_docs(spark, n_docs)
-        q_set, i_set, d_set = (ZIPF_QUERY_SET, ZIPF_INDRI_QUERY_SET,
-                               ZIPF_DAAT_QUERY_SET)
+        q_set, i_set, d_set, s_set = (ZIPF_QUERY_SET, ZIPF_INDRI_QUERY_SET,
+                                      ZIPF_DAAT_QUERY_SET,
+                                      ZIPF_SEG_QUERY_SET)
     else:
         src, n_docs = _replicated_docs(spark, sf_dir, mult)
-        q_set, i_set, d_set = QUERY_SET, INDRI_QUERY_SET, DAAT_QUERY_SET
+        q_set, i_set, d_set, s_set = (QUERY_SET, INDRI_QUERY_SET,
+                                      DAAT_QUERY_SET, SEG_QUERY_SET)
     res: dict = {"cores": cores, "n_docs": n_docs, "corpus": corpus}
 
     # ---- arrow (zero-shuffle) build ---------------------------------------
@@ -277,7 +309,7 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         idx.postings.count()           # materialize the persisted index
         eng = Engine(idx, "bm25")
         best = None
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             eng.search_many(q_set, k=100).collect()
             s = time.time() - t0
@@ -288,7 +320,7 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         # ---- batched flat-Indri retrieval (one-pass default scores) --------
         eng_i = Engine(idx, "indri")
         best = None
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             eng_i.search_many(i_set, k=100).collect()
             s = time.time() - t0
@@ -310,13 +342,26 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
             res["seg_build_sec"] = round(time.time() - t0, 2)
             eng.attach_segments(seg_dir, num_buckets=32)
             best = None
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 eng.search_daat_many(d_set, k=100).collect()
                 s = time.time() - t0
                 best = s if best is None else min(best, s)
             res["daat_batch_sec"] = round(best, 2)
             res["daat_queries_per_sec"] = round(len(d_set) / best, 2)
+
+            # ---- structured language off the compressed store ----------
+            # (search_segments_many: one bucket-pruned scan + ONE
+            # batch-vectorized block decode for the union of the batch's
+            # terms, then the one-plan search_many paths)
+            best = None
+            for _ in range(5):
+                t0 = time.time()
+                eng.search_segments_many(s_set, k=100).collect()
+                s_el = time.time() - t0
+                best = s_el if best is None else min(best, s_el)
+            res["segdec_batch_sec"] = round(best, 2)
+            res["segdec_queries_per_sec"] = round(len(s_set) / best, 2)
         finally:
             shutil.rmtree(seg_dir, ignore_errors=True)
 
@@ -383,6 +428,7 @@ def main() -> None:
     q832 = _eff(r, 8, 32, "queries_per_sec")
     i832 = _eff(r, 8, 32, "indri_queries_per_sec")
     d832 = _eff(r, 8, 32, "daat_queries_per_sec")
+    g832 = _eff(r, 8, 32, "segdec_queries_per_sec")
     w832 = _eff(r, 8, 32, "winnow_docs_per_sec")
 
     if args.corpus == "zipf":
@@ -425,7 +471,14 @@ in ~every document."""
         f"landed after that measurement (batched SDM proximity arms "
         f"joined the one-pass Indri plan, 4a28df4; ext_id resolution "
         f"became a projection instead of a corpus-sized doc_map join, "
-        f"Index.extid_docid_fmt).")
+        f"Index.extid_docid_fmt)."
+        + " Cross-run variance on this shared box is the same order as"
+          " these deltas: three solo r3 runs put the BM25 arm's 32-core"
+          " min-of-5 at 6.9-7.96 s against 8-core 6.71-7.46 s, so"
+          " per-arm absolute 8→32 movement inside ±10% is run noise on a"
+          " DRAM-ceiling workload; the structural signals that persist"
+          " across runs are the build's ≥0.89 N→4N-proxy efficiency and"
+          " the decode-path arm improving ~35% absolute at 32 cores.")
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -555,6 +608,23 @@ adaptive ~2-groups-per-slot width was measured slower at 32 cores
 block decode and starve the shared block-max θ on a bandwidth-bound
 kernel (`engine/daat.py:_strides_per_part`).
 
+## Structured retrieval off the compressed store (8 vs 32 cores)
+
+`Engine.search_segments_many` — {len(ZIPF_SEG_QUERY_SET)} FULL-language
+queries (NEAR/WINDOW/SYN/#AND/bow) answered off the varbyte segment
+store: one bucket-pruned scan + ONE batch-vectorized block decode for
+the union of the batch's terms (`segments.decode_blocks_batch` — four
+`varbyte_decode` calls per Arrow batch, no per-posting Python), then
+the one-plan `search_many` paths over the decoded sub-index:
+
+| cores | batch sec | queries/sec |
+|---|---|---|
+| 8  | {r[8]['segdec_batch_sec']} | {r[8]['segdec_queries_per_sec']} |
+| 32 | {r[32]['segdec_batch_sec']} | {r[32]['segdec_queries_per_sec']} |
+
+(8→32 efficiency {g832:.2f} against the {bw_832:.2f} bandwidth /
+{sha_832:.2f} CPU ceilings.)
+
 ## Winnowing fingerprint throughput (8 vs 32 cores)
 
 `pipeline.codestats.winnow_fingerprints` — MOSS-style code-clone
@@ -601,15 +671,25 @@ there. The solo-run p50 at the driver's bench scale (5k docs) is
 the BASELINE.json latency metric is scheduler/ambient-bound, not
 engine-bound.
 
+**r3 solo bench checkpoint** (sf0.1, 32 cores, nothing else running):
+`query_p50_sec` **0.562 s** (r01 driver run: 1.40; r02: 1.85 — both
+shared-load), build **5.39 s / 927.5 files/s** (r02: 10.2 s / 488),
+`value_core` **16.76 s** (r01 recomputed: 53.65; r02: 37.12),
+`batch_bm25_per_query` 0.959 s, `daat_batch_per_query` 0.145 s, new
+arms `segments_structured_per_query` 0.636 s and `snippets_top10`
+0.501 s. Like-for-like improvements this round came from the
+batch-vectorized segment block decode (compaction 6.2 → 5.0 s at
+sf0.1) on top of the r02 ext_id-projection and vectorized-encode work.
+
 **Comparing `value` across rounds:** bench.py's headline `value` is the
 wall over EVERYTHING it measures, and the measured set grows each round
-(r01 had no segment lifecycle, no batched-DAAT, no Indri-batch arms).
-Per-arm keys inside `queries` and `build_sec`/`files_per_sec` are the
-like-for-like numbers — e.g. index build r01 27.7 s (jvm builder) →
-9.8 s (arrow builder default). From r03 bench.py also emits
-`value_core`: build + the FROZEN r01 arm set (`bench.py:CORE_ARMS`) —
-the cross-round-comparable headline. Recomputed from per-arm keys for
-earlier rounds: r01 `value_core` = 53.65 s, r02 = 37.12 s.
+(r01 had no segment lifecycle, no batched-DAAT, no Indri-batch arms;
+r3 adds the structured-segment and snippets arms). `value_core`
+(build + the frozen r01 arm set) is the cross-round-comparable
+headline; per-arm keys inside `queries` and
+`build_sec`/`files_per_sec` are the like-for-like numbers — e.g. index
+build r01 27.7 s (jvm builder) → 9.8 s (arrow builder default) →
+5.4 s (r3).
 """)
     print(f"arrow 2->8={a28:.3f} 8->32={a832:.3f} jvm 8->32={j832:.3f} "
           f"query 8->32={q832:.3f} indri 8->32={i832:.3f} "
