@@ -18,8 +18,10 @@ module is that lifecycle for the compressed varbyte layout of
   pruned reader is reused verbatim).
 * `compact_segments(...)` — fold all live generations into the base:
   ONLY the buckets the deltas touch are rebuilt (decode base + delta
-  blocks → posting rows → re-encode → dynamic partition overwrite),
-  then the generation dirs are retired. Work scales with
+  blocks → posting rows → re-encode into a hidden staging dir → one
+  journal-line commit → per-bucket rename publish; the journal append
+  is the sole commit point, Lucene's `segments_N` swap), then the
+  generation dirs are retired. Work scales with
   |delta| + |base postings in touched buckets|, never corpus size —
   at 10^12 docs a nightly compaction touches the buckets the day's
   crawl touched, nothing else.
@@ -75,38 +77,61 @@ def _read_gen_manifest(seg_dir: str) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
+_REBUILD_DIR = "_rebuild"
+
+
+def _txn_path(seg_dir: str, txn: int) -> str:
+    return os.path.join(seg_dir, _REBUILD_DIR, f"txn={txn}")
+
+
 def _gen_path(seg_dir: str, gen: int) -> str:
     return os.path.join(seg_dir, _DELTA_DIR, f"gen={gen}")
 
 
-def live_generations(seg_dir: str) -> list[int]:
+def live_generations(seg_dir: str,
+                     manifest: list[dict] | None = None) -> list[int]:
     """Generations committed but not yet compacted into the base."""
-    floor, gens = 0, []
-    for m in _read_gen_manifest(seg_dir):
-        if "compacted_through" in m:
-            floor = max(floor, int(m["compacted_through"]))
-        elif "gen" in m:
-            gens.append(int(m["gen"]))
-    return sorted(g for g in set(gens) if g > floor)
+    manifest = _read_gen_manifest(seg_dir) if manifest is None else manifest
+    floor = compaction_floor(seg_dir, manifest)
+    gens = {int(m["gen"]) for m in manifest if "gen" in m}
+    return sorted(g for g in gens if g > floor)
 
 
-def folded_map(seg_dir: str) -> dict[int, set[int]]:
-    """{gen: buckets already rebuilt into the base} for LIVE generations
-    — the per-(gen, bucket) compaction progress journal. A crashed
-    `compact_segments` leaves the chunks it committed recorded here, so
-    (a) replays skip them instead of double-encoding their delta
-    postings, and (b) `read_segments_merged` stops reading a
-    generation's bucket the moment the base holds its rows (no
-    double-count in the crash window either)."""
-    floor, out = 0, {}
-    for m in _read_gen_manifest(seg_dir):
-        if "compacted_through" in m:
-            floor = max(floor, int(m["compacted_through"]))
-        elif "folded_buckets" in m:
+def folded_map(seg_dir: str,
+               manifest: list[dict] | None = None) -> dict[int, set[int]]:
+    """{gen: buckets already folded by a journaled rebuild txn} for LIVE
+    generations — the per-(gen, bucket) compaction progress journal. A
+    chunk's journal entry is its COMMIT POINT (the staged rebuild is
+    complete the moment the entry exists), so (a) replays skip journaled
+    buckets instead of re-encoding their delta postings, and (b)
+    `read_segments_merged` stops reading a generation's bucket the
+    moment a txn holding its rows is journaled."""
+    manifest = _read_gen_manifest(seg_dir) if manifest is None else manifest
+    floor, out = compaction_floor(seg_dir, manifest), {}
+    for m in manifest:
+        if "folded_buckets" in m:
             for g in m.get("gens", []):
                 out.setdefault(int(g), set()).update(
                     int(b) for b in m["folded_buckets"])
     return {g: b for g, b in out.items() if g > floor}
+
+
+def pending_txns(seg_dir: str,
+                 manifest: list[dict] | None = None) -> dict[int, list[int]]:
+    """{txn: buckets} of journaled rebuild txns whose staged data has
+    not yet been published (renamed) into the base — non-empty only in
+    the window between a chunk's journal append and the completion of
+    its per-bucket publish renames (i.e. after a crash). Readers serve
+    these buckets from the txn's staging dir; `compact_segments`
+    finishes the publish before doing new work."""
+    manifest = _read_gen_manifest(seg_dir) if manifest is None else manifest
+    pubs, txns = set(), {}
+    for m in manifest:
+        if "published_txn" in m:
+            pubs.add(int(m["published_txn"]))
+        elif "folded_buckets" in m and "txn" in m:
+            txns[int(m["txn"])] = [int(b) for b in m["folded_buckets"]]
+    return {t: b for t, b in txns.items() if t not in pubs}
 
 
 def merged_batches(seg_dir: str) -> set[int]:
@@ -158,15 +183,34 @@ def append_segments(postings: DataFrame, seg_dir: str,
     return {**entry, "skipped": False}
 
 
-def compaction_floor(seg_dir: str) -> int:
+def compaction_floor(seg_dir: str,
+                     manifest: list[dict] | None = None) -> int:
     """Highest generation already folded into the base — the horizon
     below which history is physically gone (the Iceberg
     snapshot-expiration analog): `as_of` reads can reach back only to
     generations ≥ this floor."""
+    manifest = _read_gen_manifest(seg_dir) if manifest is None else manifest
     floor = 0
-    for m in _read_gen_manifest(seg_dir):
+    for m in manifest:
         if "compacted_through" in m:
             floor = max(floor, int(m["compacted_through"]))
+    return floor
+
+
+def snapshot_floor(seg_dir: str,
+                   manifest: list[dict] | None = None) -> int:
+    """Oldest generation an `as_of` read can still reproduce. Usually
+    the compaction floor, but a PARTIAL compaction already moves it: the
+    moment any chunk folding generation G is journaled, the base (or its
+    staged rebuild) holds G's postings for those buckets un-separably,
+    so every snapshot below G is gone even before the retire marker
+    lands (crash window, or a reader racing a live compaction)."""
+    manifest = _read_gen_manifest(seg_dir) if manifest is None else manifest
+    floor = compaction_floor(seg_dir, manifest)
+    for m in manifest:
+        if "folded_buckets" in m:
+            floor = max(floor, max((int(g) for g in m.get("gens", [])),
+                                   default=0))
     return floor
 
 
@@ -186,22 +230,50 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
     `as_of=G` is a snapshot read: only generations ≤ G participate, so
     the result is exactly what a reader saw right after generation G
     committed (time travel over the append lifecycle). History reaches
-    back only to the compaction floor — `compact_segments` folds
+    back only to the snapshot floor — `compact_segments` folds
     generations into the base irreversibly (Iceberg snapshot
-    expiration); asking for an expired snapshot raises."""
-    if as_of is not None and as_of < compaction_floor(seg_dir):
+    expiration), and a PARTIAL compaction already expires the snapshots
+    below the generations it started folding; asking for an expired
+    snapshot raises.
+
+    Crash consistency: a journaled-but-unpublished rebuild txn (a
+    compaction crashed between its journal append and its per-bucket
+    publish renames) is resolved here — its buckets read from the txn's
+    staging dir (authoritative the moment the journal entry exists) and
+    are masked out of the base scan, so readers see exactly one copy of
+    every posting at every crash point."""
+    manifest = _read_gen_manifest(seg_dir)
+    if as_of is not None and as_of < snapshot_floor(seg_dir, manifest):
         raise ValueError(
             f"snapshot as_of={as_of} expired: generations through "
-            f"{compaction_floor(seg_dir)} are compacted into the base")
+            f"{snapshot_floor(seg_dir, manifest)} are (or are being) "
+            f"compacted into the base")
     df = read_segments(spark, seg_dir, terms=terms, num_buckets=num_buckets)
-    folded = folded_map(seg_dir)
-    for gen in live_generations(seg_dir):
+    # buckets owned by a committed-but-unpublished rebuild txn: staging
+    # is authoritative for any bucket whose dir still exists there (the
+    # publish rename is per-bucket atomic — a missing staging dir means
+    # that bucket already reached the base)
+    override: dict[int, int] = {}
+    for txn, bks in sorted(pending_txns(seg_dir, manifest).items()):
+        for b in bks:
+            if os.path.isdir(os.path.join(_txn_path(seg_dir, txn),
+                                          f"bucket={b}")):
+                override[b] = txn
+    if override:
+        df = df.where(~F.col("bucket").isin(sorted(override)))
+        for txn in sorted(set(override.values())):
+            bks = sorted(b for b, t in override.items() if t == txn)
+            s = read_segments(spark, _txn_path(seg_dir, txn),
+                              terms=terms, num_buckets=num_buckets)
+            df = df.unionByName(s.where(F.col("bucket").isin(bks)))
+    folded = folded_map(seg_dir, manifest)
+    for gen in live_generations(seg_dir, manifest):
         if as_of is not None and gen > as_of:
             continue
         g = read_segments(spark, _gen_path(seg_dir, gen),
                           terms=terms, num_buckets=num_buckets)
         done = folded.get(gen)
-        if done:   # buckets the base already holds (partial compaction)
+        if done:   # buckets a journaled txn already holds
             g = g.where(~F.col("bucket").isin(sorted(done)))
         df = df.unionByName(g)
     return df
@@ -251,10 +323,11 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 _TOMBSTONE_DIR = "_tombstones"
 
 # Fault-injection hook for crash-replay tests: called with
-# ("chunk_written", i) after a chunk's Spark job commits and
-# ("chunk_journaled", i) after its manifest entry lands. Tests raise
-# from it to simulate a driver crash at either boundary; None in
-# production.
+# ("chunk_written", i) after a chunk's staging write commits,
+# ("chunk_journaled", i) after its journal entry (the commit point)
+# lands, and ("chunk_published", i) after its per-bucket publish
+# renames. Tests raise from it to simulate a driver crash at any
+# boundary; None in production.
 _test_crash_hook = None
 
 
@@ -355,44 +428,85 @@ def superseded_doc_ids(docs: DataFrame, delta: DataFrame) -> DataFrame:
         .select("doc_id")
 
 
+def _publish_txn(seg_dir: str, txn: int, buckets: list[int]) -> None:
+    """Move a journaled rebuild txn's staged bucket dirs into the base —
+    one atomic `os.rename` per bucket, idempotent: a bucket whose
+    staging dir is gone already reached the base (the rename either
+    happened or didn't; there is no partial state a reader can observe,
+    because readers prefer staging whenever its dir exists). Appends the
+    `published_txn` marker once every bucket is in place."""
+    root = _txn_path(seg_dir, txn)
+    for b in buckets:
+        s = os.path.join(root, f"bucket={b}")
+        if not os.path.isdir(s):
+            continue   # already published (replay)
+        t = os.path.join(seg_dir, f"bucket={b}")
+        if os.path.isdir(t):
+            shutil.rmtree(t)
+        os.rename(s, t)
+    shutil.rmtree(root, ignore_errors=True)   # _SUCCESS etc.
+    with open(_gen_manifest_path(seg_dir), "a") as f:
+        f.write(json.dumps({"published_txn": txn}) + "\n")
+
+
 def compact_segments(spark: SparkSession, seg_dir: str,
                      num_buckets: int = 32, chunk: int = 8,
                      purge_deletes: bool = False) -> dict:
     """Fold all live generations into the base layout. Only buckets the
     deltas touch are rebuilt; generation dirs are retired afterwards.
 
-    Crash-replay safety (per-chunk commit granularity):
-    * every committed chunk appends a `folded_buckets` journal entry;
-      replays SKIP already-folded buckets and `read_segments_merged`
-      excludes a generation's folded buckets, so the crash window
-      between a chunk commit and generation retirement never
-      double-counts delta postings (readers or re-runs);
-    * the residual window between the Spark job commit and the journal
-      append is closed by deduping decoded rows on (term, field,
-      doc_id) — a replayed chunk re-encodes each posting exactly once;
+    Crash-replay safety — the journal append is the ONLY commit point
+    (the Lucene `segments_N` / Iceberg metadata-swap analog):
+    * each chunk is rebuilt into a hidden staging dir
+      (`_rebuild/txn=T/bucket=B/`) that no reader lists; a crash during
+      the Spark job leaves invisible garbage, swept on replay;
+    * the chunk commits by appending one `folded_buckets`+`txn` journal
+      line (a single O_APPEND write). From that instant
+      `read_segments_merged` serves the chunk's buckets from staging
+      and skips them in the affected generations — readers see exactly
+      one copy of every posting at EVERY crash point, so no read-side
+      dedupe (and no dedupe shuffle here) is needed;
+    * publish then renames each staged bucket dir into the base
+      (per-bucket atomic, idempotent — readers prefer staging while its
+      dir exists) and appends `published_txn`; a crashed publish is
+      finished by the next compaction before any new work;
     * the `compacted_through` retire marker is written BEFORE the
       generation dirs are removed; a crash in between leaves orphan
       dirs that no reader references, swept on the next compaction.
 
     purge_deletes=True additionally rewrites EVERY bucket dropping
     tombstoned docs' postings, then clears the tombstones — Lucene's
-    forceMerge. A bucket whose postings are ALL tombstoned yields an
-    inert placeholder block (n=0), so the dynamic partition overwrite
-    still replaces its directory — stale postings can never resurrect.
-    The default merge leaves tombstones in place (read-time mask)
-    because a deleted doc's postings span arbitrary term buckets."""
-    floor = 0
-    for m in _read_gen_manifest(seg_dir):
-        if "compacted_through" in m:
-            floor = max(floor, int(m["compacted_through"]))
+    forceMerge. Every staged bucket carries an inert placeholder block
+    (n=0), so even a fully-tombstoned bucket's directory is replaced at
+    publish — stale postings can never resurrect. The default merge
+    leaves tombstones in place (read-time mask) because a deleted doc's
+    postings span arbitrary term buckets."""
+    manifest = _read_gen_manifest(seg_dir)
+    floor = compaction_floor(seg_dir, manifest)
     delta_root = os.path.join(seg_dir, _DELTA_DIR)
     if os.path.isdir(delta_root):          # sweep retired-orphan dirs
         for d in os.listdir(delta_root):
             if d.startswith("gen=") and int(d.split("=", 1)[1]) <= floor:
                 shutil.rmtree(os.path.join(delta_root, d),
                               ignore_errors=True)
-    gens = live_generations(seg_dir)
-    folded = folded_map(seg_dir)
+    # finish any crashed publish (journaled txns are committed — their
+    # staged buckets just haven't all reached the base yet) ...
+    pending = pending_txns(seg_dir, manifest)
+    for txn in sorted(pending):
+        _publish_txn(seg_dir, txn, pending[txn])
+    txn_next = max([int(m["txn"]) for m in manifest if "txn" in m],
+                   default=0) + 1
+    # ... and sweep staging dirs no journal entry ever committed
+    rb_root = os.path.join(seg_dir, _REBUILD_DIR)
+    if os.path.isdir(rb_root):
+        committed = {int(m["txn"]) for m in manifest if "txn" in m}
+        for d in os.listdir(rb_root):
+            if d.startswith("txn=") and \
+                    int(d.split("=", 1)[1]) not in committed:
+                shutil.rmtree(os.path.join(rb_root, d), ignore_errors=True)
+    manifest = _read_gen_manifest(seg_dir)   # publish appended markers
+    gens = live_generations(seg_dir, manifest)
+    folded = folded_map(seg_dir, manifest)
     tombs = deleted_doc_ids(spark, seg_dir) if purge_deletes else \
         np.empty(0, dtype=np.int64)
     if not gens and not tombs.size:
@@ -416,6 +530,8 @@ def compact_segments(spark: SparkSession, seg_dir: str,
                "blocks": 0, "postings": 0}
     for i in range(0, len(buckets), chunk):
         batch = buckets[i:i + chunk]
+        txn = txn_next
+        txn_next += 1
         # read_segments_merged already excludes each generation's folded
         # buckets — a partially-compacted bucket decodes base-only here
         blocks = read_segments_merged(spark, seg_dir,
@@ -423,10 +539,6 @@ def compact_segments(spark: SparkSession, seg_dir: str,
             .where(F.col("bucket").isin(batch))
         decoded = blocks.mapInPandas(_decode_partition,
                                      schema=_DECODE_SCHEMA)
-        # idempotent replay: if a crash landed between the chunk's job
-        # commit and its journal append, base ∪ gens holds each delta
-        # posting twice; the duplicates are identical rows
-        decoded = decoded.dropDuplicates(["term", "field", "doc_id"])
         if tombs.size:
             tomb_df = spark.createDataFrame(
                 [(int(d),) for d in tombs], "doc_id long")
@@ -438,29 +550,29 @@ def compact_segments(spark: SparkSession, seg_dir: str,
                 .select("term", "field", "bucket", "doc_id", "tf",
                         "positions", "doclen"))
         seg = part.mapInPandas(_encode_partition, schema=SEGMENT_SCHEMA)
-        if tombs.size:
-            # a fully-tombstoned bucket would emit NO rows and dynamic
-            # overwrite would leave its stale directory live — pin every
-            # batch bucket with an inert placeholder block (n=0; every
-            # reader/decoder yields nothing for it)
-            seg = seg.unionByName(_placeholder_blocks(spark, batch))
-        (seg.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(seg_dir))
+        # pin every batch bucket with an inert placeholder block (n=0),
+        # so its staging dir always exists: publish-idempotence reads
+        # "staging dir gone" as "already renamed", and a fully-tombstoned
+        # bucket's stale base dir still gets replaced
+        seg = seg.unionByName(_placeholder_blocks(spark, batch))
+        out = _txn_path(seg_dir, txn)
+        seg.write.mode("overwrite").partitionBy("bucket").parquet(out)
         if _test_crash_hook is not None:
             _test_crash_hook("chunk_written", i // chunk)
-        counts = (spark.read.parquet(seg_dir)
-                  .where(F.col("bucket").isin(batch))
+        counts = (spark.read.parquet(out).where(F.col("n") > 0)
                   .agg(F.count("*").alias("blocks"),
                        F.sum("n").alias("postings")).collect()[0])
         metrics["blocks"] += int(counts["blocks"] or 0)
         metrics["postings"] += int(counts["postings"] or 0)
         metrics["buckets_rebuilt"] += len(batch)
-        with open(_gen_manifest_path(seg_dir), "a") as f:   # chunk journal
+        with open(_gen_manifest_path(seg_dir), "a") as f:   # COMMIT point
             f.write(json.dumps({"folded_buckets": batch,
-                                "gens": gens}) + "\n")
+                                "gens": gens, "txn": txn}) + "\n")
         if _test_crash_hook is not None:
             _test_crash_hook("chunk_journaled", i // chunk)
+        _publish_txn(seg_dir, txn, batch)
+        if _test_crash_hook is not None:
+            _test_crash_hook("chunk_published", i // chunk)
     if gens:   # retire marker FIRST; dir removal is recoverable garbage
         with open(_gen_manifest_path(seg_dir), "a") as f:
             f.write(json.dumps({"compacted_through": max(gens),

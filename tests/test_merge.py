@@ -164,15 +164,18 @@ def _crash_at(point, idx):
     return hook
 
 
-@pytest.mark.parametrize("crash_point", ["chunk_written", "chunk_journaled"])
+@pytest.mark.parametrize("crash_point", ["chunk_written", "chunk_journaled",
+                                         "chunk_published"])
 def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
                                        crash_point):
-    """Driver crash at either per-chunk commit boundary (after the Spark
-    job commit / after the journal append) must leave (a) readers
-    correct in the crash window — no double-counted delta postings —
-    and (b) a replayed compaction producing the exact from-scratch
+    """Driver crash at EVERY per-chunk boundary (after the staging
+    write / after the journal append — the commit point / after the
+    publish renames) must leave (a) readers correct in the crash
+    window — no double-counted and no missing delta postings — and
+    (b) a replayed compaction producing the exact from-scratch
     postings multiset."""
     from search_engines_spark.indexer import merge as merge_mod
+    from search_engines_spark.indexer.merge import pending_txns
     d = _fresh_base_plus_delta(spark_index, tmp_path_factory,
                                f"crash_{crash_point}")
     want = _postings_map(spark_index.postings.collect())
@@ -182,22 +185,45 @@ def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
             compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
     finally:
         merge_mod._test_crash_hook = None
-    # crash-window read: base now holds chunk 0's merged buckets while
-    # gen 1 is still live — the merged reader must not double-count
-    # (journaled case: folded_buckets excludes them; unjournaled case:
-    # the chunk IS double-visible to raw readers, so only the replayed
-    # compaction is gated for it)
-    if crash_point == "chunk_journaled":
-        got_mid = _decoded_map(
+    # crash-window read must be exact at every boundary:
+    # * chunk_written: staging is invisible garbage, base ∪ gen serve;
+    # * chunk_journaled: the txn is committed but unpublished — its
+    #   buckets read from staging, the gen's copies are skipped;
+    # * chunk_published: base holds the buckets, folded_buckets skips
+    #   the gen's copies.
+    got_mid = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got_mid == want
+    assert live_generations(d) == [1]
+    if crash_point == "chunk_written":
+        assert pending_txns(d) == {}          # nothing was committed
+        # nothing folded yet → the pre-delta snapshot is still intact
+        base_only = _decoded_map(
             r.asDict() for r in
-            read_segments_merged(spark, d,
-                                 num_buckets=NUM_BUCKETS).collect())
-        assert got_mid == want
-        assert live_generations(d) == [1]
-    # replay to completion: every posting encoded exactly once
+            read_segments_merged(spark, d, num_buckets=NUM_BUCKETS,
+                                 as_of=0).collect())
+        assert base_only == _postings_map(
+            spark_index.postings.where(F.col("doc_id") < SPLIT).collect())
+    else:
+        if crash_point == "chunk_journaled":
+            assert list(pending_txns(d)) == [1]   # committed, unpublished
+        else:
+            assert pending_txns(d) == {}          # published through
+        # a journaled chunk already folded gen-1 postings into the base
+        # (or its staged rebuild) — snapshot 0 is gone and must say so,
+        # not silently include gen-1 documents
+        with pytest.raises(ValueError, match="expired"):
+            read_segments_merged(spark, d, num_buckets=NUM_BUCKETS,
+                                 as_of=0)
+    # replay to completion: every posting encoded exactly once, crashed
+    # txns published or swept, no staging residue
     m = compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
     assert m["compacted_gens"] == 1
     assert live_generations(d) == []
+    assert pending_txns(d) == {}
+    rb = os.path.join(d, "_rebuild")
+    assert not os.path.isdir(rb) or not os.listdir(rb)
     got = _decoded_map(
         r.asDict() for r in
         read_segments(spark, d, num_buckets=NUM_BUCKETS).collect())
