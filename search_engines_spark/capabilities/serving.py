@@ -40,6 +40,13 @@ from pyspark.sql import DataFrame, functions as F
 from ..analysis import SPARK_TOKENS_EXPR
 
 
+def _sql_str(t: str) -> str:
+    """Escape a term for embedding in a Spark SQL string literal —
+    the analyzer keeps apostrophes inside tokens (UAX#29 MidLetter), so
+    terms like o'brien are legal inputs here, not attacks to reject."""
+    return t.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def snippets(results: DataFrame, docs: DataFrame, terms: list[str],
              window: int = 8, text_col: str = "text") -> DataFrame:
     """Query-biased snippets for a result list.
@@ -51,7 +58,7 @@ def snippets(results: DataFrame, docs: DataFrame, terms: list[str],
     and a document-prefix snippet."""
     if not terms:
         raise ValueError("snippets needs at least one query term")
-    tset = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    tset = ", ".join(f"'{_sql_str(t)}'" for t in sorted(set(terms)))
     toks = SPARK_TOKENS_EXPR.format(col=text_col)
     d = (docs.select("doc_id", text_col)
          .join(F.broadcast(results), "doc_id")

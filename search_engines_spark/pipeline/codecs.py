@@ -218,10 +218,14 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not an AVI")
     w = h = None
     rate, scale, bpp = 0, 1, 24
+    # streams appear in strl order; strf applies to the stream whose strh
+    # preceded it (a trailing audio stream's WAVEFORMATEX must not be
+    # misread as the video bitmap header)
+    n_streams, vids_idx, cur_is_vids = 0, None, False
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, rate, scale, bpp
+        nonlocal w, h, rate, scale, bpp, n_streams, vids_idx, cur_is_vids
         while pos + 8 <= end:
             tag = data[pos:pos + 4]
             (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -231,11 +235,19 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
             elif tag == b"avih":
                 w, h = struct.unpack_from("<II", data, body_at + 32)
             elif tag == b"strh":
-                if data[body_at:body_at + 4] == b"vids":
+                cur_is_vids = data[body_at:body_at + 4] == b"vids"
+                if cur_is_vids:
+                    vids_idx = n_streams
                     scale, rate = struct.unpack_from("<II", data, body_at + 20)
+                n_streams += 1
             elif tag == b"strf":
-                (bpp,) = struct.unpack_from("<H", data, body_at + 14)
-            elif tag[2:4] in (b"db", b"dc") and ln:
+                if cur_is_vids:
+                    (bpp,) = struct.unpack_from("<H", data, body_at + 14)
+            elif (tag[:2].isdigit() and tag[2:4] in (b"db", b"dc") and ln
+                  and (vids_idx is None or int(tag[:2]) == vids_idx)):
+                if tag[2:4] == b"dc":
+                    raise ValueError(
+                        "compressed AVI frames unsupported (DIB only)")
                 frames.append(data[body_at:body_at + ln])
             pos = body_at + ln + (ln & 1)         # even-size padding
 
@@ -254,6 +266,8 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     player."""
     a = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = a.shape
+    if n == 0:
+        raise ValueError("encode_avi needs at least one frame")
     payloads = [_dib_rows(f) for f in a]
     frame_size = len(payloads[0])
     scale, rate = 1000, int(round(fps * 1000))

@@ -65,11 +65,16 @@ def export_training_shards(docs: DataFrame, out_dir: str,
     fingerprint). Idempotent: a re-run whose input fingerprint matches
     the committed manifest is skipped. Returns the manifest dict."""
     mpath = os.path.join(out_dir, "_manifest.json")
-    n_rows = docs.count()
-    fp_row = (docs.agg(F.sum(F.conv(
-        F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10)
-        .cast("long")).alias("s")).first())
-    fingerprint = {"n_rows": int(n_rows), "sum_ck": int(fp_row["s"] or 0),
+    # ONE source pass: the per-shard rollup is also the fingerprint
+    # (n_rows = Σ n_docs, sum_ck = Σ checksum) — a map-side-combined agg
+    # to n_shards rows, vs the separate count + checksum + manifest jobs
+    # that would each rescan the corpus
+    shards = [r.asDict() for r in
+              shard_manifest(docs, text_col, id_col, n_shards)
+              .orderBy("shard").collect()]
+    n_rows = sum(s["n_docs"] for s in shards)
+    fingerprint = {"n_rows": int(n_rows),
+                   "sum_ck": int(sum(s["checksum"] for s in shards)),
                    "n_shards": int(n_shards)}
     if os.path.exists(mpath):
         with open(mpath) as f:
@@ -80,9 +85,6 @@ def export_training_shards(docs: DataFrame, out_dir: str,
            .withColumn("shard", shard_expr(id_col, n_shards))
            .withColumn("sha256", F.sha2(F.col(text_col), 256)))
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    shards = [r.asDict() for r in
-              shard_manifest(docs, text_col, id_col, n_shards)
-              .orderBy("shard").collect()]
     manifest = {"fingerprint": fingerprint, "shards": shards,
                 "n_docs": n_rows}
     with open(mpath, "w") as f:        # the commit point

@@ -91,7 +91,15 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
                 {"image": "image/bmp", "audio": "audio/wav",
                  "video": "video/avi"}.get(
                     k, "application/octet-stream") for k in pdf["kind"]]
-            # metadata stays truthful: the real AVI is 4 frames @ 4 fps
+            # metadata stays truthful to the generated payloads: every
+            # real image/video frame is 16×12, the WAV is 800 samples
+            # @ 8 kHz = 100 ms, the AVI 4 frames @ 4 fps = 1000 ms
+            img_or_vid = out_pdf["kind"].isin(["image", "video"])
+            out_pdf.loc[img_or_vid, "width"] = 16
+            out_pdf.loc[img_or_vid, "height"] = 12
+            out_pdf.loc[out_pdf["kind"] == "image", "duration_ms"] = 0
+            out_pdf.loc[out_pdf["kind"] == "audio", "duration_ms"] = 100
+            out_pdf.loc[out_pdf["kind"] == "audio", ["width", "height"]] = 0
             out_pdf.loc[out_pdf["kind"] == "video", "duration_ms"] = 1000
             yield out_pdf
 

@@ -56,6 +56,51 @@ def test_codec_round_trips():
         assert fps == 4.0 and (frames == vid).all()
 
 
+def test_avi_codec_edge_cases():
+    rng = np.random.RandomState(11)
+    with pytest.raises(ValueError, match="at least one frame"):
+        C.encode_avi(np.empty((0, 12, 16, 3), dtype=np.uint8))
+    # a trailing audio stream's strf (WAVEFORMATEX) must not be misread
+    # as the video bitmap header, and its chunks must not become frames
+    vid = rng.randint(0, 256, (3, 6, 8, 3), dtype=np.uint8)
+    data = C.encode_avi(vid, fps=4.0)
+
+    def chunk(tag, body):
+        import struct
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    import struct
+    strh_aud = (b"auds" + b"\x00" * 4
+                + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0,
+                              800, 2, 0xFFFFFFFF, 0))
+    # WAVEFORMATEX: wBitsPerSample at offset 14 = 8 (≠ 24)
+    strf_aud = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh_aud)
+                 + chunk(b"strf", strf_aud))
+    # splice the audio strl after hdrl and an '01wb' audio chunk into movi
+    hdrl_end = data.find(b"LIST", 12)
+    (hdrl_len,) = struct.unpack_from("<I", data, hdrl_end + 4)
+    at = hdrl_end + 8 + hdrl_len + (hdrl_len & 1)
+    patched = data[:at] + strl + data[at:]
+    movi_at = patched.find(b"movi")
+    aud_ck = chunk(b"01wb", b"\x80" * 100)
+    patched = patched[:movi_at + 4] + aud_ck + patched[movi_at + 4:]
+    # fix RIFF + movi LIST sizes
+    (movi_len,) = struct.unpack_from("<I", patched, movi_at - 4)
+    patched = (patched[:movi_at - 4]
+               + struct.pack("<I", movi_len + len(aud_ck))
+               + patched[movi_at:])
+    patched = (patched[:4] + struct.pack("<I", len(patched) - 8)
+               + patched[8:])
+    frames, fps = C.decode_avi(patched)
+    assert fps == 4.0 and (frames == vid).all()
+    # compressed '00dc' chunks are rejected, not garbage-decoded
+    dc = data.replace(b"00db", b"00dc")
+    with pytest.raises(ValueError, match="compressed"):
+        C.decode_avi(dc)
+
+
 def test_real_image_decode_no_fake():
     rng = np.random.RandomState(3)
     img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
@@ -74,6 +119,23 @@ def test_real_media_pipeline_end_to_end(spark):
     mimes = {r["kind"]: r["mime"] for r in real.collect()}
     assert mimes.get("image") == "image/bmp"
     assert mimes.get("audio") == "audio/wav"
+    # metadata is truthful to the generated payloads — a consumer
+    # validating decode shape against (width, height, duration_ms)
+    # must never see a mismatch on the real table
+    for r in real.collect():
+        if r["kind"] == "image":
+            px = C.decode_bmp(bytes(r["payload"]))
+            assert (px.shape[1], px.shape[0]) == (r["width"], r["height"])
+            assert r["duration_ms"] == 0
+        elif r["kind"] == "audio":
+            x, rate = C.decode_wav(bytes(r["payload"]))
+            assert round(1000 * len(x) / rate) == r["duration_ms"]
+            assert r["width"] == r["height"] == 0
+        else:
+            frames, fps = C.decode_avi(bytes(r["payload"]))
+            assert (frames.shape[2], frames.shape[1]) == \
+                (r["width"], r["height"])
+            assert round(1000 * frames.shape[0] / fps) == r["duration_ms"]
     # features over image+audio WITHOUT the fake decoder
     ia = real.where("kind in ('image', 'audio')")
     feats = mm.extract_features(ia, fake=False).collect()

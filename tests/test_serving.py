@@ -59,6 +59,22 @@ def test_snippet_window_width(spark, tiny):
     assert s[2]["n_hit_terms"] == 2
 
 
+def test_snippet_terms_with_quotes(spark):
+    # the parity analyzer keeps apostrophes inside tokens (UAX#29
+    # MidLetter), so terms like o'brien are legal query inputs here —
+    # they must be escaped into the SQL literals, not crash the plan
+    docs = spark.createDataFrame(
+        [(1, "met o'brien at noon"), (2, "plain \\ backslash doc")],
+        "doc_id long, text string")
+    res = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {r["doc_id"]: r for r in
+           serving.snippets(res, docs, ["o'brien", "\\", "noon"]).collect()}
+    # quoted/backslash terms parse cleanly; the plain term still hits
+    assert out[1]["n_hit_terms"] == 1
+    assert "[noon]" in out[1]["snippet"]
+    assert out[2]["n_hit_terms"] == 0
+
+
 def test_snippet_plan_broadcasts_results(spark, tiny):
     res = spark.createDataFrame([(1,), (2,)], "doc_id long")
     sn = serving.snippets(res, tiny, ["alpha"])

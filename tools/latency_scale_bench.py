@@ -28,22 +28,17 @@ MULTS = (1, 10, 100)
 
 
 def run_level(spark, sf_dir: str, mult: int) -> dict:
-    from pyspark.sql import functions as F
+    from tools.scaling_bench import _replicated_docs
 
     from search_engines_spark.engine.compile import Engine
     from search_engines_spark.indexer.build import (
         build_index_frames, docs_from_documents_table)
 
-    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_base = src.count()
-    if mult > 1:
-        src = (spark.range(mult).crossJoin(src)
-               .withColumn("doc_id", F.col("doc_id") + F.col("id") * n_base)
-               .drop("id"))
+    src, n_docs = _replicated_docs(spark, sf_dir, mult)
     idx = build_index_frames(docs_from_documents_table(src),
                              builder="arrow", extid_docid_fmt="doc:9")
     idx.postings.count()  # materialize before timing
-    out: dict = {"n_docs": n_base * mult}
+    out: dict = {"n_docs": n_docs}
     warm = []
     for name, (model, q) in RETRIEVAL.items():
         eng = Engine(idx, model)
@@ -55,7 +50,7 @@ def run_level(spark, sf_dir: str, mult: int) -> dict:
         out[name] = round(min(times[1:]), 3)
         warm.append(min(times[1:]))
     out["p50"] = round(statistics.median(warm), 3)
-    for df in (idx.postings, idx.doclens, idx.doc_map):
+    for df in (idx.postings, idx.doclens, idx.doc_map, src):
         df.unpersist()
     return out
 
