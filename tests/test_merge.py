@@ -237,6 +237,48 @@ def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
                        [r["score"] for r in want_q], atol=1e-9)
 
 
+def test_compaction_chained_crashes(spark, spark_index, tmp_path_factory):
+    """A flaky driver: crash at the journal of chunk 0, replay and crash
+    at the staging write of the NEXT chunk, replay and crash at that
+    chunk's publish, then replay to completion. Readers must be exact in
+    every window and the final store must equal a from-scratch build —
+    the north rule's resume-without-recomputation clause under repeated
+    failure, not just a single crash."""
+    from search_engines_spark.indexer import merge as merge_mod
+    from search_engines_spark.indexer.merge import pending_txns
+    d = _fresh_base_plus_delta(spark_index, tmp_path_factory, "chained")
+    want = _postings_map(spark_index.postings.collect())
+
+    def run_crashing(point, idx):
+        merge_mod._test_crash_hook = _crash_at(point, idx)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+        finally:
+            merge_mod._test_crash_hook = None
+        got = _decoded_map(
+            r.asDict() for r in
+            read_segments_merged(spark, d,
+                                 num_buckets=NUM_BUCKETS).collect())
+        assert got == want, f"reader wrong after crash at {point}[{idx}]"
+
+    run_crashing("chunk_journaled", 0)
+    assert list(pending_txns(d)) == [1]
+    # replay 1 first publishes txn 1, then crashes staging chunk 1
+    run_crashing("chunk_written", 1)
+    assert pending_txns(d) == {}
+    # replay 2 re-stages chunk 1 (its journal never landed) and crashes
+    # after its publish
+    run_crashing("chunk_published", 1)
+    assert pending_txns(d) == {}
+    m = compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+    assert m["compacted_gens"] == 1 and live_generations(d) == []
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got == want
+
+
 def test_purge_all_docs_never_resurrects(spark, spark_index,
                                          tmp_path_factory):
     """purge_deletes with EVERY doc tombstoned: dynamic overwrite gets a
