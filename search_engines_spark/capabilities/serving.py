@@ -41,9 +41,15 @@ from ..analysis import SPARK_TOKENS_EXPR
 
 
 def _sql_str(t: str) -> str:
-    """Escape a term for embedding in a Spark SQL string literal —
-    the analyzer keeps apostrophes inside tokens (UAX#29 MidLetter), so
-    terms like o'brien are legal inputs here, not attacks to reject."""
+    """Escape a term for embedding in a Spark SQL string literal.
+    Callers pass arbitrary analyzed terms — the parity analyzer keeps
+    apostrophes inside tokens (UAX#29 MidLetter) — and they must parse,
+    not crash the plan. Note the match side: `snippets` tokenizes the
+    document with the canonical SQL chain (`SPARK_TOKENS_EXPR`, splits
+    on [^a-z0-9]+), so a term containing ' or \\ parses cleanly but can
+    never equal a token and scores n_hit_terms=0; highlighting such
+    terms would need a parity-analyzed (UDF) tokenization of the text,
+    which trades away the zero-UDF codegen projection this op is."""
     return t.replace("\\", "\\\\").replace("'", "\\'")
 
 

@@ -238,16 +238,30 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
 
     Crash consistency: a journaled-but-unpublished rebuild txn (a
     compaction crashed between its journal append and its per-bucket
-    publish renames) is resolved here — its buckets read from the txn's
-    staging dir (authoritative the moment the journal entry exists) and
-    are masked out of the base scan, so readers see exactly one copy of
-    every posting at every crash point."""
+    publish renames) is ROLLED FORWARD here — the reader finishes the
+    idempotent publish itself (a handful of atomic renames; Lucene's
+    open-a-crashed-commit recovery) and then reads only the base, so
+    the staging-read window closes the first time anyone reads the
+    store after a crash. A reader that cannot write (read-only replica
+    of the segment dir) falls back to serving those buckets from the
+    txn's staging dir, masked out of the base scan. Either way readers
+    see exactly one copy of every posting at every crash point. Like
+    the writer path, roll-forward assumes publishes are not raced by a
+    second live process (single-writer deployment; see _publish_txn)."""
     manifest = _read_gen_manifest(seg_dir)
     if as_of is not None and as_of < snapshot_floor(seg_dir, manifest):
         raise ValueError(
             f"snapshot as_of={as_of} expired: generations through "
             f"{snapshot_floor(seg_dir, manifest)} are (or are being) "
             f"compacted into the base")
+    if pending_txns(seg_dir, manifest):
+        try:
+            for txn, bks in sorted(pending_txns(seg_dir, manifest).items()):
+                _publish_txn(seg_dir, txn, bks)
+        except OSError:
+            pass          # read-only replica → staging-read fallback below
+        else:
+            manifest = _read_gen_manifest(seg_dir)   # pubs appended
     df = read_segments(spark, seg_dir, terms=terms, num_buckets=num_buckets)
     # buckets owned by a committed-but-unpublished rebuild txn: staging
     # is authoritative for any bucket whose dir still exists there (the
@@ -434,7 +448,16 @@ def _publish_txn(seg_dir: str, txn: int, buckets: list[int]) -> None:
     staging dir is gone already reached the base (the rename either
     happened or didn't; there is no partial state a reader can observe,
     because readers prefer staging whenever its dir exists). Appends the
-    `published_txn` marker once every bucket is in place."""
+    `published_txn` marker once every bucket is in place.
+
+    Called by the compactor on replay AND by `read_segments_merged`
+    (read-time roll-forward), so the same txn can be published twice in
+    close succession — the rename is the arbiter (atomic; the loser's
+    source is gone, caught below) and a duplicate `published_txn`
+    marker is harmless (`pending_txns` uses a set). What this does NOT
+    support is a publish racing a publish of a DIFFERENT state of the
+    same bucket (two live compactors) — that needs a catalog/lock and
+    is excluded by the single-writer deployment contract."""
     root = _txn_path(seg_dir, txn)
     for b in buckets:
         s = os.path.join(root, f"bucket={b}")
@@ -442,8 +465,11 @@ def _publish_txn(seg_dir: str, txn: int, buckets: list[int]) -> None:
             continue   # already published (replay)
         t = os.path.join(seg_dir, f"bucket={b}")
         if os.path.isdir(t):
-            shutil.rmtree(t)
-        os.rename(s, t)
+            shutil.rmtree(t, ignore_errors=True)
+        try:
+            os.rename(s, t)
+        except FileNotFoundError:
+            continue   # lost the isdir→rename race to a replay publisher
     shutil.rmtree(root, ignore_errors=True)   # _SUCCESS etc.
     with open(_gen_manifest_path(seg_dir), "a") as f:
         f.write(json.dumps({"published_txn": txn}) + "\n")

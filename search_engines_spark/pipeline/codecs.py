@@ -211,13 +211,14 @@ def _undib_rows(raw: bytes, w: int, h: int) -> np.ndarray:
 
 def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     """→ ((n, h, w, 3) uint8 RGB frames, fps). Uncompressed 24-bit DIB
-    ('..db' chunks) only — the codec-free AVI flavor `encode_avi`
-    writes. Walks the RIFF chunk tree with plain struct offsets; chunk
-    bodies pad to even length per the RIFF spec."""
+    (biCompression=BI_RGB; '..db' or '..dc' chunks — the suffix is
+    naming convention, the strf header decides) — the codec-free AVI
+    flavor `encode_avi` writes. Walks the RIFF chunk tree with plain
+    struct offsets; chunk bodies pad to even length per the RIFF spec."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     w = h = None
-    rate, scale, bpp = 0, 1, 24
+    rate, scale, bpp, comp = 0, 1, 24, 0
     # streams appear in strl order; strf applies to the stream whose strh
     # preceded it (a trailing audio stream's WAVEFORMATEX must not be
     # misread as the video bitmap header)
@@ -225,7 +226,8 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, rate, scale, bpp, n_streams, vids_idx, cur_is_vids
+        nonlocal w, h, rate, scale, bpp, comp
+        nonlocal n_streams, vids_idx, cur_is_vids
         while pos + 8 <= end:
             tag = data[pos:pos + 4]
             (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -242,18 +244,21 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
                 n_streams += 1
             elif tag == b"strf":
                 if cur_is_vids:
-                    (bpp,) = struct.unpack_from("<H", data, body_at + 14)
+                    bpp, comp = struct.unpack_from("<HI", data, body_at + 14)
             elif (tag[:2].isdigit() and tag[2:4] in (b"db", b"dc") and ln
                   and (vids_idx is None or int(tag[:2]) == vids_idx)):
-                if tag[2:4] == b"dc":
-                    raise ValueError(
-                        "compressed AVI frames unsupported (DIB only)")
+                # db/dc is a chunk-naming convention, not the codec:
+                # biCompression (strf) decides; BI_RGB=0 is raw DIB
+                # either way, anything else is a real codec we don't ship
                 frames.append(data[body_at:body_at + ln])
             pos = body_at + ln + (ln & 1)         # even-size padding
 
     walk(12, len(data))
     if w is None or not frames:
         raise ValueError("AVI without avih header or video frames")
+    if comp != 0:
+        raise ValueError(
+            f"compressed AVI unsupported (biCompression={comp}; DIB only)")
     if bpp != 24:
         raise ValueError(f"unsupported AVI frame depth {bpp}")
     fps = rate / scale if scale else 0.0

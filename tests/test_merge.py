@@ -187,17 +187,36 @@ def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
         merge_mod._test_crash_hook = None
     # crash-window read must be exact at every boundary:
     # * chunk_written: staging is invisible garbage, base ∪ gen serve;
-    # * chunk_journaled: the txn is committed but unpublished — its
-    #   buckets read from staging, the gen's copies are skipped;
+    # * chunk_journaled: the txn is committed but unpublished — a
+    #   read-only replica serves its buckets from staging (fallback);
+    #   a writable reader rolls the publish forward and reads the base;
     # * chunk_published: base holds the buckets, folded_buckets skips
     #   the gen's copies.
+    if crash_point == "chunk_journaled":
+        assert list(pending_txns(d)) == [1]   # committed, unpublished
+        real_pub = merge_mod._publish_txn
+
+        def deny(*a, **k):
+            raise PermissionError("read-only replica")
+
+        merge_mod._publish_txn = deny
+        try:
+            ro = _decoded_map(
+                r.asDict() for r in
+                read_segments_merged(spark, d,
+                                     num_buckets=NUM_BUCKETS).collect())
+        finally:
+            merge_mod._publish_txn = real_pub
+        assert ro == want                     # staging-read fallback exact
+        assert list(pending_txns(d)) == [1]   # store untouched
     got_mid = _decoded_map(
         r.asDict() for r in
         read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
     assert got_mid == want
     assert live_generations(d) == [1]
+    # a writable reader finishes a crashed publish itself (roll-forward)
+    assert pending_txns(d) == {}
     if crash_point == "chunk_written":
-        assert pending_txns(d) == {}          # nothing was committed
         # nothing folded yet → the pre-delta snapshot is still intact
         base_only = _decoded_map(
             r.asDict() for r in
@@ -206,10 +225,6 @@ def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
         assert base_only == _postings_map(
             spark_index.postings.where(F.col("doc_id") < SPLIT).collect())
     else:
-        if crash_point == "chunk_journaled":
-            assert list(pending_txns(d)) == [1]   # committed, unpublished
-        else:
-            assert pending_txns(d) == {}          # published through
         # a journaled chunk already folded gen-1 postings into the base
         # (or its staged rebuild) — snapshot 0 is gone and must say so,
         # not silently include gen-1 documents
@@ -263,8 +278,9 @@ def test_compaction_chained_crashes(spark, spark_index, tmp_path_factory):
         assert got == want, f"reader wrong after crash at {point}[{idx}]"
 
     run_crashing("chunk_journaled", 0)
-    assert list(pending_txns(d)) == [1]
-    # replay 1 first publishes txn 1, then crashes staging chunk 1
+    # the crash-window reader rolled txn 1's publish forward itself
+    assert pending_txns(d) == {}
+    # replay 1 finds nothing pending, then crashes staging chunk 1
     run_crashing("chunk_written", 1)
     assert pending_txns(d) == {}
     # replay 2 re-stages chunk 1 (its journal never landed) and crashes

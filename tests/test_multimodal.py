@@ -95,10 +95,18 @@ def test_avi_codec_edge_cases():
                + patched[8:])
     frames, fps = C.decode_avi(patched)
     assert fps == 4.0 and (frames == vid).all()
-    # compressed '00dc' chunks are rejected, not garbage-decoded
+    # '00dc' chunks with biCompression=BI_RGB are still raw DIB (the
+    # suffix is naming convention) — decode identically
     dc = data.replace(b"00db", b"00dc")
+    frames2, fps2 = C.decode_avi(dc)
+    assert fps2 == 4.0 and (frames2 == vid).all()
+    # an actually-compressed stream (biCompression != 0) is rejected,
+    # not garbage-decoded: patch the vids strf's biCompression DWORD
+    strf_at = data.find(b"strf")
+    patched_comp = (data[:strf_at + 8 + 16] + struct.pack("<I", 0x44495643)
+                    + data[strf_at + 8 + 20:])
     with pytest.raises(ValueError, match="compressed"):
-        C.decode_avi(dc)
+        C.decode_avi(patched_comp)
 
 
 def test_real_image_decode_no_fake():

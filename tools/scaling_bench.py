@@ -671,15 +671,20 @@ there. The solo-run p50 at the driver's bench scale (5k docs) is
 the BASELINE.json latency metric is scheduler/ambient-bound, not
 engine-bound.
 
-**r3 solo bench checkpoint** (sf0.1, 32 cores, nothing else running):
-`query_p50_sec` **0.562 s** (r01 driver run: 1.40; r02: 1.85 — both
-shared-load), build **5.39 s / 927.5 files/s** (r02: 10.2 s / 488),
-`value_core` **16.76 s** (r01 recomputed: 53.65; r02: 37.12),
-`batch_bm25_per_query` 0.959 s, `daat_batch_per_query` 0.145 s, new
-arms `segments_structured_per_query` 0.636 s and `snippets_top10`
-0.501 s. Like-for-like improvements this round came from the
-batch-vectorized segment block decode (compaction 6.2 → 5.0 s at
-sf0.1) on top of the r02 ext_id-projection and vectorized-encode work.
+**r3 solo bench checkpoint** (sf0.1, 32 cores, nothing else running;
+final rerun after the journaled-staging compaction rework):
+`query_p50_sec` **0.591 s** (prior r3 run 0.562 — run noise at the
+scheduler floor; r01 driver run: 1.40; r02: 1.85 — both shared-load),
+build **5.39 s / 927.3 files/s** (r02: 10.2 s / 488), `value_core`
+**16.6 s** (r01 recomputed: 53.65; r02: 37.12; prior r3 run 16.76),
+`batch_bm25_per_query` 0.895 s, `daat_batch_per_query` 0.147 s, new
+arms `segments_structured_per_query` 0.604 s and `snippets_top10`
+0.529 s. Like-for-like improvements this round came from the
+batch-vectorized segment block decode plus the staged-rename
+compaction commit (sf0.1 compaction 6.2 s r02 → 5.0 s decode-vectorized
+→ **2.64 s** staged-rename publish, which skips the dynamic-overwrite
+job-commit directory swap), on top of the r02 ext_id-projection and
+vectorized-encode work.
 
 **Comparing `value` across rounds:** bench.py's headline `value` is the
 wall over EVERYTHING it measures, and the measured set grows each round
