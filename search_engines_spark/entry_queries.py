@@ -763,6 +763,10 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         if kind == "lsh":
             sim.write_ann_index(_emb(spark, sf_dir), d)
+        elif kind == "lsh_append":
+            e = _emb(spark, sf_dir)
+            sim.write_ann_index(e.where("vec_id % 2 = 0"), d)
+            sim.append_ann_index(e.where("vec_id % 2 = 1"), d)
         else:
             sim.write_ivf_index(_emb(spark, sf_dir), d, n_cells=16)
         _ANN_IDX_CACHE[key] = d
@@ -775,6 +779,17 @@ def q_ann_lsh_indexed(spark, sf_dir):
     ~13 probe buckets. Candidate set — and thus the oracle — is identical
     to the scan-time `lsh_ann` (same seeded planes)."""
     path = _ann_index_path(spark, sf_dir, "lsh")
+    return sim.lsh_ann_indexed(spark, path, _query_vec(spark, sf_dir), k=20)
+
+
+def q_ann_lsh_append(spark, sf_dir):
+    """Incremental ANN lifecycle (`append_ann_index`): base layout built
+    from half the vectors, the other half committed as an O(|delta|)
+    journaled generation, query = partition-pruned merged read. Frozen
+    planes make the candidate set identical to a from-scratch build
+    over the union, so the oracle is `ann_lsh_indexed`'s verbatim — the
+    driver row gates the whole append→merged-read path against DuckDB."""
+    path = _ann_index_path(spark, sf_dir, "lsh_append")
     return sim.lsh_ann_indexed(spark, path, _query_vec(spark, sf_dir), k=20)
 
 
@@ -2633,8 +2648,9 @@ JOIN dl d USING (doc_id)"""
 # fully covered by an in-window sibling (bm25_bow5/bm25_rare_term →
 # bm25_bow3 + index_open_bm25's oracle, ranked_or → ranked_and,
 # indri_wsum → indri_wand's weighted shares, dedup_embedding →
-# dedup_embedding_lsh, ann_lsh_bucketed → ann_lsh_indexed, identical
-# candidate set, letor_features / letor_features_multifield →
+# dedup_embedding_lsh, ann_lsh_bucketed / ann_lsh_indexed →
+# ann_lsh_append (identical candidate set; append is a strict superset
+# of the static build), letor_features / letor_features_multifield →
 # letor_features_18slot, the full grid, feedback_expansion →
 # feedback_expansion_batch, same plan batched, dedup_ngram_jaccard →
 # dedup_minhash_lsh + code_winnow_pairs, the same shingle-join shape)
@@ -2686,7 +2702,7 @@ REGISTRY: dict[str, tuple] = {
     "code_winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
     "pii_scan": (q_pii_scan, _sql_pii_scan()),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
-    "ann_lsh_indexed": (q_ann_lsh_indexed, _sql_ann_lsh()),
+    "ann_lsh_append": (q_ann_lsh_append, _sql_ann_lsh()),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _sql_ann_ivf()),
     "text_langid": (q_langid, _sql_langid()),
     "text_token_counts": (q_token_counts, _sql_token_counts()),
@@ -2731,7 +2747,13 @@ REGISTRY: dict[str, tuple] = {
     "bucketed_term_stats": (q_bucketed_term_stats, _sql_term_stats()),
     # bucketed layout gated by in-window term_stats + pytest
     "ann_cosine_topk": (q_ann_topk, _sql_ann_topk()),  # brute baseline;
-    # the scale paths ann_lsh_indexed / ann_ivf_indexed stay in-window
+    # the scale paths ann_lsh_append / ann_ivf_indexed stay in-window
+    "ann_lsh_indexed": (q_ann_lsh_indexed, _sql_ann_lsh()),
+    # static-build LSH layout: a strict subset of in-window
+    # ann_lsh_append (same write_ann_index base build, same oracle SQL,
+    # same partition-pruned read — append only adds a generation on
+    # top), so the append row gates this path too; plan- and
+    # equality-tested in tests/test_similarity.py
     "bm25_stopquery": (q_bm25_stop, _bm25_sql(STOPQ)),  # stopword-
     # inclusive doclen stays hard-gated by doclen_store (in-window) +
     # the reference-binary goldens + pytest

@@ -16,6 +16,14 @@
   closest cells only. Cell assignment is one broadcast join (centroid
   table is tiny); probing reads only matching cells → partition pruning
   when the table is written partitioned by `cell`.
+* incremental lifecycle — `append_ann_index` / `append_ivf_index`
+  commit O(|delta|) journaled generations against a frozen-plane /
+  frozen-centroid layout (embeddings arrive continuously at 10^9+
+  vectors; a rewrite per batch is O(corpus)); `lsh_ann_indexed` /
+  `ivf_topk_indexed` merge live generations transparently with the
+  same partition pruning; `compact_ann_index` folds them back into the
+  base rebuilding only touched partitions. Crash-safe without a txn
+  journal because ANN rows are idempotent — see `_ann_scan`.
 """
 
 from __future__ import annotations
@@ -117,6 +125,217 @@ def lsh_ann(emb: DataFrame, query_vec: list[float], k: int = 20,
 
 # ------------------------------------------------- ingest-time ANN indexes --
 
+_ANN_MANIFEST = "_ann_manifest.jsonl"
+_ANN_DELTA_DIR = "_delta"
+_ANN_REBUILD_DIR = "_rebuild"
+
+# test hook: called with a checkpoint name at compaction crash points
+_test_crash_hook = None
+
+
+def _ann_manifest_read(path: str) -> list[dict]:
+    import json
+    import os
+    p = os.path.join(path, _ANN_MANIFEST)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _ann_manifest_append(path: str, entry: dict) -> None:
+    import json
+    import os
+    with open(os.path.join(path, _ANN_MANIFEST), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def _ann_floor(manifest: list[dict]) -> int:
+    return max([int(e["compacted_through"]) for e in manifest
+                if "compacted_through" in e], default=0)
+
+
+def _ann_live_gens(path: str, manifest: list[dict] | None = None) -> list[int]:
+    m = _ann_manifest_read(path) if manifest is None else manifest
+    floor = _ann_floor(m)
+    return sorted({int(e["gen"]) for e in m if "gen" in e
+                   if int(e["gen"]) > floor})
+
+
+def _ann_gen_dir(path: str, gen: int) -> str:
+    import os
+    return os.path.join(path, _ANN_DELTA_DIR, f"gen={gen}")
+
+
+def _emb_fingerprint(v: DataFrame) -> dict:
+    """Cheap deterministic identity of a delta (idempotent-retry key):
+    row count plus sum/min/max of vec_id — one JVM aggregate."""
+    r = v.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"),
+              F.min("vec_id").alias("lo"),
+              F.max("vec_id").alias("hi")).collect()[0]
+    return {"n": int(r["n"] or 0), "s": int(r["s"] or 0),
+            "lo": int(r["lo"] or 0), "hi": int(r["hi"] or 0)}
+
+
+def _ann_scan(spark, path: str, part_col: str, probe) -> DataFrame:
+    """Partition-pruned read of base ∪ live delta generations — the
+    merged-read analog of `indexer.merge.read_segments_merged` for the
+    ANN layouts. Each generation is layout-identical (partitioned by
+    `part_col`), so pruning applies to every side.
+
+    Duplicate tolerance replaces the segment store's staged-txn
+    journal: an ANN row is idempotent (same vec_id ⇒ same vector ⇒
+    same score), so the only crash hazard — a compaction that died
+    after publishing some partitions but before retiring generations —
+    is healed by `dropDuplicates(vec_id)`, applied ONLY while live
+    generations exist (a fully-compacted store reads the base alone,
+    zero overhead). Postings could never do this: a duplicated posting
+    double-counts tf, hence merge.py's heavier protocol."""
+    probe = sorted(probe)
+    manifest = _ann_manifest_read(path)
+    gens = _ann_live_gens(path, manifest)
+    df = spark.read.parquet(path).where(F.col(part_col).isin(*probe))
+    for g in gens:
+        df = df.unionByName(
+            spark.read.parquet(_ann_gen_dir(path, g))
+            .where(F.col(part_col).isin(*probe)))
+    if gens:
+        df = df.dropDuplicates(["vec_id"])
+    return df
+
+
+def _ann_append(frame: DataFrame, path: str, part_col: str,
+                fingerprint: dict) -> dict:
+    """Commit `frame` (vec_id, v, nrm, part_col — already signed /
+    cell-assigned) as the next delta generation. The manifest append is
+    the commit point: a crash mid-write leaves an unjournaled dir that
+    readers never list and the next append's overwrite replaces."""
+    if fingerprint["n"] == 0:
+        return {"gen": 0, "rows": 0, "skipped": True}
+    manifest = _ann_manifest_read(path)
+    for e in manifest:
+        if e.get("fingerprint") == fingerprint:
+            return {"gen": int(e["gen"]), "rows": fingerprint["n"],
+                    "skipped": True}
+    gen = max([int(e["gen"]) for e in manifest if "gen" in e],
+              default=0) + 1
+    frame.repartition(F.col(part_col)) \
+        .write.mode("overwrite").partitionBy(part_col) \
+        .parquet(_ann_gen_dir(path, gen))
+    _ann_manifest_append(path, {"gen": gen, "fingerprint": fingerprint,
+                                "rows": fingerprint["n"]})
+    return {"gen": gen, "rows": fingerprint["n"], "skipped": False}
+
+
+def append_ann_index(emb: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Append NEW vectors to a `write_ann_index` layout without
+    rewriting the base — at 10^9+ vectors embeddings arrive
+    continuously and a full rewrite per batch is O(corpus), this is
+    O(|delta|). Signatures use the layout's frozen planes (from
+    `_ann_meta.json`), so the candidate set of base+deltas is identical
+    to a from-scratch `write_ann_index` over the union; queries need no
+    re-ranking logic. Idempotent by delta fingerprint (safe retry).
+    Deltas must be new vec_ids (the `append_segments` contract)."""
+    import json
+    import os
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = _planes(meta["dim"], meta["n_planes"])
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    head = v.select("v").first()
+    if head is not None and len(head[0]) != meta["dim"]:
+        raise ValueError(
+            f"append_ann_index: delta dim {len(head[0])} != index dim "
+            f"{meta['dim']}")
+    frame = (v.withColumn("nrm", norm_expr(F.col("v")))
+             .withColumn("sig", _signature_expr(F.col("v"), planes)))
+    return _ann_append(frame, path, "sig", _emb_fingerprint(v))
+
+
+def append_ivf_index(emb: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Append NEW vectors to a `write_ivf_index` layout: cells come from
+    the layout's FROZEN centroids (`_ivf_meta.json`) — correct probes by
+    construction, but cell balance degrades if the vector distribution
+    drifts; re-center by rebuilding with `write_ivf_index(refine_iters=N)`
+    when it does (the IVF-retrain tradeoff, not a crash-safety issue)."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    frame = (_assign_cells(v, meta["centroids"])
+             .withColumn("nrm", norm_expr(F.col("v")))
+             .select("vec_id", "v", "nrm", "cell"))
+    return _ann_append(frame, path, "cell", _emb_fingerprint(v))
+
+
+def compact_ann_index(spark, path: str) -> dict:
+    """Fold live delta generations into the base layout. Only the
+    partitions the deltas touch are rebuilt (listed from the gen dirs —
+    no scan); rebuilt partitions are staged then swapped in with one
+    atomic rename each, and the `compacted_through` manifest append
+    retires the generations.
+
+    Crash safety needs NO txn journal here (contrast
+    `indexer.merge.compact_segments`): every window between a partition
+    swap and the retire marker leaves that partition's rows present in
+    BOTH base and a still-live generation, and `_ann_scan` dedupes on
+    vec_id whenever generations are live — duplicates are harmless for
+    idempotent vector rows, unlike postings where they double-count tf.
+    A crash mid-staging leaves an unreferenced `_rebuild/` dir, swept
+    here on the next run; a crash after the marker leaves retired gen
+    dirs that readers already ignore, also swept here."""
+    import os
+    import shutil
+    manifest = _ann_manifest_read(path)
+    floor = _ann_floor(manifest)
+    delta_root = os.path.join(path, _ANN_DELTA_DIR)
+    if os.path.isdir(delta_root):          # sweep retired-orphan gens
+        for d in os.listdir(delta_root):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) <= floor:
+                shutil.rmtree(os.path.join(delta_root, d),
+                              ignore_errors=True)
+    staging_root = os.path.join(path, _ANN_REBUILD_DIR)
+    shutil.rmtree(staging_root, ignore_errors=True)   # never committed
+    gens = _ann_live_gens(path, manifest)
+    if not gens:
+        return {"compacted_gens": 0, "partitions_rebuilt": 0}
+    part_col = "sig" if os.path.exists(
+        os.path.join(path, "_ann_meta.json")) else "cell"
+    touched: set[int] = set()
+    for g in gens:
+        for d in os.listdir(_ann_gen_dir(path, g)):
+            if d.startswith(f"{part_col}="):
+                touched.add(int(d.split("=", 1)[1]))
+    merged = _ann_scan(spark, path, part_col, touched)
+    merged.repartition(F.col(part_col)) \
+        .write.mode("overwrite").partitionBy(part_col).parquet(staging_root)
+    if _test_crash_hook:
+        _test_crash_hook("staged")
+    for p in sorted(touched):              # per-partition atomic swap
+        s = os.path.join(staging_root, f"{part_col}={p}")
+        t = os.path.join(path, f"{part_col}={p}")
+        if not os.path.isdir(s):
+            continue   # replay: already swapped
+        if os.path.isdir(t):
+            shutil.rmtree(t, ignore_errors=True)
+        os.rename(s, t)
+        if _test_crash_hook:
+            _test_crash_hook("swapped_one")
+    shutil.rmtree(staging_root, ignore_errors=True)
+    if _test_crash_hook:
+        _test_crash_hook("published")
+    _ann_manifest_append(path, {"compacted_through": max(gens)})
+    for g in gens:
+        shutil.rmtree(_ann_gen_dir(path, g), ignore_errors=True)
+    return {"compacted_gens": len(gens), "partitions_rebuilt": len(touched)}
+
 
 def write_ann_index(emb: DataFrame, path: str,
                     n_planes: int = ANN_PLANES,
@@ -159,7 +378,9 @@ def lsh_ann_indexed(spark, path: str, query_vec: list[float], k: int = 20,
                     multiprobe: bool = True) -> DataFrame:
     """Approximate top-k over a `write_ann_index` layout: compute the
     query signature driver-side, read ONLY the probe partitions
-    (partition pruning — verified by plan test), score within.
+    (partition pruning — verified by plan test), score within. Live
+    `append_ann_index` generations are merged in transparently
+    (partition-pruned the same way; see `_ann_scan`).
 
     Candidate set is identical to `lsh_ann` over the same vectors (same
     seeded planes), so results match the scan-time variant exactly."""
@@ -175,8 +396,7 @@ def lsh_ann_indexed(spark, path: str, query_vec: list[float], k: int = 20,
     probe = {qsig}
     if multiprobe:
         probe |= {qsig ^ (1 << i) for i in range(len(planes))}
-    cand = (spark.read.parquet(path)
-            .where(F.col("sig").isin(*sorted(probe))))
+    cand = _ann_scan(spark, path, "sig", probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
     scored = cand.withColumn(
@@ -259,7 +479,8 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
 def ivf_topk_indexed(spark, path: str, query_vec: list[float], k: int = 20,
                      nprobe: int = 4) -> DataFrame:
     """Probe the nprobe cells nearest the query over a `write_ivf_index`
-    layout — partition-pruned read, brute-force within."""
+    layout — partition-pruned read, brute-force within. Live
+    `append_ivf_index` generations are merged in transparently."""
     import json
     import os
     with open(os.path.join(path, "_ivf_meta.json")) as f:
@@ -271,7 +492,7 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float], k: int = 20,
     cents = meta["centroids"]
     probe = sorted(range(len(cents)),
                    key=lambda i: (dist2(cents[i], query_vec), i))[:nprobe]
-    cand = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    cand = _ann_scan(spark, path, "cell", probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
     scored = cand.withColumn(

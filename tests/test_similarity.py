@@ -270,3 +270,128 @@ def test_empty_embeddings_guards(spark, tmp_path_factory):
     assert out.count() == 0
     with pytest.raises(ValueError, match="empty"):
         write_ann_index(empty, str(tmp_path_factory.mktemp("ann_empty")))
+
+
+# ------------------------------------------------ incremental ANN lifecycle --
+
+
+def _topk(df):
+    return [(r["vec_id"], r["cos_r"]) for r in df.collect()]
+
+
+def test_lsh_append_equals_full_rewrite(emb, qvec, spark, tmp_path_factory):
+    """append_ann_index over a base must yield EXACTLY the results of a
+    from-scratch write over base∪delta (frozen planes → identical
+    candidate set), be idempotent on retry, stay partition-pruned on
+    the generation read, and compact away without changing results."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline import similarity as sim
+    base = emb.where("vec_id % 2 = 0")
+    delta = emb.where("vec_id % 2 = 1")
+    inc = str(tmp_path_factory.mktemp("ann_inc"))
+    sim.write_ann_index(base, inc)
+    m = sim.append_ann_index(delta, inc)
+    assert m["skipped"] is False and m["rows"] == 150
+    full = str(tmp_path_factory.mktemp("ann_full"))
+    sim.write_ann_index(emb, full)
+    got = _topk(sim.lsh_ann_indexed(spark, inc, qvec, k=10))
+    want = _topk(sim.lsh_ann_indexed(spark, full, qvec, k=10))
+    assert got == want and got
+    # idempotent retry: same delta fingerprint → skipped, results stable
+    m2 = sim.append_ann_index(delta, inc)
+    assert m2["skipped"] is True and m2["gen"] == m["gen"]
+    # empty delta → skipped before any write
+    assert sim.append_ann_index(emb.where("vec_id < 0"), inc)["skipped"]
+    assert _topk(sim.lsh_ann_indexed(spark, inc, qvec, k=10)) == want
+    # the merged read is still partition-pruned: every file read (base
+    # AND generation) lives under a probe-sig directory
+    planes = sim._planes(16)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, qvec)) > 0:
+            qsig |= 1 << i
+    probe = {qsig} | {qsig ^ (1 << i) for i in range(len(planes))}
+    plan = (sim._ann_scan(spark, inc, "sig", probe)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("PartitionFilters: [") >= 2 and "sig" in plan
+    # file-level check per side (input_file_name doesn't survive the
+    # dedupe exchange, so inspect each scan before the union)
+    for root in (inc, os.path.join(inc, "_delta", "gen=1")):
+        side = (spark.read.parquet(root)
+                .where(F.col("sig").isin(*sorted(probe))))
+        files = [r[0] for r in
+                 side.select(F.input_file_name()).distinct().collect()]
+        assert files
+        assert all(int(re.search(r"sig=(\d+)", f).group(1)) in probe
+                   for f in files)
+    # compaction folds the generation; results identical; no duplicates
+    st = sim.compact_ann_index(spark, inc)
+    assert st["compacted_gens"] == 1 and st["partitions_rebuilt"] > 0
+    assert sim._ann_live_gens(inc) == []
+    assert not os.path.isdir(os.path.join(inc, "_delta", "gen=1"))
+    assert _topk(sim.lsh_ann_indexed(spark, inc, qvec, k=10)) == want
+    assert spark.read.parquet(inc).count() == 300
+    assert spark.read.parquet(inc).select("vec_id").distinct().count() == 300
+    # second compaction is a no-op
+    assert sim.compact_ann_index(spark, inc)["compacted_gens"] == 0
+
+
+@pytest.mark.parametrize("point", ["staged", "swapped_one", "published"])
+def test_ann_compaction_crash_windows(emb, qvec, spark, tmp_path_factory,
+                                      point):
+    """Compaction crash at every boundary (after staging / after the
+    first partition swap / after all swaps, before the retire marker):
+    the crash-window read must be exact — dedupe-on-live-generations
+    heals base∪gen overlaps — and a replay must converge to a
+    duplicate-free fully-compacted store with unchanged results."""
+    from search_engines_spark.pipeline import similarity as sim
+    d = str(tmp_path_factory.mktemp(f"ann_crash_{point}"))
+    sim.write_ann_index(emb.where("vec_id % 2 = 0"), d)
+    sim.append_ann_index(emb.where("vec_id % 2 = 1"), d)
+    want = _topk(sim.lsh_ann_indexed(spark, d, qvec, k=10))
+
+    def boom(p):
+        if p == point:
+            raise RuntimeError("injected crash")
+
+    sim._test_crash_hook = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sim.compact_ann_index(spark, d)
+    finally:
+        sim._test_crash_hook = None
+    assert sim._ann_live_gens(d) == [1]   # marker never landed
+    assert _topk(sim.lsh_ann_indexed(spark, d, qvec, k=10)) == want
+    st = sim.compact_ann_index(spark, d)
+    assert st["compacted_gens"] == 1
+    assert sim._ann_live_gens(d) == []
+    assert _topk(sim.lsh_ann_indexed(spark, d, qvec, k=10)) == want
+    assert spark.read.parquet(d).count() == 300
+    assert spark.read.parquet(d).select("vec_id").distinct().count() == 300
+
+
+def test_ivf_append_equals_full_rewrite(emb, qvec, spark, tmp_path_factory):
+    """IVF appends assign cells from the layout's FROZEN centroids; with
+    a base that contains the full table's centroid sample (the n_cells
+    smallest vec_ids) the incremental index must equal the full rewrite
+    exactly, before and after compaction."""
+    from search_engines_spark.pipeline import similarity as sim
+    base = emb.where("vec_id < 150")
+    delta = emb.where("vec_id >= 150")
+    inc = str(tmp_path_factory.mktemp("ivf_inc"))
+    sim.write_ivf_index(base, inc, n_cells=8)
+    m = sim.append_ivf_index(delta, inc)
+    assert m["rows"] == 150 and not m["skipped"]
+    full = str(tmp_path_factory.mktemp("ivf_full"))
+    sim.write_ivf_index(emb, full, n_cells=8)
+    got = _topk(sim.ivf_topk_indexed(spark, inc, qvec, k=10, nprobe=3))
+    want = _topk(sim.ivf_topk_indexed(spark, full, qvec, k=10, nprobe=3))
+    assert got == want and got
+    st = sim.compact_ann_index(spark, inc)
+    assert st["compacted_gens"] == 1
+    assert _topk(sim.ivf_topk_indexed(spark, inc, qvec,
+                                      k=10, nprobe=3)) == want
