@@ -229,6 +229,24 @@ def main() -> None:
     sim.cosine_topk(emb, qvec, k=20).collect()
     queries["ann_cosine_topk"] = round(time.time() - t0, 3)
 
+    # incremental ANN lifecycle: base layout on 90% of the vectors, then
+    # a timed O(|delta|) append of the rest + a merged partition-pruned
+    # query — the continuous-arrival path at 10^9 vectors (a full
+    # rewrite per batch is O(corpus); ann_index_build is that yardstick)
+    ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        t0 = time.time()
+        sim.write_ann_index(emb.where("vec_id % 10 != 0"), ann_dir)
+        queries["ann_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        sim.append_ann_index(emb.where("vec_id % 10 = 0"), ann_dir)
+        queries["ann_append_delta"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        sim.lsh_ann_indexed(spark, ann_dir, qvec, k=20).collect()
+        queries["ann_query_merged"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(ann_dir, ignore_errors=True)
+
     t0 = time.time()
     cst.winnow_dedup_pairs(docs).count()
     queries["code_winnow_pairs"] = round(time.time() - t0, 3)
