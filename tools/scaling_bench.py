@@ -686,10 +686,28 @@ compaction commit (sf0.1 compaction 6.2 s r02 → 5.0 s decode-vectorized
 job-commit directory swap), on top of the r02 ext_id-projection and
 vectorized-encode work.
 
+**Final r3 solo rerun** (after the incremental-ANN-lifecycle arms
+landed): `query_p50_sec` **0.493 s**, build **5.78 s / 864.5 files/s**,
+`value_core` **14.81 s** (best r3 checkpoint; all three runs 14.8-16.8
+bracket run noise). The new arms measure the continuous-arrival ANN
+path at sf0.1: full `write_ann_index` over 90% of the vectors 17.2 s
+vs `append_ann_index` of the remaining 10% **3.2 s** — the append does
+O(|delta|) sign+write work plus a fixed manifest/fingerprint cost that
+dominates at this toy vector count and amortizes away at real scale,
+which is the regime the lifecycle exists for (at 10^9 vectors the
+alternative is an O(corpus) rewrite per arrival batch). The merged
+base+generation query (`ann_query_merged` 2.6 s) pays one extra pruned
+scan + a vec_id dedupe while a generation is live and drops back to
+the plain indexed read after `compact_ann_index`; at this corpus size
+brute-force cosine (0.34 s) is cheaper than any indexed read — the
+indexed path's payoff is the 13-of-4096-directory read fraction, which
+is what transfers to billion-vector tables.
+
 **Comparing `value` across rounds:** bench.py's headline `value` is the
 wall over EVERYTHING it measures, and the measured set grows each round
 (r01 had no segment lifecycle, no batched-DAAT, no Indri-batch arms;
-r3 adds the structured-segment and snippets arms). `value_core`
+r3 adds the structured-segment, snippets, and incremental-ANN
+lifecycle arms). `value_core`
 (build + the frozen r01 arm set) is the cross-round-comparable
 headline; per-arm keys inside `queries` and
 `build_sec`/`files_per_sec` are the like-for-like numbers — e.g. index
