@@ -22,8 +22,10 @@
   vectors; a rewrite per batch is O(corpus)); `lsh_ann_indexed` /
   `ivf_topk_indexed` merge live generations transparently with the
   same partition pruning; `compact_ann_index` folds them back into the
-  base rebuilding only touched partitions. Crash-safe without a txn
-  journal because ANN rows are idempotent — see `_ann_scan`.
+  base rebuilding only touched partitions, with a journaled staged
+  publish (crashed publishes are served exactly by readers via the
+  staging union + vec_id dedupe in `_ann_scan`, and finished by the
+  next compaction).
 """
 
 from __future__ import annotations
@@ -134,20 +136,47 @@ _test_crash_hook = None
 
 
 def _ann_manifest_read(path: str) -> list[dict]:
+    """Skips undecodable lines: a torn line is crash debris from an
+    append that never returned (its entry never committed — gen claims
+    burn a number, markers get re-appended by the replay), and
+    `_ann_manifest_append` isolates such debris on its own line so a
+    committed entry is never fused into it."""
     import json
     import os
     p = os.path.join(path, _ANN_MANIFEST)
     if not os.path.exists(p):
         return []
+    out = []
     with open(p) as f:
-        return [json.loads(ln) for ln in f if ln.strip()]
+        for ln in f:
+            if not ln.strip():
+                continue
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                continue
+    return out
 
 
 def _ann_manifest_append(path: str, entry: dict) -> None:
+    """One O_APPEND write + fsync per entry: short single-line appends
+    are atomic on POSIX, so concurrent appenders interleave whole lines
+    (the property `_ann_append`'s claim protocol relies on). If a prior
+    crash left the file without a trailing newline, the new entry opens
+    a fresh line so the torn debris can't swallow it."""
     import json
     import os
-    with open(os.path.join(path, _ANN_MANIFEST), "a") as f:
-        f.write(json.dumps(entry) + "\n")
+    p = os.path.join(path, _ANN_MANIFEST)
+    lead = ""
+    if os.path.exists(p) and os.path.getsize(p) > 0:
+        with open(p, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) != b"\n":
+                lead = "\n"
+    with open(p, "a") as f:
+        f.write(lead + json.dumps(entry) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
 
 
 def _ann_floor(manifest: list[dict]) -> int:
@@ -167,14 +196,69 @@ def _ann_gen_dir(path: str, gen: int) -> str:
     return os.path.join(path, _ANN_DELTA_DIR, f"gen={gen}")
 
 
+def _ann_pending_staged(manifest: list[dict]) -> dict | None:
+    """The open staged-compaction txn, if any: a `staged_gens` entry
+    whose generations sit above the compaction floor means a rebuild
+    was journaled (staging is complete) but its publish never finished
+    — the `compacted_through` marker is the txn's close."""
+    floor = _ann_floor(manifest)
+    open_txns = [e for e in manifest if "staged_gens" in e
+                 and max(int(g) for g in e["staged_gens"]) > floor]
+    return open_txns[-1] if open_txns else None
+
+
+def _ann_finish_publish(path: str, part_col: str, txn: dict) -> None:
+    """Complete a journaled compaction publish: rename each staged
+    partition still present in `_rebuild/` into the base (a partition
+    whose staging dir is gone was already swapped), then close the txn
+    with the `compacted_through` marker. Every step is idempotent, so
+    a crash mid-replay just replays again. Assumes a single compactor
+    (the `indexer.merge` roll-forward contract)."""
+    import os
+    import shutil
+    staging_root = os.path.join(path, _ANN_REBUILD_DIR)
+    for p in txn["staged_parts"]:
+        s = os.path.join(staging_root, f"{part_col}={p}")
+        t = os.path.join(path, f"{part_col}={p}")
+        if os.path.isdir(s):
+            shutil.rmtree(t, ignore_errors=True)
+            os.rename(s, t)
+    shutil.rmtree(staging_root, ignore_errors=True)
+    _ann_manifest_append(
+        path, {"compacted_through": max(int(g) for g in txn["staged_gens"])})
+
+
 def _emb_fingerprint(v: DataFrame) -> dict:
-    """Cheap deterministic identity of a delta (idempotent-retry key):
-    row count plus sum/min/max of vec_id — one JVM aggregate."""
+    """Deterministic identity + validation stats of a delta in ONE
+    aggregate pass: vec_id stats and a content checksum (crc32 of the
+    JSON-encoded vector, summed — the `segments._fingerprint` idiom) as
+    the idempotent-retry key, plus null-vector count and min/max dim so
+    the append can validate the WHOLE delta without extra jobs. The
+    content term means re-appending corrected vectors for the same ids
+    is a NEW delta, not a skipped retry."""
     r = v.agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"),
               F.min("vec_id").alias("lo"),
-              F.max("vec_id").alias("hi")).collect()[0]
+              F.max("vec_id").alias("hi"),
+              F.sum(F.crc32(F.to_json(F.col("v")))).alias("crc"),
+              F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+              .alias("nulls"),
+              F.min(F.size("v")).alias("dim_lo"),
+              F.max(F.size("v")).alias("dim_hi")).collect()[0]
     return {"n": int(r["n"] or 0), "s": int(r["s"] or 0),
-            "lo": int(r["lo"] or 0), "hi": int(r["hi"] or 0)}
+            "lo": int(r["lo"] or 0), "hi": int(r["hi"] or 0),
+            "crc": int(r["crc"] or 0), "nulls": int(r["nulls"] or 0),
+            "dim_lo": int(r["dim_lo"] or 0), "dim_hi": int(r["dim_hi"] or 0)}
+
+
+def _validate_delta(fp: dict, dim: int, what: str) -> None:
+    if fp["n"] == 0:
+        return
+    if fp["nulls"]:
+        raise ValueError(f"{what}: {fp['nulls']} null embeddings in delta")
+    if fp["dim_lo"] != dim or fp["dim_hi"] != dim:
+        raise ValueError(
+            f"{what}: delta dims [{fp['dim_lo']}, {fp['dim_hi']}] != "
+            f"index dim {dim}")
 
 
 def _ann_scan(spark, path: str, part_col: str, probe) -> DataFrame:
@@ -183,23 +267,34 @@ def _ann_scan(spark, path: str, part_col: str, probe) -> DataFrame:
     ANN layouts. Each generation is layout-identical (partitioned by
     `part_col`), so pruning applies to every side.
 
-    Duplicate tolerance replaces the segment store's staged-txn
-    journal: an ANN row is idempotent (same vec_id ⇒ same vector ⇒
-    same score), so the only crash hazard — a compaction that died
-    after publishing some partitions but before retiring generations —
-    is healed by `dropDuplicates(vec_id)`, applied ONLY while live
-    generations exist (a fully-compacted store reads the base alone,
-    zero overhead). Postings could never do this: a duplicated posting
-    double-counts tf, hence merge.py's heavier protocol."""
+    Crash-window reads are exact without write-side repair: while a
+    journaled compaction publish is open (`staged_gens` entry, no
+    `compacted_through` yet), the staging dir is unioned in too — a
+    partition whose base dir was dropped but whose rename never landed
+    is served from staging (its base-only rows exist nowhere else) —
+    and `dropDuplicates(vec_id)` heals every base∪staging∪generation
+    overlap, because an ANN row is idempotent (same vec_id ⇒ same
+    vector ⇒ same score). A fully-compacted store reads the base alone,
+    zero overhead. Postings could never dedupe this way: a duplicated
+    posting double-counts tf, hence merge.py's heavier per-bucket txn
+    protocol; the jsonl-journal shape is deliberately the same, the
+    read-repair strategy is what differs."""
+    import os
     probe = sorted(probe)
     manifest = _ann_manifest_read(path)
     gens = _ann_live_gens(path, manifest)
+    txn = _ann_pending_staged(manifest)
     df = spark.read.parquet(path).where(F.col(part_col).isin(*probe))
     for g in gens:
         df = df.unionByName(
             spark.read.parquet(_ann_gen_dir(path, g))
             .where(F.col(part_col).isin(*probe)))
-    if gens:
+    staging_root = os.path.join(path, _ANN_REBUILD_DIR)
+    if txn is not None and os.path.isdir(staging_root):
+        df = df.unionByName(
+            spark.read.parquet(staging_root)
+            .where(F.col(part_col).isin(*probe)))
+    if gens or txn is not None:
         df = df.dropDuplicates(["vec_id"])
     return df
 
@@ -207,18 +302,36 @@ def _ann_scan(spark, path: str, part_col: str, probe) -> DataFrame:
 def _ann_append(frame: DataFrame, path: str, part_col: str,
                 fingerprint: dict) -> dict:
     """Commit `frame` (vec_id, v, nrm, part_col — already signed /
-    cell-assigned) as the next delta generation. The manifest append is
-    the commit point: a crash mid-write leaves an unjournaled dir that
-    readers never list and the next append's overwrite replaces."""
+    cell-assigned) as the next delta generation. The `gen` manifest
+    entry is the commit point: a crash mid-write leaves a claimed but
+    uncommitted dir that readers never list and a retry re-claims.
+
+    Generation numbers are allocated through claim entries so two
+    concurrent appenders never write the same gen dir: each appends a
+    nonce-tagged claim (O_APPEND lines land whole), re-reads, and owns
+    the number only if its claim is first — the loser takes the next
+    number. Two racers carrying the SAME delta both commit (the second
+    can't tell the first will finish); the duplicate generation is
+    healed by `_ann_scan`'s vec_id dedupe and folded by compaction."""
+    import uuid
     if fingerprint["n"] == 0:
         return {"gen": 0, "rows": 0, "skipped": True}
     manifest = _ann_manifest_read(path)
     for e in manifest:
-        if e.get("fingerprint") == fingerprint:
+        if "gen" in e and e.get("fingerprint") == fingerprint:
             return {"gen": int(e["gen"]), "rows": fingerprint["n"],
                     "skipped": True}
-    gen = max([int(e["gen"]) for e in manifest if "gen" in e],
-              default=0) + 1
+    nonce = uuid.uuid4().hex
+    used = {int(e[k]) for e in manifest
+            for k in ("gen", "claim") if k in e}
+    while True:
+        gen = max(used, default=0) + 1
+        _ann_manifest_append(path, {"claim": gen, "nonce": nonce})
+        claims = [e for e in _ann_manifest_read(path)
+                  if int(e.get("claim", e.get("gen", -1))) == gen]
+        if claims and claims[0].get("nonce") == nonce:
+            break
+        used.add(gen)
     frame.repartition(F.col(part_col)) \
         .write.mode("overwrite").partitionBy(part_col) \
         .parquet(_ann_gen_dir(path, gen))
@@ -245,14 +358,11 @@ def append_ann_index(emb: DataFrame, path: str,
     planes = _planes(meta["dim"], meta["n_planes"])
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    head = v.select("v").first()
-    if head is not None and len(head[0]) != meta["dim"]:
-        raise ValueError(
-            f"append_ann_index: delta dim {len(head[0])} != index dim "
-            f"{meta['dim']}")
+    fp = _emb_fingerprint(v)   # one job: identity + whole-delta checks
+    _validate_delta(fp, meta["dim"], "append_ann_index")
     frame = (v.withColumn("nrm", norm_expr(F.col("v")))
              .withColumn("sig", _signature_expr(F.col("v"), planes)))
-    return _ann_append(frame, path, "sig", _emb_fingerprint(v))
+    return _ann_append(frame, path, "sig", fp)
 
 
 def append_ivf_index(emb: DataFrame, path: str,
@@ -269,45 +379,64 @@ def append_ivf_index(emb: DataFrame, path: str,
         meta = json.load(f)
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
+    fp = _emb_fingerprint(v)   # one job: identity + whole-delta checks
+    _validate_delta(fp, len(meta["centroids"][0]), "append_ivf_index")
     frame = (_assign_cells(v, meta["centroids"])
              .withColumn("nrm", norm_expr(F.col("v")))
              .select("vec_id", "v", "nrm", "cell"))
-    return _ann_append(frame, path, "cell", _emb_fingerprint(v))
+    return _ann_append(frame, path, "cell", fp)
 
 
 def compact_ann_index(spark, path: str) -> dict:
     """Fold live delta generations into the base layout. Only the
     partitions the deltas touch are rebuilt (listed from the gen dirs —
-    no scan); rebuilt partitions are staged then swapped in with one
-    atomic rename each, and the `compacted_through` manifest append
-    retires the generations.
+    no scan); the rebuild is staged under `_rebuild/`, journaled with a
+    `staged_gens` manifest entry (the rebuild's COMMIT POINT), swapped
+    in with one atomic rename per partition, and closed by the
+    `compacted_through` marker that retires the generations.
 
-    Crash safety needs NO txn journal here (contrast
-    `indexer.merge.compact_segments`): every window between a partition
-    swap and the retire marker leaves that partition's rows present in
-    BOTH base and a still-live generation, and `_ann_scan` dedupes on
-    vec_id whenever generations are live — duplicates are harmless for
-    idempotent vector rows, unlike postings where they double-count tf.
-    A crash mid-staging leaves an unreferenced `_rebuild/` dir, swept
-    here on the next run; a crash after the marker leaves retired gen
-    dirs that readers already ignore, also swept here."""
+    Crash windows (same staged-txn journal shape as
+    `indexer.merge.compact_segments`, lighter read repair):
+    * mid-staging — no journal entry yet; `_rebuild/` is garbage swept
+      on the next run, readers never look at it;
+    * journaled but unpublished (anywhere between the `staged_gens`
+      entry and the marker, including between a base-partition drop and
+      its rename) — readers union staging in and dedupe on vec_id
+      (`_ann_scan`), and the next compaction FINISHES the publish
+      (`_ann_finish_publish`) before doing new work — no staged row is
+      ever discarded, so base-only rows of a half-swapped partition
+      survive;
+    * after the marker — retired generation dirs stay on disk until the
+      NEXT compaction's sweep, a grace window for readers that listed
+      them just before the marker landed.
+    Single compactor assumed (the merge.py roll-forward contract);
+    readers racing an active publish may need one retry if a base
+    partition file listed pre-swap vanishes mid-job."""
     import os
     import shutil
+    part_col = "sig" if os.path.exists(
+        os.path.join(path, "_ann_meta.json")) else "cell"
     manifest = _ann_manifest_read(path)
+    done_gens, done_parts = 0, 0
+    txn = _ann_pending_staged(manifest)
+    if txn is not None:                    # finish a crashed publish first
+        _ann_finish_publish(path, part_col, txn)
+        done_gens += len(txn["staged_gens"])
+        done_parts += len(txn["staged_parts"])
+        manifest = _ann_manifest_read(path)
     floor = _ann_floor(manifest)
     delta_root = os.path.join(path, _ANN_DELTA_DIR)
-    if os.path.isdir(delta_root):          # sweep retired-orphan gens
+    if os.path.isdir(delta_root):          # sweep retired gens
         for d in os.listdir(delta_root):
             if d.startswith("gen=") and int(d.split("=", 1)[1]) <= floor:
                 shutil.rmtree(os.path.join(delta_root, d),
                               ignore_errors=True)
     staging_root = os.path.join(path, _ANN_REBUILD_DIR)
-    shutil.rmtree(staging_root, ignore_errors=True)   # never committed
+    shutil.rmtree(staging_root, ignore_errors=True)   # unjournaled garbage
     gens = _ann_live_gens(path, manifest)
     if not gens:
-        return {"compacted_gens": 0, "partitions_rebuilt": 0}
-    part_col = "sig" if os.path.exists(
-        os.path.join(path, "_ann_meta.json")) else "cell"
+        return {"compacted_gens": done_gens,
+                "partitions_rebuilt": done_parts}
     touched: set[int] = set()
     for g in gens:
         for d in os.listdir(_ann_gen_dir(path, g)):
@@ -317,14 +446,20 @@ def compact_ann_index(spark, path: str) -> dict:
     merged.repartition(F.col(part_col)) \
         .write.mode("overwrite").partitionBy(part_col).parquet(staging_root)
     if _test_crash_hook:
+        _test_crash_hook("staged_data")
+    _ann_manifest_append(path, {"staged_gens": gens,    # rebuild commit point
+                                "staged_parts": sorted(touched)})
+    if _test_crash_hook:
         _test_crash_hook("staged")
     for p in sorted(touched):              # per-partition atomic swap
         s = os.path.join(staging_root, f"{part_col}={p}")
         t = os.path.join(path, f"{part_col}={p}")
         if not os.path.isdir(s):
-            continue   # replay: already swapped
+            continue
         if os.path.isdir(t):
             shutil.rmtree(t, ignore_errors=True)
+            if _test_crash_hook:
+                _test_crash_hook("dropped_one")
         os.rename(s, t)
         if _test_crash_hook:
             _test_crash_hook("swapped_one")
@@ -332,9 +467,9 @@ def compact_ann_index(spark, path: str) -> dict:
     if _test_crash_hook:
         _test_crash_hook("published")
     _ann_manifest_append(path, {"compacted_through": max(gens)})
-    for g in gens:
-        shutil.rmtree(_ann_gen_dir(path, g), ignore_errors=True)
-    return {"compacted_gens": len(gens), "partitions_rebuilt": len(touched)}
+    # retired gen dirs are left for the next run's sweep (reader grace)
+    return {"compacted_gens": done_gens + len(gens),
+            "partitions_rebuilt": done_parts + len(touched)}
 
 
 def write_ann_index(emb: DataFrame, path: str,

@@ -317,7 +317,9 @@ def test_lsh_append_equals_full_rewrite(emb, qvec, spark, tmp_path_factory):
     probe = {qsig} | {qsig ^ (1 << i) for i in range(len(planes))}
     plan = (sim._ann_scan(spark, inc, "sig", probe)
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("PartitionFilters: [") >= 2 and "sig" in plan
+    # every scan (base AND generation) must carry a NON-EMPTY partition
+    # filter on sig — 'PartitionFilters: []' would match the weak form
+    assert len(re.findall(r"PartitionFilters: \[[^\]]*sig#", plan)) >= 2
     # file-level check per side (input_file_name doesn't survive the
     # dedupe exchange, so inspect each scan before the union)
     for root in (inc, os.path.join(inc, "_delta", "gen=1")):
@@ -332,22 +334,29 @@ def test_lsh_append_equals_full_rewrite(emb, qvec, spark, tmp_path_factory):
     st = sim.compact_ann_index(spark, inc)
     assert st["compacted_gens"] == 1 and st["partitions_rebuilt"] > 0
     assert sim._ann_live_gens(inc) == []
-    assert not os.path.isdir(os.path.join(inc, "_delta", "gen=1"))
+    # the retired gen dir stays on disk as a reader grace window...
+    assert os.path.isdir(os.path.join(inc, "_delta", "gen=1"))
     assert _topk(sim.lsh_ann_indexed(spark, inc, qvec, k=10)) == want
     assert spark.read.parquet(inc).count() == 300
     assert spark.read.parquet(inc).select("vec_id").distinct().count() == 300
-    # second compaction is a no-op
+    # ...second compaction is a no-op that sweeps it
     assert sim.compact_ann_index(spark, inc)["compacted_gens"] == 0
+    assert not os.path.isdir(os.path.join(inc, "_delta", "gen=1"))
 
 
-@pytest.mark.parametrize("point", ["staged", "swapped_one", "published"])
+@pytest.mark.parametrize("point", ["staged_data", "staged", "dropped_one",
+                                   "swapped_one", "published"])
 def test_ann_compaction_crash_windows(emb, qvec, spark, tmp_path_factory,
                                       point):
-    """Compaction crash at every boundary (after staging / after the
-    first partition swap / after all swaps, before the retire marker):
-    the crash-window read must be exact — dedupe-on-live-generations
-    heals base∪gen overlaps — and a replay must converge to a
-    duplicate-free fully-compacted store with unchanged results."""
+    """Compaction crash at every boundary — after the staging write but
+    before its journal entry / after the journal entry (rebuild commit
+    point) / between a base partition's drop and its rename (base-only
+    rows of that partition exist ONLY in staging here) / after the
+    first completed swap / after all swaps, before the retire marker.
+    The crash-window read must be exact — journaled-but-unpublished
+    txns make `_ann_scan` union the staging dir and dedupe on vec_id —
+    and a replay must converge to a duplicate-free fully-compacted
+    store with unchanged results."""
     from search_engines_spark.pipeline import similarity as sim
     d = str(tmp_path_factory.mktemp(f"ann_crash_{point}"))
     sim.write_ann_index(emb.where("vec_id % 2 = 0"), d)
@@ -395,3 +404,60 @@ def test_ivf_append_equals_full_rewrite(emb, qvec, spark, tmp_path_factory):
     assert st["compacted_gens"] == 1
     assert _topk(sim.ivf_topk_indexed(spark, inc, qvec,
                                       k=10, nprobe=3)) == want
+
+
+def test_ann_manifest_torn_tail_and_content_fingerprint(
+        emb, qvec, spark, tmp_path_factory):
+    """A crash mid manifest-append leaves a torn final line: readers and
+    appenders must treat it as never-committed, not brick the index.
+    And the delta fingerprint must include vector CONTENT, so
+    re-appending corrected vectors for the same ids is a new delta
+    rather than a silently 'skipped' idempotent retry."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline import similarity as sim
+    d = str(tmp_path_factory.mktemp("ann_torn"))
+    sim.write_ann_index(emb.where("vec_id < 200"), d)
+    sim.append_ann_index(emb.where("vec_id >= 200 and vec_id < 250"), d)
+    want = _topk(sim.lsh_ann_indexed(spark, d, qvec, k=10))
+    with open(os.path.join(d, "_ann_manifest.jsonl"), "a") as f:
+        f.write('{"gen": 99, "fing')   # torn tail, no newline
+    assert _topk(sim.lsh_ann_indexed(spark, d, qvec, k=10)) == want
+    # content term: same vec_ids, different vectors -> NOT skipped
+    delta = emb.where("vec_id >= 200 and vec_id < 250")
+    changed = delta.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0)))
+    m = sim.append_ann_index(changed, d)
+    assert m["skipped"] is False
+    # and an exact re-append of an already-committed delta IS skipped,
+    # even with the torn line sitting in the manifest
+    m2 = sim.append_ann_index(delta, d)
+    assert m2["skipped"] is True
+
+
+def test_ann_append_validates_whole_delta(emb, spark, tmp_path_factory):
+    """Wrong-dim and null embeddings must fail the append loudly for
+    BOTH layouts (a null/misfit vector would otherwise land in a
+    null-signature bucket and silently vanish from every probe)."""
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline import similarity as sim
+    lsh = str(tmp_path_factory.mktemp("ann_val_lsh"))
+    ivf = str(tmp_path_factory.mktemp("ann_val_ivf"))
+    sim.write_ann_index(emb.where("vec_id < 200"), lsh)
+    sim.write_ivf_index(emb.where("vec_id < 200"), ivf, n_cells=8)
+    tail = emb.where("vec_id >= 200")
+    wrong_dim = tail.withColumn("embedding", F.slice("embedding", 1, 8))
+    with_null = tail.withColumn(
+        "embedding", F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("embedding")))
+    for bad in (wrong_dim, with_null):
+        with pytest.raises(ValueError, match="append_ann_index"):
+            sim.append_ann_index(bad, lsh)
+        with pytest.raises(ValueError, match="append_ivf_index"):
+            sim.append_ivf_index(bad, ivf)
+    # a partial failure must not have committed anything
+    assert sim._ann_live_gens(lsh) == []
+    assert sim._ann_live_gens(ivf) == []
