@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import POSTINGS_SCHEMA
 from .segments import (SEGMENT_SCHEMA, _encode_partition, _fingerprint,
-                       read_segments)
+                       journal_append, journal_read, read_segments)
 
 _DELTA_DIR = "_delta"
 
@@ -70,11 +70,7 @@ def _gen_manifest_path(seg_dir: str) -> str:
 
 
 def _read_gen_manifest(seg_dir: str) -> list[dict]:
-    p = _gen_manifest_path(seg_dir)
-    if not os.path.exists(p):
-        return []
-    with open(p) as f:
-        return [json.loads(ln) for ln in f if ln.strip()]
+    return journal_read(_gen_manifest_path(seg_dir))
 
 
 _REBUILD_DIR = "_rebuild"
@@ -178,8 +174,7 @@ def append_segments(postings: DataFrame, seg_dir: str,
              "postings": int(counts["postings"] or 0)}
     if source_batches is not None:
         entry["source_batches"] = sorted(int(b) for b in source_batches)
-    with open(_gen_manifest_path(seg_dir), "a") as f:   # the commit point
-        f.write(json.dumps(entry) + "\n")
+    journal_append(_gen_manifest_path(seg_dir), entry)   # the commit point
     return {**entry, "skipped": False}
 
 
@@ -471,8 +466,7 @@ def _publish_txn(seg_dir: str, txn: int, buckets: list[int]) -> None:
         except FileNotFoundError:
             continue   # lost the isdir→rename race to a replay publisher
     shutil.rmtree(root, ignore_errors=True)   # _SUCCESS etc.
-    with open(_gen_manifest_path(seg_dir), "a") as f:
-        f.write(json.dumps({"published_txn": txn}) + "\n")
+    journal_append(_gen_manifest_path(seg_dir), {"published_txn": txn})
 
 
 def compact_segments(spark: SparkSession, seg_dir: str,
@@ -591,18 +585,16 @@ def compact_segments(spark: SparkSession, seg_dir: str,
         metrics["blocks"] += int(counts["blocks"] or 0)
         metrics["postings"] += int(counts["postings"] or 0)
         metrics["buckets_rebuilt"] += len(batch)
-        with open(_gen_manifest_path(seg_dir), "a") as f:   # COMMIT point
-            f.write(json.dumps({"folded_buckets": batch,
-                                "gens": gens, "txn": txn}) + "\n")
+        journal_append(_gen_manifest_path(seg_dir),   # COMMIT point
+                       {"folded_buckets": batch, "gens": gens, "txn": txn})
         if _test_crash_hook is not None:
             _test_crash_hook("chunk_journaled", i // chunk)
         _publish_txn(seg_dir, txn, batch)
         if _test_crash_hook is not None:
             _test_crash_hook("chunk_published", i // chunk)
     if gens:   # retire marker FIRST; dir removal is recoverable garbage
-        with open(_gen_manifest_path(seg_dir), "a") as f:
-            f.write(json.dumps({"compacted_through": max(gens),
-                                **metrics}) + "\n")
+        journal_append(_gen_manifest_path(seg_dir),
+                       {"compacted_through": max(gens), **metrics})
     for gen in gens:
         shutil.rmtree(_gen_path(seg_dir, gen), ignore_errors=True)
     if tombs.size:

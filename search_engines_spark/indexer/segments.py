@@ -188,12 +188,46 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.jsonl")
 
 
-def read_manifest(out_dir: str) -> list[dict]:
-    p = _manifest_path(out_dir)
-    if not os.path.exists(p):
+def journal_append(path: str, *entries: dict) -> None:
+    """Append jsonl journal entries as isolated, fsynced lines — the
+    shared commit-point primitive for every manifest in the repo (this
+    module, `indexer.merge`, `pipeline.similarity`). If a prior crash
+    left the file without a trailing newline, the new entries open a
+    fresh line so torn debris can never swallow a committed entry; the
+    single fsync is the durability point for the whole call."""
+    lead = ""
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        with open(path, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) != b"\n":
+                lead = "\n"
+    with open(path, "a") as f:
+        f.write(lead + "".join(json.dumps(e) + "\n" for e in entries))
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def journal_read(path: str) -> list[dict]:
+    """Read a jsonl journal, skipping undecodable lines: a torn line is
+    crash debris from an append that never returned — its entry never
+    committed, and `journal_append` isolates it so no committed entry
+    is fused into it."""
+    if not os.path.exists(path):
         return []
-    with open(p) as f:
-        return [json.loads(ln) for ln in f if ln.strip()]
+    out = []
+    with open(path) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                continue
+    return out
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    return journal_read(_manifest_path(out_dir))
 
 
 def completed_buckets(out_dir: str, fingerprint: dict) -> set[int]:
@@ -246,20 +280,20 @@ def build_segments(postings: DataFrame, doclens: DataFrame, out_dir: str,
                        F.sum("n").alias("postings"),
                        F.countDistinct("term").alias("terms")).collect())
         by_bucket = {int(r["bucket"]): r for r in counts}
-        with open(_manifest_path(out_dir), "a") as f:
-            # manifest EVERY bucket of the batch — a bucket that owns no
-            # terms still completed; without its entry, resume would
-            # launch a spurious job for it on every restart
-            for b in batch:
-                r = by_bucket.get(b)
-                entry = {"stage": "segments", "bucket": b,
-                         "blocks": int(r["blocks"]) if r else 0,
-                         "postings": int(r["postings"]) if r else 0,
-                         "terms": int(r["terms"]) if r else 0,
-                         "fingerprint": fingerprint}
-                f.write(json.dumps(entry) + "\n")
-                metrics["blocks"] += entry["blocks"]
-                metrics["postings"] += entry["postings"]
+        # manifest EVERY bucket of the batch — a bucket that owns no
+        # terms still completed; without its entry, resume would
+        # launch a spurious job for it on every restart
+        entries = []
+        for b in batch:
+            r = by_bucket.get(b)
+            entries.append({"stage": "segments", "bucket": b,
+                            "blocks": int(r["blocks"]) if r else 0,
+                            "postings": int(r["postings"]) if r else 0,
+                            "terms": int(r["terms"]) if r else 0,
+                            "fingerprint": fingerprint})
+            metrics["blocks"] += entries[-1]["blocks"]
+            metrics["postings"] += entries[-1]["postings"]
+        journal_append(_manifest_path(out_dir), *entries)
         metrics["buckets_built"] += len(batch)
     return metrics
 

@@ -136,47 +136,23 @@ _test_crash_hook = None
 
 
 def _ann_manifest_read(path: str) -> list[dict]:
-    """Skips undecodable lines: a torn line is crash debris from an
-    append that never returned (its entry never committed — gen claims
-    burn a number, markers get re-appended by the replay), and
-    `_ann_manifest_append` isolates such debris on its own line so a
-    committed entry is never fused into it."""
-    import json
+    """`segments.journal_read` semantics: torn crash-debris lines are
+    skipped (the entry never committed — a torn gen claim burns a
+    number, a torn marker gets re-appended by the replay)."""
     import os
-    p = os.path.join(path, _ANN_MANIFEST)
-    if not os.path.exists(p):
-        return []
-    out = []
-    with open(p) as f:
-        for ln in f:
-            if not ln.strip():
-                continue
-            try:
-                out.append(json.loads(ln))
-            except json.JSONDecodeError:
-                continue
-    return out
+
+    from ..indexer.segments import journal_read
+    return journal_read(os.path.join(path, _ANN_MANIFEST))
 
 
 def _ann_manifest_append(path: str, entry: dict) -> None:
-    """One O_APPEND write + fsync per entry: short single-line appends
-    are atomic on POSIX, so concurrent appenders interleave whole lines
-    (the property `_ann_append`'s claim protocol relies on). If a prior
-    crash left the file without a trailing newline, the new entry opens
-    a fresh line so the torn debris can't swallow it."""
-    import json
+    """One isolated fsynced line per entry (`segments.journal_append`):
+    short O_APPEND writes land whole on POSIX, the property
+    `_ann_append`'s claim protocol relies on."""
     import os
-    p = os.path.join(path, _ANN_MANIFEST)
-    lead = ""
-    if os.path.exists(p) and os.path.getsize(p) > 0:
-        with open(p, "rb") as f:
-            f.seek(-1, os.SEEK_END)
-            if f.read(1) != b"\n":
-                lead = "\n"
-    with open(p, "a") as f:
-        f.write(lead + json.dumps(entry) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+
+    from ..indexer.segments import journal_append
+    journal_append(os.path.join(path, _ANN_MANIFEST), entry)
 
 
 def _ann_floor(manifest: list[dict]) -> int:

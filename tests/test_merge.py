@@ -472,3 +472,37 @@ def test_update_supersedes_and_time_travels(spark, corpus_rows,
     eng.attach_segments(d, num_buckets=NUM_BUCKETS, as_of=0)
     with pytest.raises(ValueError, match="expired"):
         eng.search_daat("fickle creek farm", k=5).collect()
+
+
+def test_journal_torn_tail_is_crash_debris(spark, spark_index,
+                                           tmp_path_factory):
+    """A crash mid journal-append leaves a torn line (possibly without
+    its newline): readers must skip it as never-committed, and the next
+    append must isolate it rather than fuse onto it — for both the
+    generation journal and the build manifest."""
+    d = str(tmp_path_factory.mktemp("torn_journal"))
+    base = spark_index.postings.where(F.col("doc_id") < SPLIT)
+    delta = spark_index.postings.where(F.col("doc_id") >= SPLIT)
+    build_segments(base, spark_index.doclens, d, num_buckets=NUM_BUCKETS)
+    want_base = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
+    for name in ("_manifest.jsonl", "_delta_manifest.jsonl"):
+        p = os.path.join(d, name)
+        with open(p, "a") as f:
+            f.write('{"gen": 77, "fingerp')   # torn tail, no newline
+    # reads skip the debris...
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got == want_base
+    assert live_generations(d) == []
+    # ...and the next append commits cleanly on its own line
+    m = append_segments(delta, d, num_buckets=NUM_BUCKETS)
+    assert not m["skipped"] and m["gen"] == 1
+    assert live_generations(d) == [1]
+    want_full = _postings_map(spark_index.postings.collect())
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got == want_full
