@@ -49,7 +49,6 @@ up to block regrouping in tests/test_merge.py).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 from collections.abc import Iterator
@@ -244,14 +243,16 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
     the writer path, roll-forward assumes publishes are not raced by a
     second live process (single-writer deployment; see _publish_txn)."""
     manifest = _read_gen_manifest(seg_dir)
-    if as_of is not None and as_of < snapshot_floor(seg_dir, manifest):
-        raise ValueError(
-            f"snapshot as_of={as_of} expired: generations through "
-            f"{snapshot_floor(seg_dir, manifest)} are (or are being) "
-            f"compacted into the base")
-    if pending_txns(seg_dir, manifest):
+    if as_of is not None:
+        floor = snapshot_floor(seg_dir, manifest)
+        if as_of < floor:
+            raise ValueError(
+                f"snapshot as_of={as_of} expired: generations through "
+                f"{floor} are (or are being) compacted into the base")
+    pending = pending_txns(seg_dir, manifest)
+    if pending:
         try:
-            for txn, bks in sorted(pending_txns(seg_dir, manifest).items()):
+            for txn, bks in sorted(pending.items()):
                 _publish_txn(seg_dir, txn, bks)
         except OSError:
             pass          # read-only replica → staging-read fallback below
@@ -362,7 +363,8 @@ def delete_docs(spark: SparkSession, seg_dir: str, doc_ids) -> dict:
     gen = latest_generation(seg_dir)
     (doc_ids.select("doc_id", F.lit(gen).cast("int").alias("gen"))
      .write.mode("append").parquet(out))
-    return {"deleted_total": int(deleted_doc_ids(spark, seg_dir).size)}
+    total = (spark.read.parquet(out).select("doc_id").distinct().count())
+    return {"deleted_total": int(total)}
 
 
 def deleted_doc_ids(spark: SparkSession, seg_dir: str) -> np.ndarray:

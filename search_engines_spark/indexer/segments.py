@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from collections.abc import Iterator
 
 import numpy as np
@@ -195,8 +196,8 @@ def journal_append(path: str, *entries: dict) -> None:
     left the file without a trailing newline, the new entries open a
     fresh line so torn debris can never swallow a committed entry; the
     single fsync is the durability point for the whole call."""
-    lead = ""
-    if os.path.exists(path) and os.path.getsize(path) > 0:
+    lead, new_file = "", not os.path.exists(path)
+    if not new_file and os.path.getsize(path) > 0:
         with open(path, "rb") as f:
             f.seek(-1, os.SEEK_END)
             if f.read(1) != b"\n":
@@ -205,6 +206,14 @@ def journal_append(path: str, *entries: dict) -> None:
         f.write(lead + "".join(json.dumps(e) + "\n" for e in entries))
         f.flush()
         os.fsync(f.fileno())
+    if new_file:
+        # a journal's FIRST entry is only durable once the directory
+        # entry for the new file is — fsync the parent too
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 def journal_read(path: str) -> list[dict]:
@@ -216,13 +225,20 @@ def journal_read(path: str) -> list[dict]:
         return []
     out = []
     with open(path) as f:
-        for ln in f:
+        for i, ln in enumerate(f):
             if not ln.strip():
                 continue
             try:
                 out.append(json.loads(ln))
             except json.JSONDecodeError:
-                continue
+                # expected only for crash debris; a damaged COMMITTED
+                # entry would also land here, so surface it loudly —
+                # silent loss of a gen entry would let its number be
+                # reused and overwritten
+                warnings.warn(
+                    f"journal_read: skipping undecodable line {i + 1} "
+                    f"of {path} (crash debris, or corruption of a "
+                    f"committed entry)")
     return out
 
 
