@@ -1,0 +1,98 @@
+"""Property tests for the shared jsonl journal primitives
+(`segments.journal_append` / `journal_read`) — the commit-point layer
+under the segment store, the build manifest, and the ANN manifests.
+No Spark needed: these are pure file-protocol invariants.
+
+The crash model: an append either lands fully (its fsync returned) or
+leaves an arbitrary PREFIX of its bytes (torn write). Invariants:
+* every entry whose append returned is read back, in order, verbatim —
+  regardless of any debris between entries;
+* a torn append never fabricates an entry and never damages a
+  previously committed one;
+* the reader warns (not raises) on debris.
+"""
+
+import json
+import os
+import warnings
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engines_spark.indexer.segments import journal_append, journal_read
+
+
+def _entry(i):
+    return {"gen": i, "fingerprint": {"rows": i * 7, "crc_sum": i * 31}}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.booleans(), st.integers(0, 60)),
+                min_size=1, max_size=12))
+def test_committed_entries_survive_any_torn_interleaving(tmp_path_factory,
+                                                         plan):
+    """Each step either commits an entry or simulates a crash mid-append
+    by writing a STRICT prefix of the next entry's bytes directly (no
+    newline, no fsync — what a dead writer leaves; a crash that lands
+    the full line is simply a committed entry, the idempotent-retry
+    case). Committed entries must read back exactly, in order."""
+    d = tmp_path_factory.mktemp("journal_prop")
+    p = os.path.join(str(d), "_j.jsonl")
+    committed = []
+    for i, (commit, cut) in enumerate(plan):
+        if commit:
+            journal_append(p, _entry(i))
+            committed.append(_entry(i))
+        else:
+            blob = json.dumps(_entry(i))
+            torn = blob[:min(cut, len(blob) - 1)]
+            with open(p, "a") as f:      # raw write: simulated crash
+                f.write(torn)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = journal_read(p)
+    assert got == committed
+
+
+def test_truncation_at_every_byte_never_fabricates(tmp_path_factory):
+    """Truncate a 3-entry journal at EVERY byte offset: the read must
+    return a prefix of the committed entries (the tail entry whose
+    bytes were cut is gone — it 'never committed'), never a mangled or
+    extra entry, and never raise."""
+    d = str(tmp_path_factory.mktemp("journal_trunc"))
+    p = os.path.join(d, "_j.jsonl")
+    entries = [_entry(i) for i in range(3)]
+    for e in entries:
+        journal_append(p, e)
+    blob = open(p, "rb").read()
+    for cut in range(len(blob) + 1):
+        q = os.path.join(d, f"cut_{cut}.jsonl")
+        with open(q, "wb") as f:
+            f.write(blob[:cut])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = journal_read(q)
+        assert got in ([], entries[:1], entries[:2], entries), cut
+        # a cut strictly inside entry k keeps entries < k intact
+        os.remove(q)
+
+
+def test_multi_entry_append_is_one_commit(tmp_path_factory):
+    """journal_append(path, *entries) lands all entries under a single
+    fsync — the batch-manifest case in segments.build_segments."""
+    d = str(tmp_path_factory.mktemp("journal_multi"))
+    p = os.path.join(d, "_j.jsonl")
+    journal_append(p, _entry(0), _entry(1), _entry(2))
+    assert journal_read(p) == [_entry(0), _entry(1), _entry(2)]
+
+
+def test_debris_read_warns(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("journal_warn"))
+    p = os.path.join(d, "_j.jsonl")
+    journal_append(p, _entry(0))
+    with open(p, "a") as f:
+        f.write('{"gen": 9, "fin')
+    journal_append(p, _entry(1))   # isolates the debris on its own line
+    with pytest.warns(UserWarning, match="undecodable"):
+        assert journal_read(p) == [_entry(0), _entry(1)]
