@@ -686,12 +686,15 @@ compaction commit (sf0.1 compaction 6.2 s r02 → 5.0 s decode-vectorized
 job-commit directory swap), on top of the r02 ext_id-projection and
 vectorized-encode work.
 
-**Final r3 solo rerun** (after the incremental-ANN-lifecycle arms
-landed): `query_p50_sec` **0.493 s**, build **5.78 s / 864.5 files/s**,
-`value_core` **14.81 s** (best r3 checkpoint; all three runs 14.8-16.8
-bracket run noise). The new arms measure the continuous-arrival ANN
-path at sf0.1: full `write_ann_index` over 90% of the vectors 17.2 s
-vs `append_ann_index` of the remaining 10% **3.2 s** — the append does
+**Final r3 solo rerun** (after the incremental-ANN-lifecycle arms and
+the journaled-publish/validation hardening landed): `query_p50_sec`
+**0.538 s**, build **5.41 s / 924.9 files/s**, `value_core` **15.13 s**
+(r3 runs 14.8-16.8 bracket run noise). The new arms measure the
+continuous-arrival ANN path at sf0.1: full `write_ann_index` over 90%
+of the vectors 19.1 s vs `append_ann_index` of the remaining 10%
+**3.6 s** (~0.4 s of that is the content-checksum fingerprint the
+hardening added — the price of not silently skipping corrected
+re-appends) — the append does
 O(|delta|) sign+write work plus a fixed manifest/fingerprint cost that
 dominates at this toy vector count and amortizes away at real scale,
 which is the regime the lifecycle exists for (at 10^9 vectors the
