@@ -699,10 +699,10 @@ O(|delta|) sign+write work plus a fixed manifest/fingerprint cost that
 dominates at this toy vector count and amortizes away at real scale,
 which is the regime the lifecycle exists for (at 10^9 vectors the
 alternative is an O(corpus) rewrite per arrival batch). The merged
-base+generation query (`ann_query_merged` 2.6 s) pays one extra pruned
+base+generation query (`ann_query_merged` 2.9 s) pays one extra pruned
 scan + a vec_id dedupe while a generation is live and drops back to
 the plain indexed read after `compact_ann_index`; at this corpus size
-brute-force cosine (0.34 s) is cheaper than any indexed read — the
+brute-force cosine (0.35 s) is cheaper than any indexed read — the
 indexed path's payoff is the 13-of-4096-directory read fraction, which
 is what transfers to billion-vector tables.
 
