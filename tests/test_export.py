@@ -1,9 +1,11 @@
 """Training-corpus export sink (pipeline.export): deterministic shard
-membership, order-independent lineage checksums, idempotent re-runs,
-and the consumer-side integrity check."""
+membership, order-independent lineage checksums, versioned atomic
+publish (a crash never damages the committed export), idempotent
+re-runs, and the consumer-side integrity check."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from search_engines_spark.pipeline import export as ex
@@ -30,35 +32,116 @@ def test_export_roundtrip_and_verify(spark, tmp_path):
     d = _docs(spark)
     out = str(tmp_path / "shards")
     m = ex.export_training_shards(d, out, n_shards=8)
-    assert not m["skipped"] and m["n_docs"] == 100
+    assert not m["skipped"] and m["n_docs"] == 100 and m["version"] == 1
     assert sum(s["n_docs"] for s in m["shards"]) == 100
     # written rows carry the sha256 lineage column and round-trip
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(ex.export_data_dir(out))
     assert back.count() == 100
     row = back.limit(1).collect()[0]
     import hashlib
     assert row["sha256"] == hashlib.sha256(
         row["text"].encode()).hexdigest()
-    # consumer-side integrity check: everything ok
+    # consumer-side integrity check: everything ok, and the documented
+    # predicate ("any row with ok=false") is the one that works
     v = ex.verify_shards(spark, out)
-    assert v.where("ok is not true").count() == 0
-    # idempotent re-run: fingerprint matches → skipped
+    assert v.where("ok = false").count() == 0
+    assert v.where("ok = true").count() == len(m["shards"])
+    # idempotent re-run: fingerprint matches → skipped, version stable
     m2 = ex.export_training_shards(d, out, n_shards=8)
-    assert m2["skipped"]
-    # different input → NOT skipped
+    assert m2["skipped"] and m2["version"] == 1
+    # different input → NOT skipped; new version; old dir swept
     m3 = ex.export_training_shards(d.where("doc_id < 50"), out, n_shards=8)
-    assert not m3["skipped"] and m3["n_docs"] == 50
+    assert not m3["skipped"] and m3["n_docs"] == 50 and m3["version"] == 2
+    assert not os.path.isdir(os.path.join(out, "v1"))
+    assert ex.verify_shards(spark, out).where("ok = false").count() == 0
 
 
-def test_verify_flags_tampering(spark, tmp_path):
+def test_verify_flags_missing_shard_and_tampered_text(spark, tmp_path):
     import shutil
     d = _docs(spark)
     out = str(tmp_path / "shards2")
     m = ex.export_training_shards(d, out, n_shards=4)
+    data = ex.export_data_dir(out)
+    # (a) whole shard deleted → ok must be EXACTLY false, never NULL
     victim = m["shards"][0]["shard"]
-    shutil.rmtree(os.path.join(out, f"shard={victim}"))
+    shutil.rmtree(os.path.join(data, f"shard={victim}"))
     v = ex.verify_shards(spark, out)
-    bad = {r["shard"] for r in v.where("ok is not true").collect()}
-    assert bad == {victim}
-    good = v.where("ok = true").count()
-    assert good == len(m["shards"]) - 1
+    assert {r["shard"] for r in v.where("ok = false").collect()} == {victim}
+    assert v.where("ok = true").count() == len(m["shards"]) - 1
+    # (b) text content tampered IN PLACE, same length, stored sha256
+    # left stale — must still be flagged (sha256 is recomputed)
+    surviv = m["shards"][1]["shard"]
+    sdir = os.path.join(data, f"shard={surviv}")
+    rows = spark.read.parquet(sdir).collect()
+    tampered = [(r["doc_id"], "X" * len(r["text"]), r["sha256"])
+                for r in rows]
+    forged = spark.createDataFrame(
+        tampered, "doc_id long, text string, sha256 string")
+    shutil.rmtree(sdir)
+    forged.write.parquet(sdir)
+    bad = {r["shard"] for r in ex.verify_shards(spark, out)
+           .where("ok = false").collect()}
+    assert bad == {victim, surviv}
+
+
+def test_crash_before_commit_preserves_previous_export(spark, tmp_path,
+                                                       monkeypatch):
+    """The manifest replace is the only commit point: a crash anywhere
+    before it (here: during the replace itself) leaves the previous
+    version fully readable and verifying clean; the retry publishes."""
+    d = _docs(spark)
+    out = str(tmp_path / "shards3")
+    m1 = ex.export_training_shards(d, out, n_shards=4)
+    want = sorted((s["shard"], s["checksum"]) for s in m1["shards"])
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ex.export_training_shards(d.where("doc_id < 30"), out, n_shards=4)
+    monkeypatch.setattr(os, "replace", real_replace)
+    # old export untouched and clean
+    m = ex._read_manifest(out)
+    assert m["version"] == 1
+    assert sorted((s["shard"], s["checksum"]) for s in m["shards"]) == want
+    assert ex.verify_shards(spark, out).where("ok = false").count() == 0
+    # retry succeeds, supersedes v1, sweeps the orphan
+    m2 = ex.export_training_shards(d.where("doc_id < 30"), out, n_shards=4)
+    assert not m2["skipped"] and m2["version"] == 2 and m2["n_docs"] == 30
+    assert ex.verify_shards(spark, out).where("ok = false").count() == 0
+    assert not os.path.isdir(os.path.join(out, "v1"))
+
+
+def test_fingerprint_sees_doc_id_renumbering(spark, tmp_path):
+    """Same texts, renumbered doc_ids = different shard membership →
+    must NOT be skipped as an idempotent retry."""
+    out = str(tmp_path / "shards4")
+    a = spark.createDataFrame(
+        [(i, f"body {i % 10}") for i in range(40)], "doc_id long, text string")
+    b = a.withColumn("doc_id", F.col("doc_id") + 1000)
+    ex.export_training_shards(a, out, n_shards=4)
+    m = ex.export_training_shards(b, out, n_shards=4)
+    assert not m["skipped"] and m["version"] == 2
+
+
+def test_export_rejects_null_rows(spark, tmp_path):
+    out = str(tmp_path / "shards5")
+    null_text = spark.createDataFrame(
+        [(1, "ok"), (2, None)], "doc_id long, text string")
+    null_id = spark.createDataFrame(
+        [(1, "ok"), (None, "x")], "doc_id long, text string")
+    for bad in (null_text, null_id):
+        with pytest.raises(ValueError, match="null"):
+            ex.export_training_shards(bad, out, n_shards=4)
+    assert ex._read_manifest(out) is None      # nothing committed
+
+
+def test_empty_corpus_exports_and_verifies_clean(spark, tmp_path):
+    out = str(tmp_path / "shards6")
+    d = _docs(spark).where("doc_id < 0")
+    m = ex.export_training_shards(d, out, n_shards=4)
+    assert not m["skipped"] and m["n_docs"] == 0 and m["shards"] == []
+    v = ex.verify_shards(spark, out)
+    assert v.count() == 0
