@@ -51,24 +51,37 @@ SAMPLE_SALT = "smp|"   # domain-separates the keep-decision hash
 # Copyleft licenses excluded by default — the standard code-corpus
 # compliance policy ('none' kept: most source files carry no header and
 # inherit the repo license, resolved upstream of this per-file gate).
-ALLOW_LICENSES = ("none", "mit", "apache-2.0", "bsd", "mpl-2.0",
-                  "unlicense")
+# Both forms a permissive file can surface as are listed: the phrase
+# labels license_scan assigns from header boilerplate ('bsd', 'mit', …)
+# AND the lowercased SPDX ids it passes through verbatim when a
+# SPDX-License-Identifier tag is present ('bsd-3-clause', …) — a
+# better-annotated permissive file must never fare worse than a
+# boilerplate-only one.
+ALLOW_LICENSES = ("none", "mit", "apache-2.0", "bsd", "bsd-2-clause",
+                  "bsd-3-clause", "isc", "zlib", "0bsd", "cc0-1.0",
+                  "mpl-2.0", "unlicense")
 
 
 def ngrams(docs: DataFrame, k: int = DECONTAM_K, text_col: str = "text",
            id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, gram) exploded word-k-gram strings, DISTINCT per doc.
     Docs with < k tokens produce no rows. Generalizes
-    `dedup.with_shingles` (fixed k=3) to the decontamination window."""
+    `dedup.with_shingles` (fixed k=3, its own tokenizer) to the
+    decontamination window. Per-doc distinctness is `array_distinct`
+    BEFORE the explode — doc-local, zero shuffle — which is what keeps
+    the module's only-shuffle-is-doc_id-hit-counts plan claim true (a
+    dataframe-level distinct() here would exchange every corpus gram).
+    Assumes doc_id identifies the row (the repo-wide identity
+    contract); duplicate ids would no longer be merged into one gram
+    set."""
     g = (f"case when size(_toks) >= {k} then "
-         f"transform(sequence(1, size(_toks)-{k - 1}), "
-         f"i -> concat_ws(' ', slice(_toks, i, {k}))) "
+         f"array_distinct(transform(sequence(1, size(_toks)-{k - 1}), "
+         f"i -> concat_ws(' ', slice(_toks, i, {k})))) "
          f"else array() end")
     return (docs
             .select(F.col(id_col).cast("long").alias("doc_id"),
                     _tokens(text_col).alias("_toks"))
-            .select("doc_id", F.explode(F.expr(g)).alias("gram"))
-            .distinct())
+            .select("doc_id", F.explode(F.expr(g)).alias("gram")))
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame,
@@ -173,6 +186,12 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     (broadcast bench probe), and sampling (group-key window) then touch
     only survivors. Every stage is deterministic, so re-runs keep
     identical rows — the resumability contract of the north rule.
+
+    PRECONDITION: `id_col` uniquely identifies each row (the repo-wide
+    identity contract, same as the export sink and the segment store).
+    Duplicate ids would multiply rows through the stage joins and let
+    the final semi-join readmit rows a stage dropped — enforce upstream;
+    this function does not pay a corpus-wide shuffle to re-check it.
     """
     d0 = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                      F.col(text_col).alias("text"), *by)
@@ -186,11 +205,20 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     s2 = s1.join(lic, "doc_id")
 
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    # persist the first shuffle product: decontamination, sampling, and
+    # the funnel counts all re-consume s3, and caching here costs only
+    # the post-dedup survivor set (the zero-shuffle stages above are
+    # cheap to recompute; the sha window is not)
     s3 = (s2.withColumn("_rn", F.row_number().over(w))
-          .where(F.col("_rn") == 1).drop("_rn"))
+          .where(F.col("_rn") == 1).drop("_rn")).persist()
 
     if bench is not None:
-        clean = (decontaminate(s3, bench)
+        # canonicalize the bench side's column names the same way as
+        # the corpus — decontaminate applies one (text, doc_id) naming
+        # to both of its inputs
+        b0 = bench.select(F.col(id_col).cast("long").alias("doc_id"),
+                          F.col(text_col).alias("text"))
+        clean = (decontaminate(s3, b0)
                  .where(F.col("contaminated") == 0).select("doc_id"))
         s4 = s3.join(clean, "doc_id")
     else:

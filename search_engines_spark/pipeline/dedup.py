@@ -91,17 +91,19 @@ def tokens_expr(text_col: str) -> Column:
 def with_shingles(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, shingle) exploded word-{SHINGLE_K}-gram shingles (distinct
-    per doc).  Docs with < K tokens produce no shingles."""
+    per doc).  Docs with < K tokens produce no shingles. Per-doc
+    distinctness is `array_distinct` before the explode — doc-local,
+    zero shuffle — instead of a dataframe-level distinct() that would
+    exchange every corpus shingle."""
     k = SHINGLE_K
     sh = (f"case when size(_toks) >= {k} then "
-          f"transform(sequence(1, size(_toks)-{k-1}), "
-          f"i -> concat_ws(' ', _toks[i-1], _toks[i], _toks[i+1])) "
+          f"array_distinct(transform(sequence(1, size(_toks)-{k-1}), "
+          f"i -> concat_ws(' ', _toks[i-1], _toks[i], _toks[i+1]))) "
           f"else array() end")
     return (docs
             .select(F.col(id_col).cast("long").alias("doc_id"),
                     tokens_expr(text_col).alias("_toks"))
-            .select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
-            .distinct())
+            .select("doc_id", F.explode(F.expr(sh)).alias("shingle")))
 
 
 # ---------------------------------------------------------------- minhash --
