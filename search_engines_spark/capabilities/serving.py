@@ -40,64 +40,79 @@ from pyspark.sql import DataFrame, functions as F
 from ..analysis import SPARK_TOKENS_EXPR
 
 
-def _sql_str(t: str) -> str:
-    """Escape a term for embedding in a Spark SQL string literal.
-    Callers pass arbitrary analyzed terms — the parity analyzer keeps
-    apostrophes inside tokens (UAX#29 MidLetter) — and they must parse,
-    not crash the plan. Note the match side: `snippets` tokenizes the
-    document with the canonical SQL chain (`SPARK_TOKENS_EXPR`, splits
-    on [^a-z0-9]+), so a term containing ' or \\ parses cleanly but can
-    never equal a token and scores n_hit_terms=0; highlighting such
-    terms would need a parity-analyzed (UDF) tokenization of the text,
-    which trades away the zero-UDF codegen projection this op is."""
-    return t.replace("\\", "\\\\").replace("'", "\\'")
-
-
 def snippets(results: DataFrame, docs: DataFrame, terms: list[str],
              window: int = 8, text_col: str = "text") -> DataFrame:
     """Query-biased snippets for a result list.
 
     results: any frame with a doc_id column (e.g. Engine.search output —
     k rows, broadcast side). docs: the corpus frame (doc_id, text_col).
-    → results + (snippet string, n_hit_terms int); rows with no hit
-    (possible when results came from another field) get n_hit_terms=0
-    and a document-prefix snippet."""
+    → results + (snippet string, n_hit_terms int), EVERY results row
+    present: rows with no hit (possible when results came from another
+    field) get n_hit_terms=0 and a document-prefix snippet; rows whose
+    doc_id is missing from `docs`, or whose text is NULL, get
+    n_hit_terms=0 and an empty snippet.
+
+    Terms are bound as an array-of-literals column (`_tset`), never
+    interpolated into SQL text — arbitrary analyzed terms (the parity
+    analyzer keeps apostrophes inside tokens) cannot crash or alter the
+    plan. Match side caveat: the document is tokenized with the
+    canonical SQL chain (`SPARK_TOKENS_EXPR`, splits on [^a-z0-9]+), so
+    a term containing an apostrophe can never equal a token and scores
+    n_hit_terms=0; highlighting such terms would need a parity-analyzed
+    (UDF) tokenization of the text, trading away the zero-UDF codegen
+    projection this op is."""
     if not terms:
         raise ValueError("snippets needs at least one query term")
-    tset = ", ".join(f"'{_sql_str(t)}'" for t in sorted(set(terms)))
+    ts = sorted(set(terms))
     toks = SPARK_TOKENS_EXPR.format(col=text_col)
+    w = int(window)
     d = (docs.select("doc_id", text_col)
          .join(F.broadcast(results), "doc_id")
+         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+         .withColumn("_tset", F.array(*[F.lit(t) for t in ts]))
          .withColumn("_toks", F.expr(toks))
          # hit positions: 1-based over ALL tokens (the index convention)
          .withColumn("_hits", F.expr(
-             f"filter(transform(_toks, (t, i) -> struct(i + 1 as pos, "
-             f"t as term)), h -> h.term in ({tset}))")))
-    # best anchor: max distinct terms in [pos, pos+window), tie → min pos
-    best = F.expr(
-        f"aggregate(_hits, struct(0 as score, 1 as start), (acc, a) -> "
-        f"if((size(array_distinct(transform(filter(_hits, h -> "
-        f"h.pos >= a.pos and h.pos < a.pos + {int(window)}), "
-        f"h -> h.term)))) > acc.score, "
-        f"struct(size(array_distinct(transform(filter(_hits, h -> "
-        f"h.pos >= a.pos and h.pos < a.pos + {int(window)}), "
-        f"h -> h.term))) as score, a.pos as start), acc))")
-    d = d.withColumn("_best", best)
+             "filter(transform(_toks, (t, i) -> struct(i + 1 as pos, "
+             "t as term)), h -> array_contains(_tset, h.term))"))
+         # score every anchor ONCE: distinct terms in [pos, pos+window)
+         .withColumn("_scored", F.expr(
+             f"transform(_hits, a -> struct("
+             f"size(array_distinct(transform(filter(_hits, h -> "
+             f"h.pos >= a.pos and h.pos < a.pos + {w}), "
+             f"h -> h.term))) as score, a.pos as start))")))
+    # best anchor: max score; strict > over ascending anchors → earliest
+    # anchor wins ties
+    d = d.withColumn("_best", F.expr(
+        "aggregate(_scored, struct(0 as score, 1 as start), "
+        "(acc, s) -> if(s.score > acc.score, s, acc))"))
     snippet = F.expr(
-        f"array_join(transform(slice(_toks, _best.start, {int(window)}), "
-        f"t -> if(t in ({tset}), concat('[', t, ']'), t)), ' ')")
-    return (d.withColumn("snippet", snippet)
-            .withColumn("n_hit_terms", F.col("_best.score"))
-            .drop("_toks", "_hits", "_best", text_col))
+        f"array_join(transform(slice(_toks, _best.start, {w}), "
+        f"t -> if(array_contains(_tset, t), concat('[', t, ']'), t)), ' ')")
+    out = (d.withColumn("snippet", snippet)
+           .withColumn("n_hit_terms", F.col("_best.score"))
+           .drop("_toks", "_hits", "_scored", "_best", "_tset", text_col))
+    # results rows whose doc_id the corpus frame doesn't carry: keep the
+    # row (the k-row contract) with an empty snippet — both sides of the
+    # anti-join are result-sized, so this costs nothing at scale
+    missing = (results.join(F.broadcast(out.select("doc_id")),
+                            "doc_id", "left_anti")
+               .withColumn("snippet", F.lit(""))
+               .withColumn("n_hit_terms", F.lit(0)))
+    return out.unionByName(missing)
 
 
 def suggest_terms(term_stats: DataFrame, probes: list[str],
                   max_dist: int = 1, n: int = 3,
                   field: str = "body") -> DataFrame:
     """"Did you mean": for each probe, the top-n dictionary terms within
-    `max_dist` edits, ranked df desc then term asc. Banded candidate
-    join (first char + length ±max_dist) keeps the dictionary side an
-    equi-join, never an all-pairs scan. → (probe, suggestion, df, rank)."""
+    `max_dist` edits AMONG candidates sharing the probe's first
+    character and length ±max_dist, ranked df desc then term asc. The
+    band is what keeps the dictionary side an equi-join (never an
+    all-pairs levenshtein scan at a 10^8-term dictionary), and it is
+    part of the contract: a typo in the FIRST character is never
+    suggested — the standard first-letter-is-reliable heuristic.
+    → (probe, suggestion, df, rank)."""
     spark = term_stats.sparkSession
     p = (spark.createDataFrame([(t,) for t in sorted(set(probes))],
                                "probe string")
@@ -125,6 +140,11 @@ def facet_counts(postings: DataFrame, docs: DataFrame, terms: list[str],
     → (*facet_cols, n_docs), one row per populated facet combination.
     Match = the boolean having-count plan (docs containing ALL terms);
     facets come from one groupBy with map-side partial aggregation."""
+    if not terms:
+        raise ValueError(
+            "facet_counts needs at least one query term (an empty "
+            "conjunction would silently facet nothing; roll up docs "
+            "directly for corpus-wide counts)")
     ts = sorted(set(terms))
     match = (postings
              .where((F.col("field") == field) & F.col("term").isin(ts))

@@ -112,3 +112,34 @@ def test_facet_counts_equals_manual(spark, spark_index):
             spark_index.docs.join(have, "doc_id")
             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got == want and sum(got.values()) > 0
+
+
+def test_snippets_keep_every_result_row(spark, tiny):
+    """Results whose doc_id is missing from docs, or whose text is NULL,
+    must survive with n_hit_terms=0 and an empty snippet — a rendered
+    page never silently loses hits."""
+    docs = tiny.unionByName(spark.createDataFrame(
+        [(6, None)], "doc_id long, text string"))
+    s = _snips_docs(spark, docs, [1, 6, 99], ["alpha", "beta"])
+    assert set(s) == {1, 6, 99}
+    assert s[1]["n_hit_terms"] == 1
+    assert s[6]["n_hit_terms"] == 0 and s[6]["snippet"] == ""
+    assert s[99]["n_hit_terms"] == 0 and s[99]["snippet"] == ""
+
+
+def _snips_docs(spark, docs, ids, terms, window=8):
+    res = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = serving.snippets(res, docs, terms, window=window)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_snippets_terms_bound_as_literals(spark, tiny):
+    """Terms with quotes/backslashes must neither crash the plan nor
+    match (the SQL-chain tokenizer can't produce them)."""
+    s = _snips(spark, tiny, [2], ["alpha", "it's", "a\\b"])
+    assert s[2]["n_hit_terms"] == 1 and "[alpha]" in s[2]["snippet"]
+
+
+def test_facet_counts_rejects_empty_conjunction(spark, tiny):
+    with pytest.raises(ValueError, match="at least one"):
+        serving.facet_counts(tiny, tiny, [], ["doc_id"])
