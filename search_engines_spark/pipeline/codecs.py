@@ -83,10 +83,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB → 24-bit bottom-up BMP bytes."""
     a = np.asarray(arr, dtype=np.uint8)
     h, w, _ = a.shape
-    stride = (w * 3 + 3) & ~3
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
-    pix = rows.tobytes()
+    pix = _dib_rows(a)                 # the shared BMP/AVI-DIB layout
     hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
                       2835, 2835, 0, 0)
@@ -138,10 +135,10 @@ def decode_png(data: bytes) -> np.ndarray:
         f, row = int(lines[y, 0]), lines[y, 1:].astype(np.int64)
         if f == 0:
             cur = row
-        elif f == 1:                    # Sub
-            cur = row.copy()
-            for x in range(nch, rb):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif f == 1:                    # Sub: per-lane cumsum (left
+            # neighbor = previous pixel, same channel); masking once
+            # after the int64 cumsum is exact for addition mod 256
+            cur = row.reshape(-1, nch).cumsum(axis=0).ravel() & 0xFF
         elif f == 2:                    # Up
             cur = (row + prev) & 0xFF
         elif f == 3:                    # Average
@@ -155,7 +152,6 @@ def decode_png(data: bytes) -> np.ndarray:
                 left = int(cur[x - nch]) if x >= nch else 0
                 ul = int(prev[x - nch]) if x >= nch else 0
                 cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
-            cur = cur.astype(np.int64)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur.astype(np.uint8)
@@ -201,12 +197,17 @@ def _dib_rows(frame: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def _undib_rows(raw: bytes, w: int, h: int) -> np.ndarray:
-    """Inverse of `_dib_rows` → (h, w, 3) uint8 RGB."""
+def _undib_rows(raw: bytes, w: int, h: int,
+                top_down: bool = False) -> np.ndarray:
+    """Inverse of `_dib_rows` → (h, w, 3) uint8 RGB. `top_down` skips
+    the bottom-up flip (negative biHeight DIBs)."""
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(raw, dtype=np.uint8,
                          count=stride * h).reshape(h, stride)
-    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+    px = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()
 
 
 def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
@@ -217,17 +218,19 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     struct offsets; chunk bodies pad to even length per the RIFF spec."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
-    w = h = None
-    rate, scale, bpp, comp = 0, 1, 24, 0
+    w = h = None                       # avih dwWidth/dwHeight
+    sw = sh = None                     # strf biWidth/biHeight (authoritative
+    rate, scale, bpp, comp = 0, 1, 24, 0   # per spec when avih says 0)
     # streams appear in strl order; strf applies to the stream whose strh
     # preceded it (a trailing audio stream's WAVEFORMATEX must not be
     # misread as the video bitmap header)
     n_streams, vids_idx, cur_is_vids = 0, None, False
+    saw_vids_strf, saw_dc = False, False
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, rate, scale, bpp, comp
-        nonlocal n_streams, vids_idx, cur_is_vids
+        nonlocal w, h, sw, sh, rate, scale, bpp, comp
+        nonlocal n_streams, vids_idx, cur_is_vids, saw_vids_strf, saw_dc
         while pos + 8 <= end:
             tag = data[pos:pos + 4]
             (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -244,25 +247,45 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
                 n_streams += 1
             elif tag == b"strf":
                 if cur_is_vids:
+                    saw_vids_strf = True
+                    sw, sh = struct.unpack_from("<ii", data, body_at + 4)
                     bpp, comp = struct.unpack_from("<HI", data, body_at + 14)
+                    if comp != 0:      # headers precede movi: reject before
+                        # buffering a whole compressed video's frames
+                        raise ValueError(
+                            f"compressed AVI unsupported "
+                            f"(biCompression={comp}; DIB only)")
             elif (tag[:2].isdigit() and tag[2:4] in (b"db", b"dc") and ln
                   and (vids_idx is None or int(tag[:2]) == vids_idx)):
                 # db/dc is a chunk-naming convention, not the codec:
                 # biCompression (strf) decides; BI_RGB=0 is raw DIB
                 # either way, anything else is a real codec we don't ship
+                saw_dc = saw_dc or tag[2:4] == b"dc"
                 frames.append(data[body_at:body_at + ln])
             pos = body_at + ln + (ln & 1)         # even-size padding
 
     walk(12, len(data))
     if w is None or not frames:
         raise ValueError("AVI without avih header or video frames")
-    if comp != 0:
+    if saw_dc and not saw_vids_strf:
+        # only the strf header can vouch that dc-tagged chunks are raw
+        # DIB; without one they must be presumed compressed
+        raise ValueError("dc-tagged AVI frames without a vids strf header")
+    if comp != 0:      # crafted files may place strf after movi
         raise ValueError(
             f"compressed AVI unsupported (biCompression={comp}; DIB only)")
     if bpp != 24:
         raise ValueError(f"unsupported AVI frame depth {bpp}")
+    # spec: players use strf dims when avih carries zeros; a negative
+    # strf biHeight means top-down rows (no bottom-up flip)
+    top_down = sh is not None and sh < 0
+    fw = int(w) if w else (abs(int(sw)) if sw else 0)
+    fh = int(h) if h else (abs(int(sh)) if sh else 0)
+    if not fw or not fh:
+        raise ValueError("AVI with zero frame dimensions")
     fps = rate / scale if scale else 0.0
-    return np.stack([_undib_rows(f, w, h) for f in frames]), fps
+    return (np.stack([_undib_rows(f, fw, fh, top_down) for f in frames]),
+            fps)
 
 
 def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
@@ -270,9 +293,10 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     frames + idx1 index), decodable by `decode_avi` and any standard
     player."""
     a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[0] == 0:
+        raise ValueError(
+            "encode_avi needs at least one frame of shape (h, w, 3)")
     n, h, w, _ = a.shape
-    if n == 0:
-        raise ValueError("encode_avi needs at least one frame")
     payloads = [_dib_rows(f) for f in a]
     frame_size = len(payloads[0])
     scale, rate = 1000, int(round(fps * 1000))
@@ -308,11 +332,16 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
 # ----------------------------------------------------------------------- WAV --
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """→ (mono float64 samples in [-1, 1], sample_rate). PCM 8/16/32."""
-    with wave.open(io.BytesIO(data), "rb") as f:
-        nch, width, rate, nframes = (f.getnchannels(), f.getsampwidth(),
-                                     f.getframerate(), f.getnframes())
-        raw = f.readframes(nframes)
+    """→ (mono float64 samples in [-1, 1], sample_rate). PCM 8/16/32.
+    Raises ValueError on anything else — the module-wide decoder
+    contract (the stdlib wave.Error never escapes)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            nch, width, rate, nframes = (f.getnchannels(), f.getsampwidth(),
+                                         f.getframerate(), f.getnframes())
+            raw = f.readframes(nframes)
+    except wave.Error as e:
+        raise ValueError(f"unsupported WAV: {e}") from e
     if width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
              - 128.0) / 128.0

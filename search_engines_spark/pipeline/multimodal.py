@@ -122,8 +122,10 @@ def decode_image_2d(payload: bytes) -> np.ndarray | None:
         return codecs.decode_bmp(payload)
     if kind == "png":
         px = codecs.decode_png(payload)
-        if px.shape[2] == 1:
+        if px.shape[2] == 1:           # gray → replicate
             px = np.repeat(px, 3, axis=2)
+        elif px.shape[2] == 2:         # gray+alpha → replicate gray,
+            px = np.repeat(px[:, :, :1], 3, axis=2)   # drop alpha
         return px[:, :, :3]
     return None
 
@@ -131,8 +133,16 @@ def decode_image_2d(payload: bytes) -> np.ndarray | None:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """→ flat float64 grayscale intensities. REAL for BMP/PNG (sniffed
     from magic bytes); other formats need codecs this container lacks
-    and raise unless `fake=True` (deterministic pseudo-pixels)."""
-    px = decode_image_2d(payload)
+    and raise unless `fake=True` (deterministic pseudo-pixels). With
+    fake=True a payload that SNIFFS as BMP/PNG but fails to decode
+    (truncated, 16-bit, interlaced …) also falls back to the fake path
+    — the gate is decode success, not sniff success."""
+    try:
+        px = decode_image_2d(payload)
+    except ValueError:
+        if not fake:
+            raise
+        px = None
     if px is not None:
         return px.astype(np.float64).mean(axis=2).ravel()
     if not fake:
@@ -145,10 +155,15 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     """→ mono float64 samples in [-1, 1]. REAL for PCM WAV; other
-    formats raise unless `fake=True`."""
+    formats — and sniffable-but-undecodable WAVs when fake=True —
+    fall back to the fake path or raise."""
     if codecs.sniff(payload) == "wav":
-        samples, _ = codecs.decode_wav(payload)
-        return samples
+        try:
+            samples, _ = codecs.decode_wav(payload)
+            return samples
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "payload is not PCM WAV and no external audio codec is "
@@ -162,9 +177,15 @@ def decode_video(payload: bytes,
     """→ ((n, h, w, 3) uint8 RGB frames, fps). REAL for uncompressed-DIB
     AVI (`pipeline.codecs.decode_avi`); other containers need external
     codecs and raise unless `fake=True` (4 deterministic 16×16
-    pseudo-frames at 4 fps)."""
+    pseudo-frames at 4 fps). With fake=True a payload that sniffs as
+    AVI but fails to decode (compressed codec, malformed container)
+    falls back to the fake path instead of raising."""
     if codecs.sniff(payload) == "avi":
-        return codecs.decode_avi(payload)
+        try:
+            return codecs.decode_avi(payload)
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "payload is not an uncompressed-DIB AVI and no external "

@@ -210,3 +210,123 @@ def test_sample_frames_explodes(media):
     assert len(rows) >= n_vids  # ≥1 frame per video
     for r in rows:
         assert r["ts_ms"] == r["frame_no"] * 10000
+
+
+def _png_with_filters(img, filters):
+    """Hand-encode `img` (h, w, c) with a chosen filter id per row —
+    encode_png only emits filter 0, so the decoder's Sub/Up/Average/
+    Paeth paths need a reference encoder."""
+    import struct
+    import zlib
+    h, w, c = img.shape
+    a = img.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, f in zip(range(h), filters):
+        row = a[y].reshape(w * c)
+        enc = row.copy()
+        if f == 1:
+            enc[c:] = (row[c:] - row[:-c]) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            for x in range(w * c):
+                left = row[x - c] if x >= c else 0
+                enc[x] = (row[x] - (left + prev[x]) // 2) % 256
+        elif f == 4:
+            def paeth(a_, b_, c_):
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                return a_ if pa <= pb and pa <= pc else (
+                    b_ if pb <= pc else c_)
+            for x in range(w * c):
+                left = row[x - c] if x >= c else 0
+                ul = prev[x - c] if x >= c else 0
+                enc[x] = (row[x] - paeth(int(left), int(prev[x]),
+                                         int(ul))) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_filters_decode():
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (8, 11, 3), dtype=np.uint8)
+    data = _png_with_filters(img, [0, 1, 2, 3, 4, 1, 4, 2])
+    assert (C.decode_png(data) == img).all()
+
+
+def test_png_gray_alpha_becomes_rgb():
+    """Color type 4 (gray+alpha) must reach (h, w, 3) as replicated
+    gray with alpha dropped — and survive resize."""
+    rng = np.random.RandomState(29)
+    ga = rng.randint(0, 256, (6, 7, 2), dtype=np.uint8)
+    data = _png_with_filters(ga, [0, 1, 2, 3, 4, 0])
+    px = mm.decode_image_2d(data)
+    assert px.shape == (6, 7, 3)
+    assert (px == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    flat = mm.decode_image(data, fake=False)
+    assert flat.shape == (42,)
+    assert np.allclose(flat, ga[:, :, 0].astype(np.float64).ravel())
+
+
+def test_sniffable_but_undecodable_falls_back_when_fake():
+    """A payload that sniffs as a known format but fails its decoder
+    must fall back to the deterministic fake path when fake=True and
+    raise ValueError (not wave.Error / crash) when fake=False."""
+    import struct
+    # IEEE-float WAV: format tag 3 — the stdlib wave module rejects it
+    body = (b"WAVEfmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    bad_wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert C.sniff(bad_wav) == "wav"
+    with pytest.raises(ValueError, match="WAV"):
+        mm.decode_audio(bad_wav, fake=False)
+    y = mm.decode_audio(bad_wav, fake=True)
+    assert y.shape == (4096,)          # the deterministic fake decoder
+    # truncated PNG: sniffs, fails, falls back
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    with pytest.raises(Exception):
+        mm.decode_image(bad_png, fake=False)
+    assert mm.decode_image(bad_png, fake=True).shape == (4096,)
+
+
+def test_avi_strf_dims_and_topdown_and_no_strf():
+    import struct
+    rng = np.random.RandomState(31)
+    vid = rng.randint(0, 256, (2, 6, 8, 3), dtype=np.uint8)
+    data = C.encode_avi(vid, fps=4.0)
+    # (a) zero avih dims → strf biWidth/biHeight take over (the spec's
+    # players-must-use-strf rule)
+    avih_at = data.find(b"avih") + 8
+    zeroed = (data[:avih_at + 32] + struct.pack("<II", 0, 0)
+              + data[avih_at + 40:])
+    frames, _ = C.decode_avi(zeroed)
+    assert (frames == vid).all()
+    # (b) negative strf biHeight → top-down rows (no flip)
+    strf_at = data.find(b"strf") + 8
+    topdown = (data[:strf_at + 8] + struct.pack("<i", -6)
+               + data[strf_at + 12:])
+    frames2, _ = C.decode_avi(topdown)
+    assert (frames2 == vid[:, ::-1]).all()
+    # (c) dc-tagged frames with NO vids strf anywhere: presumed
+    # compressed, rejected — not reinterpreted as raw DIB
+    dc = data.replace(b"00db", b"00dc")
+    strl_at = dc.find(b"LIST", dc.find(b"hdrl"))
+    # blank out the strl list's type and children so no strh/strf parse
+    (strl_len,) = struct.unpack_from("<I", dc, strl_at + 4)
+    no_strf = (dc[:strl_at + 8] + b"JUNK" * ((strl_len) // 4)
+               + dc[strl_at + 8 + (strl_len // 4) * 4:])
+    with pytest.raises(ValueError, match="strf|avih"):
+        C.decode_avi(no_strf)
