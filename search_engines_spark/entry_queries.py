@@ -112,7 +112,7 @@ def _bool_set(eng: Engine, qstring: str, as_int: bool = True) -> DataFrame:
 PRELUDE = f"""WITH docs0 AS (
   SELECT doc_id::BIGINT AS doc_id,
          'doc' || lpad(doc_id::VARCHAR, 9, '0') AS ext_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                      t -> t <> '') AS toks
   FROM documents),
 dl AS (SELECT doc_id, ext_id, len(toks)::BIGINT AS doclen FROM docs0),
@@ -1230,7 +1230,7 @@ def _bm25_sql_updated(terms: list[str], k: int = 100) -> str:
     return f"""WITH docs0 AS (
   SELECT doc_id::BIGINT AS doc_id,
          'doc' || lpad(doc_id::VARCHAR, 9, '0') AS ext_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                      t -> t <> '') AS toks
   FROM documents
   UNION ALL
@@ -2045,13 +2045,13 @@ FROM counts"""
 
 def _sql_token_counts() -> str:
     return r"""SELECT doc_id::BIGINT AS doc_id,
-       length(text)::BIGINT AS n_chars,
-       len(list_filter(regexp_split_to_array(text, '\s+'),
+       length(coalesce(text, ''))::BIGINT AS n_chars,
+       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
                        t -> t <> ''))::BIGINT AS ws_tokens,
-       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                        t -> t <> ''))::BIGINT AS re_tokens,
        len(list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
            t -> t <> '')))::BIGINT AS uniq_tokens
 FROM documents"""
 
@@ -2062,8 +2062,8 @@ def _sql_quality() -> str:
 base AS (SELECT d.doc_id, toks,
                 len(toks) AS n_tok,
                 {stop} AS stop_cnt,
-                length(text) AS n_chars,
-                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                length(coalesce(text, '')) AS n_chars,
+                (length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')))
                   AS digits,
                 list_sum(list_transform(toks, t -> length(t))) AS tok_chars
          FROM documents d JOIN docs0 USING (doc_id)),
@@ -2188,8 +2188,8 @@ def _quality_verdict_ctes() -> str:
     return f"""base AS (SELECT d.doc_id, toks,
                 len(toks) AS n_tok,
                 {stop} AS stop_cnt,
-                length(text) AS n_chars,
-                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                length(coalesce(text, '')) AS n_chars,
+                (length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')))
                   AS digits,
                 list_sum(list_transform(toks, t -> length(t))) AS tok_chars
          FROM documents d JOIN docs0 USING (doc_id)),

@@ -30,6 +30,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..analysis import SPARK_TOKENS_EXPR
+
 P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime for the affine hash family
 NUM_HASHES = 16
 LSH_BANDS = 4
@@ -83,9 +85,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def tokens_expr(text_col: str) -> Column:
-    """Canonical tokenizer (same as analysis.SPARK_TOKENS_EXPR)."""
-    return F.expr(
-        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+    """The canonical tokenizer (`analysis.SPARK_TOKENS_EXPR` — the one
+    definition, null-safe via coalesce so NULL text shingles like '')."""
+    return F.expr(SPARK_TOKENS_EXPR.format(col=f"coalesce({text_col}, '')"))
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..analysis import STOPWORDS
+from ..analysis import SPARK_TOKENS_EXPR, STOPWORDS
 
 # Small function-word sets for the language-ID heuristic (public knowledge).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -26,8 +26,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _tokens(text_col: str) -> Column:
-    return F.expr(
-        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+    """The canonical SQL tokenizer (`analysis.SPARK_TOKENS_EXPR` — ONE
+    definition, not a pasted copy), made null-safe: NULL text tokenizes
+    like '' so every downstream count/ratio/hash yields zeros and
+    md5('') instead of NULL (under Spark 4 ANSI semantics a NULL leaks
+    through size/filter and, e.g., mislabels a NULL doc as the argmax
+    fallback language)."""
+    return F.expr(SPARK_TOKENS_EXPR.format(col=f"coalesce({text_col}, '')"))
 
 
 def _marker_count(toks: Column, words: tuple[str, ...]) -> Column:
@@ -65,10 +70,12 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     ws_tokens = whitespace split; re_tokens = canonical regex tokenizer
     (the BPE-ish proxy); uniq_tokens = distinct re_tokens.
     """
-    ws = (f"size(filter(split({text_col}, '\\\\s+'), t -> t <> ''))")
+    ws = (f"size(filter(split(coalesce({text_col}, ''), '\\\\s+'), "
+          f"t -> t <> ''))")
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.length(text_col).cast("long").alias("n_chars"),
+        F.length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("n_chars"),
         F.expr(ws).cast("long").alias("ws_tokens"),
         F.size(_tokens(text_col)).cast("long").alias("re_tokens"),
         F.size(F.array_distinct(_tokens(text_col))).cast("long").alias("uniq_tokens"))
@@ -87,8 +94,9 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     toks = _tokens(text_col)
     n_tok = F.size(toks)
     stop = _marker_count(toks, LANG_MARKERS["en"])
-    n_chars = F.length(text_col)
-    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(txt)
+    digits = n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))
     tok_chars = F.aggregate(toks, F.lit(0),
                             lambda a, t: a + F.length(t))
     stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))

@@ -232,3 +232,36 @@ def test_plan_shapes(docs):
     comp_plan = ts.corpus_composition(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert comp_plan.count("Exchange") <= 2  # partial agg + distinct pass
+
+
+def test_null_text_behaves_as_empty(spark):
+    """NULL text must behave exactly like '' in every textstats op —
+    under Spark 4 ANSI semantics a raw NULL otherwise leaks through
+    size()/filter() and, e.g., labels the doc with the argmax fallback
+    language instead of 'und'."""
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the and is of a code")],
+        "doc_id long, text string")
+    lid = {r["doc_id"]: r for r in ts.language_id(d).collect()}
+    assert lid[1]["lang_guess"] == lid[2]["lang_guess"] == "und"
+    assert lid[1]["c_en"] == 0 and lid[3]["lang_guess"] == "en"
+    tc = {r["doc_id"]: r for r in ts.token_counts(d).collect()}
+    for k in ("n_chars", "ws_tokens", "re_tokens", "uniq_tokens"):
+        assert tc[1][k] == 0 and tc[2][k] == 0
+    fp = {r["doc_id"]: r for r in ts.fingerprints(d).collect()}
+    import hashlib
+    assert fp[1]["fp_norm"] == fp[2]["fp_norm"] \
+        == hashlib.md5(b"").hexdigest()
+    qf = {r["doc_id"]: r for r in ts.quality_filter(d).collect()}
+    assert qf[1]["keep"] == 0 and qf[1]["reasons"] == qf[2]["reasons"]
+    # and the oracle agrees on NULL: run the langid/quality SQL over a
+    # table with a NULL text via DuckDB
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, NULL), (2, ''), (3, 'the and is of a code')) "
+                "AS t(doc_id, text)")
+    got = dict(con.execute(
+        "SELECT doc_id, lang_guess FROM (" +
+        eq._sql_langid().replace("SELECT doc_id,", "SELECT doc_id,", 1)
+        + ")").fetchall())
+    assert got[1] == "und" and got[2] == "und" and got[3] == "en"
