@@ -91,7 +91,11 @@ def snippets(results: DataFrame, docs: DataFrame, terms: list[str],
         f"t -> if(array_contains(_tset, t), concat('[', t, ']'), t)), ' ')")
     out = (d.withColumn("snippet", snippet)
            .withColumn("n_hit_terms", F.col("_best.score"))
-           .drop("_toks", "_hits", "_scored", "_best", "_tset", text_col))
+           .drop("_toks", "_hits", "_scored", "_best", "_tset", text_col)
+           # k rows; referenced twice below (union branch + the
+           # anti-join's broadcast side) — persist so the snippet scan
+           # runs once, not once per reference
+           .persist())
     # results rows whose doc_id the corpus frame doesn't carry: keep the
     # row (the k-row contract) with an empty snippet — both sides of the
     # anti-join are result-sized, so this costs nothing at scale

@@ -679,7 +679,9 @@ build **5.39 s / 927.3 files/s** (r02: 10.2 s / 488), `value_core`
 **16.6 s** (r01 recomputed: 53.65; r02: 37.12; prior r3 run 16.76),
 `batch_bm25_per_query` 0.895 s, `daat_batch_per_query` 0.147 s, new
 arms `segments_structured_per_query` 0.604 s and `snippets_top10`
-0.529 s. Like-for-like improvements this round came from the
+0.529 s (0.74 s after the review hardening — the result-row
+preservation backfill adds one result-sized anti-join, scheduler-floor
+cost at this corpus size). Like-for-like improvements this round came from the
 batch-vectorized segment block decode plus the staged-rename
 compaction commit (sf0.1 compaction 6.2 s r02 → 5.0 s decode-vectorized
 → **2.64 s** staged-rename publish, which skips the dynamic-overwrite
