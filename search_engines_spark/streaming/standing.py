@@ -16,14 +16,18 @@ only the per-query top-k heap: state schema
 (doc_ids array<long>, scores array<double>), update mode, no watermark
 (a doc is its own complete unit; late data cannot exist).
 
-At scale: scoring fans out per (doc × matched query term) — a broadcast
-join against the tiny standing-query term table — and the stateful
-shuffle is keyed by qid (bounded state, one group per standing query).
+At scale: each arriving doc is scored against the broadcast Q-row
+standing-query table (a crossJoin — per-doc work is O(Q × total query
+terms) token-array scans, the right shape for the modest standing-query
+counts this operator targets; a very large Q would instead explode
+tokens and equi-join on term). The stateful shuffle is keyed by qid
+(bounded state, one group per standing query).
 """
 
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -45,9 +49,21 @@ def _score_stream(docs_stream: DataFrame,
     Streaming allows a single stateful op per query."""
     from ..analysis import SPARK_TOKENS_EXPR
     spark = docs_stream.sparkSession
+    # a term ABSENT from the frozen stats contributes nothing — the
+    # batch engine scores a no-postings term as zero; silently granting
+    # it the df=0 maximum idf would let a typo or stopword dominate
+    # every score (pass an explicit (0, ctf) entry to opt into frozen
+    # df=0 semantics)
+    absent = sorted({t for _, t in query_terms} - set(term_stats))
+    if absent:
+        warnings.warn(
+            f"standing queries: skipping terms absent from the frozen "
+            f"stats (zero contribution, as in the batch engine): {absent}")
     per_qid: dict[str, list] = {}
     for qid, term in query_terms:
-        df, _ = term_stats.get(term, (0, 0))
+        if term not in term_stats:
+            continue
+        df, _ = term_stats[term]
         idf = max(0.0, math.log((n_docs - df + 0.5) / (df + 0.5)))
         per_qid.setdefault(qid, []).append((term, float(idf)))
     qrows = [(qid, terms) for qid, terms in per_qid.items()]
@@ -76,8 +92,17 @@ def standing_query_topk(docs_stream: DataFrame,
                         n_docs: int, avglen: float,
                         k: int = 10, k1: float = 1.2,
                         b: float = 0.75) -> DataFrame:
-    """→ streaming (qid, doc_id, score, rank): each trigger emits every
-    standing query's CURRENT top-k after folding in the batch's arrivals.
+    """→ streaming (qid, doc_id, score, rank): a trigger emits the
+    CURRENT top-k of each standing query the trigger's arrivals
+    TOUCHED — `applyInPandasWithState` with NoTimeout only invokes
+    groups whose key appears in the micro-batch, so quiescent queries
+    emit nothing that trigger. Emissions are upserted whole-top-k
+    snapshots per qid, with no retraction rows for docs that fell out:
+    consume keyed by qid (replace the query's previous snapshot, as the
+    driver entry's foreachBatch bookkeeping does), NOT upserted by
+    (qid, doc_id). Re-arrivals of a known doc_id are ignored
+    (idempotent under source replays; the stream is append-only — an
+    updated document needs a new doc_id, the `update_segments` analog).
 
     queries: {qid: [term, ...]} (analyzed terms). For score-identity
     with the batch engine pass its float32-widened k1/b
@@ -92,9 +117,15 @@ def standing_query_topk(docs_stream: DataFrame,
         scs: list[float] = []
         if state.exists:
             ids, scs = list(state.get[0]), list(state.get[1])
+        seen = set(ids)
         for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["doc_id"])
-            scs.extend(float(x) for x in pdf["score"])
+            for d_, s_ in zip(pdf["doc_id"], pdf["score"]):
+                d_ = int(d_)
+                if d_ in seen:     # replayed/duplicate arrival
+                    continue
+                seen.add(d_)
+                ids.append(d_)
+                scs.append(float(s_))
         order = sorted(range(len(ids)), key=lambda i: (-scs[i], ids[i]))[:k]
         ids = [ids[i] for i in order]
         scs = [scs[i] for i in order]

@@ -88,3 +88,49 @@ def test_standing_topk_state_folds_across_batches(spark, tmp_path, frozen):
     # q2 only ever matches doc 3
     q2 = [r for _, rows in captured for r in rows if r["qid"] == "q2"]
     assert {r["doc_id"] for r in q2} == {3}
+
+def test_standing_topk_replay_and_absent_terms(spark, tmp_path, frozen):
+    """A replayed doc_id (source duplication) must not occupy two ranks
+    in a query's top-k, and query terms absent from the frozen stats
+    contribute nothing (batch-engine semantics) instead of the df=0
+    maximum idf."""
+    src = str(tmp_path / "stream_in2")
+    ckpt = str(tmp_path / "ckpt2")
+    # 'ghost' is absent from frozen stats: q1's score must come from
+    # 'creek' alone; q3 (all-absent) must never emit
+    queries = {"q1": ["creek", "ghost"], "q3": ["ghost"]}
+    spark.createDataFrame(
+        [(1, "creek ghost creek"), (2, "creek here")], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    # second trigger replays doc 1 verbatim and adds doc 5
+    spark.createDataFrame(
+        [(1, "creek ghost creek"), (5, "creek creek creek")],
+        SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    import warnings as w
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = standing_query_topk(stream, queries, frozen["stats"],
+                                  frozen["n_docs"], frozen["avglen"], k=3)
+    assert any("ghost" in str(x.message) for x in rec)
+    captured = []
+
+    def capture(df, batch_id):
+        captured.append((batch_id, df.collect()))
+
+    q = (out.writeStream.foreachBatch(capture)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    all_rows = [r for _, rows in captured for r in rows]
+    assert all(r["qid"] == "q1" for r in all_rows)   # q3 never scores
+    # no emission may list the same doc_id at two ranks
+    for _, rows in captured:
+        ids = [r["doc_id"] for r in rows if r["qid"] == "q1"]
+        assert len(ids) == len(set(ids))
+    # scores ignore 'ghost': doc 1 scores exactly its creek-only BM25
+    d1 = max((r for r in all_rows if r["doc_id"] == 1),
+             key=lambda r: r["rank"])
+    assert d1["score"] == pytest.approx(
+        _batch_score("creek ghost creek", ["creek"], frozen), abs=1e-9)
