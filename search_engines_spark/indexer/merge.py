@@ -621,10 +621,18 @@ def merge_stream_into_segments(spark: SparkSession, stream_dir: str,
                                seg_dir: str,
                                num_buckets: int = 32) -> dict:
     """Append the not-yet-merged batches of a `streaming.ingest`
-    postings sink (partitioned by batch_id) as one new generation."""
+    postings sink (partitioned by batch_id) as one new generation.
+    Only batches the ingest journal has PUBLISHED are consumed — a
+    partition observed mid-write on a non-atomic filesystem is never
+    committed (and then skipped forever by the batch_id dedup); sinks
+    without a journal fall back to directory listing."""
+    from ..streaming.ingest import published_batches
     df = spark.read.parquet(stream_dir)
     have = {int(r["batch_id"]) for r in
             df.select("batch_id").distinct().collect()}
+    published = published_batches(stream_dir)
+    if published is not None:
+        have &= published
     new = sorted(have - merged_batches(seg_dir))
     if not new:
         return {"skipped": True, "batches": []}

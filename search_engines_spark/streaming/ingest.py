@@ -6,16 +6,36 @@ runs the EXACT batch tokenizer/postings build (indexer.build) via
 `foreachBatch`, making streamed postings byte-identical to a batch build
 over the same files — verified in tests/test_streaming.py.
 
-Exactly-once: output is partitioned by `batch_id` and written with
-dynamic partition overwrite, so a replayed batch (foreachBatch is
-at-least-once on retry) overwrites its own partition instead of
-duplicating rows; the file-source checkpoint guarantees each input file
-lands in exactly one batch.
+Exactly-once, precisely: output is partitioned by `batch_id` and
+written with dynamic partition overwrite, so a replayed batch
+(foreachBatch is at-least-once on retry) overwrites its own partition
+instead of duplicating rows; the file-source checkpoint guarantees each
+input file lands in exactly one batch; and each batch is PUBLISHED by a
+journal append (`_ingest_journal.jsonl`, the shared
+`segments.journal_append` commit-point primitive) only after its write
+returns — `merge_stream_into_segments` consumes journaled batches only,
+so it can never commit (and then permanently skip) a half-written
+partition observed mid-publish on a non-atomic filesystem.
+
+The journal also records the stream's checkpoint identity: restarting
+against the same sink with a DIFFERENT checkpoint would rewind batch
+ids, silently clobber old partitions, and make the merger (which dedups
+by batch_id) drop the reprocessed data — that restart now fails fast.
+
+PRECONDITION (the repo-wide identity contract): doc_ids are unique
+across the whole stream. The same doc_id arriving in two batches would
+put its postings in two partitions, diverging from a batch build (which
+merges per (term, doc_id)) and double-counting the doc once both land
+in segment generations. Re-crawls/updates go through
+`indexer.merge.update_segments`, not this append path.
 
 `stream_corpus_stats` maintains the rolling per-field (n_docs, sum_len)
 BM25 needs as a genuine streaming aggregation (complete mode over a
 bounded key space — one row per field; no watermark needed because the
-key space never grows).
+key space never grows). It is an independent query with its own
+progress, so its totals may momentarily lead or trail the set of
+batches actually merged into segments — refresh frozen stats from the
+segment store at rebuild points when exactness matters.
 
 At production scale: `trigger(availableNow=True)` for catch-up,
 micro-batches for tailing; the checkpoint directory is the resume
@@ -24,19 +44,51 @@ token, complementing the batch manifest resume of `indexer.segments`.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..indexer.build import build_postings, docs_from_documents_table
+from ..indexer.build import (DEFAULT_FIELD, build_postings,
+                             docs_from_documents_table)
+from ..indexer.segments import journal_append, journal_read
 
 DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
+
+_INGEST_JOURNAL = "_ingest_journal.jsonl"
+
+
+def _journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, _INGEST_JOURNAL)
+
+
+def published_batches(out_dir: str) -> set[int] | None:
+    """batch_ids whose publish journal entry landed — the set a merger
+    may consume. None when the sink has no journal (a pre-journal sink:
+    callers fall back to directory listing, accepting the mid-publish
+    read caveat)."""
+    entries = journal_read(_journal_path(out_dir))
+    if not entries:
+        return None
+    return {int(e["batch_id"]) for e in entries if "batch_id" in e}
 
 
 def start_postings_stream(spark: SparkSession, src_dir: str, out_dir: str,
                           checkpoint_dir: str, schema: str = DOC_SCHEMA,
                           available_now: bool = True):
     """File-source stream → per-batch postings build → idempotent
-    parquet sink partitioned by batch_id. Returns the StreamingQuery."""
+    parquet sink partitioned by batch_id, published per batch via the
+    ingest journal. Returns the StreamingQuery. Raises if `out_dir` was
+    produced under a different checkpoint (batch-id rewind guard)."""
+    ident = os.path.abspath(checkpoint_dir)
+    for e in journal_read(_journal_path(out_dir)):
+        if "checkpoint" in e and e["checkpoint"] != ident:
+            raise ValueError(
+                f"postings sink {out_dir} belongs to checkpoint "
+                f"{e['checkpoint']}; restarting it under {ident} would "
+                f"rewind batch ids and silently clobber published "
+                f"batches — use a fresh out_dir (or the original "
+                f"checkpoint)")
     src = spark.readStream.schema(schema).parquet(src_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -47,6 +99,12 @@ def start_postings_stream(spark: SparkSession, src_dir: str, out_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id")
          .parquet(out_dir))
+        entries = journal_read(_journal_path(out_dir))
+        if not any("checkpoint" in e for e in entries):
+            journal_append(_journal_path(out_dir), {"checkpoint": ident})
+        if not any(int(e.get("batch_id", -1)) == batch_id
+                   for e in entries):   # retries re-publish idempotently
+            journal_append(_journal_path(out_dir), {"batch_id": batch_id})
 
     w = (src.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint_dir))
@@ -58,10 +116,11 @@ def start_postings_stream(spark: SparkSession, src_dir: str, out_dir: str,
 def stream_corpus_stats(spark: SparkSession, src_dir: str,
                         schema: str = DOC_SCHEMA) -> DataFrame:
     """Rolling (field, n_docs, sum_len) over the stream — attach a
-    complete-mode sink."""
+    complete-mode sink. Tokenizes the stream independently of the
+    postings query (see the module docstring's consistency caveat)."""
     src = spark.readStream.schema(schema).parquet(src_dir)
     docs = docs_from_documents_table(src)
-    return (docs.select(F.lit("body").alias("field"), "doclen")
+    return (docs.select(F.lit(DEFAULT_FIELD).alias("field"), "doclen")
             .groupBy("field")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("doclen").alias("sum_len")))

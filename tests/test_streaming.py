@@ -77,3 +77,46 @@ def test_stream_corpus_stats(spark, doc_dir, tmp_path_factory):
     row = spark.sql("select * from cstats").collect()[0]
     assert row["n_docs"] >= 30
     assert row["sum_len"] > 0
+
+
+def test_publish_journal_gates_merge_and_guards_checkpoint(
+        spark, doc_dir, tmp_path_factory):
+    """merge_stream_into_segments must consume only batches the ingest
+    journal has published (an unpublished partition is invisible, not
+    committed-and-skipped-forever), and restarting a sink under a
+    different checkpoint must fail fast instead of rewinding batch ids
+    over published data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.indexer.merge import merge_stream_into_segments
+    from search_engines_spark.streaming.ingest import published_batches
+    out = str(tmp_path_factory.mktemp("post_out_j"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_j"))
+    q = start_postings_stream(spark, doc_dir, out, ckpt)
+    q.awaitTermination(120)
+    pub = published_batches(out)
+    assert pub, "journal should have published the processed batches"
+    # simulate a half-published partition: data present, journal entry
+    # absent (a crash between write and publish, or a mid-write read)
+    seg = str(tmp_path_factory.mktemp("segs_j"))
+    victim = max(pub)
+    jpath = os.path.join(out, "_ingest_journal.jsonl")
+    lines = open(jpath).read().splitlines()
+    kept = [ln for ln in lines if f'"batch_id": {victim}' not in ln]
+    open(jpath, "w").write("\n".join(kept) + "\n")
+    m1 = merge_stream_into_segments(spark, out, seg, num_buckets=4)
+    assert victim not in set(m1.get("batches", []))
+    # publishing the batch makes the next merge pick it up — no loss
+    open(jpath, "a").write('{"batch_id": %d}\n' % victim)
+    m2 = merge_stream_into_segments(spark, out, seg, num_buckets=4)
+    assert set(m2["batches"]) == {victim}
+    # every posting of the journal-gated batch landed in the generation
+    victim_rows = (spark.read.parquet(out)
+                   .where(F.col("batch_id") == victim).count())
+    assert m2["postings"] == victim_rows > 0
+    # fresh checkpoint over the same sink = batch-id rewind: refuse
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt_j2"))
+    with pytest.raises(ValueError, match="rewind"):
+        start_postings_stream(spark, doc_dir, out, ckpt2)
