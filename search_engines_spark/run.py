@@ -240,6 +240,10 @@ def _diversity_from_file(spark: SparkSession, idx: Index, path: str,
         if "." in qid:
             continue
         keep = {d for d, _ in initial}
+        # lexicographic by full "qid.n" key — faithful to the reference,
+        # whose from-file path iterates a TreeMap<String, ScoreList>
+        # (`Diversity.java:188-189`); the intents-FILE paths use file
+        # order instead, as the reference's ArrayList does
         ikeys = sorted((k for k in groups if k.startswith(f"{qid}.")),
                        key=lambda k: k.split(".", 1)[1])
         intents = {i: {d: s for d, s in groups[k] if d in keep}
@@ -256,7 +260,10 @@ def _diversity_rankings(eng: Engine, idx: Index, qid: str, query: str,
                for r in _search_one(eng, query, depth).collect()]
     keep = {d for d, _ in initial}
     intent_scores: dict[int, dict[int, float]] = {}
-    for i, (ikey, iq) in enumerate(sorted(intents.items())):
+    # intents in INTENTS-FILE order (read_query_file preserves it; the
+    # reference appends to queryIntentMap's ArrayList as read) — NOT
+    # lexicographic, which misorders intent 10 before intent 2
+    for i, (ikey, iq) in enumerate(intents.items()):
         rows = _search_one(eng, iq, depth).collect()
         intent_scores[i] = {r["doc_id"]: r["score"] for r in rows
                             if r["doc_id"] in keep}
@@ -344,6 +351,11 @@ def _letor_run(spark: SparkSession, idx: Index, params: dict[str, str],
         # which svmrank_lines orders by (qid, ext_id)
         keys = [(ln.split("qid:")[1].split()[0], ln.rsplit("# ", 1)[1])
                 for ln in test_lines]
+        if len(scores) != len(keys):   # a zip would silently drop docs
+            raise ValueError(
+                f"svm_rank_classify wrote {len(scores)} scores for "
+                f"{len(keys)} test vectors — truncated or corrupt "
+                f"output at {scores_f}")
         rows = [(q, e, s) for (q, e), s in zip(keys, scores)]
         sdf = spark.createDataFrame(
             rows, "qid string, ext_id string, score double")
@@ -369,8 +381,11 @@ def _write_eval(spark: SparkSession, params: dict[str, str]) -> None:
 
     from .capabilities.evaluation import evaluate_run, macro_averages
     from .io import read_qrels_file
-    res = (read_ranking_file(spark, params["trecEvalOutputPath"])
-           .where(F.col("ext_id") != "dummy"))
+    # the placeholder 'dummy' rows for zero-result topics stay IN: real
+    # trec_eval sees them as one unjudged doc, so the topic scores zero
+    # and still counts in num_q — filtering them out would drop judged
+    # zero-result topics from the macro averages entirely
+    res = read_ranking_file(spark, params["trecEvalOutputPath"])
     qrels = read_qrels_file(spark, params["qrelsFile"])
     k = int(params.get("evalK", 10))
     per = evaluate_run(res.select("qid", "ext_id", "rank"), qrels, k=k)
@@ -405,7 +420,27 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
             "index store has no postings table; a segments-only "
             "deployment needs segmentsPath=<segment dir>")
     queries = read_query_file(params["queryFilePath"])
-    k = int(params.get("diversity:maxResultRankingLength", 100))
+    # output depth: the reference writes the top 100 (`QryEval.java:
+    # 781-801`); diversity:maxResultRankingLength overrides it ONLY in
+    # diversity mode (`Diversity.java` ctor arg) — a leftover diversity
+    # param in a diversity=false run must not shrink plain/fb/letor runs
+    if params.get("diversity") == "true":
+        k = int(params.get("diversity:maxResultRankingLength", 100))
+    else:
+        k = 100
+    # mode-scoped required parameters (the reference dereferences them
+    # unchecked and dies opaquely; surface the standard message instead)
+    mode_reqs: list[str] = []
+    if params.get("fb") == "true":
+        mode_reqs += ["fbDocs", "fbTerms", "fbMu", "fbOrigWeight"]
+    if params.get("diversity") == "true":
+        mode_reqs += ["diversity:lambda"]
+        if "diversity:initialRankingFile" not in params:
+            mode_reqs += ["diversity:intentsFile"]
+    for req in mode_reqs:
+        if req not in params:
+            raise ValueError(
+                "Required parameters were missing from the parameter file.")
 
     if params.get("retrievalAlgorithm", "BM25").lower() == "letor":
         if idx.postings is None:
@@ -414,13 +449,12 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                 "(per-field scoring probes); rebuild the store with "
                 "include_postings=True")
         # entry point C never enters the per-query loop below
-        # (`QryEval.java:274-295` replaces processQuery with re-ranking)
-        m = Models()
-        m.k1 = f32(params.get("BM25:k_1", m.k1))
-        m.b = f32(params.get("BM25:b", m.b))
-        m.k3 = f32(params.get("BM25:k_3", m.k3))
-        m.mu = f32(params.get("Indri:mu", m.mu))
-        m.lam = f32(params.get("Indri:lambda", m.lam))
+        # (`QryEval.java:274-295` replaces processQuery with re-ranking).
+        # Parse BOTH model families through init_model so its range
+        # asserts apply (letor features span BM25 and Indri slots).
+        _, m = init_model({**params, "retrievalAlgorithm": "BM25"})
+        m_ind = init_model({**params, "retrievalAlgorithm": "Indri"})[1]
+        m.mu, m.lam = m_ind.mu, m_ind.lam
         res = _letor_run(spark, idx, params, m, queries, k)
         write_trec_file(res, params["trecEvalOutputPath"],
                         run_id=params.get("runID", "run"), k=k,
@@ -460,9 +494,11 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                .join(idx.doc_map, "ext_id", "left"))
         rankings_file = {}
         for r in rdf.collect():
+            if r["doc_id"] is None:   # Idx.getInternalDocid throws
+                raise ValueError(f"unknown external id {r['ext_id']!r}")
             rankings_file.setdefault(r["qid"], []).append(
                 (r["rank"], r["doc_id"], r["score"]))
-        rankings_file = {q: [(d, s) for _, d, s in sorted(v) if d is not None]
+        rankings_file = {q: [(d, s) for _, d, s in sorted(v)]
                          for q, v in rankings_file.items()}
 
     # batchQueries=true (engine extension, not a reference parameter):
@@ -484,7 +520,9 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         intents_all = read_query_file(params["diversity:intentsFile"])
         batch_qs = dict(queries)
         for ik, iq in intents_all.items():
-            if ik.split(".", 1)[0] in queries:
+            # a dot-less key equal to a topic id would otherwise
+            # OVERWRITE the real query with the intent text
+            if "." in ik and ik.split(".", 1)[0] in queries:
                 batch_qs[ik] = iq
         rows = (_search_batch(eng, batch_qs, depth)
                 .orderBy("qid", "rank").collect())
@@ -499,10 +537,13 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
         for qid in queries:
             initial = groups.get(qid, [])
             keep = {d for d, _ in initial}
-            ikeys = sorted((kk for kk in groups
-                            if kk.startswith(f"{qid}.")),
-                           key=lambda kk: kk.split(".", 1)[1])
-            intents = {i: {d: s for d, s in groups[kk] if d in keep}
+            # intents in INTENTS-FILE order (the reference appends them
+            # to queryIntentMap's ArrayList as read) including
+            # zero-result intents — intent count feeds the algorithms
+            ikeys = [kk for kk in intents_all
+                     if "." in kk and kk.split(".", 1)[0] == qid]
+            intents = {i: {d: s for d, s in groups.get(kk, [])
+                           if d in keep}
                        for i, kk in enumerate(ikeys)}
             din = DiversityInput(initial=initial, intents=intents)
             if algo == "xquad":
@@ -565,6 +606,7 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
 
     results_rows = []
     div_file_inputs: dict[str, DiversityInput] | None = None
+    div_intents_all: dict[str, str] | None = None
     expanded_out: dict[str, str] = {}
     for qid, query in queries.items():
         if diversity:
@@ -578,9 +620,10 @@ def main(param_path: str, spark: SparkSession | None = None) -> str:
                     raise ValueError(f"No query {qid} in ranking file!")
                 din = div_file_inputs[qid]
             else:
-                intents = {ik: iq for ik, iq in
-                           read_query_file(
-                               params["diversity:intentsFile"]).items()
+                if div_intents_all is None:   # read the file once
+                    div_intents_all = read_query_file(
+                        params["diversity:intentsFile"])
+                intents = {ik: iq for ik, iq in div_intents_all.items()
                            if ik.startswith(f"{qid}.")}
                 din = _diversity_rankings(eng, idx, qid, query, intents,
                                           depth)
