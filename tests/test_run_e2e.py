@@ -588,3 +588,135 @@ runID=t
         assert (qa, ea, ra) == (qb, eb, rb)
         assert abs(float(sa) - float(sb)) < 1e-9
     assert any(ln.startswith("3 Q0 dummy") for ln in outs[1])
+
+
+def test_intent_slots_follow_file_order(spark, spark_index):
+    """`QryEval.java:746-756` appends each intent to its query's
+    ArrayList in intents-FILE order, so intent slot i is the i-th line —
+    NOT lexicographic key order, which would put '1.10' before '1.2'.
+    Feed insertion order 1.2-then-1.10 and pin each slot's scores."""
+    from search_engines_spark.engine import Engine
+    from search_engines_spark.run import _diversity_rankings, _search_one
+    eng = Engine(spark_index, "bm25")
+    intents = {"1.2": "voyager probe", "1.10": "fickle creek"}
+    din = _diversity_rankings(eng, spark_index, "1",
+                              "creek farm probe", intents, 20)
+    keep = {d for d, _ in din.initial}
+    assert len(din.intents) == 2
+    for slot, iq in enumerate(intents.values()):
+        want = {r["doc_id"]: r["score"]
+                for r in _search_one(eng, iq, 20).collect()
+                if r["doc_id"] in keep}
+        assert din.intents[slot] == want
+    # the two intent rankings genuinely differ, so a lexicographic
+    # implementation would have swapped the slots and failed above
+    assert din.intents[0] != din.intents[1]
+
+
+def test_plain_run_depth_unaffected_by_diversity_param(
+        spark, corpus_parquet, tmp_path):
+    """diversity:maxResultRankingLength controls output depth ONLY in
+    diversity mode (`Diversity.java` ctor arg); a leftover diversity
+    param in a diversity=false run must not shrink the reference's
+    fixed top-100 write (`QryEval.java:781-801`)."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qd.txt", "1:fickle creek farm\n")
+    out = str(tmp_path / "qd.teIn")
+    pf = _write(tmp_path, "pd.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+diversity:maxResultRankingLength=3
+runID=t
+""")
+    main(pf, spark=spark)
+    assert len(open(out).read().splitlines()) > 3
+
+
+def test_mode_scoped_required_params(spark, corpus_parquet, tmp_path):
+    """fb and diversity modes validate their required parameters up
+    front with the reference's standard message instead of a mid-run
+    KeyError (`QryEval.java` dereferences them unchecked)."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qm.txt", "1:creek\n")
+    out = str(tmp_path / "qm.teIn")
+    base = f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=Indri
+Indri:mu=2500
+Indri:lambda=0.4
+"""
+    for extra in ("fb=true\nfbTerms=5\nfbMu=0\nfbOrigWeight=0.5\n",
+                  "diversity=true\ndiversity:algorithm=xquad\n"
+                  "diversity:intentsFile=/nonexistent\n"):
+        pf = _write(tmp_path, f"pm{len(extra)}.txt", base + extra)
+        with pytest.raises(ValueError,
+                           match="Required parameters were missing"):
+            main(pf, spark=spark)
+
+
+def test_eval_counts_judged_zero_result_topic(spark, corpus_parquet,
+                                              tmp_path):
+    """A judged topic whose query is all-OOV writes only the placeholder
+    dummy line; real trec_eval still counts it (one unjudged retrieved
+    doc, all metrics 0). Filtering dummy rows before scoring would drop
+    the topic from num_q and inflate the macro averages."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qz.txt",
+                "1:fickle creek farm\n2:zzzunknownterm\n")
+    out = str(tmp_path / "qz.teIn")
+    pf = _write(tmp_path, "pz.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+runID=t
+""")
+    main(pf, spark=spark)
+    top1 = open(out).read().splitlines()[0].split()[2]
+    qrels = _write(tmp_path, "qz.qrels",
+                   f"1 0 {top1} 1\n2 0 doc000000000 1\n")
+    metrics = str(tmp_path / "qz.metrics")
+    pf2 = _write(tmp_path, "pz2.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+qrelsFile={qrels}
+evalMetricsOutputPath={metrics}
+runID=t
+""")
+    main(pf2, spark=spark)
+    lines = open(metrics).read().splitlines()
+    per = {ln.split()[0]: dict(t.split("=") for t in ln.split()[1:])
+           for ln in lines[:-1]}
+    assert per["2"]["rr"] == "0.0000" and per["2"]["ap"] == "0.0000"
+    assert lines[-1].startswith("all num_q=2")
+    # topic 2 contributes zeros to the means: map = (1 + 0) / 2
+    assert "map=0.5000" in lines[-1]
+
+
+def test_ranking_file_unknown_ext_id_raises(spark, corpus_parquet,
+                                            tmp_path):
+    """`Idx.getInternalDocid` throws on an external id the index does
+    not contain; a ranking file naming one must fail loudly, not have
+    the row silently dropped."""
+    d, _ = corpus_parquet
+    qf = _write(tmp_path, "qu.txt", "1:creek farm\n")
+    rows = ["1 Q0 doc000000001 1 9.0 run",
+            "1 Q0 nosuchdocument 2 8.0 run",
+            "1.1 Q0 doc000000001 1 5.0 run"]
+    rf = _write(tmp_path, "qu.teIn", "\n".join(rows) + "\n")
+    out = str(tmp_path / "qu.out")
+    pf = _write(tmp_path, "pu.txt", f"""corpusPath={d}
+queryFilePath={qf}
+trecEvalOutputPath={out}
+retrievalAlgorithm=BM25
+diversity=true
+diversity:algorithm=xquad
+diversity:lambda=0.5
+diversity:initialRankingFile={rf}
+diversity:maxInputRankingsLength=20
+diversity:maxResultRankingLength=4
+""")
+    with pytest.raises(ValueError, match="nosuchdocument"):
+        main(pf, spark=spark)
