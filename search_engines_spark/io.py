@@ -110,16 +110,31 @@ def write_trec_file(results: DataFrame, path: str, run_id: str = "run",
     ≤ queries×k rows, trivially driver-sized (`QryEval.java:781-801`
     writes sequentially too).
 
-    all_qids: when given, a query with zero results still emits the
-    reference's placeholder line `qid Q0 dummy 1 0 run`
-    (`QryEval.java:783-786`) instead of silently omitting the topic."""
+    all_qids: when given, topics are written in all_qids order — the
+    reference prints each query's block as the per-query loop reaches
+    it, so file output order IS query-file order, not sorted-qid order
+    (visible when qids sort non-numerically: '10' < '2') — and a query
+    with zero results emits the reference's placeholder line
+    `qid Q0 dummy 1 0 run` in its position (`QryEval.java:783-786`)
+    instead of the topic being silently omitted."""
     rows = (trec_lines_df(results, run_id, k)
             .orderBy("qid", "rank").select("qid", "value").collect())
-    seen = {r["qid"] for r in rows}
-    lines = [r["value"] for r in rows]
-    for qid in all_qids or []:
-        if qid not in seen:
+    by_qid: dict[str, list[str]] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r["value"])
+    if all_qids is None:
+        order, dummies = sorted(by_qid), False
+    else:
+        order, dummies = list(all_qids), True
+    lines: list[str] = []
+    for qid in order:
+        if by_qid.get(qid):
+            lines.extend(by_qid.pop(qid))
+        elif dummies:
             lines.append(f"{qid} Q0 dummy 1 0 {run_id}")
+    for qid in sorted(by_qid):   # result qids outside all_qids, if any
+        if qid not in order:
+            lines.extend(by_qid[qid])
     with open(path, "w") as f:
         for ln in lines:
             f.write(ln + "\n")

@@ -58,3 +58,25 @@ def test_expanded_query_sink(tmp_path):
     p = tmp_path / "exp.txt"
     sio.write_expanded_query_file(str(p), {"7": "#wand ( 0.5 a )"})
     assert p.read_text() == "7: #wand ( 0.5 a )\n"
+
+
+def test_trec_topic_order_is_query_file_order(spark, tmp_path):
+    """The reference prints each query's block as the per-query loop
+    reaches it (`QryEval.java:781-801`), so topic order in the file is
+    QUERY-FILE order — visible when qids sort non-numerically ('10' <
+    '2' as strings) — and a zero-result topic's placeholder line sits
+    in its file position, not appended at the end."""
+    df = spark.createDataFrame(
+        [("2", "docA", 9.0), ("10", "docB", 5.0), ("10", "docC", 4.0)],
+        "qid string, ext_id string, score double")
+    out = tmp_path / "order.teIn"
+    sio.write_trec_file(df, str(out), run_id="t", k=100,
+                        all_qids=["10", "7", "2"])
+    lines = open(out).read().splitlines()
+    assert [ln.split()[0] for ln in lines] == ["10", "10", "7", "2"]
+    assert lines[2] == "7 Q0 dummy 1 0 t"
+    # without all_qids: sorted-qid fallback, no placeholder lines
+    out2 = tmp_path / "order2.teIn"
+    sio.write_trec_file(df, str(out2), run_id="t", k=100)
+    assert [ln.split()[0] for ln in open(out2).read().splitlines()] == \
+        ["10", "10", "2"]
