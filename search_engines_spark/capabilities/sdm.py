@@ -1,0 +1,125 @@
+"""Dependence-model query generator — the reference's `dm.pl` as Python.
+
+The reference workflow formulates Metzler & Croft MRF dependence-model
+queries offline (`QryEval/dm.pl`, Don Metzler's script in Jamie Callan's
+#and/#near/#wand/#window dialect) and then runs QryEval over the
+generated query file. `formulate_query` reproduces the script's output
+byte-for-byte (gated against the actual perl script in
+tests/test_sdm.py), including its quirks:
+
+* the term clause keeps the script's exact spacing: `#and( t1 t2 t3 )`
+  with a space after every term;
+* feature clauses are separated by TWO spaces (each feature string is
+  space-padded on both sides);
+* `sd` visits adjacent pairs via the `i = i*2 - 1` trick over the subset
+  counter, so pair features appear RIGHT-TO-LEFT (last adjacent pair
+  first); `fd` walks all subsets in ascending counter order;
+* ordered (#near/1) features fire for any contiguous run of ≥2 set bits
+  (`/^0+11+[^1]*$/` on the 32-bit counter), unordered (#window) features
+  for every ≥2-subset with window size `4 * |subset|`;
+* a single-term query, or zero ordered+unordered weights, returns the
+  bare `#and(...)` clause with NO #wand wrapper and ignores wt[0];
+* a zero weight drops its clause entirely; if nothing survives, the
+  result is the empty string.
+
+Driver-side pure strings — queries are tiny. The generated text parses
+through `QueryParser` and runs on any retrieval model (the reference
+runs them under Indri; `tests/test_reference_golden.py` gates the
+queries2.txt SDM template the same way).
+"""
+
+from __future__ import annotations
+
+import re
+
+#: the script's example parameterisations (`dm.pl:41-42`)
+SD_EXAMPLE_WEIGHTS = (0.02, 0.49, 0.49)
+FD_EXAMPLE_WEIGHTS = (0.8, 0.1, 0.1)
+
+_ORDERED_RUN = re.compile(r"0+11+[^1]*")
+
+
+def _num(w: float) -> str:
+    """Perl's default number→string (%.15g) for weight interpolation."""
+    return f"{w:.15g}"
+
+
+def formulate_query(query: str, qtype: str = "fd",
+                    wt: tuple[float, float, float] = FD_EXAMPLE_WEIGHTS
+                    ) -> str:
+    """`dm.pl formulate_query` — query text + (term, ordered, unordered)
+    weights → a `#wand(...)` dependence-model query string.
+
+    qtype: 'sd' (sequential dependence: adjacent-pair features) or
+    'fd' (full dependence: every ≥2-subset; exponential — the script
+    itself advises against it for long queries)."""
+    terms = query.strip().split()
+    n = len(terms)
+    if n > 31:
+        # the perl original packs the subset counter into 32 bits
+        # (`pack("N", $i)`) and silently corrupts past that; fail loudly
+        raise ValueError(f"dependence model supports <= 31 terms, got {n}")
+    query_t = "#and( " + "".join(t + " " for t in terms)
+    query_o = "#and("
+    query_u = "#and("
+    if (wt[1] == 0.0 and wt[2] == 0.0) or n == 1:
+        return query_t + ")"
+    i = 3 if qtype == "sd" else 1
+    while i < 2 ** n:
+        bits = format(i, "032b")
+        extracted = [terms[j] for j in range(n) if bits[j - n] == "1"]
+        if len(extracted) == 1:
+            # perl `next` — note it ALSO skips the sd counter-doubling,
+            # harmless because sd counters (3·2^k) always have 2 set bits
+            i += 1
+            continue
+        ext = "".join(t + " " for t in extracted)
+        if _ORDERED_RUN.fullmatch(bits):
+            query_o += f" #near/1( {ext}) "
+        query_u += f" #window/{4 * len(extracted)}( {ext}) "
+        if qtype == "sd":
+            i = i * 2 - 1
+        i += 1
+    out = "#wand("
+    if wt[0] != 0.0 and query_t != "#and( ":
+        out += f" {_num(wt[0])} {query_t})"
+    if wt[1] != 0.0 and query_o != "#and(":
+        out += f" {_num(wt[1])} {query_o})"
+    if wt[2] != 0.0 and query_u != "#and(":
+        out += f" {_num(wt[2])} {query_u})"
+    if out == "#wand(":
+        return ""
+    return out + " )"
+
+
+def generate_sdm_query_file(in_path: str, out_path: str,
+                            qtype: str = "sd",
+                            wt: tuple[float, float, float]
+                            = SD_EXAMPLE_WEIGHTS) -> dict[str, str]:
+    """Reference workflow glue: `qid:bag-of-words` query file in,
+    `qid:#wand(...)` dependence-model query file out (ready for
+    `run.main`'s queryFilePath). Returns the generated {qid: query}."""
+    from ..io import read_query_file
+    queries = read_query_file(in_path)
+    out = {qid: formulate_query(q, qtype, wt) for qid, q in queries.items()}
+    with open(out_path, "w") as f:
+        for qid, q in out.items():
+            f.write(f"{qid}:{q}\n")
+    return out
+
+
+def _main(argv: list[str]) -> int:
+    if len(argv) not in (3, 4, 7):
+        print("usage: python -m search_engines_spark.capabilities.sdm "
+              "IN OUT [sd|fd [WT WO WU]]")
+        return 2
+    qtype = argv[3] if len(argv) > 3 else "sd"
+    wt = (tuple(float(w) for w in argv[4:7]) if len(argv) == 7
+          else (SD_EXAMPLE_WEIGHTS if qtype == "sd" else FD_EXAMPLE_WEIGHTS))
+    generate_sdm_query_file(argv[1], argv[2], qtype, wt)  # type: ignore[arg-type]
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main(sys.argv))

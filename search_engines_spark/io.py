@@ -39,7 +39,10 @@ def read_parameter_file(path: str) -> dict[str, str]:
 
 def read_query_file(path: str) -> dict[str, str]:
     """`qid:querystring` lines → {qid: query} preserving file order
-    (`QryEval.java:684-694`)."""
+    (`QryEval.java:684-694`). Known delta: the reference processes each
+    LINE as it reads it, so a duplicate qid would produce two result
+    blocks; the dict keeps the last occurrence (trec_eval rejects
+    duplicate topics anyway, so no valid workflow reaches the delta)."""
     out: dict[str, str] = {}
     with open(path) as f:
         for line in f:

@@ -1,0 +1,122 @@
+"""Dependence-model query generator vs the reference's actual dm.pl.
+
+The perl script itself is the golden: `_perl_formulate` loads
+`QryEval/dm.pl` (reference checkout, read-only) and calls its
+formulate_query on the same cases; the Python port must match
+byte-for-byte. A hardcoded golden keeps the gate alive when the
+checkout (or perl) is absent, and the generated queries must parse and
+rank identically to the pure-Python oracle end-to-end."""
+
+import math
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from search_engines_spark.capabilities.sdm import (
+    FD_EXAMPLE_WEIGHTS, SD_EXAMPLE_WEIGHTS, formulate_query,
+    generate_sdm_query_file)
+
+DM_PL = "/root/reference/QryEval/dm.pl"
+
+CASES = [
+    ("sd", (0.02, 0.49, 0.49), "sherwood regional library"),
+    ("fd", (0.8, 0.1, 0.1), "sherwood regional library"),
+    ("sd", (0.02, 0.49, 0.49), "fickle creek farm area district"),
+    ("fd", (0.8, 0.1, 0.1), "a b c d"),
+    ("sd", (1.0, 0.0, 0.0), "x y z"),          # → bare #and, no #wand
+    ("fd", (0.5, 0.5, 0.5), "single"),         # 1 term → bare #and
+    ("sd", (0.0, 0.5, 0.5), "alpha beta"),     # wt0=0 drops term clause
+    ("sd", (0.5, 0.0, 0.5), "alpha beta"),     # wt1=0 drops #near clause
+    ("fd", (0.8, 0.1, 0.1), ""),               # empty query → ""
+    ("sd", (0.02, 0.49, 0.49), "  padded   query  "),
+    ("sd", (0.02, 0.49, 0.49), "two terms"),
+]
+
+SD_GOLDEN = ("#wand( 0.02 #and( sherwood regional library )"
+             " 0.49 #and( #near/1( regional library ) "
+             " #near/1( sherwood regional ) )"
+             " 0.49 #and( #window/8( regional library ) "
+             " #window/8( sherwood regional ) ) )")
+
+
+def test_sd_example_golden():
+    """The script's own example usage (`dm.pl:41`), exact bytes —
+    including the double space between features and the right-to-left
+    adjacent-pair order the sd counter trick produces."""
+    assert formulate_query("sherwood regional library", "sd",
+                           SD_EXAMPLE_WEIGHTS) == SD_GOLDEN
+
+
+def test_single_term_and_zero_weights_bypass_wand():
+    assert formulate_query("single", "fd", (0.5, 0.5, 0.5)) \
+        == "#and( single )"
+    assert formulate_query("x y z", "sd", (1.0, 0.0, 0.0)) \
+        == "#and( x y z )"
+    assert formulate_query("", "fd", FD_EXAMPLE_WEIGHTS) == ""
+
+
+def test_fd_covers_all_subsets():
+    q = formulate_query("a b c", "fd", (0.8, 0.1, 0.1))
+    # ordered features: contiguous runs ab, bc, abc (NOT a..c)
+    assert q.count("#near/1(") == 3
+    assert "#near/1( a c )" not in q
+    # unordered: every 2+-subset with window 4·|subset|
+    assert q.count("#window/8(") == 3 and q.count("#window/12(") == 1
+    assert "#window/12( a b c )" in q
+
+
+def test_term_count_guard():
+    with pytest.raises(ValueError, match="31 terms"):
+        formulate_query(" ".join(f"t{i}" for i in range(32)), "sd",
+                        SD_EXAMPLE_WEIGHTS)
+
+
+@pytest.mark.skipif(not (os.path.exists(DM_PL) and shutil.which("perl")),
+                    reason="reference dm.pl or perl not present")
+def test_matches_reference_dm_pl_bytes():
+    harness = (
+        'do $ARGV[0];\n'
+        'print "===CASES===\\n";\n'
+        'while (my $line = <STDIN>) {\n'
+        '    chomp $line;\n'
+        '    my ($type, $w0, $w1, $w2, $q) = split /\\t/, $line, 5;\n'
+        '    print formulate_query($q, $type, $w0+0, $w1+0, $w2+0), "\\n";\n'
+        '}\n')
+    inp = "".join(f"{t}\t{w[0]}\t{w[1]}\t{w[2]}\t{q}\n"
+                  for t, w, q in CASES)
+    r = subprocess.run(["perl", "-e", harness, DM_PL], input=inp,
+                       capture_output=True, text=True, check=True)
+    got_perl = r.stdout.split("===CASES===\n", 1)[1].split("\n")
+    for i, (t, w, q) in enumerate(CASES):
+        assert formulate_query(q, t, w) == got_perl[i], (t, w, q)
+
+
+def test_generated_queries_rank_identically_to_oracle(
+        spark, spark_index, oracle_index, tmp_path):
+    """generate_sdm_query_file output is runnable as-is: the sd-model
+    #wand parses, compiles, and rank/score-matches the pure-Python
+    oracle under Indri (the model the reference runs SDM queries with,
+    `Indri-Sdm.teIn`)."""
+    from search_engines_spark.engine import Engine
+    from search_engines_spark.oracle import run_query
+
+    src = tmp_path / "bow.txt"
+    src.write_text("1:fickle creek farm\n2:voyager probe\n")
+    out = tmp_path / "sdm.txt"
+    gen = generate_sdm_query_file(str(src), str(out), "sd",
+                                  SD_EXAMPLE_WEIGHTS)
+    assert set(gen) == {"1", "2"}
+    # round-trips through the query-file format
+    from search_engines_spark.io import read_query_file
+    assert read_query_file(str(out)) == gen
+
+    eng = Engine(spark_index, "indri")
+    for qid, q in gen.items():
+        got = [(r["ext_id"], r["score"])
+               for r in eng.search(q, k=20).collect()]
+        want = run_query(q, oracle_index, "indri")[:20]
+        assert [e for e, _ in got] == [e for _, e, _ in want], qid
+        for (_, gs), (_, _, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-9)
