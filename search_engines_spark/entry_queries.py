@@ -820,6 +820,31 @@ def q_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Distributed PageRank (pipeline.graph — the computation behind the
+    reference's letor pageRankFile, `FeatureVector.java:53-72`) over a
+    deterministic graph derived from the documents table: node i links
+    to (i+1)%N and (i+37)%N, every 5th node adds (3i+11)%N — varying
+    out-degree makes the stationary distribution non-uniform. 6 power
+    iterations from uniform; output = top-100 nodes by rounded N-scaled
+    score. The oracle unrolls the same 6 iterations as chained CTEs
+    with the identical IEEE operation sequence."""
+    from .pipeline.graph import pagerank
+    docs = _docs(spark, sf_dir)
+    ids = docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long").alias("node"))
+    n = ids.count()
+    src = F.col("node").alias("src")
+    e = (ids.select(src, ((F.col("node") + 1) % n).alias("dst"))
+         .union(ids.select(src, ((F.col("node") + 37) % n).alias("dst")))
+         .union(ids.where(F.col("node") % 5 == 0)
+                .select(src, ((F.col("node") * 3 + 11) % n).alias("dst"))))
+    pr = pagerank(e, damping=0.85, n_iter=6, nodes=ids)
+    return (pr.select("node", _r(F.col("pr") * n).alias("pr_r"))
+            .orderBy(F.desc("pr_r"), F.asc("node")).limit(100))
+
+
 def q_code_tokens(spark, sf_dir):
     """Identifier-aware code tokenization (comments stripped, camel/snake
     split) — the normalization layer for the source-code corpus shape
@@ -2056,6 +2081,44 @@ def _sql_token_counts() -> str:
 FROM documents"""
 
 
+def _sql_graph_pagerank(n_iter: int = 6) -> str:
+    """6 unrolled power-iteration CTEs — same edge synthesis, same
+    teleport/contribution arithmetic as q_graph_pagerank, every IEEE op
+    in the same order (only the contribution-sum order may differ,
+    absorbed by the 1e6 rounding)."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT i.node,
+         (1 - 0.85)/(SELECT n FROM nn) + 0.85 * COALESCE(s.inc, 0.0) AS r
+  FROM ids i LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r / o.od) AS inc
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s USING (node))""")
+        prev = f"pr{i}"
+    return f"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+nb AS (SELECT count(*)::BIGINT AS nb FROM documents),
+ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+        FROM documents),
+edges AS (
+  SELECT node AS src, (node + 1) % (SELECT nb FROM nb) AS dst FROM ids
+  UNION ALL
+  SELECT node, (node + 37) % (SELECT nb FROM nb) FROM ids
+  UNION ALL
+  SELECT node, (node * 3 + 11) % (SELECT nb FROM nb) FROM ids
+  WHERE node % 5 = 0),
+outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM ids),
+{",".join(steps)}
+SELECT node,
+       CAST(floor(r * (SELECT n FROM nn) * 1e6 + 0.5) AS BIGINT) AS pr_r
+FROM {prev}
+ORDER BY pr_r DESC, node ASC
+LIMIT 100"""
+
+
 def _sql_quality() -> str:
     stop = _lang_count_sql(ts.LANG_MARKERS["en"])
     return f"""{PRELUDE},
@@ -2705,7 +2768,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_append": (q_ann_lsh_append, _sql_ann_lsh()),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _sql_ann_ivf()),
     "text_langid": (q_langid, _sql_langid()),
-    "text_token_counts": (q_token_counts, _sql_token_counts()),
+    "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     "text_quality": (q_quality, _sql_quality()),
     "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
     "license_scan": (q_license_scan, _sql_license_scan()),
@@ -2716,6 +2779,10 @@ REGISTRY: dict[str, tuple] = {
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "text_token_counts": (q_token_counts, _sql_token_counts()),
+    # token-count projections gated by in-window text_quality +
+    # text_langid (same null-safe canonical-tokenizer size/filter
+    # kernels) + pytest; rotated r3 to admit graph_pagerank
     "unranked_and": (q_unranked_and, _sql_unranked_and()),
     # the unranked-boolean model is gated by in-window ranked_and (same
     # #AND plan) + the reference-binary goldens covering all four models

@@ -1,0 +1,72 @@
+"""pipeline.graph: distributed PageRank vs a numpy power-iteration
+oracle (dangling mass, parallel edges, isolated vertices), plus the
+write_pagerank_file → letor:pageRankFile workflow closure."""
+
+import numpy as np
+import pytest
+
+from search_engines_spark.pipeline.graph import pagerank, write_pagerank_file
+
+
+def _numpy_pagerank(n, edges, d=0.85, n_iter=10):
+    """Same formulation: uniform start, uniform dangling redistribution,
+    parallel edges counted in out-degree and transitions."""
+    od = np.zeros(n)
+    for s, _ in edges:
+        od[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        inc = np.zeros(n)
+        for s, t in edges:
+            inc[t] += r[s] / od[s]
+        dangling = r[od == 0].sum()
+        r = (1 - d) / n + d * (inc + dangling / n)
+    return r
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    # 6 nodes: 5 is dangling (mass redistributed), 4 is isolated as a
+    # source and sink apart from one in-edge, (0,1) is a parallel edge
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (2, 5)]
+    n = 6
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {r["node"]: r["pr"]
+           for r in pagerank(e, 0.85, 10, nodes=nodes).collect()}
+    want = _numpy_pagerank(n, edges, 0.85, 10)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-12), i
+    # probability mass conserved (dangling redistribution, no leaks)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the hub (in-edges from 0, 1, 3) holds the most mass — and the
+    # parallel (0,1) edge is honored via the exact oracle match above
+    assert max(got, key=got.get) == 2
+
+
+def test_pagerank_vertex_set_and_empty(spark):
+    # default vertex set = distinct src ∪ dst
+    e = spark.createDataFrame([(7, 9), (9, 7)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(e, 0.85, 5).collect()}
+    assert set(got) == {7, 9}
+    assert got[7] == pytest.approx(0.5, abs=1e-12)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, 0.85, 3).count() == 0
+
+
+def test_pagerank_file_closes_letor_workflow(spark, tmp_path):
+    """pagerank → write_pagerank_file emits the exact extid\\tscore
+    format letor:pageRankFile parses (io.read_pagerank_file), closing
+    the loop the reference leaves to an out-of-band CMU file."""
+    from search_engines_spark.io import read_pagerank_file
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long")
+    pr = pagerank(e, 0.85, 8)
+    ext = spark.createDataFrame(
+        [(i, f"doc{i:09d}") for i in range(3)], "node long, ext_id string")
+    path = str(tmp_path / "pr.txt")
+    write_pagerank_file(pr, path, ext)
+    back = {r["ext_id"]: r["pagerank"]
+            for r in read_pagerank_file(spark, path).collect()}
+    want = {r["node"]: r["pr"] for r in pr.collect()}
+    assert back == {f"doc{i:09d}": pytest.approx(want[i]) for i in range(3)}
