@@ -4,8 +4,17 @@ list-doc / list-termvector modes).
 
     python -m search_engines_spark.inspect <corpus_parquet> stats
     python -m search_engines_spark.inspect <corpus_parquet> postings <term>
+    python -m search_engines_spark.inspect <corpus_parquet> postings-sample <term>
     python -m search_engines_spark.inspect <corpus_parquet> doc <doc_id>
     python -m search_engines_spark.inspect <corpus_parquet> termvector <doc_id>
+    python -m search_engines_spark.inspect <corpus_parquet> fields
+    python -m search_engines_spark.inspect <corpus_parquet> terms <field>
+    python -m search_engines_spark.inspect <corpus_parquet> edocid <doc_id>
+    python -m search_engines_spark.inspect <corpus_parquet> docids
+
+covering InspectIndex's -list-stats/-list-postings[-sample]/
+-list-termvector/-list-fields/-list-terms/-list-edocid/-list-docids
+(`InspectIndex.java:80-230`).
 """
 
 from __future__ import annotations
@@ -19,9 +28,16 @@ from .session import get_spark
 
 
 def main(argv: list[str]) -> None:
-    corpus, mode = argv[0], argv[1]
     spark = get_spark("inspect", cores=4, shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        run(argv, spark)
+    finally:
+        spark.stop()
+
+
+def run(argv: list[str], spark) -> None:
+    corpus, mode = argv[0], argv[1]
     idx = build_index_frames(
         docs_from_documents_table(spark.read.parquet(corpus)))
     if mode == "stats":
@@ -54,9 +70,35 @@ def main(argv: list[str]) -> None:
         for r in rows:
             print(f"  {r['field']}.{r['term']} tf={r['tf']} "
                   f"pos={list(r['positions'])}")
+    elif mode == "fields":
+        # `-list-fields` (`InspectIndex.java:112-128`)
+        for fld in sorted(idx.corpus_stats):
+            print(f"field={fld}")
+    elif mode == "terms":
+        # `-list-terms <field>` (`InspectIndex.java:200-207`) — the term
+        # dictionary with df/ctf, dictionary order
+        fld = argv[2]
+        for r in (idx.term_stats.where(F.col("field") == fld)
+                  .orderBy("term").collect()):
+            print(f"{r['term']} df={r['df']} ctf={r['ctf']}")
+    elif mode == "edocid":
+        # `-list-edocid <internal>` (`InspectIndex.java:87-99`)
+        did = int(argv[2])
+        for r in idx.doc_map.where(F.col("doc_id") == did).collect():
+            print(f"{did} --> {r['ext_id']}")
+    elif mode == "docids":
+        # `-list-docids` (`InspectIndex.java:102-110`)
+        for r in idx.doc_map.orderBy("doc_id").collect():
+            print(f"{r['doc_id']} --> {r['ext_id']}")
+    elif mode == "postings-sample":
+        # `-list-postings-sample <term>` — first 5 postings only
+        term = argv[2]
+        for r in (idx.postings.where(F.col("term") == term)
+                  .orderBy("field", "doc_id").limit(5).collect()):
+            print(f"  doc={r['doc_id']} tf={r['tf']} "
+                  f"pos={list(r['positions'])}")
     else:
         raise SystemExit(f"unknown mode {mode!r}")
-    spark.stop()
 
 
 if __name__ == "__main__":

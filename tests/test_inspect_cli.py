@@ -1,0 +1,59 @@
+"""Index-inspection CLI (`InspectIndex.java:80-230` analog): every mode
+prints the index's actual contents."""
+
+import pytest
+
+from search_engines_spark.inspect import run
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(0, "alpha beta beta", "en", "s", 15),
+         (1, "beta gamma", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path_factory.mktemp("icorpus")) + "/documents.parquet"
+    df.coalesce(1).write.parquet(d)
+    return d
+
+
+def _lines(capsys, corpus_path, spark, *argv):
+    run([corpus_path, *argv], spark)
+    return capsys.readouterr().out.splitlines()
+
+def test_stats_and_fields(spark, corpus_path, capsys):
+    out = _lines(capsys, corpus_path, spark, "stats")
+    assert any(ln.startswith("field=body n_docs=2") for ln in out)
+    assert "distinct_terms=3" in "\n".join(out)
+    assert _lines(capsys, corpus_path, spark, "fields") == ["field=body"]
+
+
+def test_postings_and_sample(spark, corpus_path, capsys):
+    out = _lines(capsys, corpus_path, spark, "postings", "beta")
+    assert out[0] == "term=beta field=body df=2 ctf=3"
+    assert out[1:] == ["  doc=0 tf=2 pos=[2, 3]", "  doc=1 tf=1 pos=[1]"]
+    sample = _lines(capsys, corpus_path, spark, "postings-sample", "beta")
+    assert sample == out[1:]          # < 5 postings: sample == full list
+
+
+def test_terms_dictionary(spark, corpus_path, capsys):
+    out = _lines(capsys, corpus_path, spark, "terms", "body")
+    assert out == ["alpha df=1 ctf=1", "beta df=2 ctf=3",
+                   "gamma df=1 ctf=1"]
+
+
+def test_docid_mappings(spark, corpus_path, capsys):
+    out = _lines(capsys, corpus_path, spark, "edocid", "1")
+    assert out == ["1 --> doc000000001"]
+    out = _lines(capsys, corpus_path, spark, "docids")
+    assert out == ["0 --> doc000000000", "1 --> doc000000001"]
+
+
+def test_termvector(spark, corpus_path, capsys):
+    out = _lines(capsys, corpus_path, spark, "termvector", "0")
+    assert out == ["  body.alpha tf=1 pos=[1]", "  body.beta tf=2 pos=[2, 3]"]
+
+
+def test_unknown_mode(spark, corpus_path):
+    with pytest.raises(SystemExit):
+        run([corpus_path, "bogus"], spark)
