@@ -263,6 +263,23 @@ def main() -> None:
     cur.curate_corpus(docs, bench_split)[1].collect()
     queries["curation_funnel"] = round(time.time() - t0, 3)
 
+    # iterative graph centrality: 6 PageRank power iterations over a
+    # 3-out-degree-max graph on the corpus ids (one src-layout join +
+    # one dst-keyed agg per iteration)
+    from search_engines_spark.pipeline.graph import pagerank
+    t0 = time.time()
+    ids = docs.select(F.col("doc_id").alias("node"))
+    edges = (ids.select(F.col("node").alias("src"),
+                        ((F.col("node") + 1) % n_docs).alias("dst"))
+             .union(ids.select(F.col("node").alias("src"),
+                               ((F.col("node") + 37) % n_docs).alias("dst")))
+             .union(ids.where(F.col("node") % 5 == 0)
+                    .select(F.col("node").alias("src"),
+                            ((F.col("node") * 3 + 11) % n_docs)
+                            .alias("dst"))))
+    pagerank(edges, n_iter=6, nodes=ids).count()
+    queries["graph_pagerank_6iter"] = round(time.time() - t0, 3)
+
     # result serving: query-biased snippets for a top-10 page (one
     # broadcast of the result list + one codegen projection)
     from search_engines_spark.capabilities import serving
