@@ -381,6 +381,37 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         res["winnow_sec"] = round(best, 2)
         res["winnow_docs_per_sec"] = round(n_docs / best, 1)
 
+        # ---- iterative PageRank (pipeline.graph) ---------------------------
+        # per-iteration: one src-layout-reusing join + one dst-keyed agg;
+        # data-scaled at 4M nodes / 10M edges so the shuffle, not the
+        # scheduler floor, is the measured object
+        from pyspark.sql import functions as F
+
+        from search_engines_spark.pipeline.graph import pagerank
+        n_nodes = 4_000_000
+        pr_iters = 6
+        ids = spark.range(n_nodes).select(F.col("id").alias("node"))
+        node = F.col("node")
+        edges = (ids.select(node.alias("src"),
+                            ((node + 1) % n_nodes).alias("dst"))
+                 .union(ids.select(node.alias("src"),
+                                   ((node + 37) % n_nodes).alias("dst")))
+                 .union(ids.where(node % 5 == 0)
+                        .select(node.alias("src"),
+                                ((node * 3 + 11) % n_nodes).alias("dst"))))
+        n_edges = int(n_nodes * 2.2)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            pagerank(edges, n_iter=pr_iters, nodes=ids).count()
+            s = time.time() - t0
+            spark.catalog.clearCache()
+            best = s if best is None else min(best, s)
+        res["pagerank_nodes"] = n_nodes
+        res["pagerank_sec"] = round(best, 2)
+        res["pagerank_medges_per_sec"] = round(
+            n_edges * pr_iters / best / 1e6, 2)
+
     spark.stop()
     return res
 
@@ -430,6 +461,7 @@ def main() -> None:
     d832 = _eff(r, 8, 32, "daat_queries_per_sec")
     g832 = _eff(r, 8, 32, "segdec_queries_per_sec")
     w832 = _eff(r, 8, 32, "winnow_docs_per_sec")
+    p832 = _eff(r, 8, 32, "pagerank_medges_per_sec")
 
     if args.corpus == "zipf":
         corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
@@ -641,6 +673,25 @@ is the postings-builder shape: doc-local `mapInPandas`, zero shuffle:
 {sha_832:.2f} CPU ceilings.) Map-only: on a real cluster each
 executor fingerprints its own input split — no cross-node structure.
 
+## Iterative PageRank throughput (8 vs 32 cores)
+
+`pipeline.graph.pagerank` — 6 power iterations over a deterministic
+{r[32]['pagerank_nodes']:,}-node / ~2.2-per-node-edge graph (the letor
+pageRankFile computation). Each iteration is one join reusing the
+persisted src-partitioned edge layout plus one dst-keyed contribution
+aggregation; ranks re-persist one iteration deep:
+
+| cores | 6-iter sec | M edge-iterations/sec |
+|---|---|---|
+| 8  | {r[8]['pagerank_sec']} | {r[8]['pagerank_medges_per_sec']} |
+| 32 | {r[32]['pagerank_sec']} | {r[32]['pagerank_medges_per_sec']} |
+
+(8→32 efficiency {p832:.2f} against the {bw_832:.2f} bandwidth /
+{sha_832:.2f} CPU ceilings.) The per-iteration shuffle is keyed by dst
+(near-uniform in this graph and in web graphs after the standard
+high-degree salting); on a real cluster each iteration is one exchange
+of (node, contribution) rows — no driver-side state beyond one scalar.
+
 ## Headline query latency (pointer)
 
 See `BENCH_r*.json` (driver-run `bench.py` at sf0.1): per-query seconds
@@ -722,6 +773,7 @@ build r01 27.7 s (jvm builder) → 9.8 s (arrow builder default) →
     print(f"arrow 2->8={a28:.3f} 8->32={a832:.3f} jvm 8->32={j832:.3f} "
           f"query 8->32={q832:.3f} indri 8->32={i832:.3f} "
           f"daat 8->32={d832:.3f} winnow 8->32={w832:.3f} "
+          f"pagerank 8->32={p832:.3f} "
           f"-> BENCH/BASELINE.md")
 
 
