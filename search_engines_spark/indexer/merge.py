@@ -232,16 +232,16 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
 
     Crash consistency: a journaled-but-unpublished rebuild txn (a
     compaction crashed between its journal append and its per-bucket
-    publish renames) is ROLLED FORWARD here — the reader finishes the
-    idempotent publish itself (a handful of atomic renames; Lucene's
-    open-a-crashed-commit recovery) and then reads only the base, so
-    the staging-read window closes the first time anyone reads the
-    store after a crash. A reader that cannot write (read-only replica
-    of the segment dir) falls back to serving those buckets from the
-    txn's staging dir, masked out of the base scan. Either way readers
-    see exactly one copy of every posting at every crash point. Like
-    the writer path, roll-forward assumes publishes are not raced by a
-    second live process (single-writer deployment; see _publish_txn)."""
+    publish renames) is served from the txn's STAGING dir, masked out
+    of the base scan — readers see exactly one copy of every posting at
+    every crash point. Readers never publish: finishing the crashed
+    publish is the next compaction's replay step, which keeps publish
+    single-writer BY CONSTRUCTION — two readers racing a read-time
+    roll-forward of the same txn could otherwise retire each other's
+    freshly renamed buckets and lose data (no portable atomic
+    dir-exchange exists to make concurrent publish safe without a
+    lock service). The staging window costs one extra pruned scan per
+    pending txn and closes at the next compaction."""
     manifest = _read_gen_manifest(seg_dir)
     if as_of is not None:
         floor = snapshot_floor(seg_dir, manifest)
@@ -249,15 +249,6 @@ def read_segments_merged(spark: SparkSession, seg_dir: str,
             raise ValueError(
                 f"snapshot as_of={as_of} expired: generations through "
                 f"{floor} are (or are being) compacted into the base")
-    pending = pending_txns(seg_dir, manifest)
-    if pending:
-        try:
-            for txn, bks in sorted(pending.items()):
-                _publish_txn(seg_dir, txn, bks)
-        except OSError:
-            pass          # read-only replica → staging-read fallback below
-        else:
-            manifest = _read_gen_manifest(seg_dir)   # pubs appended
     df = read_segments(spark, seg_dir, terms=terms, num_buckets=num_buckets)
     # buckets owned by a committed-but-unpublished rebuild txn: staging
     # is authoritative for any bucket whose dir still exists there (the
@@ -447,27 +438,37 @@ def _publish_txn(seg_dir: str, txn: int, buckets: list[int]) -> None:
     because readers prefer staging whenever its dir exists). Appends the
     `published_txn` marker once every bucket is in place.
 
-    Called by the compactor on replay AND by `read_segments_merged`
-    (read-time roll-forward), so the same txn can be published twice in
-    close succession — the rename is the arbiter (atomic; the loser's
-    source is gone, caught below) and a duplicate `published_txn`
-    marker is harmless (`pending_txns` uses a set). What this does NOT
-    support is a publish racing a publish of a DIFFERENT state of the
-    same bucket (two live compactors) — that needs a catalog/lock and
-    is excluded by the single-writer deployment contract."""
+    Called ONLY from writer paths (the compactor's replay step and the
+    streaming fold) — readers serve pending txns from staging and never
+    publish, so publish is single-writer by construction and cannot be
+    raced. Within the single writer the protocol is crash-idempotent: a
+    bucket whose staging dir is gone already reached the base; the old
+    base bucket is renamed ASIDE (atomic) before the staging renames IN,
+    so no crash point leaves zero or two live copies; replay after any
+    crash finishes the remaining renames. A duplicate `published_txn`
+    marker is harmless (`pending_txns` uses a set)."""
     root = _txn_path(seg_dir, txn)
     for b in buckets:
         s = os.path.join(root, f"bucket={b}")
         if not os.path.isdir(s):
             continue   # already published (replay)
         t = os.path.join(seg_dir, f"bucket={b}")
-        if os.path.isdir(t):
-            shutil.rmtree(t, ignore_errors=True)
+        # leading "_" with NO "=" in the name keeps the retired dir out
+        # of Spark partition discovery when a fallback reader scans the
+        # txn staging root (underscore paths containing "=" are NOT
+        # filtered by InMemoryFileIndex)
+        retired = os.path.join(root, f"_retired.bucket.{b}")
         try:
-            os.rename(s, t)
-        except FileNotFoundError:
-            continue   # lost the isdir→rename race to a replay publisher
-    shutil.rmtree(root, ignore_errors=True)   # _SUCCESS etc.
+            os.rename(t, retired)        # atomic retire of the old bucket
+        except OSError:
+            pass   # no old bucket, or a crashed attempt already retired
+            #        it (then `t` is gone and the rename below finishes
+            #        the job on replay)
+        if _test_crash_hook is not None:
+            _test_crash_hook("bucket_retired", b)
+        os.rename(s, t)                  # atomic publish of the staging
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)   # _SUCCESS, leftover .retired
     journal_append(_gen_manifest_path(seg_dir), {"published_txn": txn})
 
 

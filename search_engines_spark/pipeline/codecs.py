@@ -28,6 +28,7 @@ path.
 from __future__ import annotations
 
 import io
+import functools
 import struct
 import wave
 import zlib
@@ -54,6 +55,23 @@ def sniff(data: bytes) -> str | None:
 
 # ----------------------------------------------------------------------- BMP --
 
+def _malformed_raises_valueerror(fn):
+    """Truncated/garbage payloads fail mid-parse with struct.error,
+    zlib.error, or IndexError depending on where the bytes run out; the
+    decode contract (and the fake-gates in `multimodal`) is ValueError
+    for ANY undecodable payload, so normalize here."""
+    @functools.wraps(fn)
+    def wrapper(data, *a, **k):
+        try:
+            return fn(data, *a, **k)
+        except (struct.error, zlib.error, IndexError, EOFError) as e:
+            raise ValueError(f"malformed {fn.__name__[7:]} payload: {e}") \
+                from e
+    return wrapper
+
+
+
+@_malformed_raises_valueerror
 def decode_bmp(data: bytes) -> np.ndarray:
     """→ (h, w, 3) uint8 RGB. 24/32-bit uncompressed only."""
     if data[:2] != b"BM":
@@ -100,6 +118,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_malformed_raises_valueerror
 def decode_png(data: bytes) -> np.ndarray:
     """→ (h, w, c) uint8. 8-bit depth, non-interlaced; color types
     0 (gray, c=1), 2 (RGB), 3 (palette → RGB), 4 (gray+alpha), 6 (RGBA)."""
@@ -210,6 +229,7 @@ def _undib_rows(raw: bytes, w: int, h: int,
     return px[:, :, ::-1].copy()
 
 
+@_malformed_raises_valueerror
 def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     """→ ((n, h, w, 3) uint8 RGB frames, fps). Uncompressed 24-bit DIB
     (biCompression=BI_RGB; '..db' or '..dc' chunks — the suffix is
@@ -331,6 +351,7 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
 
 # ----------------------------------------------------------------------- WAV --
 
+@_malformed_raises_valueerror
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """→ (mono float64 samples in [-1, 1], sample_rate). PCM 8/16/32.
     Raises ValueError on anything else — the module-wide decoder

@@ -95,29 +95,32 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     and the keep/drop verdict (`n_hits >= min_hits`).
 
     `bench` is the evaluation set to protect (same text/id columns).
-    Plan shape: the benchmark's distinct gram set is broadcast into an
-    inner join against the corpus grams (BroadcastHashJoin — the corpus
-    side never shuffles for the probe); hit counts aggregate on doc_id
-    with map-side combine; the per-doc gram totals ride the same
-    doc_id-keyed aggregation. Every doc appears in the output (zero
-    grams / zero hits for short or clean docs). Set
-    `broadcast_bench=False` when the protected set is itself too large
-    to broadcast (e.g. decontaminating against another corpus): the
-    probe becomes a gram-keyed shuffle join — AQE skew-splits hot
-    boilerplate grams."""
+    Plan shape — ONE pass over the corpus (tokenize + k-gram explode is
+    the dominant CPU cost at scale, so it must not be re-evaluated):
+    the benchmark's distinct gram set is broadcast into a LEFT join
+    against the corpus grams (BroadcastHashJoin — the corpus side never
+    shuffles for the probe), and a single doc_id-keyed aggregation with
+    map-side combine produces both the per-doc gram total (count of all
+    rows) and the hit count (count of matched probe rows) from the same
+    scan. Every doc appears in the output (zero grams / zero hits for
+    short or clean docs, via the final left join from the doc ids —
+    unique per the repo-wide identity contract, so no distinct is
+    needed). Set `broadcast_bench=False` when the protected set is
+    itself too large to broadcast (e.g. decontaminating against another
+    corpus): the probe becomes a gram-keyed shuffle join — AQE
+    skew-splits hot boilerplate grams."""
     corpus_grams = ngrams(docs, k, text_col, id_col)
-    bench_grams = ngrams(bench, k, text_col, id_col) \
-        .select("gram").distinct()
-    totals = corpus_grams.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_grams"))
+    bench_grams = (ngrams(bench, k, text_col, id_col)
+                   .select("gram").distinct()
+                   .withColumn("_hit", F.lit(1)))
     probe = F.broadcast(bench_grams) if broadcast_bench else bench_grams
-    hits = (corpus_grams
-            .join(probe, "gram")
-            .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_hits")))
-    base = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    out = (base.join(totals, "doc_id", "left")
-           .join(hits, "doc_id", "left")
+    stats = (corpus_grams
+             .join(probe, "gram", "left")
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("n_grams"),
+                  F.count("_hit").cast("long").alias("n_hits")))
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    out = (base.join(stats, "doc_id", "left")
            .select("doc_id",
                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))

@@ -216,7 +216,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                                   for c in chunks])
                     continue
                 if kind == "video" and codecs.sniff(bytes(payload)) == "avi":
-                    frames, _ = decode_video(bytes(payload))
+                    frames, _ = decode_video(bytes(payload), fake=fake)
                     # temporal mean → gray → pooled, same range as images
                     px = frames.astype(np.float64).mean(axis=(0, 3)).ravel()
                 else:
@@ -242,7 +242,13 @@ def resize_image(media: DataFrame, w: int, h: int,
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
-                px2 = decode_image_2d(bytes(payload))
+                try:
+                    px2 = decode_image_2d(bytes(payload))
+                except ValueError:
+                    if not fake:
+                        raise
+                    px2 = None   # sniffs as BMP/PNG but undecodable →
+                    #              same fake-gate as decode_image
                 if px2 is not None:
                     yi = np.linspace(0, px2.shape[0] - 1, h).round()
                     xi = np.linspace(0, px2.shape[1] - 1, w).round()
@@ -277,7 +283,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
                 payload = bytes(payload)
                 if codecs.sniff(payload) == "avi":
-                    frames, fps = decode_video(payload)
+                    frames, fps = decode_video(payload, fake=fake)
                     dur = int(len(frames) / fps * 1000) if fps else int(dur)
                     for i in range(max(1, dur // every_ms)):
                         fi = min(int(round(i * every_ms * fps / 1000.0)),

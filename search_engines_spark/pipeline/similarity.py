@@ -189,7 +189,7 @@ def _ann_finish_publish(path: str, part_col: str, txn: dict) -> None:
     whose staging dir is gone was already swapped), then close the txn
     with the `compacted_through` marker. Every step is idempotent, so
     a crash mid-replay just replays again. Assumes a single compactor
-    (the `indexer.merge` roll-forward contract)."""
+    (the `indexer.merge` single-writer publish contract)."""
     import os
     import shutil
     staging_root = os.path.join(path, _ANN_REBUILD_DIR)
@@ -385,7 +385,7 @@ def compact_ann_index(spark, path: str) -> dict:
     * after the marker — retired generation dirs stay on disk until the
       NEXT compaction's sweep, a grace window for readers that listed
       them just before the marker landed.
-    Single compactor assumed (the merge.py roll-forward contract);
+    Single compactor assumed (the merge.py single-writer publish contract);
     readers racing an active publish may need one retry if a base
     partition file listed pre-swap vanishes mid-job."""
     import os

@@ -187,17 +187,19 @@ def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
         merge_mod._test_crash_hook = None
     # crash-window read must be exact at every boundary:
     # * chunk_written: staging is invisible garbage, base ∪ gen serve;
-    # * chunk_journaled: the txn is committed but unpublished — a
-    #   read-only replica serves its buckets from staging (fallback);
-    #   a writable reader rolls the publish forward and reads the base;
+    # * chunk_journaled: the txn is committed but unpublished — every
+    #   reader serves its buckets from staging (readers never publish:
+    #   concurrent read-time roll-forward could lose buckets, so
+    #   finishing the publish is the next compaction's replay step);
     # * chunk_published: base holds the buckets, folded_buckets skips
     #   the gen's copies.
+    pend_before = dict(pending_txns(d))
     if crash_point == "chunk_journaled":
-        assert list(pending_txns(d)) == [1]   # committed, unpublished
+        assert list(pend_before) == [1]       # committed, unpublished
         real_pub = merge_mod._publish_txn
 
         def deny(*a, **k):
-            raise PermissionError("read-only replica")
+            raise AssertionError("readers must not publish")
 
         merge_mod._publish_txn = deny
         try:
@@ -207,15 +209,14 @@ def test_compaction_replay_after_crash(spark, spark_index, tmp_path_factory,
                                      num_buckets=NUM_BUCKETS).collect())
         finally:
             merge_mod._publish_txn = real_pub
-        assert ro == want                     # staging-read fallback exact
-        assert list(pending_txns(d)) == [1]   # store untouched
+        assert ro == want                     # staging-read exact
     got_mid = _decoded_map(
         r.asDict() for r in
         read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
     assert got_mid == want
     assert live_generations(d) == [1]
-    # a writable reader finishes a crashed publish itself (roll-forward)
-    assert pending_txns(d) == {}
+    # reads leave the store untouched — publish is writer-only
+    assert pending_txns(d) == pend_before
     if crash_point == "chunk_written":
         # nothing folded yet → the pre-delta snapshot is still intact
         base_only = _decoded_map(
@@ -278,9 +279,10 @@ def test_compaction_chained_crashes(spark, spark_index, tmp_path_factory):
         assert got == want, f"reader wrong after crash at {point}[{idx}]"
 
     run_crashing("chunk_journaled", 0)
-    # the crash-window reader rolled txn 1's publish forward itself
-    assert pending_txns(d) == {}
-    # replay 1 finds nothing pending, then crashes staging chunk 1
+    # readers never publish — txn 1 stays pending until the next
+    # compaction's replay step finishes it
+    assert list(pending_txns(d)) == [1]
+    # replay 1 publishes txn 1 first, then crashes staging chunk 1
     run_crashing("chunk_written", 1)
     assert pending_txns(d) == {}
     # replay 2 re-stages chunk 1 (its journal never landed) and crashes
@@ -289,6 +291,48 @@ def test_compaction_chained_crashes(spark, spark_index, tmp_path_factory):
     assert pending_txns(d) == {}
     m = compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
     assert m["compacted_gens"] == 1 and live_generations(d) == []
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got == want
+
+
+def test_publish_crash_between_retire_and_swap(spark, spark_index,
+                                               tmp_path_factory):
+    """The rename-aside publish has a window where the old base bucket
+    is retired but the staged bucket hasn't swapped in yet. A crash
+    there must leave readers exact (the txn is still pending, so its
+    buckets are served from staging; the base scan of a missing bucket
+    dir reads nothing) and a replay must finish the publish."""
+    from search_engines_spark.indexer import merge as merge_mod
+    from search_engines_spark.indexer.merge import pending_txns
+    d = _fresh_base_plus_delta(spark_index, tmp_path_factory, "retire_crash")
+    want = _postings_map(spark_index.postings.collect())
+    # crash the first compaction right after its journal append
+    merge_mod._test_crash_hook = _crash_at("chunk_journaled", 0)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+    finally:
+        merge_mod._test_crash_hook = None
+    pend = pending_txns(d)
+    assert list(pend) == [1]
+    first_bucket = sorted(pend[1])[0]
+    # replay crashes mid-publish: old bucket retired, staging not yet in
+    merge_mod._test_crash_hook = _crash_at("bucket_retired", first_bucket)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+    finally:
+        merge_mod._test_crash_hook = None
+    assert not os.path.isdir(os.path.join(d, f"bucket={first_bucket}"))
+    assert list(pending_txns(d)) == [1]      # marker never landed
+    got = _decoded_map(
+        r.asDict() for r in
+        read_segments_merged(spark, d, num_buckets=NUM_BUCKETS).collect())
+    assert got == want                       # staging serves the bucket
+    m = compact_segments(spark, d, num_buckets=NUM_BUCKETS, chunk=2)
+    assert m["compacted_gens"] == 1 and pending_txns(d) == {}
     got = _decoded_map(
         r.asDict() for r in
         read_segments(spark, d, num_buckets=NUM_BUCKETS).collect())

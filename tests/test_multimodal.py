@@ -302,6 +302,51 @@ def test_sniffable_but_undecodable_falls_back_when_fake():
     assert mm.decode_image(bad_png, fake=True).shape == (4096,)
 
 
+def test_malformed_payloads_raise_valueerror_not_struct_error():
+    """Truncated headers used to escape the fake-gates as struct.error;
+    the codec layer must normalize EVERY undecodable payload to
+    ValueError so `except ValueError` gates hold."""
+    bad = {"bmp": b"BM" + b"\x00" * 10,
+           "png": b"\x89PNG\r\n\x1a\n" + b"\x00" * 3,
+           "avi": b"RIFF" + (9000).to_bytes(4, "little") + b"AVI "
+                  + b"\x00" * 6,
+           "wav": b"RIFF" + b"\x00" * 4 + b"WAVE"}
+    for kind, payload in bad.items():
+        assert C.sniff(payload) == kind
+        with pytest.raises(ValueError):
+            {"bmp": C.decode_bmp, "png": C.decode_png,
+             "avi": C.decode_avi, "wav": C.decode_wav}[kind](payload)
+
+
+def test_kernels_fall_back_on_malformed_payloads(spark):
+    """extract_features / resize_image / sample_frames with fake=True
+    over malformed-but-sniffable payloads must produce the deterministic
+    fake output for every row instead of failing the stage (the
+    fake-gate bypasses found in review: decode_video called without
+    fake, decode_image_2d uncaught ValueError, struct.error escapes)."""
+    bad_avi = (b"RIFF" + (9000).to_bytes(4, "little") + b"AVI "
+               + b"\x00" * 64)
+    bad_bmp = b"BM" + b"\x00" * 10
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 4
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(bad_avi), 2000),
+         (2, "image", bytearray(bad_bmp), 0),
+         (3, "audio", bytearray(bad_wav), 0)],
+        "media_id long, kind string, payload binary, duration_ms long")
+    feats = mm.extract_features(media, fake=True).collect()
+    assert sorted((r["media_id"], len(r["feature"])) for r in feats) == \
+        [(1, mm.FEATURE_DIM), (2, mm.FEATURE_DIM), (3, mm.FEATURE_DIM)]
+    res = mm.resize_image(media, 8, 8, fake=True).collect()
+    assert sorted((r["media_id"], len(bytes(r["payload"]))) for r in res) \
+        == [(1, 64), (2, 64), (3, 64)]
+    frames = mm.sample_frames(media.where("kind = 'video'"),
+                              1000, fake=True).collect()
+    assert [(r["media_id"], r["frame_no"]) for r in frames] == [(1, 0)]
+    # fake=False must still surface the failure loudly
+    with pytest.raises(Exception):
+        mm.extract_features(media, fake=False).collect()
+
+
 def test_avi_strf_dims_and_topdown_and_no_strf():
     import struct
     rng = np.random.RandomState(31)
