@@ -820,6 +820,15 @@ def q_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition-removal (Rae et al. 2021 Table A1): dup-line /
+    dup-paragraph fractions (count and char share) + top-2/3/4-gram char
+    share, with the keep/drop verdict. One zero-shuffle projection; the
+    n-gram kernel is a sorted one-pass fold (textstats._top_ngram_cover),
+    not a per-gram nested scan."""
+    return ts.repetition_filter(_docs(spark, sf_dir))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Distributed PageRank (pipeline.graph — the computation behind the
     reference's letor pageRankFile, `FeatureVector.java:53-72`) over a
@@ -2156,6 +2165,88 @@ def _sql_fingerprints() -> str:
 FROM documents"""
 
 
+def _sql_repetition() -> str:
+    """Replays `textstats.repetition_filter`. The Spark side finds the
+    heaviest n-gram with a sorted one-pass fold; DuckDB gets the same
+    max(count · char_length) by unnest + GROUP BY — clearer as an
+    oracle, identical by construction. Division pairs are BIGINT/BIGINT
+    → double on both engines, so the floor(r·1e6+0.5) integers match
+    exactly."""
+    def gram(n: int) -> str:
+        return (f"list_transform(generate_series(1, "
+                f"greatest(len(toks) - {n - 1}, 0)), "
+                f"i -> array_to_string(list_slice(toks, i, i + {n - 1}),"
+                f" ' '))")
+
+    def dup_cols(col: str, p: str) -> str:
+        return f"""len({col}) AS n{p},
+         len(list_distinct({col})) AS n{p}d,
+         coalesce(list_sum(list_transform({col}, x -> length(x))), 0)
+           AS {p}ch,
+         coalesce(list_sum(list_transform(list_distinct({col}),
+             d -> length(d) * (len(list_filter({col}, x -> x = d)) - 1))),
+           0) AS {p}dup"""
+
+    def ratio(num: str, den: str, alias: str) -> str:
+        return (f"floor(CASE WHEN {den} > 0 THEN {num} / {den} "
+                f"ELSE 0.0 END * 1e6 + 0.5)::BIGINT AS {alias}")
+
+    rules = [("dup_line_r", ts.REP_MAX_DUP_LINE_R, "dup_lines"),
+             ("dup_line_char_r", ts.REP_MAX_DUP_LINE_CHAR_R,
+              "dup_line_chars"),
+             ("dup_para_r", ts.REP_MAX_DUP_PARA_R, "dup_paras"),
+             ("dup_para_char_r", ts.REP_MAX_DUP_PARA_CHAR_R,
+              "dup_para_chars"),
+             ("top2_r", ts.REP_MAX_TOP2_R, "top2_heavy"),
+             ("top3_r", ts.REP_MAX_TOP3_R, "top3_heavy"),
+             ("top4_r", ts.REP_MAX_TOP4_R, "top4_heavy")]
+    reason_arms = ",\n    ".join(
+        f"CASE WHEN {col} > {thr} THEN '{name}' END"
+        for col, thr, name in rules)
+    return f"""WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(list_transform(string_split(coalesce(text, ''),
+             chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(list_transform(regexp_split_to_array(
+             coalesce(text, ''), '\\n{{2,}}'), x -> trim(x)),
+             x -> x <> '') AS paras,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+             '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, toks,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS tok_chars,
+         {dup_cols('lines', 'l')},
+         {dup_cols('paras', 'p')}
+  FROM t),
+gu AS (SELECT doc_id, 2 AS n, unnest({gram(2)}) AS gm FROM t
+       UNION ALL SELECT doc_id, 3, unnest({gram(3)}) FROM t
+       UNION ALL SELECT doc_id, 4, unnest({gram(4)}) FROM t),
+gc AS (SELECT doc_id, n, gm, count(*) AS cnt FROM gu GROUP BY doc_id, n, gm),
+tops AS (SELECT doc_id,
+    max(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * (length(gm) - 1) END) AS b2,
+    max(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * (length(gm) - 2) END) AS b3,
+    max(CASE WHEN n = 4 AND cnt >= 2 THEN cnt * (length(gm) - 3) END) AS b4
+  FROM gc GROUP BY doc_id),
+r AS (SELECT b.doc_id,
+    {ratio('(nl - nld)', 'nl', 'dup_line_r')},
+    {ratio('ldup', 'lch', 'dup_line_char_r')},
+    {ratio('(np - npd)', 'np', 'dup_para_r')},
+    {ratio('pdup', 'pch', 'dup_para_char_r')},
+    {ratio('coalesce(b2, 0)', 'tok_chars', 'top2_r')},
+    {ratio('coalesce(b3, 0)', 'tok_chars', 'top3_r')},
+    {ratio('coalesce(b4, 0)', 'tok_chars', 'top4_r')}
+  FROM base b LEFT JOIN tops USING (doc_id)),
+v AS (SELECT *, concat_ws(',',
+    {reason_arms}) AS reasons FROM r)
+SELECT doc_id, dup_line_r, dup_line_char_r, dup_para_r, dup_para_char_r,
+       top2_r, top3_r, top4_r,
+       (CASE WHEN reasons = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
+       reasons
+FROM v"""
+
+
 def _code_toks_sql() -> str:
     """DuckDB expression for `codestats.code_tokens_expr` over `text`,
     built from the module's own pattern constants (Java `$n` backrefs →
@@ -2770,7 +2861,7 @@ REGISTRY: dict[str, tuple] = {
     "text_langid": (q_langid, _sql_langid()),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     "text_quality": (q_quality, _sql_quality()),
-    "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
+    "text_repetition": (q_repetition, _sql_repetition()),
     "license_scan": (q_license_scan, _sql_license_scan()),
     "quality_filter": (q_quality_filter, _sql_quality_filter()),
     "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
@@ -2779,6 +2870,11 @@ REGISTRY: dict[str, tuple] = {
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
+    # fp_exact (sha256) gated by in-window dedup_exact + export_shards'
+    # lineage manifest; fp_norm's canonical-token stream hash by
+    # code_token_stats' stream_hash (strictly harder kernel) + pytest;
+    # rotated late-r3 to admit text_repetition
     "text_token_counts": (q_token_counts, _sql_token_counts()),
     # token-count projections gated by in-window text_quality +
     # text_langid (same null-safe canonical-tokenizer size/filter

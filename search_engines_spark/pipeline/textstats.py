@@ -156,6 +156,142 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
         reasons.alias("reasons"))
 
 
+# Gopher repetition-removal thresholds (Rae et al. 2021 Table A1,
+# "repetition removal"): drop documents dominated by repeated lines /
+# paragraphs or by one word n-gram. Integer floor(r·1e6+0.5) ratios, same
+# convention as the quality thresholds above; module-level so
+# `entry_queries` inlines identical values into the oracle SQL.
+REP_MAX_DUP_LINE_R = 300_000        # duplicate-line fraction > 0.30
+REP_MAX_DUP_PARA_R = 300_000        # duplicate-paragraph fraction > 0.30
+REP_MAX_DUP_LINE_CHAR_R = 200_000   # chars inside repeated lines > 0.20
+REP_MAX_DUP_PARA_CHAR_R = 200_000   # chars inside repeated paragraphs > 0.20
+REP_MAX_TOP2_R = 200_000            # top 2-gram char share > 0.20
+REP_MAX_TOP3_R = 180_000            # top 3-gram char share > 0.18
+REP_MAX_TOP4_R = 160_000            # top 4-gram char share > 0.16
+
+
+def _dup_unit_stats(units: Column) -> tuple[Column, Column]:
+    """(dup_fraction, dup_char_fraction) of an array of text units
+    (lines or paragraphs): the fraction of units that are repeats of an
+    earlier unit, and the fraction of unit characters inside those
+    repeats (every occurrence past the first counts its full length).
+
+    The char sum loops distinct×all — O(d·n) per DOCUMENT, doc-local
+    (units per doc are bounded by doc size, and d collapses exactly when
+    the doc is repetitive, which is when n is large)."""
+    n = F.size(units)
+    nd = F.size(F.array_distinct(units))
+    total = F.aggregate(units, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        F.array_distinct(units), F.lit(0).cast("long"),
+        lambda a, d: a + F.length(d).cast("long")
+        * (F.size(F.filter(units, lambda x: x == d)) - 1))
+    dup_r = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+    dupc_r = F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+    return dup_r, dupc_r
+
+
+def _top_ngram_cover(toks: Column, n: int) -> Column:
+    """Characters covered by the heaviest REPEATED word n-gram — max over
+    grams occurring ≥2 times of count·char_length (tokens only,
+    separators excluded). A gram seen once is not repetition: without
+    the count≥2 floor every short document trips the threshold because
+    any single n-gram is a large share of a tiny token stream.
+
+    ONE sorted pass: sort the gram array, fold with state
+    (prev, run_length, best) — O(g log g) per doc, no per-gram nested
+    scan, so a 100k-token doc costs a sort + linear fold, not g²."""
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    init = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        cover = F.when(run >= 2, run * (F.length(x).cast("long")
+                                        - (n - 1))  # minus spaces
+                       ).otherwise(F.lit(0).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], cover).alias("best"))
+
+    return F.aggregate(F.array_sort(grams), init, step,
+                       lambda acc: acc["best"])
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, dup_line_r, dup_line_char_r, dup_para_r,
+    dup_para_char_r, top2_r, top3_r, top4_r): the Gopher repetition-
+    removal statistics (Rae et al. 2021 Table A1) as floor(r·1e6+0.5)
+    integers.
+
+    Lines split on '\\n', paragraphs on blank lines ('\\n{2,}'), both
+    trimmed with empties dropped; n-grams over the canonical tokenizer.
+    Everything is doc-local higher-order expressions in ONE projection —
+    zero shuffle, scan-speed at 100 TB like the rest of this module."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.transform(F.split(txt, "\n"), lambda x: F.trim(x)),
+                     lambda x: x != "")
+    paras = F.filter(F.transform(F.split(txt, "\n{2,}"),
+                                 lambda x: F.trim(x)),
+                     lambda x: x != "")
+    toks = _tokens(text_col)
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda a, t: a + F.length(t))
+    line_dup, line_dupc = _dup_unit_stats(lines)
+    para_dup, para_dupc = _dup_unit_stats(paras)
+
+    def top_r(n: int) -> Column:
+        return (F.when(tok_chars > 0, _top_ngram_cover(toks, n) / tok_chars)
+                .otherwise(F.lit(0.0)))
+
+    def r(c: Column) -> Column:
+        return F.floor(c * 1e6 + 0.5).cast("long")
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        r(line_dup).alias("dup_line_r"),
+        r(line_dupc).alias("dup_line_char_r"),
+        r(para_dup).alias("dup_para_r"),
+        r(para_dupc).alias("dup_para_char_r"),
+        r(top_r(2)).alias("top2_r"),
+        r(top_r(3)).alias("top3_r"),
+        r(top_r(4)).alias("top4_r"))
+
+
+def repetition_filter(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """→ repetition_features columns + (keep, reasons): the Gopher
+    repetition-removal verdict, same contract as `quality_filter`
+    (reasons = ','-joined fixed-order violated rules, '' when kept).
+    Composes with quality_filter in a curation pass; still one
+    zero-shuffle codegen projection."""
+    feats = repetition_features(docs, text_col, id_col)
+    rules = [
+        ("dup_lines", F.col("dup_line_r") > REP_MAX_DUP_LINE_R),
+        ("dup_line_chars",
+         F.col("dup_line_char_r") > REP_MAX_DUP_LINE_CHAR_R),
+        ("dup_paras", F.col("dup_para_r") > REP_MAX_DUP_PARA_R),
+        ("dup_para_chars",
+         F.col("dup_para_char_r") > REP_MAX_DUP_PARA_CHAR_R),
+        ("top2_heavy", F.col("top2_r") > REP_MAX_TOP2_R),
+        ("top3_heavy", F.col("top3_r") > REP_MAX_TOP3_R),
+        ("top4_heavy", F.col("top4_r") > REP_MAX_TOP4_R),
+    ]
+    reasons = F.concat_ws(",", *[
+        F.when(cond, F.lit(name)) for name, cond in rules])
+    return feats.select(
+        "doc_id", "dup_line_r", "dup_line_char_r", "dup_para_r",
+        "dup_para_char_r", "top2_r", "top3_r", "top4_r",
+        F.when(reasons == "", 1).otherwise(0).cast("long").alias("keep"),
+        reasons.alias("reasons"))
+
+
 def corpus_composition(docs: DataFrame, by: tuple[str, ...] = ("lang", "source"),
                        text_col: str = "text") -> DataFrame:
     """→ per-group corpus report: (by..., n_docs, n_chars_sum,

@@ -62,6 +62,50 @@ def test_quality_filter_verdicts(docs):
     assert got[5].keep == 0 and "digit_heavy" in got[5].reasons
 
 
+REP_LINES_DOC = "dup line\n" * 8 + "tail one\ntail two"
+REP_PARA_DOC = "same para text\n\n" * 3 + "unique closing paragraph"
+FRESH_DOC = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo")
+
+
+def test_repetition_verdicts(spark):
+    d = spark.createDataFrame(
+        [(0, REP_LINES_DOC), (1, REP_PARA_DOC), (2, FRESH_DOC),
+         (3, None), (4, "word")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in ts.repetition_filter(d).collect()}
+    # 0: "dup line" ×8 + two tail lines → 10 lines, 3 distinct;
+    #    dup fraction 7/10, dup chars 7·8 of 80
+    assert got[0].dup_line_r == 700_000
+    assert got[0].dup_line_char_r == 700_000
+    assert got[0].keep == 0
+    for reason in ("dup_lines", "dup_line_chars", "top2_heavy"):
+        assert reason in got[0].reasons
+    assert got[0].dup_para_r == 0          # no blank lines → 1 paragraph
+    # 1: 3× the same paragraph + 1 unique → dup fraction 2/4,
+    #    dup chars 2·14 of 3·14+24=66
+    assert got[1].dup_para_r == 500_000
+    assert got[1].dup_para_char_r == \
+        int(2 * 14 / 66 * 1e6 + 0.5)
+    assert got[1].keep == 0 and "dup_paras" in got[1].reasons
+    # 2: all-distinct tokens → every gram count 1, nothing repeats
+    assert got[2].keep == 1 and got[2].reasons == ""
+    assert got[2].dup_line_r == 0 and got[2].top2_r < 200_000
+    # 3/4: NULL and single-token docs are all-zero keeps
+    for i in (3, 4):
+        assert got[i].keep == 1 and got[i].reasons == ""
+        assert got[i].top2_r == 0 and got[i].dup_line_char_r == 0
+
+
+def test_repetition_top_ngram_fold(spark):
+    """The sorted one-pass fold finds the heaviest gram exactly:
+    'a b a b a b a b a b c d' → 'a b' ×5 covers 10 of 12 token chars."""
+    d = spark.createDataFrame([(0, "a b a b a b a b a b c d")],
+                              "doc_id long, text string")
+    row = ts.repetition_features(d).collect()[0]
+    assert row.top2_r == int(10 / 12 * 1e6 + 0.5)
+
+
 def test_corpus_composition_rollup(docs):
     got = {(r.lang, r.source): r
            for r in ts.corpus_composition(docs).collect()}
@@ -205,6 +249,7 @@ def test_entry_oracle_parity(spark, docs, corpus_rows):
     cases = {
         "license_scan": lambda: cs.license_scan(sdf),
         "quality_filter": lambda: ts.quality_filter(sdf),
+        "text_repetition": lambda: ts.repetition_filter(sdf),
         "corpus_composition": lambda: ts.corpus_composition(sdf),
         "decontam_scan": lambda: cur.decontaminate(
             sdf, sdf.where(F.col("doc_id") % eq.BENCH_MOD == 0)),
@@ -226,7 +271,8 @@ def test_entry_oracle_parity(spark, docs, corpus_rows):
 
 
 def test_plan_shapes(docs):
-    for df in (cs.license_scan(docs), ts.quality_filter(docs)):
+    for df in (cs.license_scan(docs), ts.quality_filter(docs),
+               ts.repetition_filter(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure projection, zero shuffle
     comp_plan = ts.corpus_composition(docs)._jdf.queryExecution() \
