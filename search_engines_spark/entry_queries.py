@@ -919,9 +919,9 @@ def q_sample_temperature(spark, sf_dir):
 
 
 def q_curation_funnel(spark, sf_dir):
-    """End-to-end corpus-assembly funnel (quality → license → exact
-    dedup → decontam → temperature sample): the per-stage survivor
-    report of `curation.curate_corpus`."""
+    """End-to-end corpus-assembly funnel (quality → repetition →
+    license → exact dedup → decontam → temperature sample): the
+    per-stage survivor report of `curation.curate_corpus`."""
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
     _, funnel = cur.curate_corpus(docs, bench)
@@ -2165,13 +2165,16 @@ def _sql_fingerprints() -> str:
 FROM documents"""
 
 
-def _sql_repetition() -> str:
-    """Replays `textstats.repetition_filter`. The Spark side finds the
+def _repetition_ctes(p: str = "") -> str:
+    """Replays `textstats.repetition_filter` as a CTE chain ending in
+    `{p}v(doc_id, <ratio columns>, reasons)`. The Spark side finds the
     heaviest n-gram with a sorted one-pass fold; DuckDB gets the same
     max(count · char_length) by unnest + GROUP BY — clearer as an
     oracle, identical by construction. Division pairs are BIGINT/BIGINT
     → double on both engines, so the floor(r·1e6+0.5) integers match
-    exactly."""
+    exactly. `p` prefixes every CTE name so the chain composes into
+    other WITH chains without collisions (_sql_curation_funnel appends
+    it after the quality chain, whose names overlap)."""
     def gram(n: int) -> str:
         return (f"list_transform(generate_series(1, "
                 f"greatest(len(toks) - {n - 1}, 0)), "
@@ -2203,7 +2206,7 @@ def _sql_repetition() -> str:
     reason_arms = ",\n    ".join(
         f"CASE WHEN {col} > {thr} THEN '{name}' END"
         for col, thr, name in rules)
-    return f"""WITH t AS (
+    return f"""{p}t AS (
   SELECT doc_id::BIGINT AS doc_id,
          list_filter(list_transform(string_split(coalesce(text, ''),
              chr(10)), x -> trim(x)), x -> x <> '') AS lines,
@@ -2213,23 +2216,24 @@ def _sql_repetition() -> str:
          list_filter(regexp_split_to_array(lower(coalesce(text, '')),
              '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM documents),
-base AS (
+{p}base AS (
   SELECT doc_id, toks,
          coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
            AS tok_chars,
          {dup_cols('lines', 'l')},
          {dup_cols('paras', 'p')}
-  FROM t),
-gu AS (SELECT doc_id, 2 AS n, unnest({gram(2)}) AS gm FROM t
-       UNION ALL SELECT doc_id, 3, unnest({gram(3)}) FROM t
-       UNION ALL SELECT doc_id, 4, unnest({gram(4)}) FROM t),
-gc AS (SELECT doc_id, n, gm, count(*) AS cnt FROM gu GROUP BY doc_id, n, gm),
-tops AS (SELECT doc_id,
+  FROM {p}t),
+{p}gu AS (SELECT doc_id, 2 AS n, unnest({gram(2)}) AS gm FROM {p}t
+       UNION ALL SELECT doc_id, 3, unnest({gram(3)}) FROM {p}t
+       UNION ALL SELECT doc_id, 4, unnest({gram(4)}) FROM {p}t),
+{p}gc AS (SELECT doc_id, n, gm, count(*) AS cnt FROM {p}gu
+          GROUP BY doc_id, n, gm),
+{p}tops AS (SELECT doc_id,
     max(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * (length(gm) - 1) END) AS b2,
     max(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * (length(gm) - 2) END) AS b3,
     max(CASE WHEN n = 4 AND cnt >= 2 THEN cnt * (length(gm) - 3) END) AS b4
-  FROM gc GROUP BY doc_id),
-r AS (SELECT b.doc_id,
+  FROM {p}gc GROUP BY doc_id),
+{p}r AS (SELECT b.doc_id,
     {ratio('(nl - nld)', 'nl', 'dup_line_r')},
     {ratio('ldup', 'lch', 'dup_line_char_r')},
     {ratio('(np - npd)', 'np', 'dup_para_r')},
@@ -2237,9 +2241,13 @@ r AS (SELECT b.doc_id,
     {ratio('coalesce(b2, 0)', 'tok_chars', 'top2_r')},
     {ratio('coalesce(b3, 0)', 'tok_chars', 'top3_r')},
     {ratio('coalesce(b4, 0)', 'tok_chars', 'top4_r')}
-  FROM base b LEFT JOIN tops USING (doc_id)),
-v AS (SELECT *, concat_ws(',',
-    {reason_arms}) AS reasons FROM r)
+  FROM {p}base b LEFT JOIN {p}tops USING (doc_id)),
+{p}v AS (SELECT *, concat_ws(',',
+    {reason_arms}) AS reasons FROM {p}r)"""
+
+
+def _sql_repetition() -> str:
+    return f"""WITH {_repetition_ctes()}
 SELECT doc_id, dup_line_r, dup_line_char_r, dup_para_r, dup_para_char_r,
        top2_r, top3_r, top4_r,
        (CASE WHEN reasons = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
@@ -2421,22 +2429,26 @@ LEFT JOIN hit h USING (doc_id)"""
 
 def _sql_curation_funnel() -> str:
     """Replays `curation.curate_corpus` stage by stage: Gopher quality
-    verdict → license allowlist → exact dedup (min doc_id per text) →
-    decontamination vs the doc_id % BENCH_MOD bench split → alpha=0.5
-    temperature sampling on the SURVIVORS' (lang, source) group sizes —
-    emitting the per-stage survivor counts."""
+    verdict → Gopher repetition removal → license allowlist → exact
+    dedup (min doc_id per text) → decontamination vs the doc_id %
+    BENCH_MOD bench split → alpha=0.5 temperature sampling on the
+    SURVIVORS' (lang, source) group sizes — emitting the per-stage
+    survivor counts."""
     allow = ", ".join(f"'{lic}'" for lic in cur.ALLOW_LICENSES)
     rate = "floor(1e6 / sqrt(n_group::DOUBLE / n_min::DOUBLE) + 0.5)::BIGINT"
     spdx = f"lower(regexp_extract(text, '{cst.SPDX_RE}', 1))"
     return f"""{PRELUDE},
 {_quality_verdict_ctes()},
 s1 AS (SELECT doc_id FROM v WHERE reasons = ''),
+{_repetition_ctes('rp')},
+s1r AS (SELECT s1.doc_id FROM s1 JOIN rpv USING (doc_id)
+        WHERE rpv.reasons = ''),
 lic AS (SELECT doc_id::BIGINT AS doc_id,
                CASE WHEN {spdx} <> '' THEN {spdx}
             {_license_arms()}
             ELSE 'none' END AS license
         FROM documents),
-s2 AS (SELECT s1.doc_id FROM s1 JOIN lic USING (doc_id)
+s2 AS (SELECT s1r.doc_id FROM s1r JOIN lic USING (doc_id)
        WHERE license IN ({allow})),
 s3 AS (SELECT doc_id FROM (
          SELECT d.doc_id::BIGINT AS doc_id,
@@ -2459,10 +2471,11 @@ s5 AS (SELECT doc_id FROM grp, m
                1, 8))::UBIGINT::BIGINT % 1000000) < {rate})
 SELECT '00_input' AS stage, count(*)::BIGINT AS n_docs FROM documents
 UNION ALL SELECT '01_quality', count(*)::BIGINT FROM s1
-UNION ALL SELECT '02_license', count(*)::BIGINT FROM s2
-UNION ALL SELECT '03_exact_dedup', count(*)::BIGINT FROM s3
-UNION ALL SELECT '04_decontam', count(*)::BIGINT FROM s4
-UNION ALL SELECT '05_sample', count(*)::BIGINT FROM s5"""
+UNION ALL SELECT '02_repetition', count(*)::BIGINT FROM s1r
+UNION ALL SELECT '03_license', count(*)::BIGINT FROM s2
+UNION ALL SELECT '04_exact_dedup', count(*)::BIGINT FROM s3
+UNION ALL SELECT '05_decontam', count(*)::BIGINT FROM s4
+UNION ALL SELECT '06_sample', count(*)::BIGINT FROM s5"""
 
 
 def _sql_sample_temperature() -> str:

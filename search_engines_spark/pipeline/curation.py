@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .codestats import license_scan
 from .dedup import token_hash32
-from .textstats import _tokens, quality_filter
+from .textstats import _tokens, quality_filter, repetition_filter
 
 DECONTAM_K = 5       # n-gram window (tokens) for overlap detection
 DECONTAM_MIN_HITS = 1  # distinct shared n-grams that flag a doc
@@ -173,9 +173,9 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   by: tuple[str, ...] = ("lang", "source"),
                   text_col: str = "text",
                   id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
-    """The end-to-end corpus-assembly funnel — quality filter → license
-    allowlist → exact dedup → benchmark decontamination → temperature
-    sampling — returning `(kept, funnel)`:
+    """The end-to-end corpus-assembly funnel — quality filter → Gopher
+    repetition removal → license allowlist → exact dedup → benchmark
+    decontamination → temperature sampling — returning `(kept, funnel)`:
 
     * `kept`: the surviving rows of `docs` (original columns);
     * `funnel`: (stage, n_docs) — the per-stage survivor counts a
@@ -183,12 +183,13 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
       order, so the report sorts correctly as text).
 
     Composition order is the cheap-first / shuffle-last discipline:
-    the two zero-shuffle projections (quality, license) run first and
-    shrink the corpus before anything that exchanges data; exact dedup
-    (one sha-keyed window over duplicate-sized groups), decontamination
-    (broadcast bench probe), and sampling (group-key window) then touch
-    only survivors. Every stage is deterministic, so re-runs keep
-    identical rows — the resumability contract of the north rule.
+    the three zero-shuffle projections (quality, repetition, license)
+    run first and shrink the corpus before anything that exchanges
+    data; exact dedup (one sha-keyed window over duplicate-sized
+    groups), decontamination (broadcast bench probe), and sampling
+    (group-key window) then touch only survivors. Every stage is
+    deterministic, so re-runs keep identical rows — the resumability
+    contract of the north rule.
 
     PRECONDITION: `id_col` uniquely identifies each row (the repo-wide
     identity contract, same as the export sink and the segment store).
@@ -202,10 +203,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     q = quality_filter(d0).where(F.col("keep") == 1).select("doc_id")
     s1 = d0.join(q, "doc_id")
 
-    lic = (license_scan(s1)
+    rep = (repetition_filter(s1)
+           .where(F.col("keep") == 1).select("doc_id"))
+    s1r = s1.join(rep, "doc_id")
+
+    lic = (license_scan(s1r)
            .where(F.col("license").isin(*allow_licenses))
            .select("doc_id"))
-    s2 = s1.join(lic, "doc_id")
+    s2 = s1r.join(lic, "doc_id")
 
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     # persist the first shuffle product: decontamination, sampling, and
@@ -238,9 +243,10 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   "left_semi")
             .drop("__join_id"))
 
-    stages = [("00_input", d0), ("01_quality", s1), ("02_license", s2),
-              ("03_exact_dedup", s3), ("04_decontam", s4),
-              ("05_sample", kept)]
+    stages = [("00_input", d0), ("01_quality", s1),
+              ("02_repetition", s1r), ("03_license", s2),
+              ("04_exact_dedup", s3), ("05_decontam", s4),
+              ("06_sample", kept)]
     funnel = reduce(DataFrame.unionByName, [
         df.agg(F.count("*").cast("long").alias("n_docs"))
           .select(F.lit(name).alias("stage"), "n_docs")

@@ -181,25 +181,44 @@ SURVIVOR = ("gardens need rainfall and patient tending through the long "
             "growing season while bees carry pollen between rows of "
             "vegetables and the gardener keeps careful notes about which "
             "seeds sprouted earliest this year")
+# passes the quality gate (66 tokens, stopwords present) but is
+# dominated by one repeated line -> the repetition stage's catch
+REPEAT_FULL = "\n".join(
+    ["the nightly build broke with the same linker error once more"] * 4
+    + ["a first unique closing line mentions the fix that finally landed",
+       "a second unique line thanks the reviewer for patience and care"])
+# GPL phrase + natural non-repetitive filler: survives quality AND
+# repetition so the drop is attributable to the license stage alone
+GPL_FULL = ("This program is free software under the GNU General Public "
+            "License as published by the Free Software Foundation and "
+            "the body then wanders into a calm description of parsing "
+            "tricks buffer pools and cache friendly layouts over many "
+            "distinct words so no phrase ever repeats")
+# the exact-dedup pair: natural text, no repeated word pair anywhere
+DUP_FULL = ("morning light crosses the valley while farmers mend fences "
+            "and children walk to school past orchards heavy with fruit "
+            "as the river turns silver under a pale sky and distant "
+            "bells mark the slow hours of an unhurried village day")
 
 
 def test_curate_corpus_funnel(spark):
-    rows = [(0, BENCH_FULL), (1, "too tiny"), (2, GPL_DOC),
-            (3, PLAIN_DOC), (4, PLAIN_DOC), (5, LEAK_FULL),
-            (6, SURVIVOR)]
+    rows = [(0, BENCH_FULL), (1, "too tiny"), (2, REPEAT_FULL),
+            (3, GPL_FULL), (4, DUP_FULL), (5, DUP_FULL),
+            (6, LEAK_FULL), (7, SURVIVOR)]
     docs = spark.createDataFrame(
         [(i, t, "en", "src") for i, t in rows],
         "doc_id long, text string, lang string, source string")
     bench = docs.where(F.col("doc_id") == 0)
     kept, funnel = cur.curate_corpus(docs, bench)
     f = {r.stage: r.n_docs for r in funnel.collect()}
-    assert f == {"00_input": 7,
-                 "01_quality": 6,      # doc 1 too short
-                 "02_license": 5,      # doc 2 is GPL
-                 "03_exact_dedup": 4,  # doc 4 duplicates doc 3
-                 "04_decontam": 2,     # docs 0 and 5 share a 5-gram
-                 "05_sample": 2}       # one group -> rate 1e6, all kept
-    assert {r.doc_id for r in kept.collect()} == {3, 6}
+    assert f == {"00_input": 8,
+                 "01_quality": 7,      # doc 1 too short
+                 "02_repetition": 6,   # doc 2 is one line 4x over
+                 "03_license": 5,      # doc 3 is GPL
+                 "04_exact_dedup": 4,  # doc 5 duplicates doc 4
+                 "05_decontam": 2,     # docs 0 and 6 share a 5-gram
+                 "06_sample": 2}       # one group -> rate 1e6, all kept
+    assert {r.doc_id for r in kept.collect()} == {4, 7}
     assert set(kept.columns) == set(docs.columns)  # original shape
 
 
