@@ -223,6 +223,12 @@ def main() -> None:
     dd.simhash(docs).count()
     queries["dedup_simhash"] = round(time.time() - t0, 3)
 
+    # span-level exact substring dedup (Lee et al. 2021): gram-count
+    # agg + semi-join + gaps-and-islands merge in one plan
+    t0 = time.time()
+    dd.duplicate_spans(docs).count()
+    queries["dedup_substring_spans"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     qvec = [float(x) for x in emb.where("vec_id = 0")
             .select("embedding").collect()[0]["embedding"]]

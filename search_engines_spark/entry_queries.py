@@ -711,6 +711,14 @@ def q_dedup_ngram(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. 2021): maximal token
+    spans covered by word-{dd.DEDUP_SPAN_K}-grams occurring >= 2 times
+    corpus-wide. Oracle: same gram explode + HAVING count + gaps-and-
+    islands window merge in plain SQL."""
+    return dd.duplicate_spans(_docs(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     # brute = the exact all-pairs baseline the SQL oracle mirrors 1:1
     return dd.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
@@ -1934,6 +1942,39 @@ WHERE floor(inter / (sa.sz + sb.sz - inter) * 1e6 + 0.5)
       >= {int(threshold * 1e6)}"""
 
 
+def _sql_dedup_spans() -> str:
+    """Replays `dedup.duplicate_spans`: positional word-k-gram explode,
+    corpus-wide HAVING-count duplicate grams, semi-join mark, then the
+    gaps-and-islands window merge (running max of pos+k; a gap starts a
+    new span). Pure integer output — oracle-exact by construction."""
+    k, mc = dd.DEDUP_SPAN_K, dd.DEDUP_SPAN_MIN_COUNT
+    return f"""WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+             '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0)))
+             AS u(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= {mc}),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+s AS (SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM m),
+sp AS (SELECT doc_id, pos,
+              sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS span_id
+       FROM s)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {k})::BIGINT AS span_end,
+       (max(pos) + {k} - min(pos))::BIGINT AS span_tokens
+FROM sp GROUP BY doc_id, span_id"""
+
+
 EMB_PRELUDE = """WITH v AS (
   SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
 nv AS (SELECT vid, vec,
@@ -2862,7 +2903,7 @@ REGISTRY: dict[str, tuple] = {
     "letor_features_18slot": (q_letor_18slot, _sql_letor_18slot()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
-    "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+    "dedup_substring_spans": (q_dedup_spans, _sql_dedup_spans()),
     "dedup_cc_clusters": (q_dedup_cc, _sql_dedup_cc()),
     "code_token_stats": (q_code_tokens, _sql_code_tokens()),
     "code_winnow_fps": (q_winnow_fps, _sql_winnow_fps()),
@@ -2883,6 +2924,11 @@ REGISTRY: dict[str, tuple] = {
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+    # simhash is one groupBy of conditional sums over the same
+    # token_hash kernels as in-window dedup_minhash_lsh (same shingle
+    # tokenization + md5 hash family) + pytest (test_capabilities);
+    # rotated late-r3 to admit dedup_substring_spans
     "text_fingerprints": (q_fingerprints, _sql_fingerprints()),
     # fp_exact (sha256) gated by in-window dedup_exact + export_shards'
     # lineage manifest; fp_norm's canonical-token stream hash by

@@ -28,7 +28,7 @@ from __future__ import annotations
 import random
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..analysis import SPARK_TOKENS_EXPR
 
@@ -428,6 +428,108 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
             .withColumn("keep",
                         (F.col("doc_id") == F.col("component"))
                         .cast("int")))
+
+
+# ----------------------------------------------- exact substring spans --
+
+DEDUP_SPAN_K = 8          # token window that seeds a duplicated span
+DEDUP_SPAN_MIN_COUNT = 2  # corpus-wide occurrences that mark it duplicated
+
+
+def duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
+                    min_count: int = DEDUP_SPAN_MIN_COUNT,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, span_start, span_end, span_tokens): maximal token
+    spans covered by word-k-grams that occur >= min_count times
+    CORPUS-WIDE (total occurrences — same-doc repeats count), i.e.
+    span-level exact substring deduplication in the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") sense:
+    whole-doc dedup misses the boilerplate header pasted into a million
+    otherwise-distinct files; this marks the pasted SPAN. `span_start`
+    is a 0-based token index, `span_end` exclusive; overlapping and
+    touching windows merge into one maximal span.
+
+    Plan shape — three narrow exchanges, all on skew-safe keys:
+    positions are doc-local (one posexplode projection, no shuffle);
+    corpus gram counts are ONE groupBy(gram) with map-side partial
+    aggregation; the semi-join back marks duplicated positions; the
+    merge is a doc_id-keyed gaps-and-islands window (running max of
+    pos+k, new span on gap) + one (doc_id, span) aggregation. At
+    100 TB key the count exchange by xxhash64(gram) and carry only the
+    8-byte hash (a 64-bit collision falsely marks one k-token window —
+    negligible); the gram STRING is the key here because the DuckDB
+    oracle must replay the semantics engine-identically without
+    assuming the two engines share a hash implementation. Boilerplate
+    grams are hot but the aggregation is a count (partial agg absorbs
+    them); AQE splits any residual skew in the semi-join probe."""
+    g = (f"case when size(_toks) >= {k} then "
+         f"transform(sequence(1, size(_toks)-{k - 1}), "
+         f"i -> concat_ws(' ', slice(_toks, i, {k}))) "
+         f"else array() end")
+    pos_grams = (docs
+                 .select(F.col(id_col).cast("long").alias("doc_id"),
+                         tokens_expr(text_col).alias("_toks"))
+                 .select("doc_id",
+                         F.posexplode(F.expr(g)).alias("pos", "gram")))
+    dup = (pos_grams.groupBy("gram")
+           .agg(F.count("*").alias("_n"))
+           .where(F.col("_n") >= min_count).select("gram"))
+    marked = (pos_grams.join(dup, "gram", "left_semi")
+              .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_start = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)),
+                      F.lit(1)).otherwise(F.lit(0))
+    return (marked.withColumn("_st", is_start)
+            .withColumn("_sid", F.sum("_st").over(w))
+            .groupBy("doc_id", "_sid")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + k).cast("long").alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens")))
+
+
+def strip_duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
+                          min_count: int = DEDUP_SPAN_MIN_COUNT,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, clean_text, n_tokens, removed_tokens): the corpus with
+    `duplicate_spans` cut out — surviving tokens rejoined with single
+    spaces (token-level normalization: original separators inside and
+    around cut spans are not reconstructed). Every input doc appears;
+    docs with no spans pass through with removed_tokens = 0.
+
+    Doc-local after the spans join: per-doc span lists are tiny
+    (collect_list over an already doc-keyed frame), and the cut itself
+    is one higher-order filter + array_join projection."""
+    spans = duplicate_spans(docs, k, min_count, text_col, id_col)
+    by_doc = (spans.groupBy("doc_id")
+              .agg(F.collect_list(
+                  F.struct("span_start", "span_end")).alias("_spans")))
+    toks = tokens_expr(text_col)
+    covered = lambda t, i: F.exists(  # noqa: E731 — two-arg filter lambda
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]))
+    return (docs
+            .select(F.col(id_col).cast("long").alias("doc_id"),
+                    toks.alias("_toks"))
+            .join(by_doc, "doc_id", "left")
+            .withColumn("_spans", F.coalesce(
+                "_spans", F.array().cast(
+                    "array<struct<span_start:long,span_end:long>>")))
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.filter("_toks", lambda t, i: ~covered(t, i)),
+                    " ").alias("clean_text"),
+                F.size("_toks").cast("long").alias("n_tokens"),
+                F.aggregate(
+                    "_spans", F.lit(0).cast("long"),
+                    lambda a, s: a + s["span_end"] - s["span_start"])
+                .alias("removed_tokens")))
 
 
 def embedding_dedup_clusters(emb: DataFrame, threshold: float = 0.9,

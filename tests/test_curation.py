@@ -222,6 +222,21 @@ def test_curate_corpus_funnel(spark):
     assert set(kept.columns) == set(docs.columns)  # original shape
 
 
+def test_curate_corpus_without_bench(spark):
+    """bench=None: the decontam stage is a reported no-op (same count
+    as dedup) and the leak/bench docs survive to the sample stage."""
+    rows = [(0, BENCH_FULL), (1, "too tiny"), (2, REPEAT_FULL),
+            (3, GPL_FULL), (4, DUP_FULL), (5, DUP_FULL),
+            (6, LEAK_FULL), (7, SURVIVOR)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src") for i, t in rows],
+        "doc_id long, text string, lang string, source string")
+    kept, funnel = cur.curate_corpus(docs)
+    f = {r.stage: r.n_docs for r in funnel.collect()}
+    assert f["05_decontam"] == f["04_exact_dedup"] == 4
+    assert {r.doc_id for r in kept.collect()} == {0, 4, 6, 7}
+
+
 def test_decontaminate_matches_bruteforce(spark):
     """Property check: on a seeded random corpus, the operator's
     per-doc (n_grams, n_hits, contaminated) equals a plain-Python

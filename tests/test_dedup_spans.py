@@ -1,0 +1,128 @@
+"""Span-level exact substring dedup (`dedup.duplicate_spans` /
+`strip_duplicate_spans`) — Lee et al. 2021-style: mark maximal token
+spans covered by word-k-grams occurring >= min_count times corpus-wide.
+
+Same two-way pinning as the other pipeline tests: hand-computable
+planted cases, a plain-Python brute-force property check, and a DuckDB
+replay of the entry oracle SQL itself.
+"""
+
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+import search_engines_spark.entry_queries as eq
+from search_engines_spark.pipeline import dedup as dd
+
+ROWS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "prefix words alpha beta gamma delta epsilon zeta tail"),
+    (2, "loop one two three four loop one two three four end"),
+    (3, "all unique tokens here nothing shared at any place"),
+    (4, "tiny doc"),
+]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_planted(spark):
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in dd.duplicate_spans(_df(spark), k=4).collect()}
+    assert got == {
+        # docs 0/1 share the 6-token run alpha..zeta -> k=4 windows at
+        # positions 0..2 (doc0) / 2..4 (doc1), merged to one span each
+        (0, 0, 6, 6),
+        (1, 2, 8, 6),
+        # doc2 repeats a 5-token phrase INSIDE one doc; the two window
+        # runs touch (prev span ends at 5, next starts at 5) and merge
+        (2, 0, 10, 10),
+        # docs 3 (all-unique) and 4 (< k tokens) produce nothing
+    }
+
+
+def test_strip_duplicate_spans_planted(spark):
+    got = {r.doc_id: r for r in
+           dd.strip_duplicate_spans(_df(spark), k=4).collect()}
+    assert len(got) == 5                     # every doc gets a verdict
+    assert got[0].clean_text == "eta theta"
+    assert (got[0].n_tokens, got[0].removed_tokens) == (8, 6)
+    assert got[1].clean_text == "prefix words tail"
+    assert got[2].clean_text == "end"
+    assert got[2].removed_tokens == 10
+    # untouched docs pass through (token-normalized) with 0 removed
+    assert got[3].clean_text == ROWS[3][1]
+    assert got[3].removed_tokens == 0
+    assert got[4].clean_text == "tiny doc"
+
+
+def test_spans_match_bruteforce(spark):
+    """Property check on a seeded random corpus: the operator's spans
+    equal a plain-Python recomputation (gram counting + interval
+    merge), independent of the DataFrame formulation."""
+    import random
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 30))))
+            for i in range(50)]
+    k = 3
+
+    counts: dict[str, int] = {}
+    toks = {i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for i, t in rows}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            g = " ".join(ts[p:p + k])
+            counts[g] = counts.get(g, 0) + 1
+    want = set()
+    for i, ts in toks.items():
+        marked = [p for p in range(len(ts) - k + 1)
+                  if counts[" ".join(ts[p:p + k])] >= 2]
+        spans, cur = [], None
+        for p in marked:
+            if cur is not None and p <= cur[1]:
+                cur[1] = max(cur[1], p + k)
+            else:
+                if cur:
+                    spans.append(tuple(cur))
+                cur = [p, p + k]
+        if cur:
+            spans.append(tuple(cur))
+        want |= {(i, s, e, e - s) for s, e in spans}
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in dd.duplicate_spans(docs, k=k).collect()}
+    assert got == want
+
+
+def test_spans_entry_oracle_parity(spark):
+    """Driver compare in miniature: the Spark operator at the module
+    defaults vs the entry's DuckDB oracle SQL on the same rows."""
+    long_shared = " ".join(f"body{i}" for i in range(12))
+    rows = ROWS + [(5, f"front matter {long_shared} and then more"),
+                   (6, f"{long_shared} verbatim paste elsewhere")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in dd.duplicate_spans(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = set(map(tuple,
+                   con.execute(eq.oracle_sql()["dedup_substring_spans"])
+                   .fetchall()))
+    assert got == want
+    assert got                               # the 12-token paste marks
+
+
+def test_spans_plan_no_cartesian(spark):
+    """The plan is explode -> one gram-keyed agg -> semi-join ->
+    doc-keyed window: no cartesian product, no per-row Python."""
+    plan = dd.duplicate_spans(_df(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
