@@ -719,6 +719,14 @@ def q_dedup_spans(spark, sf_dir):
     return dd.duplicate_spans(_docs(spark, sf_dir))
 
 
+def q_strip_spans(spark, sf_dir):
+    """The transformation side of span dedup: every doc with duplicated
+    spans cut out (clean_text, n_tokens, removed_tokens). Oracle: the
+    same span CTE chain + an interval anti-join on token positions +
+    ordered string_agg."""
+    return dd.strip_duplicate_spans(_docs(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     # brute = the exact all-pairs baseline the SQL oracle mirrors 1:1
     return dd.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
@@ -1942,11 +1950,14 @@ WHERE floor(inter / (sa.sz + sb.sz - inter) * 1e6 + 0.5)
       >= {int(threshold * 1e6)}"""
 
 
-def _sql_dedup_spans() -> str:
-    """Replays `dedup.duplicate_spans`: positional word-k-gram explode,
-    corpus-wide HAVING-count duplicate grams, semi-join mark, then the
-    gaps-and-islands window merge (running max of pos+k; a gap starts a
-    new span). Pure integer output — oracle-exact by construction."""
+def _span_ctes() -> str:
+    """The shared CTE chain both span oracles replay: positional
+    word-k-gram explode, corpus-wide HAVING-count duplicate grams,
+    semi-join mark, gaps-and-islands window merge (running max of
+    pos+k; a gap starts a new span), ending in `spans` =
+    (doc_id, span_start, span_end) maximal disjoint intervals. One
+    definition so `dedup_substring_spans` and `dedup_strip_spans`
+    cannot drift."""
     k, mc = dd.DEDUP_SPAN_K, dd.DEDUP_SPAN_MIN_COUNT
     return f"""WITH t AS (
   SELECT doc_id::BIGINT AS doc_id,
@@ -1968,11 +1979,47 @@ s AS (SELECT doc_id, pos,
 sp AS (SELECT doc_id, pos,
               sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos)
                 AS span_id
-       FROM s)
-SELECT doc_id, min(pos)::BIGINT AS span_start,
-       (max(pos) + {k})::BIGINT AS span_end,
-       (max(pos) + {k} - min(pos))::BIGINT AS span_tokens
-FROM sp GROUP BY doc_id, span_id"""
+       FROM s),
+spans AS (SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + {k} AS span_end
+          FROM sp GROUP BY doc_id, span_id)"""
+
+
+def _sql_dedup_spans() -> str:
+    """Replays `dedup.duplicate_spans` via the shared span CTE chain.
+    Pure integer output — oracle-exact by construction."""
+    return f"""{_span_ctes()}
+SELECT doc_id, span_start::BIGINT AS span_start,
+       span_end::BIGINT AS span_end,
+       (span_end - span_start)::BIGINT AS span_tokens
+FROM spans"""
+
+
+def _sql_strip_spans() -> str:
+    """Replays `dedup.strip_duplicate_spans`: every doc, surviving
+    tokens (those outside any duplicated span — spans are disjoint by
+    construction, so the interval left-join matches at most once)
+    rejoined with single spaces. String + integer output; clean_text is
+    a deterministic function of the token stream in both engines."""
+    return f"""{_span_ctes()},
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+keep AS (SELECT tok.doc_id, tok.pos, tok.tok
+         FROM tok LEFT JOIN spans
+           ON tok.doc_id = spans.doc_id
+          AND tok.pos >= spans.span_start AND tok.pos < spans.span_end
+         WHERE spans.doc_id IS NULL),
+clean AS (SELECT doc_id,
+                 string_agg(tok, ' ' ORDER BY pos) AS clean_text
+          FROM keep GROUP BY doc_id),
+removed AS (SELECT doc_id,
+                   sum(span_end - span_start) AS removed_tokens
+            FROM spans GROUP BY doc_id)
+SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+       len(t.toks)::BIGINT AS n_tokens,
+       coalesce(r.removed_tokens, 0)::BIGINT AS removed_tokens
+FROM t LEFT JOIN clean c USING (doc_id)
+       LEFT JOIN removed r USING (doc_id)"""
 
 
 EMB_PRELUDE = """WITH v AS (
@@ -2924,6 +2971,10 @@ REGISTRY: dict[str, tuple] = {
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "dedup_strip_spans": (q_strip_spans, _sql_strip_spans()),
+    # the strip transform shares duplicate_spans' entire marking plan
+    # (gated in-window by dedup_substring_spans); only the final
+    # interval-cut projection is new, and check_entry covers it
     "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
     # simhash is one groupBy of conditional sums over the same
     # token_hash kernels as in-window dedup_minhash_lsh (same shingle

@@ -119,6 +119,29 @@ def test_spans_entry_oracle_parity(spark):
     assert got                               # the 12-token paste marks
 
 
+def test_strip_entry_oracle_parity(spark):
+    """Same miniature driver compare for the strip transform: clean_text
+    is string-compared, so tokenization and span cutting must agree to
+    the character in both engines."""
+    long_shared = " ".join(f"body{i}" for i in range(12))
+    rows = ROWS + [(5, f"front matter {long_shared} and then more"),
+                   (6, f"{long_shared} verbatim paste elsewhere"),
+                   (7, None)]                 # NULL text passes through
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.clean_text, r.n_tokens, r.removed_tokens)
+           for r in dd.strip_duplicate_spans(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = set(map(tuple,
+                   con.execute(eq.oracle_sql()["dedup_strip_spans"])
+                   .fetchall()))
+    assert got == want
+    assert len(got) == len(rows)             # every doc gets a verdict
+    assert any(r[3] > 0 for r in got)        # the paste was cut
+
+
 def test_spans_plan_no_cartesian(spark):
     """The plan is explode -> one gram-keyed agg -> semi-join ->
     doc-keyed window: no cartesian product, no per-row Python."""
