@@ -41,7 +41,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .codestats import license_scan
-from .dedup import token_hash32
+from .dedup import strip_duplicate_spans, token_hash32
 from .textstats import _tokens, quality_filter, repetition_filter
 
 DECONTAM_K = 5       # n-gram window (tokens) for overlap detection
@@ -172,10 +172,12 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   allow_licenses: tuple[str, ...] = ALLOW_LICENSES,
                   by: tuple[str, ...] = ("lang", "source"),
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+                  id_col: str = "doc_id",
+                  strip_spans: bool = False) -> tuple[DataFrame, DataFrame]:
     """The end-to-end corpus-assembly funnel — quality filter → Gopher
-    repetition removal → license allowlist → exact dedup → benchmark
-    decontamination → temperature sampling — returning `(kept, funnel)`:
+    repetition removal → license allowlist → exact dedup → [optional
+    span-level substring strip] → benchmark decontamination →
+    temperature sampling — returning `(kept, funnel)`:
 
     * `kept`: the surviving rows of `docs` (original columns);
     * `funnel`: (stage, n_docs) — the per-stage survivor counts a
@@ -196,6 +198,20 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     Duplicate ids would multiply rows through the stage joins and let
     the final semi-join readmit rows a stage dropped — enforce upstream;
     this function does not pay a corpus-wide shuffle to re-check it.
+
+    `strip_spans=True` inserts `dedup.strip_duplicate_spans` after
+    exact dedup (Lee et al. 2021 order: span counting runs over the
+    already-deduplicated survivors, so wholesale copies don't inflate
+    gram counts): duplicated token spans are cut and `text_col` in BOTH
+    the downstream stages and the returned `kept` frame becomes the
+    token-normalized rejoin (lowercased, punctuation collapsed to
+    single spaces — for every doc, spanless ones included, so the
+    output normalization is uniform). Downstream decontamination and
+    sampling are token-based, and tokenization is idempotent over the
+    rejoined stream, so their semantics are unchanged except that
+    stripped spans can no longer match benchmark n-grams. Docs stripped
+    to empty text are kept (re-run `quality_filter` downstream to drop
+    them under the caller's own policy).
     """
     d0 = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                      F.col(text_col).alias("text"), *by)
@@ -220,17 +236,27 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     s3 = (s2.withColumn("_rn", F.row_number().over(w))
           .where(F.col("_rn") == 1).drop("_rn")).persist()
 
+    if strip_spans:
+        # one gram-count pass over the deduped survivors + one
+        # doc_id-keyed join replacing text with the span-stripped rejoin
+        # (drops tokens, never docs — stage 04's count is unchanged)
+        cleaned = strip_duplicate_spans(s3).select(
+            "doc_id", F.col("clean_text").alias("text"))
+        s3d = s3.drop("text").join(cleaned, "doc_id")
+    else:
+        s3d = s3
+
     if bench is not None:
         # canonicalize the bench side's column names the same way as
         # the corpus — decontaminate applies one (text, doc_id) naming
         # to both of its inputs
         b0 = bench.select(F.col(id_col).cast("long").alias("doc_id"),
                           F.col(text_col).alias("text"))
-        clean = (decontaminate(s3, b0)
+        clean = (decontaminate(s3d, b0)
                  .where(F.col("contaminated") == 0).select("doc_id"))
-        s4 = s3.join(clean, "doc_id")
+        s4 = s3d.join(clean, "doc_id")
     else:
-        s4 = s3
+        s4 = s3d
 
     s5 = (sample_temperature(s4, by=by)
           .where(F.col("kept") == 1).select("doc_id"))
@@ -242,6 +268,15 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   F.col("__join_id") == F.col("__keep_doc_id"),
                   "left_semi")
             .drop("__join_id"))
+    if strip_spans:
+        # replace the original text with the stripped rejoin in place
+        # (same column set and position as the input frame)
+        repl = s3d.select(F.col("doc_id").alias("__rid"),
+                          F.col("text").alias("__rtext"))
+        kept = (kept.withColumn("__join_id", F.col(id_col).cast("long"))
+                .join(repl, F.col("__join_id") == F.col("__rid"))
+                .withColumn(text_col, F.col("__rtext"))
+                .drop("__join_id", "__rid", "__rtext"))
 
     stages = [("00_input", d0), ("01_quality", s1),
               ("02_repetition", s1r), ("03_license", s2),

@@ -237,6 +237,46 @@ def test_curate_corpus_without_bench(spark):
     assert {r.doc_id for r in kept.collect()} == {0, 4, 6, 7}
 
 
+SHARED_RUN = ("zeta theta kappa sigma omega lambda epsilon quorum "
+              "nadir xylem")                  # 10 tokens >= DEDUP_SPAN_K
+STRIP_A = ("the compiler emits relocation entries while linking object "
+           "files into one binary and the loader later patches each "
+           f"address {SHARED_RUN} before the program finally starts "
+           "running its first instruction after setup completes")
+STRIP_B = ("river barges carry grain downstream past quiet towns whose "
+           f"markets open early {SHARED_RUN} and close when the light "
+           "fades over warehouses stacked with autumn produce waiting "
+           "for trains heading north tomorrow morning")
+STRIP_BENCH = ("an evaluation item asks about the sequence "
+               f"{SHARED_RUN} and nothing else of note")
+
+
+def test_curate_corpus_strip_spans(spark):
+    """strip_spans=True cuts the duplicated run BEFORE decontamination:
+    both docs keep their original (distinct) content and survive the
+    bench probe that drops them wholesale when stripping is off."""
+    docs = spark.createDataFrame(
+        [(0, STRIP_A, "en", "src"), (1, STRIP_B, "en", "src")],
+        "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame(
+        [(99, STRIP_BENCH)], "doc_id long, text string")
+
+    kept_off, _ = cur.curate_corpus(docs, bench)
+    assert kept_off.count() == 0              # both leak the shared run
+
+    kept, funnel = cur.curate_corpus(docs, bench, strip_spans=True)
+    got = {r.doc_id: r.text for r in kept.collect()}
+    assert set(got) == {0, 1}
+    f = {r.stage: r.n_docs for r in funnel.collect()}
+    assert f["04_exact_dedup"] == f["05_decontam"] == 2
+    for t in got.values():                    # the run is gone...
+        assert "zeta" not in t and "xylem" not in t
+    # ...and what remains is the token-normalized rejoin of the rest
+    assert got[0].startswith("the compiler emits relocation")
+    assert "address before the program" in got[0]
+    assert set(kept.columns) == set(docs.columns)
+
+
 def test_decontaminate_matches_bruteforce(spark):
     """Property check: on a seeded random corpus, the operator's
     per-doc (n_grams, n_hits, contaminated) equals a plain-Python
