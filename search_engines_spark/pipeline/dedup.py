@@ -439,7 +439,8 @@ DEDUP_SPAN_MIN_COUNT = 2  # corpus-wide occurrences that mark it duplicated
 def duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
                     min_count: int = DEDUP_SPAN_MIN_COUNT,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    hash_grams: bool = False) -> DataFrame:
     """→ (doc_id, span_start, span_end, span_tokens): maximal token
     spans covered by word-k-grams that occur >= min_count times
     CORPUS-WIDE (total occurrences — same-doc repeats count), i.e.
@@ -455,14 +456,17 @@ def duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
     corpus gram counts are ONE groupBy(gram) with map-side partial
     aggregation; the semi-join back marks duplicated positions; the
     merge is a doc_id-keyed gaps-and-islands window (running max of
-    pos+k, new span on gap) + one (doc_id, span) aggregation. At
-    100 TB key the count exchange by xxhash64(gram) and carry only the
-    8-byte hash (a 64-bit collision falsely marks one k-token window —
-    negligible); the gram STRING is the key here because the DuckDB
-    oracle must replay the semantics engine-identically without
-    assuming the two engines share a hash implementation. Boilerplate
-    grams are hot but the aggregation is a count (partial agg absorbs
-    them); AQE splits any residual skew in the semi-join probe."""
+    pos+k, new span on gap) + one (doc_id, span) aggregation.
+    `hash_grams=True` is the 100 TB key choice: the count exchange and
+    semi-join carry xxhash64(gram) — an 8-byte uniform key — instead of
+    the k-token string, shrinking shuffle bytes ~6× at k=8 (a 64-bit
+    collision falsely marks one k-token window — negligible, and
+    pytest-gated identical on real corpora). The default keeps the gram
+    STRING because the DuckDB oracle must replay the semantics
+    engine-identically without assuming the two engines share a hash
+    implementation. Boilerplate grams are hot but the aggregation is a
+    count (partial agg absorbs them); AQE splits any residual skew in
+    the semi-join probe."""
     g = (f"case when size(_toks) >= {k} then "
          f"transform(sequence(1, size(_toks)-{k - 1}), "
          f"i -> concat_ws(' ', slice(_toks, i, {k}))) "
@@ -472,6 +476,9 @@ def duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
                          tokens_expr(text_col).alias("_toks"))
                  .select("doc_id",
                          F.posexplode(F.expr(g)).alias("pos", "gram")))
+    if hash_grams:
+        pos_grams = pos_grams.select(
+            "doc_id", "pos", F.xxhash64("gram").alias("gram"))
     dup = (pos_grams.groupBy("gram")
            .agg(F.count("*").alias("_n"))
            .where(F.col("_n") >= min_count).select("gram"))
@@ -495,7 +502,8 @@ def duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
 def strip_duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
                           min_count: int = DEDUP_SPAN_MIN_COUNT,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          hash_grams: bool = False) -> DataFrame:
     """→ (doc_id, clean_text, n_tokens, removed_tokens): the corpus with
     `duplicate_spans` cut out — surviving tokens rejoined with single
     spaces (token-level normalization: original separators inside and
@@ -505,7 +513,8 @@ def strip_duplicate_spans(docs: DataFrame, k: int = DEDUP_SPAN_K,
     Doc-local after the spans join: per-doc span lists are tiny
     (collect_list over an already doc-keyed frame), and the cut itself
     is one higher-order filter + array_join projection."""
-    spans = duplicate_spans(docs, k, min_count, text_col, id_col)
+    spans = duplicate_spans(docs, k, min_count, text_col, id_col,
+                            hash_grams=hash_grams)
     by_doc = (spans.groupBy("doc_id")
               .agg(F.collect_list(
                   F.struct("span_start", "span_end")).alias("_spans")))

@@ -142,6 +142,23 @@ def test_strip_entry_oracle_parity(spark):
     assert any(r[3] > 0 for r in got)        # the paste was cut
 
 
+def test_hash_grams_identical_and_narrow(spark):
+    """hash_grams=True (the 100 TB key choice) produces identical spans
+    — the count exchange just carries xxhash64(gram) instead of the
+    k-token string."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(25)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = set(map(tuple, dd.duplicate_spans(docs, k=3).collect()))
+    hashed = dd.duplicate_spans(docs, k=3, hash_grams=True)
+    assert set(map(tuple, hashed.collect())) == base and base
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+
+
 def test_spans_plan_no_cartesian(spark):
     """The plan is explode -> one gram-keyed agg -> semi-join ->
     doc-keyed window: no cartesian product, no per-row Python."""

@@ -381,6 +381,23 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         res["winnow_sec"] = round(best, 2)
         res["winnow_docs_per_sec"] = round(n_docs / best, 1)
 
+        # ---- span-level substring dedup (pipeline.dedup) -------------------
+        # the marking plan is ONE gram-keyed count agg (map-side partial
+        # absorbs hot boilerplate grams) + one semi-join + one doc-keyed
+        # window — the corpus-sized gram-count Exchange is the measured
+        # object, the shape that dominates at 100 TB
+        from search_engines_spark.pipeline.dedup import duplicate_spans
+        sdocs = src.select("doc_id", "text").repartition(cores * 2)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n_spans = duplicate_spans(sdocs).count()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["n_dup_spans"] = n_spans
+        res["spans_sec"] = round(best, 2)
+        res["spans_docs_per_sec"] = round(n_docs / best, 1)
+
         # ---- iterative PageRank (pipeline.graph) ---------------------------
         # per-iteration: one src-layout-reusing join + one dst-keyed agg;
         # data-scaled at 4M nodes / 10M edges so the shuffle, not the
@@ -462,6 +479,7 @@ def main() -> None:
     g832 = _eff(r, 8, 32, "segdec_queries_per_sec")
     w832 = _eff(r, 8, 32, "winnow_docs_per_sec")
     p832 = _eff(r, 8, 32, "pagerank_medges_per_sec")
+    sp832 = _eff(r, 8, 32, "spans_docs_per_sec")
 
     if args.corpus == "zipf":
         corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
@@ -673,6 +691,25 @@ is the postings-builder shape: doc-local `mapInPandas`, zero shuffle:
 {sha_832:.2f} CPU ceilings.) Map-only: on a real cluster each
 executor fingerprints its own input split — no cross-node structure.
 
+## Span-level substring dedup throughput (8 vs 32 cores)
+
+`pipeline.dedup.duplicate_spans` — Lee et al. 2021 span marking over
+the same corpus ({r[32]['n_dup_spans']:,} maximal duplicated spans):
+one corpus-sized gram-keyed count Exchange (map-side partial agg
+absorbs hot boilerplate grams) + one semi-join + one doc-keyed
+gaps-and-islands window. The gram-count shuffle is the measured
+object — the stage that dominates at 100 TB:
+
+| cores | sec | docs/sec |
+|---|---|---|
+| 8  | {r[8]['spans_sec']} | {r[8]['spans_docs_per_sec']:,} |
+| 32 | {r[32]['spans_sec']} | {r[32]['spans_docs_per_sec']:,} |
+
+(8→32 efficiency {sp832:.2f} against the {bw_832:.2f} bandwidth /
+{sha_832:.2f} CPU ceilings.) Parallelism enters through data at every
+stage (gram hash, then doc_id); on a real cluster the count exchange
+keys on xxhash64(gram) — 8-byte keys, uniform by construction.
+
 ## Iterative PageRank throughput (8 vs 32 cores)
 
 `pipeline.graph.pagerank` — 6 power iterations over a deterministic
@@ -773,7 +810,7 @@ build r01 27.7 s (jvm builder) → 9.8 s (arrow builder default) →
     print(f"arrow 2->8={a28:.3f} 8->32={a832:.3f} jvm 8->32={j832:.3f} "
           f"query 8->32={q832:.3f} indri 8->32={i832:.3f} "
           f"daat 8->32={d832:.3f} winnow 8->32={w832:.3f} "
-          f"pagerank 8->32={p832:.3f} "
+          f"pagerank 8->32={p832:.3f} spans 8->32={sp832:.3f} "
           f"-> BENCH/BASELINE.md")
 
 
