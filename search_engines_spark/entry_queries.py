@@ -28,6 +28,7 @@ from .indexer.build import Index, index_documents_table
 from .pipeline import codestats as cst
 from .pipeline import curation as cur
 from .pipeline import dedup as dd
+from .pipeline import quality_model as qm
 from .pipeline import similarity as sim
 from .pipeline import textstats as ts
 
@@ -906,6 +907,22 @@ def q_quality_filter(spark, sf_dir):
     """Gopher-rule keep/drop verdict with ','-joined violation reasons
     over `quality_features` — still one codegen projection."""
     return ts.quality_filter(_docs(spark, sf_dir))
+
+
+def q_quality_model_weights(spark, sf_dir):
+    """Closed-form hashed-NB quality-model TRAINING (CCNet/GPT-3-style
+    model-based filtering, bootstrapped from the Gopher heuristic
+    labels): one ≤256-row groupBy over md5-bucketed token occurrences +
+    a log-odds projection — deterministic, no SGD, oracle-replayable."""
+    return qm.train_quality_model(_docs(spark, sf_dir))
+
+
+def q_quality_model_score(spark, sf_dir):
+    """Train + score the hashed-NB quality model in ONE plan: broadcast
+    the ≤256-row weight table, per-doc BIGINT ppm score = prior + Σ
+    bucket log-odds, model_keep = score > 0. The zero-shuffle collected-
+    weights scorer (`score_with_model`) is pytest-gated identical."""
+    return qm.model_scores(_docs(spark, sf_dir))
 
 
 def q_corpus_composition(spark, sf_dir):
@@ -2472,6 +2489,57 @@ SELECT doc_id,
 FROM v"""
 
 
+def _nb_model_ctes() -> str:
+    """lab/tb/tot/cnt/w CTE chain of the hashed-NB quality model
+    (`pipeline.quality_model`): Gopher-verdict labels (the shared
+    `_quality_verdict_ctes`), md5-prefix token buckets (the
+    `token_hash32` scheme), per-bucket Laplace log-odds quantized to
+    floor(w·1e6+0.5) ppm. The ln input is a DOUBLE product/quotient of
+    BIGINTs — IEEE-identical in Spark and DuckDB — mirroring
+    `quality_model._weight_expr`."""
+    v, s = qm.QM_BUCKETS, qm.QM_SCALE
+    return f"""{PRELUDE},
+{_quality_verdict_ctes()},
+lab AS (SELECT doc_id,
+               CASE WHEN reasons = '' THEN 1 ELSE 0 END AS label FROM v),
+tb AS (SELECT t.doc_id,
+              ('0x' || substr(md5(t.term), 1, 8))::UBIGINT::BIGINT
+                % {v} AS bucket,
+              label
+       FROM tok t JOIN lab USING (doc_id)),
+tot AS (SELECT coalesce(sum(label), 0)::BIGINT AS tg,
+               (count(*) - coalesce(sum(label), 0))::BIGINT AS tbad
+        FROM tb),
+cnt AS (SELECT bucket, sum(label)::BIGINT AS n_good,
+               (count(*) - sum(label))::BIGINT AS n_bad
+        FROM tb GROUP BY bucket),
+w AS (SELECT bucket, n_good, n_bad,
+             floor(ln(((n_good + 1)::DOUBLE * (tbad + {v})::DOUBLE)
+                    / ((n_bad + 1)::DOUBLE * (tg + {v})::DOUBLE))
+                   * {s} + 0.5)::BIGINT AS w_ppm
+      FROM cnt CROSS JOIN tot)"""
+
+
+def _sql_quality_model_weights() -> str:
+    return f"""{_nb_model_ctes()}
+SELECT bucket, n_good, n_bad, w_ppm FROM w"""
+
+
+def _sql_quality_model_score() -> str:
+    s = qm.QM_SCALE
+    return f"""{_nb_model_ctes()},
+pri AS (SELECT floor(ln((coalesce(sum(label), 0) + 1.0)
+                      / (count(*) - coalesce(sum(label), 0) + 1.0))
+                     * {s} + 0.5)::BIGINT AS prior_ppm FROM lab),
+sc AS (SELECT t.doc_id, sum(w_ppm)::BIGINT AS s
+       FROM tb t JOIN w USING (bucket) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       (prior_ppm + coalesce(s, 0))::BIGINT AS score_ppm,
+       (prior_ppm + coalesce(s, 0) > 0)::BIGINT AS model_keep
+FROM (SELECT doc_id FROM docs0) d
+LEFT JOIN sc USING (doc_id) CROSS JOIN pri"""
+
+
 def _sql_corpus_composition() -> str:
     return r"""SELECT lang, source, count(*)::BIGINT AS n_docs,
        sum(length(text))::BIGINT AS n_chars_sum,
@@ -2953,7 +3021,6 @@ REGISTRY: dict[str, tuple] = {
     "dedup_substring_spans": (q_dedup_spans, _sql_dedup_spans()),
     "dedup_cc_clusters": (q_dedup_cc, _sql_dedup_cc()),
     "code_token_stats": (q_code_tokens, _sql_code_tokens()),
-    "code_winnow_fps": (q_winnow_fps, _sql_winnow_fps()),
     "code_winnow_pairs": (q_winnow_pairs, _sql_winnow_pairs()),
     "pii_scan": (q_pii_scan, _sql_pii_scan()),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
@@ -2961,16 +3028,29 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_indexed": (q_ann_ivf_indexed, _sql_ann_ivf()),
     "text_langid": (q_langid, _sql_langid()),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
-    "text_quality": (q_quality, _sql_quality()),
     "text_repetition": (q_repetition, _sql_repetition()),
     "license_scan": (q_license_scan, _sql_license_scan()),
     "quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "quality_model_weights": (q_quality_model_weights,
+                              _sql_quality_model_weights()),
+    "quality_model_score": (q_quality_model_score,
+                            _sql_quality_model_score()),
     "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "code_winnow_fps": (q_winnow_fps, _sql_winnow_fps()),
+    # the fp CTE chain is a strict prefix of in-window code_winnow_pairs
+    # (same winnow k/w/hash kernel; pairs only adds the fp equi-join on
+    # top), so the pairs row gates it; planted-case pytest in
+    # test_codestats.py covers the fp set directly; rotated late-r3 to
+    # admit quality_model_weights
+    "text_quality": (q_quality, _sql_quality()),
+    # the quality_features ratios are the same base/r CTEs that feed
+    # in-window quality_filter's verdict (strict subset of its oracle)
+    # + planted-case pytest; rotated late-r3 to admit quality_model_score
     "dedup_strip_spans": (q_strip_spans, _sql_strip_spans()),
     # the strip transform shares duplicate_spans' entire marking plan
     # (gated in-window by dedup_substring_spans); only the final

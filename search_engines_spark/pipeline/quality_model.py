@@ -1,0 +1,224 @@
+"""Model-based document quality scoring: a hashed Naive-Bayes log-odds
+text classifier bootstrapped from the Gopher heuristic labels.
+
+The stage real training-data pipelines run AFTER heuristic filtering:
+CCNet (Wenzek et al. 2020) and GPT-3 (Brown et al. 2020, App. A) train a
+linear classifier on bag-of-words features and keep documents the model
+scores as high-quality. The reference repo has no analog — its only
+learned component is LeToR over relevance labels (`FeatureVector.java`);
+this is the corpus-curation counterpart of that idea.
+
+Why Naive-Bayes log-odds instead of pyspark.ml LogisticRegression (which
+`capabilities.ranker` already uses for LeToR): the NB fit is CLOSED FORM
+— one groupBy over hashed token buckets plus a log-odds projection — so
+training is deterministic (no SGD order, no seed, no iteration count),
+expressible as a DataFrame plan end to end, and exactly replayable by
+the DuckDB oracle. That makes both the trainer and the scorer hard
+driver-contract entries, which no gradient-trained model can be. (NB
+with hashed unigram features is also the standard fastText-class
+baseline for this task.)
+
+Model:
+  bucket(t)  = token_hash32(t) % QM_BUCKETS          (md5-prefix — portable)
+  w(b)       = ln( (n_good_b + 1)·(tot_bad + V) /
+                  ((n_bad_b + 1)·(tot_good + V)) )   (Laplace α=1, V buckets)
+  prior      = ln( (n_good_docs + 1) / (n_bad_docs + 1) )
+  score(d)   = prior + Σ_{token occurrences} w(bucket(t))   (multinomial NB)
+  keep       = score > 0
+
+Oracle exactness: weights are quantized to floor(w·1e6 + 0.5) BIGINT ppm
+(the established integer-ratio convention), so per-document scores are
+BIGINT sums — order-free and engine-exact. The only floating-point op is
+the per-bucket ln, whose input is an IEEE-exact product/quotient of
+BIGINTs (identical doubles in Spark and DuckDB), so the two engines can
+differ only in the last ulp of ln — ~1e-16 relative against a 1e-6
+quantization step.
+
+Scale shape (100 TB): training labels ride the same projection as the
+tokens (`quality_filter(passthrough=...)` — no corpus self-join), so the
+fit is one scan + ONE groupBy whose result is ≤ QM_BUCKETS rows
+(map-side partial agg absorbs every hot bucket; key cardinality 256, no
+skew possible at the reduce side because the whole reduce is 256 rows).
+Scoring has two shapes: `model_scores` keeps everything in one plan (a
+broadcast of the ≤256-row weight table + one doc_id-keyed sum — the
+shape of batched retrieval), and `fit_model`/`score_with_model` collect
+the 256 weights once (IVF-centroid-sized driver state) and score as a
+single zero-shuffle codegen projection — the shape of a curation scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import token_hash32
+from .textstats import _tokens, quality_filter
+
+QM_BUCKETS = 256          # hashed feature dimension (V in the formulas)
+QM_SCALE = 1_000_000      # ppm quantization of log-odds weights
+
+
+def _bucket(col: Column) -> Column:
+    return token_hash32(col) % QM_BUCKETS
+
+
+def _ppm(col: Column) -> Column:
+    return F.floor(col * QM_SCALE + 0.5).cast("long")
+
+
+def _labeled_buckets(docs: DataFrame, text_col: str, id_col: str,
+                     label_col: str | None) -> DataFrame:
+    """(doc_id, label, bucket) — one token-occurrence row per doc token.
+
+    With label_col=None the label is the Gopher heuristic verdict
+    (`textstats.quality_filter`), carried on the SAME projection as the
+    text (passthrough) so no corpus self-join enters the plan."""
+    if label_col is None:
+        lab = quality_filter(docs, text_col, id_col,
+                             passthrough=(text_col,))
+        lab = lab.select("doc_id", F.col("keep").alias("_label"),
+                         F.col(text_col))
+    else:
+        lab = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                          F.col(label_col).cast("long").alias("_label"),
+                          F.col(text_col))
+    return (lab.select("doc_id", "_label",
+                       F.explode(_tokens(text_col)).alias("_tok"))
+            .select("doc_id", F.col("_label").alias("label"),
+                    _bucket(F.col("_tok")).alias("bucket")))
+
+
+def _doc_labels(docs: DataFrame, text_col: str, id_col: str,
+                label_col: str | None) -> DataFrame:
+    if label_col is None:
+        return quality_filter(docs, text_col, id_col).select(
+            "doc_id", F.col("keep").alias("label"))
+    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(label_col).cast("long").alias("label"))
+
+
+def _weight_expr(n_good: Column, n_bad: Column,
+                 tot_good: Column, tot_bad: Column) -> Column:
+    """ln((n_good+1)·(tot_bad+V) / ((n_bad+1)·(tot_good+V))) → ppm.
+
+    The factors convert to DOUBLE before multiplying: BIGINT→DOUBLE is
+    exact below 2^53 and IEEE multiply/divide are correctly rounded, so
+    Spark and DuckDB produce bit-identical ln inputs — and the BIGINT
+    product that would overflow ANSI arithmetic at ~3·10^9 tokens per
+    class never exists."""
+    num = (n_good + 1).cast("double") * (tot_bad + QM_BUCKETS).cast("double")
+    den = (n_bad + 1).cast("double") * (tot_good + QM_BUCKETS).cast("double")
+    return _ppm(F.log(num / den))
+
+
+def train_quality_model(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        label_col: str | None = None) -> DataFrame:
+    """→ (bucket, n_good, n_bad, w_ppm) for every OBSERVED bucket
+    (≤ QM_BUCKETS rows). n_good/n_bad are token-occurrence counts in
+    good/bad-labeled documents; w_ppm the quantized NB log-odds.
+
+    label_col=None bootstraps labels from the Gopher heuristic filter —
+    the CCNet pattern (train the model on cheap labels, then score at
+    corpus scale where the heuristic's hard thresholds are too blunt)."""
+    b = _labeled_buckets(docs, text_col, id_col, label_col)
+    counts = (b.groupBy("bucket")
+              .agg(F.sum("label").alias("n_good"),
+                   (F.count("*") - F.sum("label")).alias("n_bad")))
+    totals = b.agg(
+        F.coalesce(F.sum("label"), F.lit(0)).alias("_tg"),
+        (F.count("*") - F.coalesce(F.sum("label"), F.lit(0))).alias("_tb"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("bucket",
+                    F.col("n_good").cast("long").alias("n_good"),
+                    F.col("n_bad").cast("long").alias("n_bad"),
+                    _weight_expr(F.col("n_good"), F.col("n_bad"),
+                                 F.col("_tg"), F.col("_tb"))
+                    .alias("w_ppm")))
+
+
+def model_scores(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 label_col: str | None = None) -> DataFrame:
+    """Train + score in ONE DataFrame plan → (doc_id, score_ppm,
+    model_keep) for EVERY input document (token-free docs score the
+    prior alone).
+
+    Plan: the ≤256-row weight table broadcasts into a token→weight
+    lookup; per-doc scores are one doc_id-keyed BIGINT sum (uniform
+    key); the prior is a broadcast 1-row cross join. This is the
+    self-contained driver-contract entry; for repeated corpus scans use
+    `fit_model` + `score_with_model` (zero shuffle)."""
+    weights = train_quality_model(docs, text_col, id_col, label_col)
+    lab = _doc_labels(docs, text_col, id_col, label_col)
+    prior = lab.agg(_ppm(F.log(
+        (F.coalesce(F.sum("label"), F.lit(0)) + 1.0)
+        / (F.count("*") - F.coalesce(F.sum("label"), F.lit(0)) + 1.0)
+    )).alias("_prior_ppm"))
+    tokb = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.explode(_tokens(text_col)).alias("_tok"))
+            .select("doc_id", _bucket(F.col("_tok")).alias("bucket")))
+    per_doc = (tokb
+               .join(F.broadcast(weights.select("bucket", "w_ppm")),
+                     "bucket")
+               .groupBy("doc_id")
+               .agg(F.sum("w_ppm").alias("_s")))
+    score = (F.col("_prior_ppm")
+             + F.coalesce(F.col("_s"), F.lit(0))).cast("long")
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .crossJoin(F.broadcast(prior))
+            .select("doc_id", score.alias("score_ppm"),
+                    (score > 0).cast("long").alias("model_keep")))
+
+
+def fit_model(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              label_col: str | None = None) -> dict:
+    """Collect the trained model into driver state for the zero-shuffle
+    scorer: {"w": [QM_BUCKETS ints, unseen buckets = default],
+    "default_ppm": int, "prior_ppm": int}. The collect is ≤256 rows +
+    two scalar aggregates — IVF-centroid-sized, the documented exception
+    to the no-driver-state rule."""
+    rows = train_quality_model(docs, text_col, id_col,
+                               label_col).collect()
+    b = _labeled_buckets(docs, text_col, id_col, label_col)
+    tg, tb = (b.agg(F.coalesce(F.sum("label"), F.lit(0)),
+                    F.count("*") - F.coalesce(F.sum("label"), F.lit(0)))
+              .first() or (0, 0))
+    lab = _doc_labels(docs, text_col, id_col, label_col)
+    prior = (lab.agg(_ppm(F.log(
+        (F.coalesce(F.sum("label"), F.lit(0)) + 1.0)
+        / (F.count("*") - F.coalesce(F.sum("label"), F.lit(0)) + 1.0)
+    ))).first() or (0,))[0]
+    # unseen bucket ≡ n_good = n_bad = 0 in the weight formula
+    default_ppm = int(math.floor(
+        math.log((tb + QM_BUCKETS) / (tg + QM_BUCKETS)) * QM_SCALE + 0.5))
+    w = [default_ppm] * QM_BUCKETS
+    for r in rows:
+        w[int(r["bucket"])] = int(r["w_ppm"])
+    return {"w": w, "default_ppm": default_ppm,
+            "prior_ppm": int(prior or 0)}
+
+
+def score_with_model(docs: DataFrame, model: dict,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Zero-shuffle scorer → (doc_id, score_ppm, model_keep): the
+    QM_BUCKETS quantized weights inline as an array literal, the score a
+    doc-local fold over the token array — one codegen projection, a
+    curation pass at scan speed (plan-asserted shuffle-free in pytest).
+    Result-identical to `model_scores` on the training corpus and
+    defined on NEW corpora too (unseen buckets take the default
+    weight, which the literal array already carries)."""
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in model["w"]])
+    toks = _tokens(text_col)
+    s = F.aggregate(
+        F.transform(toks, lambda t: _bucket(t)),
+        F.lit(int(model["prior_ppm"])).cast("long"),
+        lambda acc, bkt: acc + F.element_at(warr, (bkt + 1).cast("int")))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        s.alias("score_ppm"),
+        (s > 0).cast("long").alias("model_keep"))

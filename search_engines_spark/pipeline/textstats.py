@@ -82,14 +82,21 @@ def token_counts(docs: DataFrame, text_col: str = "text",
 
 
 def quality_features(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, n_tokens, stop_r, digit_r, avgtok_r, quality_r).
+                     id_col: str = "doc_id",
+                     passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """→ (doc_id, n_tokens, stop_r, digit_r, avgtok_r, quality_r
+    [, *passthrough]).
 
     Ratios are floor(r·1e6+0.5) integers (oracle-exact):
       stop_r   = stopword fraction of tokens
       digit_r  = digit fraction of characters
       avgtok_r = mean token length
       quality  = 0.4·(1−stop) + 0.3·min(1, n_tokens/100) + 0.3·(1−digit)
+
+    `passthrough` columns of `docs` are carried verbatim so callers that
+    need the verdict NEXT TO the source row (e.g. the quality-model
+    trainer, which explodes tokens labeled by the verdict) stay a single
+    projection instead of a corpus self-join.
     """
     toks = _tokens(text_col)
     n_tok = F.size(toks)
@@ -115,7 +122,8 @@ def quality_features(docs: DataFrame, text_col: str = "text",
         r(stop_ratio).alias("stop_r"),
         r(digit_ratio).alias("digit_r"),
         r(avgtok).alias("avgtok_r"),
-        r(quality).alias("quality_r"))
+        r(quality).alias("quality_r"),
+        *[F.col(c) for c in passthrough])
 
 
 # Gopher-style curation thresholds (Rae et al. 2021 §A1.1: 50–100k words,
@@ -131,15 +139,19 @@ FILTER_MAX_AVGTOK_R = 12_000_000  # mean token length > 12 → minified/encoded
 
 
 def quality_filter(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, keep, reasons): the Gopher-rule keep/drop verdict over
-    `quality_features`, with `reasons` a ','-joined fixed-order list of
-    the violated rules ('' when kept) and `keep` ∈ {0,1}.
+                   id_col: str = "doc_id",
+                   passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """→ (doc_id, keep, reasons[, *passthrough]): the Gopher-rule
+    keep/drop verdict over `quality_features`, with `reasons` a
+    ','-joined fixed-order list of the violated rules ('' when kept) and
+    `keep` ∈ {0,1}. `passthrough` columns of `docs` ride along verbatim
+    (see `quality_features`).
 
     Still one narrow projection (the features compose into the same
     WholeStageCodegen span) — zero shuffle; a 100 TB curation pass is a
     filtered scan."""
-    feats = quality_features(docs, text_col, id_col)
+    feats = quality_features(docs, text_col, id_col,
+                             passthrough=passthrough)
     rules = [
         ("too_few_tokens", F.col("n_tokens") < FILTER_MIN_TOKENS),
         ("no_stopwords", F.col("stop_r") == 0),   # Gopher's stop-word gate
@@ -153,7 +165,8 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     return feats.select(
         "doc_id",
         F.when(reasons == "", 1).otherwise(0).cast("long").alias("keep"),
-        reasons.alias("reasons"))
+        reasons.alias("reasons"),
+        *passthrough)
 
 
 # Gopher repetition-removal thresholds (Rae et al. 2021 Table A1,

@@ -1,0 +1,129 @@
+"""Model-based quality scoring (pipeline.quality_model): the closed-form
+hashed-NB log-odds classifier (CCNet/GPT-3-style model filtering,
+bootstrapped from the Gopher heuristic labels).
+
+Pins: (1) planted two-class separation with explicit labels, (2) the
+one-plan `model_scores` vs the collected-weights `score_with_model`
+result identity (the driver entry runs the former; curation scans run
+the latter), (3) the scorer's zero-shuffle plan claim, (4) count
+conservation of the trained weight table, (5) empty/null-text edges,
+and (6) the driver compare in miniature for both registry entries.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import search_engines_spark.entry_queries as eq
+from search_engines_spark.pipeline import quality_model as qm
+from search_engines_spark.pipeline import textstats as ts
+
+GOOD_TXT = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders into a quiet meadow of tall grass ")
+BAD_TXT = "zxqv 9981 kkjj 7730 qqpp 4412 wwssx 8865 vvbb 1209 "
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [(i, GOOD_TXT * (2 + i % 3), 1) for i in range(6)]
+    rows += [(10 + i, BAD_TXT * (2 + i % 3), 0) for i in range(6)]
+    return spark.createDataFrame(rows, "doc_id long, text string, y long")
+
+
+def test_planted_two_class_separation(labeled):
+    scored = {r.doc_id: r for r in
+              qm.model_scores(labeled, label_col="y").collect()}
+    assert len(scored) == 12
+    for i in range(6):
+        assert scored[i].score_ppm > 0 and scored[i].model_keep == 1
+        assert scored[10 + i].score_ppm < 0 and scored[10 + i].model_keep == 0
+
+
+def test_generalizes_to_unseen_docs(spark, labeled):
+    model = qm.fit_model(labeled, label_col="y")
+    new = spark.createDataFrame(
+        [(100, "quick fox in the meadow meets a brown dog"),
+         (101, "zxqv kkjj 9981 qqpp 7730 wwssx"),
+         (102, ""), (103, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in qm.score_with_model(new, model).collect()}
+    assert got[100].score_ppm > 0 and got[100].model_keep == 1
+    assert got[101].score_ppm < 0 and got[101].model_keep == 0
+    # token-free docs score exactly the prior (balanced classes → 0 here)
+    assert got[102].score_ppm == model["prior_ppm"]
+    assert got[103].score_ppm == model["prior_ppm"]
+
+
+def test_collected_scorer_matches_one_plan_scorer(labeled):
+    """fit_model + score_with_model ≡ model_scores on the same corpus —
+    for both the explicit-label and the Gopher-bootstrap paths."""
+    for label_col in ("y", None):
+        one_plan = sorted(
+            map(tuple, qm.model_scores(labeled, label_col=label_col)
+                .collect()))
+        model = qm.fit_model(labeled, label_col=label_col)
+        two_step = sorted(
+            map(tuple, qm.score_with_model(labeled, model).collect()))
+        assert one_plan == two_step, label_col
+
+
+def test_score_with_model_zero_shuffle(labeled):
+    model = qm.fit_model(labeled, label_col="y")
+    plan = qm.score_with_model(labeled, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weight_table_conserves_counts(labeled):
+    w = qm.train_quality_model(labeled, label_col="y")
+    rows = w.collect()
+    assert 0 < len(rows) <= qm.QM_BUCKETS
+    n_tok = labeled.select(
+        F.sum(F.size(ts._tokens("text")))).first()[0]
+    assert sum(r.n_good + r.n_bad for r in rows) == n_tok
+    # good-class buckets get positive log-odds, bad-class negative
+    assert any(r.w_ppm > 0 for r in rows)
+    assert any(r.w_ppm < 0 for r in rows)
+
+
+def test_single_class_and_empty_edges(spark):
+    one_class = spark.createDataFrame(
+        [(0, GOOD_TXT, 1), (1, GOOD_TXT, 1)],
+        "doc_id long, text string, y long")
+    got = qm.model_scores(one_class, label_col="y").collect()
+    assert len(got) == 2  # Laplace smoothing keeps the fit defined
+    empty = spark.createDataFrame([], "doc_id long, text string, y long")
+    assert qm.train_quality_model(empty, label_col="y").count() == 0
+    assert qm.model_scores(empty, label_col="y").count() == 0
+
+
+def test_entry_oracle_parity(spark, labeled):
+    """Driver compare in miniature for quality_model_weights /
+    quality_model_score (label bootstrap = the Gopher verdict, exactly
+    what the registry entries run)."""
+    rows = [(r.doc_id, r.text, "en", "srcA") for r in labeled.collect()]
+    rows += [(200, "just three tokens", "en", "srcB"),  # too_few_tokens
+             (201, None, "en", "srcB")]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+
+    osql = eq.oracle_sql()
+    cases = {
+        "quality_model_weights": lambda: qm.train_quality_model(sdf),
+        "quality_model_score": lambda: qm.model_scores(sdf),
+    }
+    for name, fn in cases.items():
+        got = fn().toPandas()
+        want = con.execute(osql[name]).fetchdf()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True)
+        want = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns), ignore_index=True)
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), name
+        assert got.astype(str).equals(want.astype(str)), name
