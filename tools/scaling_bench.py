@@ -405,6 +405,21 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         duplicate_spans(sdocs, hash_grams=True).count()
         res["spans_hash_sec"] = round(time.time() - t0, 2)
 
+        # ---- hashed-NB quality model (pipeline.quality_model) --------------
+        # train + score in one plan: fit is a token-bucket groupBy that
+        # collapses to ≤256 rows (map-side partial absorbs every hot
+        # bucket — no reduce-side skew possible), scoring is a broadcast
+        # of the weight table + ONE doc_id-keyed BIGINT sum
+        from search_engines_spark.pipeline.quality_model import model_scores
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            model_scores(sdocs).count()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["qmodel_sec"] = round(best, 2)
+        res["qmodel_docs_per_sec"] = round(n_docs / best, 1)
+
         # ---- iterative PageRank (pipeline.graph) ---------------------------
         # per-iteration: one src-layout-reusing join + one dst-keyed agg;
         # data-scaled at 4M nodes / 10M edges so the shuffle, not the
@@ -487,6 +502,7 @@ def main() -> None:
     w832 = _eff(r, 8, 32, "winnow_docs_per_sec")
     p832 = _eff(r, 8, 32, "pagerank_medges_per_sec")
     sp832 = _eff(r, 8, 32, "spans_docs_per_sec")
+    qm832 = _eff(r, 8, 32, "qmodel_docs_per_sec")
 
     if args.corpus == "zipf":
         corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
@@ -721,6 +737,27 @@ exchange and semi-join carry xxhash64(gram) — 8-byte uniform keys,
 ~6× fewer shuffle bytes at k=8 (result identity vs the string key is
 pytest-gated). On one box the win is bounded by DRAM, not network;
 on a real cluster shuffle bytes cross the wire, where the 6× applies.
+
+## Hashed-NB quality-model train+score throughput (8 vs 32 cores)
+
+`pipeline.quality_model.model_scores` — CCNet/GPT-3-style model-based
+quality filtering, trained (closed-form NB fit over md5-bucketed token
+occurrences, Gopher-verdict bootstrap labels) AND scored in one plan
+over the same corpus. The fit's groupBy collapses to ≤256 rows at the
+map side; the measured object is the scoring pass: a broadcast of the
+weight table + one doc_id-keyed BIGINT sum — the uniform-key shuffle
+shape of batched retrieval:
+
+| cores | train+score sec | docs/sec |
+|---|---|---|
+| 8  | {r[8]['qmodel_sec']} | {r[8]['qmodel_docs_per_sec']:,} |
+| 32 | {r[32]['qmodel_sec']} | {r[32]['qmodel_docs_per_sec']:,} |
+
+(8→32 efficiency {qm832:.2f} against the {bw_832:.2f} bandwidth /
+{sha_832:.2f} CPU ceilings.) On a real cluster the repeated-scan shape
+is `fit_model` + `score_with_model` — the 256 weights collect once
+(IVF-centroid-sized driver state) and scoring is a zero-shuffle codegen
+projection (plan-asserted in pytest), i.e. a curation pass at scan speed.
 
 ## Iterative PageRank throughput (8 vs 32 cores)
 
