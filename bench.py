@@ -269,6 +269,13 @@ def main() -> None:
     cur.curate_corpus(docs, bench_split)[1].collect()
     queries["curation_funnel"] = round(time.time() - t0, 3)
 
+    # model-based quality gate (hashed-NB, CCNet-style): closed-form
+    # train (<=256-row groupBy) + broadcast-weights score in one plan
+    from search_engines_spark.pipeline.quality_model import model_scores
+    t0 = time.time()
+    model_scores(docs).count()
+    queries["quality_model_score"] = round(time.time() - t0, 3)
+
     # iterative graph centrality: 6 PageRank power iterations over a
     # 3-out-degree-max graph on the corpus ids (one src-layout join +
     # one dst-keyed agg per iteration)

@@ -925,6 +925,24 @@ def q_quality_model_score(spark, sf_dir):
     return qm.model_scores(_docs(spark, sf_dir))
 
 
+def q_lm_unigram(spark, sf_dir):
+    """Unigram-LM perplexity scoring (CCNet §4.3's model-filtering
+    shape, unigram estimator): per-term Laplace log-probs quantized to
+    ppm BIGINTs, per-doc mean NLL — token fold, broadcast LM join,
+    doc_id-keyed sum."""
+    return qm.unigram_lm_scores(_docs(spark, sf_dir))
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    log(p_target/p_raw) per raw doc, target = the BENCH_MOD eval split
+    (the same target-distribution convention as decontam_scan)."""
+    docs = _docs(spark, sf_dir)
+    return qm.dsir_importance(
+        docs.where(F.col("doc_id") % BENCH_MOD != 0),
+        docs.where(F.col("doc_id") % BENCH_MOD == 0))
+
+
 def q_corpus_composition(spark, sf_dir):
     """Per-(lang, source) corpus composition report: doc/char/token
     totals + exact distinct-text count (HLL at 100 TB)."""
@@ -2540,6 +2558,72 @@ FROM (SELECT doc_id FROM docs0) d
 LEFT JOIN sc USING (doc_id) CROSS JOIN pri"""
 
 
+def _sql_lm_unigram() -> str:
+    """Replays `quality_model.unigram_lm_scores` (self-trained LM): the
+    tok CTE is the stopword-inclusive token stream; per-term logp is
+    quantized BEFORE the per-doc sum so doc scores are order-free
+    BIGINT sums; both division pairs are BIGINT→DOUBLE (IEEE-identical
+    engines)."""
+    s = qm.QM_SCALE
+    return f"""{PRELUDE},
+dtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY doc_id, term),
+lmstats AS (SELECT term, sum(tf)::BIGINT AS ctf FROM dtf GROUP BY term),
+lmtot AS (SELECT coalesce(sum(ctf), 0)::BIGINT AS t,
+                 count(*)::BIGINT AS v FROM lmstats),
+lw AS (SELECT term,
+              floor(ln((ctf + 1)::DOUBLE / (t + v)::DOUBLE)
+                    * {s} + 0.5)::BIGINT AS logp_ppm
+       FROM lmstats CROSS JOIN lmtot),
+lsc AS (SELECT d.doc_id, sum(d.tf * lw.logp_ppm)::BIGINT AS sm,
+               sum(d.tf)::BIGINT AS n
+        FROM dtf d JOIN lw USING (term) GROUP BY d.doc_id)
+SELECT d0.doc_id,
+       coalesce(n, 0)::BIGINT AS n_tokens,
+       coalesce(floor((-sm)::DOUBLE / n + 0.5), 0)::BIGINT AS nll_ppm
+FROM (SELECT doc_id FROM docs0) d0 LEFT JOIN lsc USING (doc_id)"""
+
+
+def _sql_dsir_importance() -> str:
+    """Replays `quality_model.dsir_importance` (grams=2, target = the
+    BENCH_MOD split): bigram stream → md5-prefix buckets → the NB
+    count/weight algebra of `_nb_model_ctes` with corpus-membership
+    labels → per-raw-doc BIGINT weight sums. generate_series(1,
+    greatest(n-1, 0)) is the established empty-gram guard (DuckDB's
+    series is empty at 1..0; Spark's CASE guard matches)."""
+    v, s = qm.QM_BUCKETS, qm.QM_SCALE
+    return f"""{PRELUDE},
+dg AS (SELECT doc_id,
+              unnest(list_transform(
+                  generate_series(1, greatest(len(toks) - 1, 0)),
+                  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+                AS gram
+       FROM docs0),
+dtb AS (SELECT doc_id,
+               ('0x' || substr(md5(gram), 1, 8))::UBIGINT::BIGINT
+                 % {v} AS bucket,
+               CASE WHEN doc_id % {BENCH_MOD} = 0 THEN 1 ELSE 0 END
+                 AS label
+        FROM dg),
+dtot AS (SELECT coalesce(sum(label), 0)::BIGINT AS tg,
+                (count(*) - coalesce(sum(label), 0))::BIGINT AS tbad
+         FROM dtb),
+dcnt AS (SELECT bucket, sum(label)::BIGINT AS n_good,
+                (count(*) - sum(label))::BIGINT AS n_bad
+         FROM dtb GROUP BY bucket),
+dw AS (SELECT bucket,
+              floor(ln(((n_good + 1)::DOUBLE * (tbad + {v})::DOUBLE)
+                     / ((n_bad + 1)::DOUBLE * (tg + {v})::DOUBLE))
+                    * {s} + 0.5)::BIGINT AS w_ppm
+       FROM dcnt CROSS JOIN dtot),
+dsc AS (SELECT t.doc_id, sum(w_ppm)::BIGINT AS sm
+        FROM dtb t JOIN dw USING (bucket)
+        WHERE t.label = 0 GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(sm, 0)::BIGINT AS imp_ppm
+FROM (SELECT doc_id FROM docs0 WHERE doc_id % {BENCH_MOD} <> 0) d
+LEFT JOIN dsc USING (doc_id)"""
+
+
 def _sql_corpus_composition() -> str:
     return r"""SELECT lang, source, count(*)::BIGINT AS n_docs,
        sum(length(text))::BIGINT AS n_chars_sum,
@@ -2980,13 +3064,11 @@ JOIN dl d USING (doc_id)"""
 # are rotated past it — see the tail block. They remain fully
 # pytest-covered and were driver-green in earlier rounds.
 REGISTRY: dict[str, tuple] = {
-    "bm25_bow3": (_q_bm25(BOW3), _bm25_sql(BOW3)),
     "bm25_syn": (q_bm25_syn, _sql_bm25_syn()),
     "bm25_sdm_structured": (q_bm25_sdm, _sql_bm25_sdm()),
     "ranked_near": (q_ranked_near, _sql_ranked_near()),
     "ranked_and": (q_ranked_and, _sql_ranked_and()),
     "field_qualified_and": (q_field_qualified, _sql_field_qualified()),
-    "window3_bool": (q_window3_bool, _sql_window3_bool()),
     "indri_and": (q_indri_and, _indri_pivot_sql(
         ["spark", "stream", "join"],
         _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3]))),
@@ -3035,12 +3117,25 @@ REGISTRY: dict[str, tuple] = {
                               _sql_quality_model_weights()),
     "quality_model_score": (q_quality_model_score,
                             _sql_quality_model_score()),
+    "lm_unigram_score": (q_lm_unigram, _sql_lm_unigram()),
+    "dsir_importance": (q_dsir_importance, _sql_dsir_importance()),
     "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "window3_bool": (q_window3_bool, _sql_window3_bool()),
+    # the #WINDOW/n zipper stays gated in-window by bm25_sdm_structured
+    # (its SDM arms run the same window kernel under BM25) + the
+    # reference-binary goldens (WINDOW queries, rank + 1e-9 scores) +
+    # pytest; rotated late-r3 to admit dsir_importance
+    "bm25_bow3": (_q_bm25(BOW3), _bm25_sql(BOW3)),
+    # single-query BM25 #SUM stays gated in-window by index_open_bm25
+    # (the same Engine.search bm25 path over a saved/reopened index,
+    # BOW_RARE terms), bm25_batch_onepass (same scoring algebra, same
+    # oracle family), and the reference-binary goldens; rotated late-r3
+    # to admit lm_unigram_score
     "code_winnow_fps": (q_winnow_fps, _sql_winnow_fps()),
     # the fp CTE chain is a strict prefix of in-window code_winnow_pairs
     # (same winnow k/w/hash kernel; pairs only adds the fp equi-join on

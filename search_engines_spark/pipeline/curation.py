@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .codestats import license_scan
 from .dedup import strip_duplicate_spans, token_hash32
+from .quality_model import model_scores
 from .textstats import _tokens, quality_filter, repetition_filter
 
 DECONTAM_K = 5       # n-gram window (tokens) for overlap detection
@@ -173,11 +174,13 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   by: tuple[str, ...] = ("lang", "source"),
                   text_col: str = "text",
                   id_col: str = "doc_id",
-                  strip_spans: bool = False) -> tuple[DataFrame, DataFrame]:
+                  strip_spans: bool = False,
+                  model_filter: bool = False) -> tuple[DataFrame, DataFrame]:
     """The end-to-end corpus-assembly funnel — quality filter → Gopher
-    repetition removal → license allowlist → exact dedup → [optional
-    span-level substring strip] → benchmark decontamination →
-    temperature sampling — returning `(kept, funnel)`:
+    repetition removal → license allowlist → [optional model-based
+    quality filter] → exact dedup → [optional span-level substring
+    strip] → benchmark decontamination → temperature sampling —
+    returning `(kept, funnel)`:
 
     * `kept`: the surviving rows of `docs` (original columns);
     * `funnel`: (stage, n_docs) — the per-stage survivor counts a
@@ -212,6 +215,17 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     stripped spans can no longer match benchmark n-grams. Docs stripped
     to empty text are kept (re-run `quality_filter` downstream to drop
     them under the caller's own policy).
+
+    `model_filter=True` inserts the hashed-NB model-based quality gate
+    (`quality_model.model_scores` — the CCNet/GPT-3 stage that runs
+    AFTER heuristic filtering) as stage 03b: the model trains on the
+    FULL input `d0` with Gopher-verdict bootstrap labels (training on
+    survivors alone would see a single class) and its keep verdict is
+    applied to the license survivors, so the one scoring shuffle obeys
+    the shuffle-last discipline and the closed-form fit keeps the stage
+    deterministic/resumable like every other. The extra `03b_model`
+    funnel row appears only under the flag — the default stage names
+    and counts (the driver-entry surface) are unchanged.
     """
     d0 = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                      F.col(text_col).alias("text"), *by)
@@ -228,12 +242,21 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
            .select("doc_id"))
     s2 = s1r.join(lic, "doc_id")
 
+    if model_filter:
+        # train on d0 (both label classes), score once, gate survivors;
+        # the ≤256-row weight table broadcasts inside model_scores
+        mkeep = (model_scores(d0)
+                 .where(F.col("model_keep") == 1).select("doc_id"))
+        s2m = s2.join(mkeep, "doc_id")
+    else:
+        s2m = s2
+
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     # persist the first shuffle product: decontamination, sampling, and
     # the funnel counts all re-consume s3, and caching here costs only
     # the post-dedup survivor set (the zero-shuffle stages above are
     # cheap to recompute; the sha window is not)
-    s3 = (s2.withColumn("_rn", F.row_number().over(w))
+    s3 = (s2m.withColumn("_rn", F.row_number().over(w))
           .where(F.col("_rn") == 1).drop("_rn")).persist()
 
     if strip_spans:
@@ -279,9 +302,11 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                 .drop("__join_id", "__rid", "__rtext"))
 
     stages = [("00_input", d0), ("01_quality", s1),
-              ("02_repetition", s1r), ("03_license", s2),
-              ("04_exact_dedup", s3), ("05_decontam", s4),
-              ("06_sample", kept)]
+              ("02_repetition", s1r), ("03_license", s2)]
+    if model_filter:
+        stages.append(("03b_model", s2m))
+    stages += [("04_exact_dedup", s3), ("05_decontam", s4),
+               ("06_sample", kept)]
     funnel = reduce(DataFrame.unionByName, [
         df.agg(F.count("*").cast("long").alias("n_docs"))
           .select(F.lit(name).alias("stage"), "n_docs")

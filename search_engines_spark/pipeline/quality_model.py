@@ -173,6 +173,153 @@ def model_scores(docs: DataFrame, text_col: str = "text",
                     (score > 0).cast("long").alias("model_keep")))
 
 
+def _gram_stream(docs: DataFrame, text_col: str, grams: int,
+                 keep: tuple[str, ...]) -> DataFrame:
+    """(keep..., _tok) token- or word-n-gram OCCURRENCE stream (not
+    distinct — importance/LM estimators count occurrences; the
+    decontamination operator's per-doc-distinct `curation.ngrams` is a
+    different contract). `keep` columns of `docs` ride along."""
+    base = docs.select(*keep, _tokens(text_col).alias("_toks"))
+    if grams == 1:
+        return base.select(*keep, F.explode("_toks").alias("_tok"))
+    g = (f"case when size(_toks) >= {grams} then "
+         f"transform(sequence(1, size(_toks)-{grams - 1}), "
+         f"i -> concat_ws(' ', slice(_toks, i, {grams}))) "
+         f"else array() end")
+    return base.select(*keep, F.explode(F.expr(g)).alias("_tok"))
+
+
+def dsir_importance(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    grams: int = 2) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) →
+    (doc_id, imp_ppm) for every `raw` doc: per-doc log importance
+    weight log(p_target(doc)/p_raw(doc)) under hashed n-gram bag
+    models — the published recipe for selecting pretraining data that
+    matches a target distribution (their features are hashed bigrams;
+    `grams` defaults to 2 accordingly, 1 gives the unigram variant).
+
+    The smoothed per-bucket log ratio ln((n_t+1)(tot_r+V) /
+    ((n_r+1)(tot_t+V))) is ALGEBRAICALLY the NB log-odds with
+    (target, raw) as the two classes, so the trainer is
+    `train_quality_model`'s count/weight algebra on the labeled union's
+    gram stream (`_dsir_weights`) — same ≤QM_BUCKETS-row closed-form
+    fit, same ppm quantization (order-free BIGINT doc sums,
+    oracle-exact). No prior term: DSIR's ratio has none.
+
+    Scale shape: the union is a scan (no join — labels are literals);
+    the fit is the one ≤256-row groupBy; scoring broadcasts the weight
+    table into `raw`'s gram stream and sums per doc_id (uniform key).
+    Downstream selection: rank by imp_ppm, or feed a salted-hash
+    Gumbel-style tiebreak like `curation.sample_temperature`'s
+    deterministic keep — resampling stays resumable."""
+    u = (raw.select(F.col(text_col).alias("_txt"),
+                    F.lit(0).cast("long").alias("_y"))
+         .unionByName(target.select(F.col(text_col).alias("_txt"),
+                                    F.lit(1).cast("long").alias("_y"))))
+    weights = _dsir_weights(u, grams)
+    tokb = (_gram_stream(raw.select(F.col(id_col).cast("long")
+                                    .alias("doc_id"),
+                                    F.col(text_col).alias("_txt")),
+                         "_txt", grams, keep=("doc_id",))
+            .select("doc_id", _bucket(F.col("_tok")).alias("bucket")))
+    per_doc = (tokb.join(F.broadcast(weights.select("bucket", "w_ppm")),
+                         "bucket")
+               .groupBy("doc_id").agg(F.sum("w_ppm").alias("_s")))
+    return (raw.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_s", F.lit(0)).cast("long")
+                    .alias("imp_ppm")))
+
+
+def _dsir_weights(u: DataFrame, grams: int) -> DataFrame:
+    """(bucket, n_good, n_bad, w_ppm) over the labeled union frame
+    `u(_txt, _y)` with n-gram features — `train_quality_model`'s
+    count/weight algebra verbatim on the gram stream. The label rides
+    the projection (no join, no doc identity needed for counting)."""
+    b = (_gram_stream(u, "_txt", grams, keep=("_y",))
+         .select(F.col("_y").alias("label"),
+                 _bucket(F.col("_tok")).alias("bucket")))
+    counts = (b.groupBy("bucket")
+              .agg(F.sum("label").alias("n_good"),
+                   (F.count("*") - F.sum("label")).alias("n_bad")))
+    totals = b.agg(
+        F.coalesce(F.sum("label"), F.lit(0)).alias("_tg"),
+        (F.count("*") - F.coalesce(F.sum("label"), F.lit(0))).alias("_tb"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("bucket",
+                    F.col("n_good").cast("long").alias("n_good"),
+                    F.col("n_bad").cast("long").alias("n_bad"),
+                    _weight_expr(F.col("n_good"), F.col("n_bad"),
+                                 F.col("_tg"), F.col("_tb"))
+                    .alias("w_ppm")))
+
+
+def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      lm_stats: DataFrame | None = None,
+                      broadcast_lm: bool = True) -> DataFrame:
+    """Unigram-LM perplexity scoring → (doc_id, n_tokens, nll_ppm) for
+    EVERY input doc — the other half of CCNet-style model filtering
+    (Wenzek et al. 2020 §4.3 score documents by LM perplexity and keep
+    the low-perplexity head/middle; their KenLM is 5-gram, the unigram
+    LM is the same pipeline shape with a DataFrame-expressible,
+    oracle-exact estimator).
+
+    nll_ppm = floor(−(Σ_tokens logp_ppm(t)) / n_tokens + 0.5), with
+    logp_ppm(t) = floor(ln((ctf_t + 1) / (T + V)) · 1e6 + 0.5) —
+    Laplace-smoothed unigram log-prob quantized per TERM before the
+    per-doc sum, so document scores are BIGINT sums (order-free,
+    engine-exact); the ln input is a DOUBLE quotient of BIGINTs,
+    IEEE-identical in Spark and DuckDB. Lower nll = more typical text;
+    callers threshold or quantile-split (the CCNet head/middle/tail).
+
+    `lm_stats` (term, ctf) trains the LM on a DIFFERENT corpus — the
+    actual CCNet shape (LM fit on Wikipedia, scored on Common Crawl);
+    unseen terms back off to ctf = 0 (logp = ln(1/(T+V))). Default
+    None self-trains on `docs`.
+
+    Scale shape: the token stream folds to (doc_id, term, tf) with one
+    map-side-combined groupBy; the LM table then joins in — BROADCAST
+    by default (an LM is driver-state-sized by design; CCNet ships the
+    KenLM binary to every worker the same way). `broadcast_lm=False`
+    falls back to a term-keyed shuffle join for an oversized vocab —
+    skewed on stopwords by nature; AQE skew-split handles it, and the
+    tf fold has already collapsed per-doc multiplicity. The final agg
+    keys on doc_id (uniform)."""
+    tok = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.explode(_tokens(text_col)).alias("term"))
+    dtf = (tok.groupBy("doc_id", "term")
+           .agg(F.count("*").cast("long").alias("tf")))
+    stats = (lm_stats if lm_stats is not None
+             else dtf.groupBy("term")
+             .agg(F.sum("tf").cast("long").alias("ctf")))
+    totals = stats.agg(
+        F.coalesce(F.sum("ctf"), F.lit(0)).cast("long").alias("_t"),
+        F.count("*").cast("long").alias("_v"))
+    logp = _ppm(F.log((F.coalesce(F.col("ctf"), F.lit(0)) + 1)
+                      .cast("double")
+                      / (F.col("_t") + F.col("_v")).cast("double")))
+    lm = stats.select("term", "ctf")
+    lm = F.broadcast(lm) if broadcast_lm else lm
+    scored = (dtf.join(lm, "term", "left")
+              .crossJoin(F.broadcast(totals))
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("tf") * logp).alias("_s"),
+                   F.sum("tf").cast("long").alias("n_tokens")))
+    nll = F.floor((-F.col("_s")).cast("double")
+                  / F.col("n_tokens").cast("double")
+                  + F.lit(0.5)).cast("long")
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce(nll, F.lit(0)).cast("long")
+                    .alias("nll_ppm")))
+
+
 def fit_model(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id",
               label_col: str | None = None) -> dict:

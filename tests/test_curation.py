@@ -385,3 +385,59 @@ def test_null_text_behaves_as_empty(spark):
         eq._sql_langid().replace("SELECT doc_id,", "SELECT doc_id,", 1)
         + ")").fetchall())
     assert got[1] == "und" and got[2] == "und" and got[3] == "en"
+
+
+# ---- model-based quality gate in the funnel (quality_model) ---------------
+
+# 50-word gibberish lexicon: the "bad-class" vocabulary. The three bad
+# docs are rotations of it (all tokens distinct per doc -> repetition
+# clean) with zero stopwords -> the Gopher no_stopwords rule labels
+# them bad and bootstraps the NB training classes.
+GIB = ["q" + a + b + "z" for a in "abcdefgh" for b in "mnopqrs"][:50]
+MODEL_GOODS = [
+    "the harvest wagons roll along the lane while neighbours trade "
+    "apples and stories near the old mill where the stream still "
+    "turns a mossy wheel under shade of poplars every afternoon",
+    "sailors coil their ropes on the quay as gulls wheel over the "
+    "market stalls and the tide carries small boats past the "
+    "lighthouse toward open water beyond the breakwater stones",
+    "students fill the reading room with quiet pages turning while "
+    "rain traces long lines down the tall windows and a clock marks "
+    "the hours above shelves of worn atlases and journals",
+    "bakers slide fresh loaves from the oven before dawn and the "
+    "smell drifts across the square where lamplighters finish their "
+    "rounds as carts arrive loaded with churns of morning milk",
+]
+# passes every heuristic (stopwords present, no digits, 35 tokens) but
+# three quarters of its vocabulary is the bad-class lexicon -> the
+# model-based gate drops it while the Gopher rules keep it
+MODEL_BORDER = (" ".join(GIB[:25]) +
+                " the river and its stones keep their quiet course here")
+
+
+def test_curate_corpus_model_filter(spark):
+    rows = [(i, t) for i, t in enumerate(MODEL_GOODS)]
+    rows += [(10 + k, " ".join(GIB[k:] + GIB[:k])) for k in range(3)]
+    rows += [(20, MODEL_BORDER)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src") for i, t in rows],
+        "doc_id long, text string, lang string, source string")
+
+    # heuristics alone keep the borderline doc
+    kept_off, funnel_off = cur.curate_corpus(docs)
+    assert {r.doc_id for r in kept_off.collect()} == {0, 1, 2, 3, 20}
+    f_off = {r.stage for r in funnel_off.collect()}
+    assert "03b_model" not in f_off          # default surface unchanged
+
+    kept, funnel = cur.curate_corpus(docs, model_filter=True)
+    f = {r.stage: r.n_docs for r in funnel.collect()}
+    assert f == {"00_input": 8,
+                 "01_quality": 5,     # 3 gibberish docs: no_stopwords
+                 "02_repetition": 5,
+                 "03_license": 5,
+                 "03b_model": 4,      # the NB gate drops the borderline
+                 "04_exact_dedup": 4,
+                 "05_decontam": 4,    # bench=None: reported no-op
+                 "06_sample": 4}
+    assert {r.doc_id for r in kept.collect()} == {0, 1, 2, 3}
+    assert set(kept.columns) == set(docs.columns)

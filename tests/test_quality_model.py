@@ -127,3 +127,144 @@ def test_entry_oracle_parity(spark, labeled):
         assert list(got.columns) == list(want.columns), name
         assert len(got) == len(want), name
         assert got.astype(str).equals(want.astype(str)), name
+
+
+# ---- unigram-LM perplexity scoring -----------------------------------------
+
+def test_lm_nll_matches_python_reference(spark):
+    """Exact replay of the quantized formula in plain Python on a tiny
+    corpus — independent of the DataFrame formulation."""
+    import math
+    rows = [(0, "aa aa aa bb"), (1, "bb cc"), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.nll_ppm) for r in
+           qm.unigram_lm_scores(docs).collect()}
+
+    ctf = {"aa": 3, "bb": 2, "cc": 1}
+    t, v = sum(ctf.values()), len(ctf)
+    logp = {w: math.floor(math.log((c + 1) / (t + v)) * 1e6 + 0.5)
+            for w, c in ctf.items()}
+
+    def nll(toks):
+        s = sum(logp[w] for w in toks)
+        return math.floor(-s / len(toks) + 0.5)
+
+    assert got[0] == (4, nll(["aa", "aa", "aa", "bb"]))
+    assert got[1] == (2, nll(["bb", "cc"]))
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_lm_rare_text_scores_higher_nll(labeled):
+    """Docs made of corpus-rare tokens must have higher mean NLL than
+    docs of corpus-common tokens (the CCNet keep-the-head property)."""
+    got = {r.doc_id: r.nll_ppm for r in
+           qm.unigram_lm_scores(labeled).collect()}
+    good = [got[i] for i in range(6)]          # common-vocab docs
+    bad = [got[10 + i] for i in range(6)]      # rare-ish gibberish docs
+    assert max(good) < min(bad)
+
+
+def test_lm_cross_corpus_stats_and_backoff(spark, labeled):
+    """lm_stats trains the LM elsewhere (the real CCNet shape); unseen
+    terms back off to ctf=0 — defined, finite, and worse than any seen
+    term."""
+    import math
+    from pyspark.sql import functions as F
+    dtf = (labeled.select("doc_id",
+                          F.explode(ts._tokens("text")).alias("term"))
+           .groupBy("term").agg(F.count("*").cast("long").alias("ctf")))
+    t = dtf.agg(F.sum("ctf")).first()[0]
+    v = dtf.count()
+    new = spark.createDataFrame(
+        [(0, "the quick fox"), (1, "zzzz-unseen qqqq-unseen")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.nll_ppm for r in
+           qm.unigram_lm_scores(new, lm_stats=dtf).collect()}
+    floor_nll = -math.floor(math.log(1 / (t + v)) * 1e6 + 0.5)
+    assert got[1] == floor_nll        # pure-unseen doc = the backoff NLL
+    assert got[0] < got[1]
+
+
+# ---- DSIR importance resampling ---------------------------------------------
+
+def _py_toks(text):
+    import re
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _py_bucket(g):
+    import hashlib
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % qm.QM_BUCKETS
+
+
+def test_dsir_matches_python_reference(spark):
+    """Exact replay of the hashed-bigram importance formula in plain
+    Python (independent of both DataFrame and SQL formulations)."""
+    import math
+    raw_rows = [(0, "alpha beta gamma delta"), (1, "one two, three!"),
+                (2, "beta gamma beta gamma"), (3, "x"), (4, None)]
+    tgt_rows = [(0, "alpha beta gamma"), (1, "beta gamma delta")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {r.doc_id: r.imp_ppm for r in
+           qm.dsir_importance(raw, tgt).collect()}
+
+    def bigrams(text):
+        t = _py_toks(text)
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    from collections import Counter
+    n_t, n_r = Counter(), Counter()
+    for _, t in tgt_rows:
+        n_t.update(_py_bucket(g) for g in bigrams(t))
+    for _, t in raw_rows:
+        n_r.update(_py_bucket(g) for g in bigrams(t))
+    tg, tb, v = sum(n_t.values()), sum(n_r.values()), qm.QM_BUCKETS
+    w = {b: math.floor(math.log((n_t[b] + 1) * (tb + v)
+                                / ((n_r[b] + 1) * (tg + v))) * 1e6 + 0.5)
+         for b in set(n_t) | set(n_r)}
+    for i, t in raw_rows:
+        assert got[i] == sum(w[_py_bucket(g)] for g in bigrams(t)), i
+    assert got[3] == 0 and got[4] == 0     # < 2 tokens: no bigrams
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Raw docs sharing the target's vocabulary must outscore raw docs
+    from a disjoint vocabulary (the DSIR selection property)."""
+    tgt = spark.createDataFrame(
+        [(i, "solar panels convert sunlight into electric power for "
+             "homes and grids") for i in range(4)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(0, "solar panels convert sunlight into electric power"),
+         (1, "medieval recipes braise root vegetables in heavy iron "
+             "pots over embers")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.imp_ppm for r in
+           qm.dsir_importance(raw, tgt).collect()}
+    assert got[0] > got[1]
+
+
+def test_dsir_entry_oracle_parity(spark):
+    """Driver compare in miniature for dsir_importance (BENCH_MOD=41
+    target split: ids 0/41/82 are targets, 87 raw docs remain)."""
+    rows = [(i, f"shared words here plus variant token v{i % 7} and "
+                f"filler w{i % 5}", "en", "src")
+            for i in range(0, 90)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+
+    got = qm.dsir_importance(
+        sdf.where(F.col("doc_id") % eq.BENCH_MOD != 0),
+        sdf.where(F.col("doc_id") % eq.BENCH_MOD == 0)).toPandas()
+    want = con.execute(eq.oracle_sql()["dsir_importance"]).fetchdf()
+    got = got[sorted(got.columns)].sort_values(
+        by=sorted(got.columns), ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(
+        by=sorted(want.columns), ignore_index=True)
+    assert len(got) == 87 and len(want) == 87
+    assert got.astype(str).equals(want.astype(str))
