@@ -409,16 +409,29 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         # train + score in one plan: fit is a token-bucket groupBy that
         # collapses to ≤256 rows (map-side partial absorbs every hot
         # bucket — no reduce-side skew possible), scoring is a broadcast
-        # of the weight table + ONE doc_id-keyed BIGINT sum
+        # of the weight table + ONE doc_id-keyed BIGINT sum. The corpus
+        # is replicated 4× for this stage: the operator finishes 500k
+        # docs in ~1 s, i.e. at the scheduler floor, where per-level
+        # task-count overhead — not data work — would be the measured
+        # object (md5 volume is identical per doc either way)
+        from pyspark.sql import functions as F
+
         from search_engines_spark.pipeline.quality_model import model_scores
+        qdocs = (spark.range(4).crossJoin(sdocs)
+                 .withColumn("doc_id",
+                             F.col("doc_id") + F.col("id") * n_docs)
+                 .drop("id").persist())
+        qn = qdocs.count()
         best = None
         for _ in range(2):
             t0 = time.time()
-            model_scores(sdocs).count()
+            model_scores(qdocs).count()
             s = time.time() - t0
             best = s if best is None else min(best, s)
+        qdocs.unpersist()
+        res["qmodel_n_docs"] = qn
         res["qmodel_sec"] = round(best, 2)
-        res["qmodel_docs_per_sec"] = round(n_docs / best, 1)
+        res["qmodel_docs_per_sec"] = round(qn / best, 1)
 
         # ---- iterative PageRank (pipeline.graph) ---------------------------
         # per-iteration: one src-layout-reusing join + one dst-keyed agg;
@@ -459,6 +472,56 @@ def _eff(r: dict, lo: int, hi: int, key: str) -> float:
     return (r[hi][key] / r[lo][key]) / (hi / lo)
 
 
+# (timed_sec, paired_rate) columns per arm: a merge must take both from
+# the SAME run — recomputed rates would silently mix inputs
+ARM_PAIRS = (
+    ("arrow_build_sec", "arrow_files_per_sec"),
+    ("jvm_build_sec", "jvm_files_per_sec"),
+    ("query_batch_sec", "queries_per_sec"),
+    ("indri_batch_sec", "indri_queries_per_sec"),
+    ("seg_build_sec", None),
+    ("daat_batch_sec", "daat_queries_per_sec"),
+    ("segdec_batch_sec", "segdec_queries_per_sec"),
+    ("winnow_sec", "winnow_docs_per_sec"),
+    ("spans_sec", "spans_docs_per_sec"),
+    ("spans_hash_sec", None),
+    ("qmodel_sec", "qmodel_docs_per_sec"),
+    ("pagerank_sec", "pagerank_medges_per_sec"),
+)
+
+
+def _merge_runs(runs: list[dict]) -> tuple[dict, dict]:
+    """Per-arm min across back-to-back solo runs of the same input: for
+    each arm and level take the smallest timed sec (and its paired rate
+    from the same run); hw ceilings take the per-workload min seconds
+    (the ceiling is a denominator — the best observed hardware run is
+    the honest bound). A single arm can throw a 30-50% transient even
+    in a solo run, so min-across-runs is the established estimator
+    (BENCH/BASELINE.md 'Measurement policy')."""
+    hw: dict[int, dict] = {}
+    r: dict[int, dict] = {}
+    for run in runs:
+        for k, v in run["hw"].items():
+            k = int(k)
+            hw.setdefault(k, {})
+            for w, s in v.items():
+                hw[k][w] = min(hw[k].get(w, s), s)
+        for k, level in run["r"].items():
+            k = int(k)
+            if k not in r:
+                r[k] = dict(level)
+                continue
+            for sec_key, rate_key in ARM_PAIRS:
+                if sec_key in level and (
+                        level[sec_key] < r[k].get(sec_key, float("inf"))):
+                    r[k][sec_key] = level[sec_key]
+                    if rate_key:
+                        r[k][rate_key] = level[rate_key]
+            for kk, vv in level.items():  # metadata an earlier run lacks
+                r[k].setdefault(kk, vv)
+    return hw, r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=0)
@@ -468,11 +531,23 @@ def main() -> None:
     ap.add_argument("--corpus", choices=("zipf", "replicate"),
                     default="zipf")
     ap.add_argument("--ndocs", type=int, default=500_000)
+    ap.add_argument("--save-json", default="",
+                    help="dump this run's {hw, r} for later --report-from")
+    ap.add_argument("--report-from", nargs="+", default=[],
+                    help="write BENCH/BASELINE.md from saved run JSONs "
+                         "(per-arm min across runs); no benching")
     args = ap.parse_args()
 
     if args.cores:
         print(json.dumps(run_one(args.cores, args.sf_dir, args.mult,
                                  args.corpus, args.ndocs)))
+        return
+
+    if args.report_from:
+        runs = [json.load(open(p)) for p in args.report_from]
+        hw, r = _merge_runs(runs)
+        write_report(r, hw, runs[0].get("corpus", "zipf"),
+                     runs[0].get("mult", 200), n_runs=len(runs))
         return
 
     hw = hw_ceilings()
@@ -488,6 +563,16 @@ def main() -> None:
         r[cores] = json.loads(line)
         print(r[cores])
 
+    if args.save_json:
+        with open(args.save_json, "w") as f:
+            json.dump({"hw": {str(k): v for k, v in hw.items()},
+                       "r": {str(k): v for k, v in r.items()},
+                       "corpus": args.corpus, "mult": args.mult}, f)
+    write_report(r, hw, args.corpus, args.mult, n_runs=1)
+
+
+def write_report(r: dict, hw: dict, corpus: str, mult: int,
+                 n_runs: int = 1) -> None:
     sha_28 = hw[2]["sha"] / hw[8]["sha"] / 4
     sha_832 = hw[8]["sha"] / hw[32]["sha"] / 4
     bw_28 = hw[2]["bw"] / hw[8]["bw"] / 4
@@ -504,7 +589,7 @@ def main() -> None:
     sp832 = _eff(r, 8, 32, "spans_docs_per_sec")
     qm832 = _eff(r, 8, 32, "qmodel_docs_per_sec")
 
-    if args.corpus == "zipf":
+    if corpus == "zipf":
         corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
                        "50k-term vocabulary (pure-codegen xxhash64 "
                        "generation — realistic selectivity: t12 ≈ 60% "
@@ -519,7 +604,7 @@ vocabulary, where every arm's intersection was corpus-sized, and its
 the operator."""
     else:
         corpus_desc = (f"{r[8]['n_docs']:,} docs = sf corpus "
-                       f"×{args.mult} deterministic replication")
+                       f"×{mult} deterministic replication")
         struct_desc = """The bow queries ride the one-pass batch
 plan (docs/PLANS.md §2b); the structured ones are position-zipper-bound
 over a deliberately degenerate 31-term vocab where every term appears
@@ -563,6 +648,15 @@ Same job on the SAME input ({corpus_desc};
 {r[8]['n_postings']:,} postings), three parallelism levels. The build
 is `build_postings_arrow` — the zero-shuffle doc-local Arrow kernel
 that is the at-scale default.
+
+Measurement policy: solo runs only (nothing else on the box — tables
+taken under ambient load are superseded); each arm is min-of-2/5 reps
+inside a run, and every published number is the per-arm min across
+**{n_runs} back-to-back solo run(s)** of this script on the same
+deterministic input (`--save-json` per run, then `--report-from r1.json
+r2.json …` merges; a single arm can throw a 30-50% transient even
+solo, so per-arm min across runs is the estimator — each sec and its
+throughput column always come from the same run).
 
 | cores | build sec | files/sec |
 |---|---|---|
@@ -743,10 +837,11 @@ on a real cluster shuffle bytes cross the wire, where the 6× applies.
 `pipeline.quality_model.model_scores` — CCNet/GPT-3-style model-based
 quality filtering, trained (closed-form NB fit over md5-bucketed token
 occurrences, Gopher-verdict bootstrap labels) AND scored in one plan
-over the same corpus. The fit's groupBy collapses to ≤256 rows at the
-map side; the measured object is the scoring pass: a broadcast of the
-weight table + one doc_id-keyed BIGINT sum — the uniform-key shuffle
-shape of batched retrieval:
+over the corpus replicated 4× ({r[32]['qmodel_n_docs']:,} docs — at 1×
+the operator finishes in ~1 s, i.e. at the scheduler floor). The fit's
+groupBy collapses to ≤256 rows at the map side; the measured object is
+the scoring pass: a broadcast of the weight table + one doc_id-keyed
+BIGINT sum — the uniform-key shuffle shape of batched retrieval:
 
 | cores | train+score sec | docs/sec |
 |---|---|---|
