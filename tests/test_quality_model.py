@@ -268,3 +268,17 @@ def test_dsir_entry_oracle_parity(spark):
         by=sorted(want.columns), ignore_index=True)
     assert len(got) == 87 and len(want) == 87
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_plan_shapes_broadcast_claims(labeled):
+    """docs/PLANS.md §7 claims: the ≤256-row weight table (NB score),
+    the LM stats table, and the DSIR weight table all enter as
+    BroadcastHashJoin — the corpus side never shuffles for the probe."""
+    for df in (
+        qm.model_scores(labeled, label_col="y"),
+        qm.unigram_lm_scores(labeled),
+        qm.dsir_importance(labeled.where("y = 0"),
+                           labeled.where("y = 1")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -652,11 +652,13 @@ that is the at-scale default.
 Measurement policy: solo runs only (nothing else on the box — tables
 taken under ambient load are superseded); each arm is min-of-2/5 reps
 inside a run, and every published number is the per-arm min across
-**{n_runs} back-to-back solo run(s)** of this script on the same
-deterministic input (`--save-json` per run, then `--report-from r1.json
-r2.json …` merges; a single arm can throw a 30-50% transient even
-solo, so per-arm min across runs is the estimator — each sec and its
-throughput column always come from the same run).
+**{n_runs} solo run(s)** of this script on the same deterministic
+input (raw per-run JSONs in `BENCH/runs/`; `--save-json` per run, then
+`--report-from r1.json r2.json …` merges). Per-level wall times move
+±20% between solo runs on this shared-host box — a single arm can
+throw a 30-50% transient even solo — so per-arm min across runs is the
+estimator; each sec and its throughput column always come from the
+same run, so no ratio mixes inputs.
 
 | cores | build sec | files/sec |
 |---|---|---|
@@ -811,7 +813,10 @@ executor fingerprints its own input split — no cross-node structure.
 ## Span-level substring dedup throughput (8 vs 32 cores)
 
 `pipeline.dedup.duplicate_spans` — Lee et al. 2021 span marking over
-the same corpus ({r[32]['n_dup_spans']:,} maximal duplicated spans):
+the same corpus ({r[32]['n_dup_spans']:,} maximal duplicated spans —
+the hash-generated Zipf corpus is duplication-free by construction, so
+the timing isolates the full marking plan itself; the result-bearing
+path is oracle-checked on the sf corpora by `dedup_substring_spans`):
 one corpus-sized gram-keyed count Exchange (map-side partial agg
 absorbs hot boilerplate grams) + one semi-join + one doc-keyed
 gaps-and-islands window. The gram-count shuffle is the measured
