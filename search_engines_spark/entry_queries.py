@@ -536,6 +536,48 @@ def q_export_shards(spark, sf_dir):
         .select("shard", "n_docs", "n_chars", "checksum")
 
 
+PACK_SEQ_LEN = 128   # sequence length for the packing entry (sf docs
+                     # are ~100-200 tokens → most docs span 1-3 windows)
+PACK_ID_BLOCK = 64   # id block for the distributed prefix sum (500-doc
+                     # sf corpora → ~8 blocks, exercising the offset path)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style training-sequence packing (pipeline.export
+    .pack_sequences): id-ordered corpus as one token stream, per-doc
+    global offset + first/last sequence window via a DISTRIBUTED prefix
+    sum (block sums → block-count-sized offset window → broadcast →
+    bucketed window; no corpus-sized single-partition stage)."""
+    from .pipeline import export as ex
+    return ex.pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN,
+                             id_block=PACK_ID_BLOCK)
+
+
+def _sql_pack_sequences() -> str:
+    """Replays `pack_sequences` as the plain global window cumsum the
+    distributed prefix sum is provably equal to (same order key, same
+    exclusive frame)."""
+    k = PACK_SEQ_LEN
+    return f"""WITH pd AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents),
+po AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS tok_start
+       FROM pd)
+SELECT doc_id, n_tokens, tok_start,
+       (CASE WHEN n_tokens > 0 THEN floor(tok_start / {k})
+             ELSE -1 END)::BIGINT AS seq_first,
+       (CASE WHEN n_tokens > 0
+             THEN floor((tok_start + n_tokens - 1) / {k})
+             ELSE -1 END)::BIGINT AS seq_last
+FROM po"""
+
+
 def _sql_export_shards() -> str:
     return f"""SELECT shard,
        count(*)::BIGINT AS n_docs,
@@ -3054,7 +3096,8 @@ JOIN dl d USING (doc_id)"""
 # inside that window; six long-stable entries whose code paths are
 # fully covered by an in-window sibling (bm25_bow5/bm25_rare_term →
 # bm25_bow3 + index_open_bm25's oracle, ranked_or → ranked_and,
-# indri_wsum → indri_wand's weighted shares, dedup_embedding →
+# indri_wsum/indri_wand → indri_batch_onepass's flat #wsum/#wand
+# arms + indri_and's pivot plan, dedup_embedding →
 # dedup_embedding_lsh, ann_lsh_bucketed / ann_lsh_indexed →
 # ann_lsh_append (identical candidate set; append is a strict superset
 # of the static build), letor_features / letor_features_multifield →
@@ -3072,9 +3115,7 @@ REGISTRY: dict[str, tuple] = {
     "indri_and": (q_indri_and, _indri_pivot_sql(
         ["spark", "stream", "join"],
         _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3]))),
-    "indri_wand": (q_indri_wand, _indri_pivot_sql(
-        ["merge", "batch"],
-        _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
+    "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "postings_term": (q_postings, _sql_postings()),
     "segments_delete_topk": (q_segments_delete_topk,
                              _bm25_sql_deleted(BOW3)),
@@ -3125,6 +3166,15 @@ REGISTRY: dict[str, tuple] = {
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "indri_wand": (q_indri_wand, _indri_pivot_sql(
+        ["merge", "batch"],
+        _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),
+    # the weighted-geo #WAND combiner stays gated in-window by
+    # indri_batch_onepass (its i11 arm is a flat #wand through the same
+    # closed-form default-score algebra) + single-query indri_and (the
+    # same per-query pivot plan, uniform-share geo) + the
+    # reference-binary goldens (WAND queries, all four models); rotated
+    # late-r3 to admit pack_sequences
     "window3_bool": (q_window3_bool, _sql_window3_bool()),
     # the #WINDOW/n zipper stays gated in-window by bm25_sdm_structured
     # (its SDM arms run the same window kernel under BM25) + the
@@ -3187,7 +3237,7 @@ REGISTRY: dict[str, tuple] = {
     "near2_bool": (q_near2_bool, _sql_near2_bool()),  # NEAR/2 gated by
     # in-window ranked_near + segments_structured_near (same oracle SQL)
     "indri_term": (q_indri_term, _sql_indri_term()),  # single-term Indri
-    # #SCORE gated by in-window indri_and/indri_wand/indri_batch_onepass
+    # #SCORE gated by in-window indri_and/indri_batch_onepass
     # + the reference-binary goldens
     "daat_wand_topk": (q_daat_wand_topk, _bm25_sql(BOW3)),  # single-
     # query DAAT: same kernel as in-window daat_batch_topk + pytest

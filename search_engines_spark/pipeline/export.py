@@ -209,3 +209,55 @@ def verify_shards(spark, out_dir: str, text_col: str = "text") -> DataFrame:
                 F.lit(False)))
             .select("shard", "ok", "n_docs", "want_n_docs",
                     "checksum", "want_checksum"))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   id_block: int = 4096) -> DataFrame:
+    """Training-sequence packing → (doc_id, n_tokens, tok_start,
+    seq_first, seq_last) for every doc: the GPT-style layout where the
+    id-ordered corpus is one concatenated token stream and training
+    examples are consecutive `seq_len`-token windows (documents cross
+    sequence boundaries; a separator-token variant is `n_tokens + 1` on
+    the caller's side). `tok_start` is the doc's 0-based offset in the
+    stream; `seq_first`/`seq_last` the sequence ids it lands in (-1 for
+    token-free docs, which occupy no window).
+
+    The global running sum is a DISTRIBUTED prefix sum, not a
+    one-partition window: docs bucket by the monotone key
+    `doc_id // id_block` (dense ids → balanced blocks), one map-side
+    combined groupBy produces per-block token totals, the block-offset
+    running sum is a window over BLOCK-COUNT rows (corpus/id_block —
+    thousands, not billions), offsets broadcast back, and the
+    within-block cumsum is a window partitioned by block (bounded
+    state). Total: one small agg + one broadcast join + one bucketed
+    window — no corpus-sized single-partition stage anywhere. The
+    layout is a pure function of (doc_id, n_tokens): re-runs, resumes,
+    and different partitionings emit identical offsets (the export-side
+    determinism contract), and a DuckDB oracle replays it as a plain
+    global window cumsum."""
+    from pyspark.sql import Window
+    from .textstats import _tokens
+
+    d = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.size(_tokens(text_col)).cast("long")
+                     .alias("n_tokens"))
+         .withColumn("_b", F.floor(F.col("doc_id") / id_block)))
+    bsum = d.groupBy("_b").agg(F.sum("n_tokens").alias("_bn"))
+    wb = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bsum.select(
+        "_b", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"))
+    wd = (Window.partitionBy("_b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.col("_boff")
+             + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)))
+    out = (d.join(F.broadcast(boff), "_b")
+           .withColumn("tok_start", start.cast("long")))
+    n = F.col("n_tokens")
+    first = F.when(n > 0, F.floor(F.col("tok_start") / seq_len)) \
+        .otherwise(F.lit(-1)).cast("long")
+    last = F.when(n > 0, F.floor((F.col("tok_start") + n - 1) / seq_len)) \
+        .otherwise(F.lit(-1)).cast("long")
+    return out.select("doc_id", "n_tokens", "tok_start",
+                      first.alias("seq_first"), last.alias("seq_last"))

@@ -145,3 +145,65 @@ def test_empty_corpus_exports_and_verifies_clean(spark, tmp_path):
     assert not m["skipped"] and m["n_docs"] == 0 and m["shards"] == []
     v = ex.verify_shards(spark, out)
     assert v.count() == 0
+
+
+# ---- training-sequence packing ----------------------------------------------
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Exact replay in plain Python: id-ordered cumsum of token counts,
+    window ids by integer division, -1 for token-free docs."""
+    rows = [(0, "a b c"), (1, ""), (2, "d e f g h"), (3, None),
+            (4, "i j"), (5, "k " * 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.tok_start, r.seq_first, r.seq_last)
+           for r in ex.pack_sequences(docs, seq_len=4,
+                                      id_block=2).collect()}
+    off = 0
+    for i, t in rows:
+        n = len([w for w in (t or "").lower().split() if w])
+        first = off // 4 if n else -1
+        last = (off + n - 1) // 4 if n else -1
+        assert got[i] == (n, off, first, last), i
+        off += n
+
+
+def test_pack_sequences_block_invariant_and_gappy_ids(spark):
+    """The distributed prefix sum must be invariant to the id_block
+    choice (1 per block, mixed, one giant block) and to gaps in the id
+    space — the layout is a pure function of (doc_id, n_tokens)."""
+    rows = [(5, "one two three"), (900, "four five"),
+            (1_000_001, "six seven eight nine"), (7, "ten")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, ex.pack_sequences(
+        docs, seq_len=3, id_block=1).collect()))
+    for blk in (3, 1_000_000_000):
+        other = sorted(map(tuple, ex.pack_sequences(
+            docs, seq_len=3, id_block=blk).collect()))
+        assert other == base, blk
+    got = {r[0]: r for r in base}
+    # id order: 5 (3 toks), 7 (1), 900 (2), 1000001 (4)
+    assert got[5][2] == 0 and got[7][2] == 3 and got[900][2] == 4
+    assert got[1_000_001][2] == 6
+
+
+def test_pack_sequences_entry_oracle_parity(spark):
+    import duckdb
+
+    import search_engines_spark.entry_queries as eq
+    rows = [(i, ("tok " * (1 + i % 7)) if i % 11 else None, "en", "s")
+            for i in range(150)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    got = ex.pack_sequences(sdf, seq_len=eq.PACK_SEQ_LEN,
+                            id_block=eq.PACK_ID_BLOCK).toPandas()
+    want = con.execute(eq.oracle_sql()["pack_sequences"]).fetchdf()
+    got = got[sorted(got.columns)].sort_values(
+        by=sorted(got.columns), ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(
+        by=sorted(want.columns), ignore_index=True)
+    assert len(got) == len(want) == 150
+    assert got.astype(str).equals(want.astype(str))
