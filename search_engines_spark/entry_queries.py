@@ -578,6 +578,150 @@ SELECT doc_id, n_tokens, tok_start,
 FROM po"""
 
 
+BPE_MERGES = 8       # merge rounds for the BPE entries: enough to fuse
+                     # multi-char subwords at sf scale, small enough that
+                     # the generated oracle CTE chain stays readable
+CMS_HH_K = 20        # heavy-hitter candidates returned
+CMS_HH_WIDTH = 256   # sketch width < sf vocab so collisions (and the
+                     # est >= exact overcount) are actually exercised
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE training (pipeline.tokenizer.bpe_train, Sennrich
+    et al. 2016): one corpus scan → word-frequency table, then
+    vocab-bounded pair-count rounds with a 1-row argmax collect each —
+    the learned merge table (rank, left_sym, right_sym, merged, cnt)."""
+    from .pipeline import tokenizer as tk
+    return tk.bpe_train(_docs(spark, sf_dir), num_merges=BPE_MERGES)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding (pipeline.tokenizer.bpe_encode): train BPE_MERGES
+    merges, inline them as literals into a chain of per-token folds,
+    and encode every document in ONE zero-shuffle projection → (doc_id,
+    n_tokens, n_pieces, pieces_fp). No vocabulary join — OOV-safe."""
+    from .pipeline import tokenizer as tk
+    docs = _docs(spark, sf_dir)
+    merges = [(r["left_sym"], r["right_sym"])
+              for r in tk.bpe_train(docs, num_merges=BPE_MERGES)
+              .orderBy("rank").collect()]
+    return tk.bpe_encode(docs, merges)
+
+
+def _bpe_ctes(n: int) -> str:
+    """The BPE training replay as a generated CTE chain: w0 is the
+    word-frequency table (symbols space-joined), then per round r:
+    p{r} counts adjacent pairs (all positions, freq-weighted), b{r}
+    picks the argmax with the (cnt DESC, l ASC, r ASC) tie-break, w{r}
+    applies the merge with the same left-to-right fold the Spark side
+    uses (list_reduce's first-element seeding == the fold's empty-init
+    first-element branch). Returns the chain BODY (no WITH keyword) so
+    callers append their own terminal CTEs."""
+    ctes = ["""w0 AS (
+  SELECT word, count(*)::BIGINT AS freq,
+         array_to_string(
+           list_append(regexp_extract_all(word, '.'), '_'), ' ') AS seq
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+          t -> t <> '')) AS word
+        FROM documents)
+  GROUP BY word)"""]
+    for r in range(1, n + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM (SELECT freq, string_split(seq, ' ') AS syms FROM w{r - 1}))
+  GROUP BY syms[i], syms[i + 1])""")
+        ctes.append(f"""b{r} AS (
+  SELECT {r}::BIGINT AS rank, l, r AS rr, l || r AS merged, cnt
+  FROM p{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
+        ctes.append(f"""w{r} AS (
+  SELECT word, freq,
+         list_reduce(string_split(seq, ' '),
+           (acc, x) -> CASE WHEN (string_split(acc, ' '))[-1] = b.l
+                              AND x = b.rr
+                       THEN acc || x ELSE acc || ' ' || x END) AS seq
+  FROM w{r - 1}, b{r} b)""")
+    return ",\n".join(ctes)
+
+
+def _sql_bpe_train() -> str:
+    n = BPE_MERGES
+    union = " UNION ALL ".join(
+        f"SELECT rank, l AS left_sym, rr AS right_sym, merged, cnt "
+        f"FROM b{r}" for r in range(1, n + 1))
+    return f"WITH {_bpe_ctes(n)}\n{union}"
+
+
+def _sql_bpe_encode() -> str:
+    """Encode replay: the training corpus has no OOV words by
+    definition, so the oracle may encode by JOINING tokens to the final
+    vocabulary w{N} (word → merged symbol sequence) — a different
+    algorithm from the Spark side's literal-inlined fold chain, equal
+    on the defined result."""
+    n = BPE_MERGES
+    return f"""WITH {_bpe_ctes(n)},
+dt AS (SELECT doc_id::BIGINT AS doc_id,
+              list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                          t -> t <> '') AS toks
+       FROM documents),
+tok AS (SELECT doc_id, i, toks[i] AS word
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM dt)),
+enc AS (SELECT t.doc_id, t.i, w.seq,
+               len(string_split(w.seq, ' '))::BIGINT AS np
+        FROM tok t JOIN w{n} w USING (word)),
+ag AS (SELECT doc_id, string_agg(seq, ' ' ORDER BY i) AS pieces,
+              sum(np)::BIGINT AS n_pieces, count(*)::BIGINT AS n_tokens
+       FROM enc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+       md5(coalesce(a.pieces, '')) AS pieces_fp
+FROM dt d LEFT JOIN ag a USING (doc_id)"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (pipeline.sketches, Cormode &
+    Muthukrishnan 2005): fixed depth×width mergeable sketch (one
+    map-side-combined cell groupBy), point-queried for every vocab
+    token → top-k (token, est, exact) with the overcount visible."""
+    from .pipeline import sketches as sk
+    return sk.cms_heavy_hitters(_docs(spark, sf_dir), k=CMS_HH_K,
+                                width=CMS_HH_WIDTH)
+
+
+def _sql_cms_heavy_hitters() -> str:
+    d, w, k = 4, CMS_HH_WIDTH, CMS_HH_K
+    return f"""WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t <> '')) AS token
+  FROM documents),
+exact AS (SELECT token, count(*)::BIGINT AS exact FROM toks GROUP BY token),
+cells AS (
+  SELECT row,
+         ('0x' || substr(md5('cms' || row || '|' || token), 1, 8))
+           ::UBIGINT::BIGINT % {w} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM toks, (SELECT unnest(generate_series(0, {d - 1})) AS row)
+  GROUP BY row, bucket),
+probes AS (
+  SELECT e.token, e.exact, r.row,
+         ('0x' || substr(md5('cms' || r.row || '|' || e.token), 1, 8))
+           ::UBIGINT::BIGINT % {w} AS bucket
+  FROM exact e, (SELECT unnest(generate_series(0, {d - 1})) AS row) r),
+est AS (
+  SELECT p.token, any_value(p.exact) AS exact,
+         min(coalesce(c.cnt, 0))::BIGINT AS est
+  FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+  GROUP BY p.token)
+SELECT token, est, exact FROM est
+ORDER BY est DESC, token ASC LIMIT {k}"""
+
+
 def _sql_export_shards() -> str:
     return f"""SELECT shard,
        count(*)::BIGINT AS n_docs,
@@ -3116,9 +3260,9 @@ REGISTRY: dict[str, tuple] = {
         ["spark", "stream", "join"],
         _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3]))),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
-    "postings_term": (q_postings, _sql_postings()),
-    "segments_delete_topk": (q_segments_delete_topk,
-                             _bm25_sql_deleted(BOW3)),
+    "bpe_train_merges": (q_bpe_train, _sql_bpe_train()),
+    "bpe_encode_pieces": (q_bpe_encode, _sql_bpe_encode()),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     "segments_update_topk": (q_segments_update_topk,
                              _bm25_sql_updated(BOW3)),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
@@ -3166,6 +3310,25 @@ REGISTRY: dict[str, tuple] = {
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
+    "postings_term": (q_postings, _sql_postings()),
+    # the raw posting scan stays hard-gated in-window by
+    # streamed_postings_equal_batch, which runs the IDENTICAL oracle SQL
+    # (_sql_postings) against the streamed store — a strict superset
+    # (same scan plus the exactly-once ingest equivalence); rotated
+    # late-r3 to admit bpe_train_merges
+    "segments_delete_topk": (q_segments_delete_topk,
+                             _bm25_sql_deleted(BOW3)),
+    # the delete/tombstone read path is a strict subset of in-window
+    # segments_update_topk (update = supersede + tombstone in one op,
+    # same broadcast anti-join mask, same merged read); pytest
+    # test_merge.py covers delete-only stores directly; rotated late-r3
+    # to admit bpe_encode_pieces
+    "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
+    # the per-(lang, source) rollup is one map-side-combined groupBy
+    # whose grouping kernels stay gated in-window by sample_temperature
+    # (same composition keys feed its group window) + text_langid (the
+    # lang_guess column it rolls up) + pytest; rotated late-r3 to admit
+    # cms_heavy_hitters
     "indri_wand": (q_indri_wand, _indri_pivot_sql(
         ["merge", "batch"],
         _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),

@@ -1,0 +1,99 @@
+"""Count-min sketch over the corpus token stream (Cormode & Muthukrishnan
+2005): fixed-size frequency summaries + heavy-hitter estimation.
+
+Why a sketch in a 100 TB pipeline: exact vocabulary counts are a
+vocab-sized shuffle; a count-min sketch is a FIXED ``depth × width``
+table (a few KB) that any number of shards can build independently and
+merge by cell-wise addition — the shape for per-shard corpus-statistics
+sidecars, streaming token-rate monitors, and pre-filters that keep only
+plausibly-frequent candidates before an exact pass.
+
+Determinism / portability: the d row hashes are md5 with a per-row salt
+(``cms<i>|token``), truncated to 32 bits via `dedup.token_hash32`'s
+hex-prefix trick — expressible identically in DuckDB
+(``('0x'||substr(md5(...),1,8))::BIGINT``), which is what makes the
+sketch oracle-checkable cell by cell.
+
+Plan shape: the build is one explode + one map-side-combined groupBy on
+(row, bucket) — at most ``depth·width`` result rows regardless of corpus
+size, and the partial aggregation absorbs hot tokens map-side. The
+estimate join broadcasts the sketch (it is KB-sized by construction).
+Standard CMS guarantees apply: estimates never undercount, and
+overcount ≤ 2·N/width with probability 1 − 2^−depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import token_hash32
+from .textstats import _tokens
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_bucket(token: Column, row: Column | int,
+               width: int = CMS_WIDTH) -> Column:
+    """Row `row`'s bucket for a token: salted 32-bit md5 prefix mod
+    width. The salt goes IN FRONT so rows are independent hashes of the
+    same token, not shifts of one hash."""
+    salt = F.concat(F.lit("cms"), F.lit(row).cast("string"), F.lit("|"),
+                    token)
+    return F.pmod(token_hash32(salt), F.lit(width)).cast("long")
+
+
+def cms_build(docs: DataFrame, text_col: str = "text",
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """→ (row, bucket, cnt): the sketch cells with non-zero counts.
+    One corpus scan; the groupBy key space is depth·width cells, so the
+    shuffle writes KBs no matter the corpus size. Sketches from
+    different shards/streams merge by summing cnt on (row, bucket)."""
+    tok = (docs.select(F.explode(_tokens(text_col)).alias("t"))
+           .select("t", F.explode(F.sequence(
+               F.lit(0), F.lit(depth - 1))).alias("row")))
+    return (tok
+            .select("row", cms_bucket(F.col("t"), F.col("row"),
+                                      width).alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, tokens: DataFrame,
+                 token_col: str = "token",
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point-query the sketch for each row of `tokens` → input columns
+    + `est` (the min over the depth cells; 0 if a cell is absent —
+    an absent cell means no token ever hashed there). The sketch side
+    is broadcast: it is ≤ depth·width rows by construction."""
+    probes = tokens.select(
+        token_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    probes = probes.withColumn(
+        "bucket", cms_bucket(F.col(token_col), F.col("row"), width))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    est = (joined.groupBy(token_col)
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long").alias("est")))
+    return tokens.join(est, token_col, "left") \
+        .withColumn("est", F.coalesce(F.col("est"), F.lit(0)))
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = 20,
+                      text_col: str = "text",
+                      depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> DataFrame:
+    """Top-k candidate heavy hitters by sketch estimate → (token, est,
+    exact), ordered (est DESC, token ASC), exact alongside so the
+    CMS overestimate property (`est >= exact`, tight for hitters well
+    above N/width) is visible and testable. The exact side is the
+    vocab-sized groupBy a production pass would SKIP for candidates the
+    sketch already rules out — here it doubles as the oracle check."""
+    exact = (docs.select(F.explode(_tokens(text_col)).alias("token"))
+             .groupBy("token")
+             .agg(F.count("*").cast("long").alias("exact")))
+    sketch = cms_build(docs, text_col, depth, width)
+    est = cms_estimate(sketch, exact, "token", depth, width)
+    return (est.orderBy(F.desc("est"), F.asc("token")).limit(k)
+            .select("token", F.col("est").cast("long").alias("est"),
+                    "exact"))

@@ -1,0 +1,156 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016).
+
+The missing link between the curation funnel (`curation.curate_corpus` →
+`export.export_training_shards`) and a trainer: learn a byte-pair-
+encoding merge table FROM the corpus, then encode documents with it —
+both as DataFrame plans.
+
+Semantics (the classic word-level BPE of Sennrich et al., "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016):
+
+* a word is its character symbols plus an end-of-word marker ``_``
+  (tokens come from the canonical ``[a-z0-9]+`` tokenizer, so ``_``
+  cannot collide with a character symbol);
+* each round counts ADJACENT symbol pairs over the word-frequency
+  table (all adjacent positions count, Sennrich's ``get_stats``), picks
+  the globally best pair — highest count, ties broken by (left, right)
+  ascending so training is fully deterministic — and merges it
+  everywhere with the standard left-to-right non-overlapping scan;
+* the scan is implemented as a fold: append each symbol, merging it
+  into the accumulator's LAST symbol when (last, current) == (left,
+  right). Fold == scan because a just-merged symbol ``left||right``
+  can never equal ``left`` again (``right`` is non-empty), so no
+  overlapping re-merge is possible within a round.
+
+Scale shape (the reason this is a Spark plan and not a driver script):
+
+* ONE corpus scan builds the word-frequency table (map-side combined
+  groupBy) — everything after runs on the VOCAB table, whose size is
+  independent of corpus size (heavy-hitter words collapse map-side);
+* each round is one vocab-bounded pair aggregation plus a 1-row
+  ``TakeOrdered`` argmax collect — the single global reduce any
+  distributed BPE needs — and one narrow merge projection; rounds
+  persist/unpersist so round r costs O(vocab), not O(r · vocab);
+* encoding is a ZERO-SHUFFLE projection: the learned merge table (a
+  few hundred rows) is inlined as literals into a chain of
+  higher-order folds, one per merge, applied per token inside one
+  ``transform`` — no join against a vocabulary, so out-of-vocabulary
+  words in a NEW corpus encode correctly (they just merge as far as
+  their pairs allow), and a 100 TB encode pass is a filtered scan.
+  Each fold consumes the previous fold's array exactly once (empty
+  init, first element handled inside the lambda), so the expression
+  tree grows linearly in the number of merges, not exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import _tokens
+
+EOW = "_"                      # end-of-word marker (outside [a-z0-9])
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (word, freq, syms) — the word-frequency table BPE trains on:
+    one corpus scan, one map-side-combined groupBy; `syms` is the
+    word's initial symbol sequence (characters + the EOW marker)."""
+    return (docs
+            .select(F.explode(_tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("freq"))
+            .withColumn("syms", F.concat(F.split(F.col("word"), "(?!$)"),
+                                         F.array(F.lit(EOW)))))
+
+
+def merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE merge (left, right) to a symbol array with the
+    standard left-to-right non-overlapping scan, as a single
+    `aggregate` fold. The input array is consumed exactly once (empty
+    initial accumulator; the first symbol falls out of the size()==0
+    branch), so chaining N of these grows the expression linearly."""
+    la, lr = F.lit(left), F.lit(right)
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return (F.when(F.size(acc) == 0, F.array(x))
+                .when((last == la) & (x == lr),
+                      F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                               F.array(F.concat(last, x))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(docs: DataFrame, num_merges: int = 8,
+              text_col: str = "text",
+              return_vocab: bool = False):
+    """Learn `num_merges` BPE merges from the corpus → a merge-table
+    DataFrame (rank, left_sym, right_sym, merged, cnt), rank 1-based in
+    learned order. Stops early if the vocabulary runs out of pairs
+    (every word fused to one symbol). With `return_vocab=True` also
+    returns the post-merge vocabulary (word, freq, syms) — the state a
+    resumed training round r+1 would start from.
+
+    Driver state is one (left, right, cnt) row per round — the global
+    argmax every BPE implementation synchronizes on — never the vocab
+    itself."""
+    spark = docs.sparkSession
+    words = bpe_word_counts(docs, text_col).persist()
+    words.count()
+    merges: list[tuple] = []
+    for r in range(1, num_merges + 1):
+        # NB Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+        # fully-fused single-symbol words must emit no pairs at all
+        idx = (F.when(F.size("syms") >= 2,
+                      F.sequence(F.lit(1), F.size("syms") - 1))
+               .otherwise(F.array().cast("array<int>")))
+        pairs = (words
+                 .select("freq", F.explode(idx).alias("i"), "syms")
+                 .select(F.element_at("syms", F.col("i")).alias("l"),
+                         F.element_at("syms", F.col("i") + 1).alias("r"),
+                         "freq")
+                 .groupBy("l", "r")
+                 .agg(F.sum("freq").cast("long").alias("cnt")))
+        best = (pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((r, a, b, a + b, cnt))
+        nxt = words.withColumn(
+            "syms", merge_fold(F.col("syms"), a, b)).persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    merges_df = spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, "
+                "merged string, cnt long")
+    if return_vocab:
+        return merges_df, words
+    words.unpersist()
+    return merges_df
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Encode documents with a learned merge list → (doc_id, n_tokens,
+    n_pieces, pieces_fp): token and piece counts plus md5 of the doc's
+    full space-joined piece stream (the value a consumer verifies a
+    re-encode against). `merges` is the collected (left_sym, right_sym)
+    table IN RANK ORDER — a few hundred literals, inlined into the
+    plan, so the encode is one zero-shuffle projection with no
+    vocabulary join and correct behavior on out-of-vocabulary words."""
+    def encode_token(t: Column) -> Column:
+        syms = F.concat(F.split(t, "(?!$)"), F.array(F.lit(EOW)))
+        for left, right in merges:
+            syms = merge_fold(syms, left, right)
+        return syms
+
+    pieces = F.flatten(F.transform(_tokens(text_col), encode_token))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.md5(F.array_join(pieces, " ")).alias("pieces_fp"))

@@ -1,0 +1,154 @@
+"""pipeline.tokenizer (BPE train/encode) + pipeline.sketches (count-min)
+against plain-Python references on planted corpora."""
+import hashlib
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from search_engines_spark.pipeline import sketches as sk
+from search_engines_spark.pipeline import tokenizer as tk
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cats sat on the mats"),
+    (3, "a cat and a mat and a hat"),
+    (4, "hats and mats and cats galore"),
+    (5, "aaa aaaa aa"),          # (a,a)-style self-pairs: fold == scan
+    (6, ""),
+    (7, None),
+]
+
+
+def _tok(t):
+    return [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+
+
+def _ref_train(docs, n):
+    wc = Counter(w for _, t in docs for w in _tok(t))
+    vocab = {w: [*w, "_"] for w in wc}
+    merges = []
+    for r in range(1, n + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            vocab[w] = _ref_apply(syms, a, b)
+    return merges, vocab
+
+
+def _ref_apply(syms, a, b):
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_encode(t, merges):
+    pieces = []
+    for w in _tok(t):
+        syms = [*w, "_"]
+        for a, b in merges:
+            syms = _ref_apply(syms, a, b)
+        pieces.extend(syms)
+    return (len(_tok(t)), len(pieces),
+            hashlib.md5(" ".join(pieces).encode()).hexdigest())
+
+
+def _ddf(spark, docs=DOCS):
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_bpe_train_matches_reference(spark):
+    want, ref_vocab = _ref_train(DOCS, 6)
+    mdf, vocab = tk.bpe_train(_ddf(spark), num_merges=6, return_vocab=True)
+    got = [(r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+            r["cnt"]) for r in mdf.orderBy("rank").collect()]
+    assert got == want
+    got_vocab = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got_vocab == {w: s for w, s in ref_vocab.items()}
+    vocab.unpersist()
+
+
+def test_bpe_train_stops_when_pairs_run_dry(spark):
+    docs = [(1, "a a b")]
+    # round 1 merges (a,_), round 2 (b,_); then every word is one
+    # symbol — no pairs left, so 10 requested rounds yield 2 rows
+    mdf = tk.bpe_train(_ddf(spark, docs), num_merges=10)
+    rows = mdf.orderBy("rank").collect()
+    assert [(r["merged"], r["cnt"]) for r in rows] == [("a_", 2), ("b_", 1)]
+
+
+def test_bpe_encode_matches_reference_including_oov(spark):
+    merges_full, _ = _ref_train(DOCS, 6)
+    merges = [(a, b) for _, a, b, _, _ in merges_full]
+    # encode a corpus CONTAINING OOV words with the DOCS-trained merges
+    docs = DOCS + [(8, "concatenation chats the thematic")]
+    got = {r["doc_id"]: (r["n_tokens"], r["n_pieces"], r["pieces_fp"])
+           for r in tk.bpe_encode(_ddf(spark, docs), merges).collect()}
+    for i, t in docs:
+        assert got[i] == _ref_encode(t, merges), (i, t)
+
+
+def test_bpe_encode_is_zero_shuffle(spark):
+    merges = [("t", "h"), ("th", "e"), ("the", "_")]
+    plan = tk.bpe_encode(_ddf(spark), merges) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_cms_heavy_hitters_match_exact_and_never_undercount(spark):
+    hh = sk.cms_heavy_hitters(_ddf(spark), k=10, width=64).collect()
+    exact = Counter(w for _, t in DOCS for w in _tok(t))
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert all(r["est"] >= r["exact"] for r in hh)
+    # with width 64 >> vocab there are no collisions: est == exact and
+    # the top-k IS the exact top-k
+    assert [(r["token"], r["exact"]) for r in hh] == want
+    assert all(r["est"] == r["exact"] for r in hh)
+
+
+def test_cms_tiny_width_overcounts_but_never_undercounts(spark):
+    hh = sk.cms_heavy_hitters(_ddf(spark), k=30, width=4).collect()
+    exact = Counter(w for _, t in DOCS for w in _tok(t))
+    # reference estimate: min over the 4 salted-md5 cells
+    cells = Counter()
+    for t, c in exact.items():
+        for row in range(4):
+            h = int(hashlib.md5(f"cms{row}|{t}".encode())
+                    .hexdigest()[:8], 16) % 4
+            cells[(row, h)] += c
+    for r in hh:
+        want = min(cells[(row, int(hashlib.md5(
+            f"cms{row}|{r['token']}".encode()).hexdigest()[:8], 16) % 4)]
+            for row in range(4))
+        assert r["est"] == want
+        assert r["est"] >= r["exact"]
+    assert any(r["est"] > r["exact"] for r in hh)   # collisions happened
+
+
+def test_cms_sketches_merge_by_cell_addition(spark):
+    a = _ddf(spark, DOCS[:3])
+    b = _ddf(spark, DOCS[3:])
+    both = _ddf(spark)
+    merged = (sk.cms_build(a).unionByName(sk.cms_build(b))
+              .groupBy("row", "bucket")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    whole = sk.cms_build(both)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = sk.cms_heavy_hitters(empty, k=5)
+    assert out.columns == ["token", "est", "exact"]
+    assert out.count() == 0
