@@ -1583,6 +1583,57 @@ def q_streamed_postings(spark, sf_dir):
                         ",").alias("poss")))
 
 
+_DEDUP_STREAM_CACHE: dict[tuple, str] = {}
+
+
+def q_streamed_dedup(spark, sf_dir):
+    """Streaming first-wins exact dedup (streaming.dedup): the sf
+    corpus plus a LATER file resending every document under shifted ids
+    (doc_id + 1000000, same text) run through the survivor sink —
+    survivors must equal the batch GROUP BY fp MIN(doc_id) over the
+    union: every original survives, every resent copy is dropped by
+    the sink-as-state anti-join, whatever the batch split."""
+    import os
+    import shutil
+
+    from .streaming.dedup import dedup_survivors, start_dedup_stream
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_DEDUP_STREAM_CACHE, key, "entry_sdedup_")
+    if created:
+        src_pq = f"{sf_dir}/documents.parquet"
+        os.makedirs(f"{d}/src", exist_ok=True)
+        if os.path.isdir(src_pq):
+            for f in os.listdir(src_pq):
+                shutil.copy(os.path.join(src_pq, f), f"{d}/src/{f}")
+        else:
+            shutil.copy(src_pq, f"{d}/src/a_documents.parquet")
+        now = __import__("time").time()
+        for f in os.listdir(f"{d}/src"):   # originals strictly earlier
+            os.utime(f"{d}/src/{f}", (now - 100, now - 100))
+        dups = (spark.read.parquet(src_pq)
+                .withColumn("doc_id",
+                            (F.col("doc_id") + F.lit(1000000))
+                            .cast("long")))
+        dups.coalesce(1).write.mode("overwrite").parquet(f"{d}/dupstage")
+        part = [f for f in os.listdir(f"{d}/dupstage")
+                if f.endswith(".parquet")][0]
+        shutil.copy(f"{d}/dupstage/{part}", f"{d}/src/z_dups.parquet")
+        q = start_dedup_stream(spark, f"{d}/src", f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination(300)
+    return dedup_survivors(spark, f"{d}/out").select("doc_id", "fp")
+
+
+def _sql_streamed_dedup() -> str:
+    return """WITH u AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         sha256(coalesce(text, '')) AS fp
+  FROM documents
+  UNION ALL
+  SELECT doc_id::BIGINT + 1000000, sha256(coalesce(text, ''))
+  FROM documents)
+SELECT min(doc_id)::BIGINT AS doc_id, fp FROM u GROUP BY fp"""
+
+
 _FIELDS_INDEX_CACHE: dict[tuple, Index] = {}
 
 
@@ -3266,6 +3317,7 @@ REGISTRY: dict[str, tuple] = {
     "segments_update_topk": (q_segments_update_topk,
                              _bm25_sql_updated(BOW3)),
     "streamed_postings_equal_batch": (q_streamed_postings, _sql_postings()),
+    "streamed_dedup_equal_batch": (q_streamed_dedup, _sql_streamed_dedup()),
     "standing_query_topk": (q_standing_stream, _sql_standing_topk()),
     "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),
     "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
@@ -3293,7 +3345,6 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _sql_dedup_embedding_lsh(0.3)),
     "ann_lsh_append": (q_ann_lsh_append, _sql_ann_lsh()),
     "ann_ivf_indexed": (q_ann_ivf_indexed, _sql_ann_ivf()),
-    "text_langid": (q_langid, _sql_langid()),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     "text_repetition": (q_repetition, _sql_repetition()),
     "license_scan": (q_license_scan, _sql_license_scan()),
@@ -3329,6 +3380,13 @@ REGISTRY: dict[str, tuple] = {
     # (same composition keys feed its group window) + text_langid (the
     # lang_guess column it rolls up) + pytest; rotated late-r3 to admit
     # cms_heavy_hitters
+    "text_langid": (q_langid, _sql_langid()),
+    # the marker-count kernel (filter + array_contains over canonical
+    # tokens) stays gated in-window by quality_filter's no_stopwords /
+    # stop_heavy rules (the identical _marker_count expression on the
+    # 'en' set); the de/fr argmax is planted-case pytest-covered
+    # (test_capabilities); rotated late-r3 to admit
+    # streamed_dedup_equal_batch
     "indri_wand": (q_indri_wand, _indri_pivot_sql(
         ["merge", "batch"],
         _geo_combiner([w / (0.6 + 0.4) for w in (0.6, 0.4)]))),

@@ -1,0 +1,129 @@
+"""Streaming exact dedup: first-wins survivor emission over a document
+stream.
+
+The ingest-pipeline shape: documents arrive continuously (re-crawls,
+mirrors, retries) and only the FIRST copy of each content fingerprint
+should flow downstream. Semantics are deterministic by construction:
+
+* fingerprint = sha256 of the text (NULL text fingerprints like '' —
+  the repo-wide null-safety convention);
+* within a micro-batch, the survivor for a fingerprint is the MIN
+  doc_id (a groupBy, not dropDuplicates' arbitrary-row pick);
+* across batches, first batch wins. When batches arrive in doc_id
+  order (a file stream fed in creation order — the normal ingest
+  layout), the survivor is therefore the GLOBAL min doc_id per
+  fingerprint, identical for ANY batch split — which is what makes
+  the result batch-replayable and oracle-checkable.
+
+State design: there is NO in-memory state store. The dedup state IS
+the survivor sink — each batch anti-joins its batch-local survivors
+against the fingerprints already committed to the sink (excluding its
+own partition, so retries are idempotent) and appends only the novel
+ones, partitioned by batch_id with dynamic partition overwrite and the
+same journal-publish commit protocol as `ingest.start_postings_stream`.
+Compared to Spark's `dropDuplicates` state store this trades an
+executor-memory-resident hash (which grows without bound and dies with
+the checkpoint) for an anti-join against a COLUMN-PRUNED single-column
+projection of the sink: restart-safe for free, size-bounded by disk,
+and at 100 TB the sink can be bucketed by fp so the anti-join
+co-locates instead of shuffling the seen-set. A TTL (drop state older
+than N days) becomes a partition predicate on the sink read rather
+than a watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..indexer.segments import journal_append, journal_read
+from .ingest import DOC_SCHEMA
+
+_DEDUP_JOURNAL = "_dedup_journal.jsonl"
+
+
+def _journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, _DEDUP_JOURNAL)
+
+
+def _fp(text_col: str = "text"):
+    return F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+
+
+def published_survivor_batches(out_dir: str) -> set[int]:
+    """batch_ids whose publish entry landed — what a consumer reads."""
+    return {int(e["batch_id"]) for e in journal_read(_journal_path(out_dir))
+            if "batch_id" in e}
+
+
+def dedup_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed survivor set → (doc_id, fp, batch_id): published
+    partitions only (the mid-publish read-repair rule the ingest
+    journal exists for)."""
+    batches = sorted(published_survivor_batches(out_dir))
+    if not batches:
+        return spark.createDataFrame(
+            [], "doc_id long, fp string, batch_id long")
+    return (spark.read.parquet(out_dir)
+            .where(F.col("batch_id").isin(batches))
+            .select("doc_id", "fp", F.col("batch_id").cast("long")
+                    .alias("batch_id")))
+
+
+def start_dedup_stream(spark: SparkSession, src_dir: str, out_dir: str,
+                       checkpoint_dir: str, schema: str = DOC_SCHEMA,
+                       text_col: str = "text",
+                       available_now: bool = True,
+                       max_files_per_trigger: int | None = None):
+    """File-source stream → first-wins survivor sink. Returns the
+    StreamingQuery. `max_files_per_trigger=1` forces one batch per
+    file (the cross-batch-state test shape); default lets the source
+    batch freely — the result is identical either way for doc_id-
+    ordered arrival (see module docstring)."""
+    ident = os.path.abspath(checkpoint_dir)
+    for e in journal_read(_journal_path(out_dir)):
+        if "checkpoint" in e and e["checkpoint"] != ident:
+            raise ValueError(
+                f"dedup sink {out_dir} belongs to checkpoint "
+                f"{e['checkpoint']}; restarting under {ident} would "
+                f"rewind batch ids — use a fresh out_dir")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    src = reader.parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        local = (batch_df
+                 .select(F.col("doc_id").cast("long").alias("doc_id"),
+                         _fp(text_col).alias("fp"))
+                 .groupBy("fp")
+                 .agg(F.min("doc_id").alias("doc_id")))
+        prior = sorted(b for b in published_survivor_batches(out_dir)
+                       if b != batch_id)      # retry: own partition excluded
+        if prior:
+            seen = (spark.read.parquet(out_dir)
+                    .where(F.col("batch_id").isin(prior))
+                    .select("fp"))
+            novel = local.join(seen, "fp", "left_anti")
+        else:
+            novel = local
+        (novel.select("doc_id", "fp")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+        entries = journal_read(_journal_path(out_dir))
+        if not any("checkpoint" in e for e in entries):
+            journal_append(_journal_path(out_dir), {"checkpoint": ident})
+        if not any(int(e.get("batch_id", -1)) == batch_id
+                   for e in entries):
+            journal_append(_journal_path(out_dir), {"batch_id": batch_id})
+
+    w = (src.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -120,3 +120,102 @@ def test_publish_journal_gates_merge_and_guards_checkpoint(
     ckpt2 = str(tmp_path_factory.mktemp("ckpt_j2"))
     with pytest.raises(ValueError, match="rewind"):
         start_postings_stream(spark, doc_dir, out, ckpt2)
+
+
+# --------------------------------------------------- streaming dedup --
+
+DEDUP_SCHEMA = ("doc_id long, text string, lang string, source string, "
+                "n_chars long")
+
+
+def _write_doc_file(spark, d, rows, mtime):
+    """One parquet file of rows with a controlled mtime so the file
+    stream source (mtime-ordered) sees deterministic batch order."""
+    import os
+    tmp = d + f"/_stage{mtime}"
+    df = spark.createDataFrame(rows, DEDUP_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(d, f"f{mtime}.parquet")
+    os.rename(os.path.join(tmp, part), dst)
+    os.utime(dst, (mtime, mtime))
+    return dst
+
+
+def _row(i, text):
+    return (i, text, "en", "s", 10)
+
+
+def test_stream_dedup_first_wins_across_batches(spark, tmp_path_factory):
+    """A later batch re-sending earlier content emits nothing for it;
+    novel content still flows. maxFilesPerTrigger=1 forces the
+    cross-batch path (state = the survivor sink, not a state store)."""
+    from search_engines_spark.streaming.dedup import (
+        dedup_survivors, start_dedup_stream)
+    src = str(tmp_path_factory.mktemp("dsrc"))
+    out = str(tmp_path_factory.mktemp("dout"))
+    ckpt = str(tmp_path_factory.mktemp("dckpt"))
+    _write_doc_file(spark, src,
+                    [_row(i, f"content number {i}") for i in range(10)],
+                    1_000_000)
+    _write_doc_file(spark, src,
+                    [_row(10 + j, f"content number {j}") for j in range(5)]
+                    + [_row(15 + j, f"novel text {j}") for j in range(5)],
+                    1_000_100)
+    q = start_dedup_stream(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    surv = dedup_survivors(spark, out)
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert ids == list(range(10)) + [15, 16, 17, 18, 19]
+    # the duplicates landed in batch 0's partition only
+    assert surv.where("batch_id = 1").count() == 5
+    assert surv.select("fp").distinct().count() == 15
+
+
+def test_stream_dedup_equals_batch_min_per_fp(spark, tmp_path_factory):
+    """Survivors == the batch GROUP BY fp MIN(doc_id) over all files,
+    including in-batch duplicates (deterministic min, not an arbitrary
+    dropDuplicates row)."""
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.streaming.dedup import (
+        dedup_survivors, start_dedup_stream)
+    src = str(tmp_path_factory.mktemp("dsrc2"))
+    out = str(tmp_path_factory.mktemp("dout2"))
+    ckpt = str(tmp_path_factory.mktemp("dckpt2"))
+    rows = ([_row(i, f"text {i % 7}") for i in range(20)]   # in-file dups
+            + [_row(20, None), _row(21, "")])  # NULL text == '' fingerprint
+    _write_doc_file(spark, src, rows[:11], 2_000_000)
+    _write_doc_file(spark, src, rows[11:], 2_000_100)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["fp"])
+           for r in dedup_survivors(spark, out).collect()}
+    want = {(r["doc_id"], r["fp"]) for r in
+            (spark.read.parquet(src)
+             .select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256)
+                     .alias("fp"))
+             .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id", "fp")).collect()}
+    assert got == want
+    # NULL and '' text collapse to one survivor (doc 20)
+    assert sum(1 for d, _ in got if d in (20, 21)) == 1 and (
+        20, ) == tuple(d for d, _ in got if d in (20, 21))
+
+
+def test_stream_dedup_restart_idempotent_and_rewind_guard(
+        spark, tmp_path_factory):
+    from search_engines_spark.streaming.dedup import (
+        dedup_survivors, start_dedup_stream)
+    src = str(tmp_path_factory.mktemp("dsrc3"))
+    out = str(tmp_path_factory.mktemp("dout3"))
+    ckpt = str(tmp_path_factory.mktemp("dckpt3"))
+    _write_doc_file(spark, src,
+                    [_row(i, f"body {i}") for i in range(8)], 3_000_000)
+    for _ in range(2):       # same checkpoint: no duplicate survivors
+        q = start_dedup_stream(spark, src, out, ckpt)
+        q.awaitTermination(120)
+    assert dedup_survivors(spark, out).count() == 8
+    ckpt2 = str(tmp_path_factory.mktemp("dckpt3b"))
+    with pytest.raises(ValueError, match="rewind"):
+        start_dedup_stream(spark, src, out, ckpt2)
