@@ -301,6 +301,28 @@ def main() -> None:
     serving.snippets(res, idx.docs, ["spark", "stream", "join"]).collect()
     queries["snippets_top10"] = round(time.time() - t0, 3)
 
+    # training-sequence packing: the distributed prefix sum (block
+    # token sums -> block-count offset window -> broadcast -> bucketed
+    # window) over the whole corpus
+    from search_engines_spark.pipeline.export import pack_sequences
+    t0 = time.time()
+    pack_sequences(docs.select("doc_id", "text")).count()
+    queries["pack_sequences"] = round(time.time() - t0, 3)
+
+    # distributed BPE: one corpus scan -> vocab table, then 4
+    # vocab-bounded merge rounds (pair agg + 1-row argmax each)
+    from search_engines_spark.pipeline.tokenizer import bpe_train
+    t0 = time.time()
+    bpe_train(docs, num_merges=4)
+    queries["bpe_train_4merges"] = round(time.time() - t0, 3)
+
+    # count-min heavy hitters: fixed 4x1024-cell groupBy (map-side
+    # partials absorb the token volume) + broadcast estimate join
+    from search_engines_spark.pipeline.sketches import cms_heavy_hitters
+    t0 = time.time()
+    cms_heavy_hitters(docs, k=20).collect()
+    queries["cms_heavy_hitters"] = round(time.time() - t0, 3)
+
     total = time.time() - t_total
     retrieval_times = [queries[k] for k in RETRIEVAL]  # warm latencies
     print(json.dumps({
