@@ -722,6 +722,70 @@ SELECT token, est, exact FROM est
 ORDER BY est DESC, token ASC LIMIT {k}"""
 
 
+HLL_SQL_RHO = """CASE WHEN s = '' THEN 33
+         ELSE 4 * (8 - length(s)) + CASE
+           WHEN substr(s, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+           WHEN substr(s, 1, 1) IN ('4','5','6','7') THEN 1
+           WHEN substr(s, 1, 1) IN ('2','3') THEN 2
+           ELSE 3 END + 1 END"""
+
+_HLL_SQL_REG = """WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t <> '')) AS token
+  FROM documents),
+h AS (
+  SELECT ('0x' || substr(md5('hllb|' || token), 1, 8))
+           ::UBIGINT::BIGINT % 256 AS bucket,
+         regexp_replace(substr(md5('hll|' || token), 1, 8),
+                        '^0+', '') AS s
+  FROM toks),
+reg AS (
+  SELECT bucket, max({rho})::BIGINT AS r FROM h GROUP BY bucket)"""
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (pipeline.sketches, Flajolet et al.
+    2007) over the corpus token stream: 2^p-bucket max-rho sketch —
+    one map-side-combined groupBy whose exchange is ≤ 2^p rows; the
+    string-domain rho (md5 hex prefix, no float log2) is what makes
+    every register oracle-exact."""
+    from .pipeline import sketches as sk
+    from .pipeline.textstats import _tokens
+    toks = _docs(spark, sf_dir).select(F.explode(_tokens("text")).alias("t"))
+    return sk.hll_build(toks, "t").orderBy("bucket")
+
+
+def _sql_hll_registers() -> str:
+    return (_HLL_SQL_REG.format(rho=HLL_SQL_RHO)
+            + "\nSELECT bucket, r FROM reg ORDER BY bucket")
+
+
+def q_hll_cardinality(spark, sf_dir):
+    """HLL distinct-token estimate vs the exact distinct — the
+    quantized estimate (floor(est·1e6+0.5)) rides the driver's integer
+    compare; Σ2^-r is exact in IEEE double (dyadic terms, < 53-bit
+    exponent span) and jvm Math.log == DuckDB libm ln on this box."""
+    from .pipeline import sketches as sk
+    return sk.hll_token_cardinality(_docs(spark, sf_dir))
+
+
+def _sql_hll_cardinality() -> str:
+    raw = ("(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0"
+           " / (s_ne + (256.0 - nz))")
+    return (_HLL_SQL_REG.format(rho=HLL_SQL_RHO) + f""",
+agg AS (
+  SELECT count(*)::DOUBLE AS nz,
+         sum(power(2.0, -r)) AS s_ne
+  FROM reg)
+SELECT (SELECT count(DISTINCT token) FROM toks)::BIGINT AS exact_distinct,
+       nz::BIGINT AS nonempty_buckets,
+       floor(CASE WHEN (256.0 - nz) > 0 AND {raw} <= 640.0
+                  THEN 256.0 * ln(256.0 / (256.0 - nz))
+                  ELSE {raw} END * 1e6 + 0.5)::BIGINT AS est_micro
+FROM agg""")
+
+
 def _sql_export_shards() -> str:
     return f"""SELECT shard,
        count(*)::BIGINT AS n_docs,
@@ -3489,6 +3553,16 @@ REGISTRY: dict[str, tuple] = {
     "letor_features_multifield": (q_letor_multifield,
                                   _sql_letor_multifield()),
     "dedup_ngram_jaccard": (q_dedup_ngram, _sql_dedup_ngram()),
+    "hll_registers": (q_hll_registers, _sql_hll_registers()),
+    # HyperLogLog register build (pipeline.sketches): overflow-born —
+    # the (bucket, max rho) groupBy kernel shares the fixed-key-space
+    # mergeable-sketch shape gated in-window by cms_heavy_hitters, and
+    # the md5 hex-prefix hash is in-window via dedup_exact /
+    # export_shards; register-level python-replay + merge-law pytest in
+    # test_tokenizer_sketches.py; check_entry-green at sf0.001 + sf0.01
+    "hll_token_cardinality": (q_hll_cardinality, _sql_hll_cardinality()),
+    # the estimate head over hll_registers' table (Σ2^-r is exact
+    # dyadic double math; ln verified jvm==libm); same gating siblings
 }
 
 

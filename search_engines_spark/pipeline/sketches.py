@@ -97,3 +97,110 @@ def cms_heavy_hitters(docs: DataFrame, k: int = 20,
     return (est.orderBy(F.desc("est"), F.asc("token")).limit(k)
             .select("token", F.col("est").cast("long").alias("est"),
                     "exact"))
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007): fixed-size
+# distinct-count sketch. Complements the count-min above: CMS answers
+# "how often", HLL answers "how many distinct" — the two corpus-stats
+# sidecars a 100 TB shard ships instead of its vocabulary. 2^p
+# registers regardless of corpus size; shard sketches merge by
+# per-register MAX (set union, exactly). Same portability discipline as
+# CMS: md5 hex-prefix hashing and a STRING-domain leading-zeros rho
+# (no log2/float), so every register is oracle-checkable in DuckDB.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8          # 2^p = 256 registers; the bias constant needs m >= 128
+
+
+def hll_rho(element: Column) -> Column:
+    """rho = (leading zero bits of the element's 32-bit hash) + 1,
+    computed entirely in the string domain: the hash is the first 8 hex
+    chars of a salted md5; strip leading '0' digits (4 bits each), then
+    the first surviving hex digit pins the leading 1-bit's position
+    within its 4 bits. An all-zero prefix (probability 2^-32 per
+    element) maps to rho = 33. Bit-identical in DuckDB:
+    ``regexp_replace(substr(md5('hll|'||x),1,8), '^0+', '')`` + the
+    same CASE ladder."""
+    hx = F.substring(F.md5(F.concat(F.lit("hll|"), element)), 1, 8)
+    s = F.regexp_replace(hx, "^0+", "")
+    c1 = F.substring(s, 1, 1)
+    return (F.when(s == "", F.lit(33)).otherwise(
+        4 * (8 - F.length(s))
+        + F.when(c1.isin(*list("89abcdef")), 0)
+           .when(c1.isin(*list("4567")), 1)
+           .when(c1.isin("2", "3"), 2)
+           .otherwise(3)
+        + 1)).cast("long")
+
+
+def hll_bucket(element: Column, p: int = HLL_P) -> Column:
+    """Register index: an INDEPENDENT salted 32-bit hash mod 2^p (the
+    stochastic-averaging split; independent hashes instead of classic
+    bit-splitting keeps both sides one md5 substring)."""
+    salt = F.concat(F.lit("hllb|"), element)
+    return F.pmod(token_hash32(salt), F.lit(1 << p)).cast("long")
+
+
+def hll_build(df: DataFrame, element_col: str = "t",
+              p: int = HLL_P) -> DataFrame:
+    """→ (bucket, r): the non-empty HLL registers of the element
+    column's value stream. ONE scan; the groupBy key space is 2^p
+    buckets, so map-side partial max absorbs the whole stream and the
+    exchange writes at most 2^p rows per map task. Duplicates need no
+    pre-distinct — (bucket, rho) is a pure function of the value, so
+    re-observations can never raise a register's max. Shard/stream
+    sketches merge with `hll_merge` (per-register max = exact union)."""
+    el = F.col(element_col).cast("string")
+    return (df.select(hll_bucket(el, p).alias("bucket"),
+                      hll_rho(el).alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("r")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of the underlying sets = per-register max. Registers stay
+    ≤ 2^p rows, so merging S shards moves S·2^p rows — KBs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """→ one row (nonempty_buckets, est_micro): the HLL cardinality
+    estimate from a register table, quantized to floor(est·1e6 + 0.5)
+    so the driver's integer compare is exact. The indicator sum
+    Σ 2^-r is a sum of dyadic rationals spanning < 53 bits of
+    exponent, hence EXACT in IEEE double in any order; the remaining
+    arithmetic (bias constant, linear-counting ln) is bit-identical
+    across Spark/DuckDB on this box (verified: jvm Math.log == libm).
+    Small-range correction per the paper: raw ≤ 2.5·m with empty
+    registers → linear counting m·ln(m/V)."""
+    m = float(1 << p)
+    agg = registers.agg(
+        F.count("*").cast("double").alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_nonempty"))
+    v = F.lit(m) - F.col("nz")                      # empty registers
+    s = F.col("s_nonempty") + v                     # empty ⇒ 2^-0 = 1
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    raw = alpha * F.lit(m) * F.lit(m) / s
+    est = F.when((v > 0) & (raw <= F.lit(2.5 * m)),
+                 F.lit(m) * F.log(F.lit(m) / v)).otherwise(raw)
+    return agg.select(
+        F.col("nz").cast("long").alias("nonempty_buckets"),
+        F.floor(est * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("est_micro"))
+
+
+def hll_token_cardinality(docs: DataFrame, text_col: str = "text",
+                          p: int = HLL_P) -> DataFrame:
+    """Distinct-token count, sketched vs exact → one row
+    (exact_distinct, nonempty_buckets, est_micro). The exact side is
+    the vocab-sized distinct a production pass would skip — here it
+    rides along so the estimate's error is visible and testable (HLL
+    standard error ≈ 1.04/√m ≈ 6.5% at p=8)."""
+    toks = docs.select(F.explode(_tokens(text_col)).alias("t"))
+    est = hll_estimate(hll_build(toks, "t", p), p)
+    exact = toks.agg(F.countDistinct("t").cast("long")
+                     .alias("exact_distinct"))
+    return exact.crossJoin(est)

@@ -152,3 +152,85 @@ def test_cms_empty_corpus(spark):
     out = sk.cms_heavy_hitters(empty, k=5)
     assert out.columns == ["token", "est", "exact"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _ref_hll(values):
+    """Pure-python register replay: salted md5 prefix hashes, string-
+    domain rho semantics (leading zero bits of the 32-bit value + 1)."""
+    reg = {}
+    for t in set(values):
+        v = int(hashlib.md5(f"hll|{t}".encode()).hexdigest()[:8], 16)
+        rho = 33 if v == 0 else 32 - v.bit_length() + 1
+        b = int(hashlib.md5(f"hllb|{t}".encode()).hexdigest()[:8], 16) % 256
+        reg[b] = max(reg.get(b, 0), rho)
+    return reg
+
+
+def _ref_hll_estimate(reg, m=256.0):
+    import math
+    s = sum(2.0 ** -r for r in reg.values()) + (m - len(reg))
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / s
+    v = m - len(reg)
+    est = m * math.log(m / v) if (v > 0 and raw <= 2.5 * m) else raw
+    return math.floor(est * 1e6 + 0.5)
+
+
+def test_hll_registers_match_python_replay_and_ignore_duplicates(spark):
+    els = [f"tok{i}" for i in range(400)] * 3        # duplicates
+    df = spark.createDataFrame([(t,) for t in els], "t string")
+    got = {r["bucket"]: r["r"] for r in sk.hll_build(df, "t").collect()}
+    assert got == _ref_hll(els)
+    # re-observation can never raise a register
+    once = {r["bucket"]: r["r"]
+            for r in sk.hll_build(df.distinct(), "t").collect()}
+    assert got == once
+
+
+def test_hll_merge_is_exact_union(spark):
+    els = [f"w{i}" for i in range(300)]
+    df = spark.createDataFrame([(t,) for t in els], "t string")
+    a = sk.hll_build(df.where("t < 'w2'"), "t")
+    b = sk.hll_build(df.where("t >= 'w2'"), "t")
+    merged = {r["bucket"]: r["r"] for r in sk.hll_merge(a, b).collect()}
+    whole = {r["bucket"]: r["r"] for r in sk.hll_build(df, "t").collect()}
+    assert merged == whole
+
+
+def test_hll_estimate_linear_counting_branch(spark):
+    # small cardinality -> empty registers remain -> m*ln(m/V) branch
+    els = [f"tok{i}" for i in range(120)]
+    df = spark.createDataFrame([(t,) for t in els], "t string")
+    reg = _ref_hll(els)
+    row = sk.hll_estimate(sk.hll_build(df, "t")).collect()[0]
+    assert row["nonempty_buckets"] == len(reg)
+    assert row["est_micro"] == _ref_hll_estimate(reg)
+    assert abs(row["est_micro"] / 1e6 - 120) / 120 < 0.15
+
+
+def test_hll_estimate_raw_branch_and_error_bound(spark):
+    # 5000 distinct values fill essentially every register -> raw branch
+    els = [f"item-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(t,) for t in els], "t string")
+    reg = _ref_hll(els)
+    m, v = 256.0, 256.0 - len(reg)
+    s = sum(2.0 ** -r for r in reg.values()) + v
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / s
+    assert not (v > 0 and raw <= 2.5 * m)     # really the raw branch
+    row = sk.hll_estimate(sk.hll_build(df, "t")).collect()[0]
+    assert row["est_micro"] == _ref_hll_estimate(reg)
+    # 1.04/sqrt(256) ~ 6.5% standard error; allow 3 sigma
+    assert abs(row["est_micro"] / 1e6 - 5000) / 5000 < 0.20
+
+
+def test_hll_token_cardinality_over_documents(spark):
+    docs = _ddf(spark)
+    row = sk.hll_token_cardinality(docs).collect()[0]
+    vocab = {w for _, t in DOCS for w in _tok(t)}
+    reg = _ref_hll({w for _, t in DOCS for w in _tok(t)})
+    assert row["exact_distinct"] == len(vocab)
+    assert row["nonempty_buckets"] == len(reg)
+    assert row["est_micro"] == _ref_hll_estimate(reg)
