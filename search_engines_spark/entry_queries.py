@@ -1212,6 +1212,50 @@ def q_decontam_scan(spark, sf_dir):
     return cur.decontaminate(docs, bench)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination (pipeline.sketches): the bench
+    split's gram set rides as a 512-byte literal bitmask (the
+    collected-state scan pattern) — per-doc bloom-positive gram counts,
+    one-sided vs the exact `decontam_scan` (never a false negative)."""
+    from .pipeline import sketches as sk
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    return sk.bloom_decontam_scan(docs, bench, kgram=cur.DECONTAM_K,
+                                  min_hits=cur.DECONTAM_MIN_HITS)
+
+
+def _sql_bloom_decontam() -> str:
+    """Replays the bloom bit set (3 salted-md5 hashes mod 4096 over the
+    bench grams) and the all-k-bits-set membership test with plain
+    joins — same defined result as the Spark side's literal bitmask."""
+    from .pipeline.sketches import BLOOM_K, BLOOM_M
+    d = BLOOM_K - 1
+    return f"""{PRELUDE},
+{_decontam_ctes()},
+bbits AS (SELECT DISTINCT
+    ('0x' || substr(md5('bloom' || i || '|' || gram), 1, 8))
+      ::UBIGINT::BIGINT % {BLOOM_M} AS bit
+  FROM bng, (SELECT unnest(generate_series(0, {d})) AS i)),
+ph AS (SELECT doc_id, gram,
+    ('0x' || substr(md5('bloom' || i || '|' || gram), 1, 8))
+      ::UBIGINT::BIGINT % {BLOOM_M} AS bit
+  FROM ng, (SELECT unnest(generate_series(0, {d})) AS i)),
+gh AS (SELECT doc_id, gram,
+         (count(*) FILTER (WHERE bit IN (SELECT bit FROM bbits))
+          = {BLOOM_K}) AS hit
+       FROM ph GROUP BY doc_id, gram),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+               sum(hit::INT)::BIGINT AS n_hits_bloom
+        FROM gh GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_hits_bloom, 0)::BIGINT AS n_hits_bloom,
+       (coalesce(a.n_hits_bloom, 0) >= {cur.DECONTAM_MIN_HITS})::BIGINT
+         AS flagged
+FROM (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_sample_temperature(spark, sf_dir):
     """Deterministic alpha=0.5 temperature sampling over (lang, source)
     groups — per-doc keep verdict, pure function of (doc_id, group
@@ -3563,6 +3607,13 @@ REGISTRY: dict[str, tuple] = {
     "hll_token_cardinality": (q_hll_cardinality, _sql_hll_cardinality()),
     # the estimate head over hll_registers' table (Σ2^-r is exact
     # dyadic double math; ln verified jvm==libm); same gating siblings
+    "bloom_decontam_scan": (q_bloom_decontam, _sql_bloom_decontam()),
+    # Bloom-prefiltered decontamination: overflow-born — the gram CTEs
+    # and per-doc count shape are gated in-window by decontam_scan
+    # (exact variant, same split/k/min_hits), the salted-md5 bit hash
+    # by cms_heavy_hitters / dedup_exact; one-sidedness vs the exact
+    # scan + merge law + FP-rate pytest in test_tokenizer_sketches.py;
+    # check_entry-green at sf0.001 + sf0.01
 }
 
 

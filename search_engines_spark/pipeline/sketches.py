@@ -204,3 +204,121 @@ def hll_token_cardinality(docs: DataFrame, text_col: str = "text",
     exact = toks.agg(F.countDistinct("t").cast("long")
                      .alias("exact_distinct"))
     return exact.crossJoin(est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): fixed-size set-membership sketch. The
+# third corpus-stats sidecar: CMS answers "how often", HLL "how many
+# distinct", Bloom "is this one of THOSE" — the shape for shipping a
+# protected benchmark's n-gram set to every scan task as a few KB of
+# bits instead of shuffling corpus grams against it. One-sided error:
+# never a false negative (a contaminated gram always hits), false
+# positives at the classic (1 - e^{-kn/m})^k rate. Same portability
+# discipline: salted md5 bit positions, so the bit set — and therefore
+# every downstream count — is oracle-exact in DuckDB.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096     # bits (512 bytes) — driver-entry default
+BLOOM_K = 3        # hash functions
+
+
+def bloom_bit(element: Column, i: int, m: int = BLOOM_M) -> Column:
+    """Hash i's bit position: salted 32-bit md5 prefix mod m (salt in
+    front, same convention as `cms_bucket`)."""
+    salt = F.concat(F.lit(f"bloom{i}|"), element)
+    return F.pmod(token_hash32(salt), F.lit(m)).cast("long")
+
+
+def bloom_build(df: DataFrame, element_col: str,
+                m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """→ (bit,): the set bit positions. ≤ m rows regardless of input
+    size — the groupBy key space is the bit array, so map-side
+    aggregation absorbs the element stream. Shard blooms merge by
+    union + distinct (bitwise OR, exactly)."""
+    el = F.col(element_col).cast("string")
+    bits = None
+    for i in range(k):
+        b = df.select(bloom_bit(el, i, m).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    return bits.distinct()
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Bitwise OR: union + distinct, still ≤ m rows."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def _bloom_words(bloom_bits: list[int], m: int = BLOOM_M) -> list[int]:
+    """Pack set bit positions into m/64 machine words for the literal
+    scan path."""
+    words = [0] * ((m + 63) // 64)
+    for b in bloom_bits:
+        words[b >> 6] |= 1 << (b & 63)
+    # Spark longs are signed; keep the Python ints in signed range
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(element: Column, words: list[int],
+                        m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """Membership test as a PURE PROJECTION: the collected bloom enters
+    the plan as a literal word array (512 bytes at the default m) and
+    each probe costs k constant-time bit tests — no join, no shuffle,
+    the `score_with_model` collected-state pattern. At 100 TB this is
+    the decontamination pre-filter shape: the protected set rides in
+    the task binary, and only the (rare) bloom-positive docs go on to
+    an exact verification join."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for i in range(k):
+        bit = bloom_bit(element, i, m)
+        word = F.element_at(arr, (bit / 64).cast("int") + 1)
+        # F.shiftright only takes a literal shift; call the SQL
+        # function directly for a column shift amount
+        checks.append(
+            F.call_function("shiftright", word,
+                            (bit % 64).cast("int")).bitwiseAND(1) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_decontam_scan(docs: DataFrame, bench: DataFrame,
+                        kgram: int = 5, m: int = BLOOM_M,
+                        k: int = BLOOM_K, min_hits: int = 1,
+                        text_col: str = "text") -> DataFrame:
+    """Decontamination pre-filter → (doc_id, n_grams, n_hits_bloom,
+    flagged): per corpus doc, the count of distinct k-grams whose bloom
+    test fires against the benchmark's gram set, and the conservative
+    verdict `n_hits_bloom >= min_hits`. One-sided by construction:
+    n_hits_bloom ≥ the exact `curation.decontaminate` hit count doc by
+    doc (never a missed contamination; a false positive only sends a
+    clean doc to the exact verifier). The bench bloom is a driver-side
+    collect of ≤ m bit rows; the corpus side is ONE scan + one
+    doc_id-keyed count — the gram-vs-gram join is gone."""
+    from .curation import ngrams
+    bench_bits = sorted(
+        r["bit"] for r in
+        bloom_build(ngrams(bench, kgram, text_col).select("gram"),
+                    "gram", m, k).collect())
+    words = _bloom_words(bench_bits, m)
+    grams = ngrams(docs, kgram, text_col)
+    hits = (grams
+            .withColumn("_hit", bloom_might_contain(
+                F.col("gram"), words, m, k))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum(F.col("_hit").cast("long")).cast("long")
+                 .alias("n_hits_bloom")))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_hits_bloom", F.lit(0))
+                    .alias("n_hits_bloom"))
+            .withColumn("flagged",
+                        (F.col("n_hits_bloom") >= min_hits)
+                        .cast("long")))

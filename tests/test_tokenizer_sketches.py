@@ -234,3 +234,83 @@ def test_hll_token_cardinality_over_documents(spark):
     assert row["exact_distinct"] == len(vocab)
     assert row["nonempty_buckets"] == len(reg)
     assert row["est_micro"] == _ref_hll_estimate(reg)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _ref_bloom_bits(values, m=4096, k=3):
+    bits = set()
+    for t in values:
+        for i in range(k):
+            bits.add(int(hashlib.md5(f"bloom{i}|{t}".encode())
+                         .hexdigest()[:8], 16) % m)
+    return bits
+
+
+def test_bloom_bits_match_python_replay(spark):
+    els = [f"gram {i} x" for i in range(150)]
+    df = spark.createDataFrame([(t,) for t in els], "g string")
+    got = sorted(r["bit"] for r in sk.bloom_build(df, "g").collect())
+    assert got == sorted(_ref_bloom_bits(els))
+
+
+def test_bloom_merge_is_bitwise_or(spark):
+    els = [f"gram {i} x" for i in range(150)]
+    df = spark.createDataFrame([(t,) for t in els], "g string")
+    a = sk.bloom_build(df.where("g < 'gram 5'"), "g")
+    b = sk.bloom_build(df.where("g >= 'gram 5'"), "g")
+    merged = sorted(r["bit"] for r in sk.bloom_merge(a, b).collect())
+    whole = sorted(r["bit"] for r in sk.bloom_build(df, "g").collect())
+    assert merged == whole
+
+
+def test_bloom_membership_no_false_negatives_fp_rate(spark):
+    from pyspark.sql import functions as F
+    members = [f"gram {i} x" for i in range(200)]
+    df = spark.createDataFrame([(t,) for t in members], "g string")
+    words = sk._bloom_words(sorted(
+        r["bit"] for r in sk.bloom_build(df, "g").collect()))
+    probes = spark.createDataFrame(
+        [(t,) for t in members] + [(f"absent {i}",) for i in range(500)],
+        "g string")
+    got = probes.select(
+        "g", sk.bloom_might_contain(F.col("g"), words).alias("hit")).collect()
+    assert all(r.hit for r in got if not r.g.startswith("absent"))
+    fp = sum(bool(r.hit) for r in got if r.g.startswith("absent"))
+    # (1 - e^{-kn/m})^k ~ 0.2% at n=200; 3-sigma headroom
+    assert fp <= 10
+
+
+def test_bloom_decontam_one_sided_vs_exact(spark):
+    from pyspark.sql import functions as F
+    from search_engines_spark.pipeline.curation import decontaminate
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)]
+        + [(100 + i, " ".join(f"b{i}_{j}" for j in range(12)))
+           for i in range(5)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1000 + i, " ".join(f"b{i}_{j}" for j in range(12)))
+         for i in range(5)],
+        "doc_id long, text string")
+    bl = {r.doc_id: r for r in sk.bloom_decontam_scan(docs, bench).collect()}
+    ex = {r.doc_id: r for r in decontaminate(docs, bench).collect()}
+    assert set(bl) == set(ex)
+    for d in bl:
+        assert bl[d].n_grams == ex[d].n_grams
+        assert bl[d].n_hits_bloom >= ex[d].n_hits     # one-sided, per doc
+    # every exactly-contaminated doc is bloom-flagged
+    assert {d for d in ex if ex[d].contaminated} \
+        <= {d for d in bl if bl[d].flagged}
+
+
+def test_bloom_decontam_empty_bench_flags_nothing(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(10)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    out = sk.bloom_decontam_scan(docs, bench).collect()
+    assert len(out) == 10
+    assert all(r.flagged == 0 and r.n_hits_bloom == 0 for r in out)
