@@ -130,6 +130,45 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
         (F.col("n_hits") >= min_hits).cast("long"))
 
 
+def decontaminate_bloom(docs: DataFrame, bench: DataFrame,
+                        k: int = DECONTAM_K,
+                        min_hits: int = DECONTAM_MIN_HITS,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """`decontaminate` with a Bloom pre-filter — IDENTICAL output
+    (pytest-gated equality), different plan: the bench gram set rides
+    as a 512-byte literal bitmask (`sketches.bloom_might_contain`) over
+    the first corpus pass, and the exact gram join runs only over the
+    bloom-POSITIVE docs. One-sided bloom error makes this lossless: a
+    bloom-negative doc provably shares no gram with the bench, so its
+    exact n_hits is 0 without joining anything. The trade is a second
+    tokenization pass over the candidates — at 100 TB candidates are
+    the (rare) flagged slice while the exact join's probe side shrinks
+    from every corpus gram to the candidates' grams; pick this variant
+    when the protected set is too big for a comfortable broadcast
+    gram join but its BITS still fit in a task binary."""
+    from .sketches import bloom_decontam_scan
+    pre = bloom_decontam_scan(docs, bench, kgram=k, min_hits=1,
+                              text_col=text_col)
+    cand = pre.where(F.col("flagged") == 1).select("doc_id")
+    cand_docs = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                             F.col(text_col))
+                 .join(cand, "doc_id", "left_semi"))
+    bench_grams = (ngrams(bench, k, text_col, id_col)
+                   .select("gram").distinct()
+                   .withColumn("_hit", F.lit(1)))
+    hits = (ngrams(cand_docs, k, "text")
+            .join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits")))
+    return (pre.select("doc_id", "n_grams")
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .withColumn("contaminated",
+                        (F.col("n_hits") >= min_hits).cast("long")))
+
+
 def sample_temperature(docs: DataFrame,
                        by: tuple[str, ...] = ("lang", "source"),
                        id_col: str = "doc_id") -> DataFrame:

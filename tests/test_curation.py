@@ -441,3 +441,34 @@ def test_curate_corpus_model_filter(spark):
                  "06_sample": 4}
     assert {r.doc_id for r in kept.collect()} == {0, 1, 2, 3}
     assert set(kept.columns) == set(docs.columns)
+
+
+def test_decontaminate_bloom_variant_is_output_identical(spark):
+    # planted: bench doc + verbatim leak + clean docs + short doc —
+    # covers contaminated, bloom-positive, and bloom-negative paths
+    docs = spark.createDataFrame(
+        [(0, BENCH_TEXT), (1, LEAKED), (2, CLEAN), (3, "too few toks")]
+        + [(10 + i, " ".join(f"w{i}_{j}" for j in range(12)))
+           for i in range(25)],
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 0)
+    exact = sorted(map(tuple, cur.decontaminate(docs, bench).collect()))
+    bloom = sorted(map(tuple,
+                       cur.decontaminate_bloom(docs, bench).collect()))
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_exact_join_sees_candidates_only(spark):
+    # every corpus doc is bloom-negative -> the exact join's probe side
+    # is empty and nothing is flagged; output still covers every doc
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(20)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, " ".join(f"b_{j}" for j in range(12)))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           cur.decontaminate_bloom(docs, bench).collect()}
+    assert len(out) == 20
+    assert all(r.n_hits == 0 and r.contaminated == 0
+               for r in out.values())
