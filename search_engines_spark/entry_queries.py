@@ -1742,6 +1742,60 @@ def _sql_streamed_dedup() -> str:
 SELECT min(doc_id)::BIGINT AS doc_id, fp FROM u GROUP BY fp"""
 
 
+_SKETCH_STREAM_CACHE: dict[tuple, str] = {}
+
+
+def q_streamed_sketches(spark, sf_dir):
+    """Streaming corpus-statistics sketches (streaming.sketches): the
+    sf corpus split into two files streamed one-per-batch; the
+    merged-at-read CMS cells (sum over published batch partitions) must
+    equal a batch `cms_build` over the whole corpus — exact for ANY
+    batch split because cell addition is the CMS merge."""
+    import os
+
+    from .streaming.sketches import start_sketch_stream, stream_cms
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_SKETCH_STREAM_CACHE, key,
+                                 "entry_sksketch_")
+    if created:
+        src_pq = f"{sf_dir}/documents.parquet"
+        docs = spark.read.parquet(src_pq)
+        os.makedirs(f"{d}/src", exist_ok=True)
+        now = __import__("time").time()
+        for i, half in enumerate((docs.where(F.col("doc_id") % 2 == 0),
+                                  docs.where(F.col("doc_id") % 2 == 1))):
+            stage = f"{d}/stage{i}"
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in os.listdir(stage)
+                    if f.endswith(".parquet")][0]
+            dst = f"{d}/src/f{i}.parquet"
+            os.replace(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        q = start_sketch_stream(spark, f"{d}/src", f"{d}/out",
+                                f"{d}/ckpt", max_files_per_trigger=1)
+        q.awaitTermination(300)
+    return (stream_cms(spark, f"{d}/out")
+            .select(F.col("row").cast("long").alias("row"),
+                    "bucket", "cnt")
+            .orderBy("row", "bucket"))
+
+
+def _sql_streamed_sketches() -> str:
+    from .pipeline.sketches import CMS_DEPTH, CMS_WIDTH
+    return f"""WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t <> '')) AS token
+  FROM documents)
+SELECT row,
+       ('0x' || substr(md5('cms' || row || '|' || token), 1, 8))
+         ::UBIGINT::BIGINT % {CMS_WIDTH} AS bucket,
+       count(*)::BIGINT AS cnt
+FROM toks, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS row)
+GROUP BY row, bucket
+ORDER BY row, bucket"""
+
+
 _FIELDS_INDEX_CACHE: dict[tuple, Index] = {}
 
 
@@ -3614,6 +3668,15 @@ REGISTRY: dict[str, tuple] = {
     # by cms_heavy_hitters / dedup_exact; one-sidedness vs the exact
     # scan + merge law + FP-rate pytest in test_tokenizer_sketches.py;
     # check_entry-green at sf0.001 + sf0.01
+    "streamed_sketches_equal_batch": (q_streamed_sketches,
+                                      _sql_streamed_sketches()),
+    # streaming sketch maintenance: overflow-born — the exactly-once
+    # commit protocol (batch partitions + journal publish + rewind
+    # guard) is gated in-window by streamed_postings_equal_batch /
+    # streamed_dedup_equal_batch (identical protocol, same journal
+    # primitive), the cell kernel by cms_heavy_hitters; any-split
+    # merge equality + restart idempotence pytest in
+    # test_streaming.py; check_entry-green at sf0.001 + sf0.01
 }
 
 

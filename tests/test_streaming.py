@@ -219,3 +219,61 @@ def test_stream_dedup_restart_idempotent_and_rewind_guard(
     ckpt2 = str(tmp_path_factory.mktemp("dckpt3b"))
     with pytest.raises(ValueError, match="rewind"):
         start_dedup_stream(spark, src, out, ckpt2)
+
+
+def test_stream_sketches_equal_batch_any_split(spark, tmp_path_factory):
+    """Merged streamed CMS cells / HLL registers == a batch build over
+    the same files (merge by sum / max is exact for any batch split;
+    maxFilesPerTrigger=1 forces the multi-batch path)."""
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline.sketches import cms_build, hll_build
+    from search_engines_spark.pipeline.textstats import _tokens
+    from search_engines_spark.streaming.sketches import (
+        start_sketch_stream, stream_cms, stream_hll)
+    src = str(tmp_path_factory.mktemp("sksrc"))
+    out = str(tmp_path_factory.mktemp("skout"))
+    ckpt = str(tmp_path_factory.mktemp("skckpt"))
+    _write_doc_file(spark, src,
+                    [_row(i, f"alpha beta tok{i} gamma") for i in range(12)],
+                    3_000_000)
+    _write_doc_file(spark, src,
+                    [_row(100 + i, f"alpha delta tok{i}") for i in range(8)],
+                    3_000_100)
+    q = start_sketch_stream(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    docs = spark.read.parquet(src)
+    want_cms = sorted(map(tuple, cms_build(docs).collect()))
+    got_cms = sorted(map(tuple, stream_cms(spark, out).collect()))
+    assert got_cms == want_cms
+    want_hll = sorted(map(tuple, hll_build(
+        docs.select(F.explode(_tokens("text")).alias("t")), "t").collect()))
+    got_hll = sorted(map(tuple, stream_hll(spark, out).collect()))
+    assert got_hll == want_hll
+
+
+def test_stream_sketches_restart_idempotent(spark, tmp_path_factory):
+    """Re-running with the same checkpoint neither double-counts CMS
+    cells nor changes HLL registers; a different checkpoint against the
+    same sink fails fast."""
+    import pytest as _pytest
+
+    from search_engines_spark.pipeline.sketches import cms_build
+    from search_engines_spark.streaming.sketches import (
+        start_sketch_stream, stream_cms)
+    src = str(tmp_path_factory.mktemp("sksrc2"))
+    out = str(tmp_path_factory.mktemp("skout2"))
+    ckpt = str(tmp_path_factory.mktemp("skckpt2"))
+    _write_doc_file(spark, src,
+                    [_row(i, f"alpha beta tok{i}") for i in range(10)],
+                    4_000_000)
+    for _ in range(2):
+        q = start_sketch_stream(spark, src, out, ckpt)
+        q.awaitTermination(120)
+    got = sorted(map(tuple, stream_cms(spark, out).collect()))
+    want = sorted(map(tuple,
+                      cms_build(spark.read.parquet(src)).collect()))
+    assert got == want
+    with _pytest.raises(ValueError, match="checkpoint"):
+        start_sketch_stream(spark, src, out,
+                            str(tmp_path_factory.mktemp("other_ckpt")))
