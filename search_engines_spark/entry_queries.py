@@ -1256,6 +1256,41 @@ FROM (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents) d
 LEFT JOIN agg a USING (doc_id)"""
 
 
+def q_doclen_quantiles(spark, sf_dir):
+    """Doc-length quantile sketch (pipeline.sketches): ≤64-bucket log2
+    histogram of per-doc token counts (bucket = bit length — integer-
+    exact in both engines via bin()) + quantile rows with provable
+    [lo, hi] bounds, all from one scan and two metadata-sized frames."""
+    from .pipeline import sketches as sk
+    from .pipeline.textstats import _tokens
+    lens = _docs(spark, sf_dir).select(
+        F.size(_tokens("text")).cast("long").alias("v"))
+    return sk.histogram_quantiles(sk.log2_histogram(lens, "v"))
+
+
+def _sql_doclen_quantiles() -> str:
+    return """WITH lens AS (
+  SELECT len(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t <> ''))::BIGINT AS v
+  FROM documents),
+hist AS (SELECT length(bin(v))::BIGINT AS bucket, count(*)::BIGINT AS cnt
+         FROM lens WHERE v >= 0 GROUP BY 1),
+cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum
+        FROM hist),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM hist),
+qs AS (SELECT unnest([50, 250, 500, 750, 950])::BIGINT AS q_permille),
+hit AS (SELECT q_permille, min(bucket)::BIGINT AS bucket
+        FROM qs, tot, cum
+        WHERE (q_permille * total + 999) // 1000 <= cum
+        GROUP BY q_permille)
+SELECT q_permille, bucket,
+       (CASE WHEN bucket = 1 THEN 0
+             ELSE (1::BIGINT << (bucket - 1)::INT) END)::BIGINT AS lo,
+       ((1::BIGINT << bucket::INT) - 1)::BIGINT AS hi
+FROM hit ORDER BY q_permille"""
+
+
 def q_sample_temperature(spark, sf_dir):
     """Deterministic alpha=0.5 temperature sampling over (lang, source)
     groups — per-doc keep verdict, pure function of (doc_id, group
@@ -3677,6 +3712,14 @@ REGISTRY: dict[str, tuple] = {
     # primitive), the cell kernel by cms_heavy_hitters; any-split
     # merge equality + restart idempotence pytest in
     # test_streaming.py; check_entry-green at sf0.001 + sf0.01
+    "doclen_quantile_sketch": (q_doclen_quantiles,
+                               _sql_doclen_quantiles()),
+    # log2-histogram quantile sketch: overflow-born — the token-count
+    # projection is gated in-window by text_token_counts' siblings
+    # (quality_filter's length features) and the fixed-key-space
+    # groupBy shape by cms_heavy_hitters; bin()-parity, merge law, and
+    # quantile-bound pytest in test_tokenizer_sketches.py;
+    # check_entry-green at sf0.001 + sf0.01
 }
 
 

@@ -322,3 +322,74 @@ def bloom_decontam_scan(docs: DataFrame, bench: DataFrame,
             .withColumn("flagged",
                         (F.col("n_hits_bloom") >= min_hits)
                         .cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# Log2 histogram + quantiles (the fourth corpus-stats sidecar): "what
+# does the distribution look like" for any non-negative integer
+# measure (doc lengths, token counts, file sizes). Fixed ≤ 64 buckets
+# (bucket = bit length of the value — `length(bin(v))`, identical in
+# Spark and DuckDB, no float log2), mergeable by cell addition, and
+# quantile queries answered from cumulative counts with integer-exact
+# bucket bounds. The classic sub-percent-accurate quantile sketches
+# (t-digest, GK) trade determinism for tighter buckets; curation
+# thresholds ("drop the shortest ~5%") only need the power-of-two
+# resolution, and THIS one is oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """→ (bucket, cnt) over a non-negative integer column: bucket =
+    bit length of the value (0,1 → bucket 1; 2,3 → 2; 4..7 → 3; …).
+    One scan, one ≤64-key groupBy — map-side combine absorbs the
+    corpus, the exchange writes at most 64 rows per task; shard
+    histograms merge by cell addition."""
+    b = F.length(F.bin(F.col(value_col).cast("long"))).cast("long")
+    return (df.where(F.col(value_col) >= 0)
+            .groupBy(b.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Cell addition, ≤ 64 rows out."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def histogram_quantiles(hist: DataFrame,
+                        q_permille: tuple[int, ...] = (50, 250, 500,
+                                                       750, 950),
+                        ) -> DataFrame:
+    """→ (q_permille, bucket, lo, hi): for each requested quantile, the
+    first bucket whose cumulative count reaches ceil(q/1000 · total) —
+    the true q-quantile value provably lies in [lo, hi] (lo = 2^(b-1),
+    hi = 2^b - 1; bucket 1 spans [0, 1]). All-integer arithmetic
+    (ceil via (q·total + 999) div 1000), so the answer is exact and
+    engine-independent. The cumulative window runs over ≤ 64 rows —
+    metadata-sized by construction."""
+    from pyspark.sql import Window
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    total = hist.agg(F.sum("cnt").alias("_total"))
+    qs = hist.sparkSession.createDataFrame(
+        [(int(q),) for q in q_permille], "q_permille long")
+    rank = (F.col("q_permille") * F.col("_total") + 999) / 1000
+    hit = (qs.crossJoin(F.broadcast(total))
+           .join(cum, F.floor(rank).cast("long") <= F.col("cum"))
+           .groupBy("q_permille")
+           .agg(F.min("bucket").alias("bucket")))
+    # F.shiftleft only takes a literal shift; call the SQL function
+    # for a column shift amount
+    lo = F.when(F.col("bucket") == 1, F.lit(0)) \
+        .otherwise(F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            (F.col("bucket") - 1).cast("int"))).cast("long")
+    hi = (F.call_function("shiftleft", F.lit(1).cast("long"),
+                          F.col("bucket").cast("int")) - 1).cast("long")
+    return (hit.select("q_permille", "bucket",
+                       lo.alias("lo"), hi.alias("hi"))
+            .orderBy("q_permille"))

@@ -314,3 +314,54 @@ def test_bloom_decontam_empty_bench_flags_nothing(spark):
     out = sk.bloom_decontam_scan(docs, bench).collect()
     assert len(out) == 10
     assert all(r.flagged == 0 and r.n_hits_bloom == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Log2 histogram + quantiles
+# ---------------------------------------------------------------------------
+
+def test_log2_histogram_matches_bit_length(spark):
+    vals = [0, 1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377,
+            610, 987] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.bucket: r.cnt for r in sk.log2_histogram(df, "v").collect()}
+    ref = {}
+    for v in vals:
+        b = v.bit_length() if v > 0 else 1
+        ref[b] = ref.get(b, 0) + 1
+    assert got == ref
+
+
+def test_log2_histogram_merge_is_addition(spark):
+    vals = list(range(100))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a = sk.log2_histogram(df.where("v < 40"), "v")
+    b = sk.log2_histogram(df.where("v >= 40"), "v")
+    merged = {r.bucket: r.cnt
+              for r in sk.histogram_merge(a, b).collect()}
+    whole = {r.bucket: r.cnt
+             for r in sk.log2_histogram(df, "v").collect()}
+    assert merged == whole
+
+
+def test_histogram_quantiles_bracket_true_quantiles(spark):
+    import math
+    vals = [0, 1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377,
+            610, 987] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = sk.histogram_quantiles(sk.log2_histogram(df, "v")).collect()
+    svals = sorted(vals)
+    assert [r.q_permille for r in rows] == [50, 250, 500, 750, 950]
+    for r in rows:
+        idx = max(0, math.ceil(r.q_permille / 1000 * len(svals)) - 1)
+        true_q = svals[idx]
+        assert r.lo <= true_q <= r.hi          # provable bracket
+        # bounds are the power-of-two bucket edges
+        assert (r.lo, r.hi) == ((0, 1) if r.bucket == 1 else
+                                (1 << (r.bucket - 1), (1 << r.bucket) - 1))
+
+
+def test_histogram_quantiles_empty_input(spark):
+    empty = spark.createDataFrame([], "v long")
+    assert sk.histogram_quantiles(sk.log2_histogram(empty, "v")) \
+        .count() == 0
