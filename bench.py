@@ -323,6 +323,29 @@ def main() -> None:
     cms_heavy_hitters(docs, k=20).collect()
     queries["cms_heavy_hitters"] = round(time.time() - t0, 3)
 
+    # HyperLogLog distinct-token estimate: one scan, 256-register max
+    # groupBy (exact side rides along in the same plan)
+    from search_engines_spark.pipeline.sketches import (
+        hll_token_cardinality, log2_histogram, histogram_quantiles)
+    t0 = time.time()
+    hll_token_cardinality(docs).collect()
+    queries["hll_token_cardinality"] = round(time.time() - t0, 3)
+
+    # bloom-prefiltered decontamination: bench grams as a 512-byte
+    # literal bitmask, k bit tests per gram, no gram-vs-gram join
+    from search_engines_spark.pipeline.sketches import bloom_decontam_scan
+    t0 = time.time()
+    bloom_decontam_scan(docs, bench_split).count()
+    queries["bloom_decontam_scan"] = round(time.time() - t0, 3)
+
+    # doc-length quantile sketch: <=64-bucket bit-length histogram +
+    # 5 quantile rows with power-of-two brackets
+    from search_engines_spark.pipeline.textstats import _tokens
+    t0 = time.time()
+    lens = docs.select(F.size(_tokens("text")).cast("long").alias("v"))
+    histogram_quantiles(log2_histogram(lens, "v")).collect()
+    queries["doclen_quantile_sketch"] = round(time.time() - t0, 3)
+
     total = time.time() - t_total
     retrieval_times = [queries[k] for k in RETRIEVAL]  # warm latencies
     print(json.dumps({
