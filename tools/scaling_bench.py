@@ -505,6 +505,49 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         res["cms_sec"] = round(best, 2)
         res["cms_docs_per_sec"] = round(n_docs / best, 1)
 
+        # ---- HyperLogLog distinct-token estimate (pipeline.sketches) ------
+        # one scan → 2^8-register max groupBy; exact distinct rides
+        # along in the same plan (the vocab-sized side a production
+        # pass would drop)
+        from search_engines_spark.pipeline.sketches import (
+            bloom_decontam_scan, hll_token_cardinality, log2_histogram,
+            histogram_quantiles)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            hll_token_cardinality(src).collect()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["hll_sec"] = round(best, 2)
+        res["hll_docs_per_sec"] = round(n_docs / best, 1)
+
+        # ---- bloom-prefiltered decontam (pipeline.sketches) ---------------
+        # bench split's gram set as a 512-byte literal bitmask; k bit
+        # tests per gram in one codegen projection, no gram join
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            bloom_decontam_scan(
+                src, src.where(F.col("doc_id") % 41 == 0)).count()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["bloom_sec"] = round(best, 2)
+        res["bloom_docs_per_sec"] = round(n_docs / best, 1)
+
+        # ---- doclen quantile sketch (pipeline.sketches) -------------------
+        # ≤64-bucket bit-length histogram + 5 quantile rows
+        from search_engines_spark.pipeline.textstats import _tokens
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            histogram_quantiles(log2_histogram(
+                src.select(F.size(_tokens("text")).cast("long")
+                           .alias("v")), "v")).collect()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["qsketch_sec"] = round(best, 2)
+        res["qsketch_docs_per_sec"] = round(n_docs / best, 1)
+
     spark.stop()
     return res
 
@@ -531,6 +574,9 @@ ARM_PAIRS = (
     ("pack_sec", "pack_docs_per_sec"),
     ("bpe_train_sec", "bpe_docs_per_sec"),
     ("cms_sec", "cms_docs_per_sec"),
+    ("hll_sec", "hll_docs_per_sec"),
+    ("bloom_sec", "bloom_docs_per_sec"),
+    ("qsketch_sec", "qsketch_docs_per_sec"),
 )
 
 
@@ -635,6 +681,9 @@ def write_report(r: dict, hw: dict, corpus: str, mult: int,
     pk832 = _eff(r, 8, 32, "pack_docs_per_sec")
     bp832 = _eff(r, 8, 32, "bpe_docs_per_sec")
     cm832 = _eff(r, 8, 32, "cms_docs_per_sec")
+    hl832 = _eff(r, 8, 32, "hll_docs_per_sec")
+    bl832 = _eff(r, 8, 32, "bloom_docs_per_sec")
+    qk832 = _eff(r, 8, 32, "qsketch_docs_per_sec")
 
     if corpus == "zipf":
         corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
@@ -928,24 +977,28 @@ aggregation; ranks re-persist one iteration deep:
 high-degree salting); on a real cluster each iteration is one exchange
 of (node, contribution) rows — no driver-side state beyond one scalar.
 
-## Sequence packing / BPE training / count-min build (8 vs 32 cores)
+## Sequence packing / BPE / sketch sidecars (8 vs 32 cores)
 
-Three export-side training-pipeline operators over the same corpus,
-one row each (sec at 8 / 32 cores, docs/sec at 32, 8→32 efficiency
-against the {bw_832:.2f} DRAM / {sha_832:.2f} CPU ceilings):
+Export-side training-pipeline operators over the same corpus, one row
+each (sec at 8 / 32 cores, docs/sec at 32, 8→32 efficiency against
+the {bw_832:.2f} DRAM / {sha_832:.2f} CPU ceilings):
 
 | operator | 8-core sec | 32-core sec | docs/sec @32 | 8→32 eff |
 |---|---|---|---|---|
 | `export.pack_sequences` (distributed prefix sum: block sums → block-count offset window → broadcast → bucketed window) | {r[8]['pack_sec']} | {r[32]['pack_sec']} | {r[32]['pack_docs_per_sec']:,} | {pk832:.2f} |
 | `tokenizer.bpe_train` ×4 merges (one corpus scan → vocab table; rounds are vocab-bounded pair aggs + 1-row argmax) | {r[8]['bpe_train_sec']} | {r[32]['bpe_train_sec']} | {r[32]['bpe_docs_per_sec']:,} | {bp832:.2f} |
 | `sketches.cms_build` (explode ×4 → 4×1024-cell groupBy; map-side partials absorb the token volume, the exchange writes KBs) | {r[8]['cms_sec']} | {r[32]['cms_sec']} | {r[32]['cms_docs_per_sec']:,} | {cm832:.2f} |
+| `sketches.hll_token_cardinality` (256-register max groupBy + the exact-distinct rider) | {r[8]['hll_sec']} | {r[32]['hll_sec']} | {r[32]['hll_docs_per_sec']:,} | {hl832:.2f} |
+| `sketches.bloom_decontam_scan` (bench grams as a 512-byte literal bitmask; k bit tests/gram, doc_id-keyed count — no gram join) | {r[8]['bloom_sec']} | {r[32]['bloom_sec']} | {r[32]['bloom_docs_per_sec']:,} | {bl832:.2f} |
+| `sketches.log2_histogram`+`quantiles` (≤64-bucket bit-length groupBy + 64-row cumulative window) | {r[8]['qsketch_sec']} | {r[32]['qsketch_sec']} | {r[32]['qsketch_docs_per_sec']:,} | {qk832:.2f} |
 
-All three shapes put parallelism in the data: the packer's only
+All these shapes put parallelism in the data: the packer's only
 unpartitioned stage is the block-count offset window (metadata-sized by
 construction); BPE's per-round global argmax is ONE driver row — the
-synchronization point every distributed BPE has; the sketch's exchange
-is fixed-size at any corpus, so on a real cluster it is bandwidth-free
-and the scan dominates.
+synchronization point every distributed BPE has; and every sketch's
+exchange is fixed-size at any corpus (cells / registers / bits /
+buckets), so on a real cluster the scan dominates and each new
+executor brings its own scan bandwidth.
 
 ## Headline query latency (pointer)
 
