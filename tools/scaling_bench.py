@@ -727,15 +727,17 @@ in ~every document."""
         f"became a projection instead of a corpus-sized doc_map join, "
         f"Index.extid_docid_fmt)."
         + " Cross-run variance on this shared box is the same order as"
-          " these deltas: four solo r3 runs put the BM25 arm's 32-core"
+          " these deltas: five solo r3 runs put the BM25 arm's 32-core"
           " min-of-5 at 6.7-8.0 s against 8-core 6.4-8.0 s, and the"
           " 8→32 absolute delta FLIPS SIGN run to run (runC measured"
           " 7.95→6.72 s, an improvement; runB 7.08→8.04 s) — per-arm"
           " absolute movement inside ±15% is run noise on a"
           " DRAM-ceiling workload. The structural signals that persist"
           " across runs are the build's 2→8 N→4N-proxy efficiency"
-          " (0.77-1.06 per solo run, min-merged headline above) and"
-          " the decode-path arm improving ~35% absolute at 32 cores.")
+          " (0.57-1.06 per solo run — the 0.57 is one run whose 8-core"
+          " build read 40 s against a 26-32 s norm, a level-local"
+          " transient; min-merged headline above) and the decode-path"
+          " arm improving ~35% absolute at 32 cores.")
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
