@@ -999,6 +999,37 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                                        method="lsh")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023, pipeline.dedup.semantic_dedup):
+    16-cell centroid clustering (deterministic id-ordered seeds as
+    literals) + within-cell pairwise cosine at 0.3, min-id keeper —
+    per-vector (vec_id, cell, kept)."""
+    return dd.semantic_dedup(_emb(spark, sf_dir), n_cells=16,
+                             threshold=0.3)
+
+
+def _sql_semantic_dedup(n_cells: int = 16, threshold: float = 0.3) -> str:
+    thr = int(threshold * 1e6)
+    return f"""{EMB_PRELUDE},
+cents AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec AS cvec
+          FROM nv ORDER BY vid LIMIT {n_cells}),
+asg AS (SELECT vid, cid AS cell FROM (
+          SELECT v.vid, c.cid,
+                 row_number() OVER (PARTITION BY v.vid
+                     ORDER BY list_distance(v.vec, c.cvec), c.cid) AS rn
+          FROM nv v CROSS JOIN cents c) WHERE rn = 1),
+dropped AS (SELECT DISTINCT ab.vid FROM asg aa
+            JOIN asg ab ON aa.cell = ab.cell AND aa.vid < ab.vid
+            JOIN nv a ON a.vid = aa.vid
+            JOIN nv b ON b.vid = ab.vid
+            WHERE floor((CASE WHEN a.nrm > 0 AND b.nrm > 0
+                    THEN list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                    ELSE 0.0 END) * 1e6 + 0.5)::BIGINT >= {thr})
+SELECT aa.vid AS vec_id, aa.cell::BIGINT AS cell,
+       (CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM asg aa LEFT JOIN dropped d ON aa.vid = d.vid"""
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (_emb(spark, sf_dir).where(F.col("vec_id") == 0)
            .select("embedding").collect()[0])
@@ -3720,6 +3751,12 @@ REGISTRY: dict[str, tuple] = {
     # groupBy shape by cms_heavy_hitters; bin()-parity, merge law, and
     # quantile-bound pytest in test_tokenizer_sketches.py;
     # check_entry-green at sf0.001 + sf0.01
+    "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
+    # SemDedup: overflow-born — the centroid assignment is the
+    # IDENTICAL least-chain + tie rule the ann_ivf_indexed oracle
+    # replays, the quantized cosine the dedup_embedding_lsh family's;
+    # python-replay + planted-keeper + empty-frame pytest in
+    # test_similarity.py; check_entry-green at sf0.001 + sf0.01
 }
 
 

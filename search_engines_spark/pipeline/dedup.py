@@ -560,3 +560,54 @@ def embedding_dedup_clusters(emb: DataFrame, threshold: float = 0.9,
             .withColumn("keep",
                         (F.col("vec_id") == F.col("component"))
                         .cast("int")))
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 16,
+                   threshold: float = 0.9,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDedup (Abbas et al. 2023): cluster the embedding space, then
+    deduplicate WITHIN each cluster by pairwise cosine — the all-pairs
+    comparison that is intractable corpus-wide becomes |cell|² per
+    cell, and cells shrink as n_cells grows with the corpus.
+    → (vec_id, cell, kept) for every vector; a vector is dropped iff a
+    SMALLER-id vector in ITS cell matches at ≥ threshold (deterministic
+    min-id keeper — the paper keeps a per-cluster exemplar by
+    centroid-distance; id order makes re-runs and the oracle exact).
+
+    Plan shape: centroid assignment is `similarity._assign_cells` — the
+    deterministic id-ordered seed centroids ride as LITERALS in a
+    least-chain projection (no join); the only shuffle is the
+    cell-keyed self-join, whose per-cell width is the SemDedup
+    algorithm's own working set. Contrast with
+    `embedding_near_dup_pairs_lsh` (sign-LSH bands): LSH recalls only
+    near-exact duplicates; cells partition the WHOLE space, so distant
+    semantic duplicates in the same region still meet."""
+    from .similarity import cosine_expr, norm_expr, _assign_cells
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    first = v.orderBy("vec_id").limit(n_cells).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cell long, kept long")
+    cents = [[float(x) for x in r["v"]] for r in first]
+    asg = (_assign_cells(v, cents)
+           .withColumn("nrm", norm_expr(F.col("v")))
+           .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                   "v", "nrm"))
+    a = asg.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
+                   F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = asg.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
+                   F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dropped = (a.join(b, "cell")
+               .where(F.col("vec_a") < F.col("vec_b"))
+               .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"),
+                                              F.col("na"), F.col("nb")))
+               .where(F.floor(F.col("cos") * 1e6 + 0.5).cast("long")
+                      >= int(threshold * 1e6))
+               .select(F.col("vec_b").alias("vec_id")).distinct())
+    return (asg.select("vec_id", "cell")
+            .join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.when(F.col("_drop").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias("kept")))

@@ -461,3 +461,76 @@ def test_ann_append_validates_whole_delta(emb, spark, tmp_path_factory):
     # a partial failure must not have committed anything
     assert sim._ann_live_gens(lsh) == []
     assert sim._ann_live_gens(ivf) == []
+
+
+# ---------------------------------------------------------------------------
+# SemDedup (cluster-then-pairwise)
+# ---------------------------------------------------------------------------
+
+def _ref_semantic_dedup(rows, n_cells, threshold):
+    """Pure-python replay: id-ordered seed centroids, argmin-sq-dist
+    cells (first index wins ties), within-cell min-id keeper."""
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in rows}
+    ids = sorted(vecs)
+    cents = [vecs[i] for i in ids[:n_cells]]
+    cell = {}
+    for i in ids:
+        d = [sum((a - b) ** 2 for a, b in zip(vecs[i], c)) for c in cents]
+        cell[i] = d.index(min(d))
+    kept = {}
+    for i in ids:
+        dropped = False
+        for j in ids:
+            if j >= i or cell[j] != cell[i]:
+                continue
+            vi, vj = vecs[i], vecs[j]
+            ni = math.sqrt(sum(x * x for x in vi))
+            nj = math.sqrt(sum(x * x for x in vj))
+            cos = (sum(a * b for a, b in zip(vi, vj)) / (ni * nj)
+                   if ni > 0 and nj > 0 else 0.0)
+            if math.floor(cos * 1e6 + 0.5) >= int(threshold * 1e6):
+                dropped = True
+                break
+        kept[i] = 0 if dropped else 1
+    return cell, kept
+
+
+def test_semantic_dedup_matches_python_replay(emb):
+    from search_engines_spark.pipeline.dedup import semantic_dedup
+    out = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in semantic_dedup(emb, n_cells=8, threshold=0.9).collect()}
+    cell, kept = _ref_semantic_dedup(emb.collect(), 8, 0.9)
+    assert out == {i: (cell[i], kept[i]) for i in cell}
+    # the clustered corpus (30 tight gaussian clumps) must actually
+    # deduplicate at 0.9 — and every clump keeps at least one member
+    assert 0 < sum(k for _, k in out.values()) < len(out)
+
+
+def test_semantic_dedup_min_id_keeper_planted(spark):
+    from search_engines_spark.pipeline.dedup import semantic_dedup
+    # two far-apart regions; ids 0/1 seed the two cells. 0,2,4 are
+    # near-copies in region A; 1,3 near-copies in region B; 5 is alone
+    # in region A but dissimilar.
+    a, b = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    rows = [(0, a), (1, b),
+            (2, [0.999, 0.01, 0.0]), (3, [0.01, 0.999, 0.0]),
+            (4, [0.998, 0.02, 0.0]), (5, [0.6, 0.0, 0.8])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_cells=2, threshold=0.95).collect()}
+    assert out[0].kept == 1 and out[1].kept == 1      # min ids survive
+    assert out[2].kept == 0 and out[4].kept == 0      # region-A copies
+    assert out[3].kept == 0                           # region-B copy
+    assert out[5].kept == 1                           # same cell, dissimilar
+    assert out[0].cell == out[2].cell == out[4].cell == out[5].cell
+    assert out[1].cell == out[3].cell
+    assert out[0].cell != out[1].cell
+
+
+def test_semantic_dedup_empty_frame(spark):
+    from search_engines_spark.pipeline.dedup import semantic_dedup
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_dedup(empty)
+    assert out.columns == ["vec_id", "cell", "kept"]
+    assert out.count() == 0
