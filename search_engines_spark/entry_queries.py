@@ -3583,7 +3583,6 @@ REGISTRY: dict[str, tuple] = {
                             _sql_quality_model_score()),
     "lm_unigram_score": (q_lm_unigram, _sql_lm_unigram()),
     "dsir_importance": (q_dsir_importance, _sql_dsir_importance()),
-    "corpus_composition": (q_corpus_composition, _sql_corpus_composition()),
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
