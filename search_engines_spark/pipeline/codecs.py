@@ -18,11 +18,16 @@ formats the Python stdlib + numpy can handle for real:
   needs no codec at all, only container parsing. Frame pixel data is
   the same bottom-up padded BGR layout as BMP.
 
+* **JPEG** — baseline sequential DCT, encode and decode, via the
+  pure-numpy implementation in `pipeline.jpeg` (Annex K tables,
+  restart intervals, 4:2:0/4:2:2/4:4:4). AVI gains the matching
+  'MJPG' compression: each frame chunk is a complete baseline JPEG.
+
 Encoders for the same formats exist so tests and the synthetic media
 table can produce REAL payloads deterministically (no external data).
-Compressed formats (JPEG, MP3, H.264) stay unsupported: `sniff`
-returns None and the multimodal kernels fall back to the gated fake
-path.
+Formats still needing external codecs (MP3, H.264, progressive JPEG):
+`sniff` returns None / decode raises ValueError and the multimodal
+kernels fall back to the gated fake path.
 """
 
 from __future__ import annotations
@@ -35,17 +40,21 @@ import zlib
 
 import numpy as np
 
+from . import jpeg as _jpeg
+
 # ------------------------------------------------------------------ sniffing --
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(data: bytes) -> str | None:
-    """'bmp' | 'png' | 'wav' | 'avi' | None from magic bytes."""
+    """'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | None from magic bytes."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
@@ -204,6 +213,23 @@ def encode_png(arr: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# ---------------------------------------------------------------------- JPEG --
+
+@_malformed_raises_valueerror
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """→ (h, w, 3) uint8 RGB (color) or (h, w, 1) uint8 (grayscale).
+    Baseline sequential DCT only (`pipeline.jpeg.decode_jpeg`)."""
+    return _jpeg.decode_jpeg(data)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                subsample: bool = False, restart: int = 0) -> bytes:
+    """(h, w, 3) RGB / (h, w) gray uint8 → baseline JFIF bytes
+    (`pipeline.jpeg.encode_jpeg`)."""
+    return _jpeg.encode_jpeg(arr, quality=quality, subsample=subsample,
+                             restart=restart)
+
+
 # ----------------------------------------------------------------------- AVI --
 
 def _dib_rows(frame: np.ndarray) -> bytes:
@@ -229,13 +255,18 @@ def _undib_rows(raw: bytes, w: int, h: int,
     return px[:, :, ::-1].copy()
 
 
+_MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
 @_malformed_raises_valueerror
 def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
-    """→ ((n, h, w, 3) uint8 RGB frames, fps). Uncompressed 24-bit DIB
-    (biCompression=BI_RGB; '..db' or '..dc' chunks — the suffix is
-    naming convention, the strf header decides) — the codec-free AVI
-    flavor `encode_avi` writes. Walks the RIFF chunk tree with plain
-    struct offsets; chunk bodies pad to even length per the RIFF spec."""
+    """→ ((n, h, w, 3) uint8 RGB frames, fps). Two codecs: uncompressed
+    24-bit DIB (biCompression=BI_RGB; '..db' or '..dc' chunks — the
+    suffix is naming convention, the strf header decides) and Motion
+    JPEG (biCompression='MJPG'; every frame chunk is a complete
+    baseline JPEG decoded via `decode_jpeg`). Walks the RIFF chunk tree
+    with plain struct offsets; chunk bodies pad to even length per the
+    RIFF spec."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     w = h = None                       # avih dwWidth/dwHeight
@@ -270,11 +301,12 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
                     saw_vids_strf = True
                     sw, sh = struct.unpack_from("<ii", data, body_at + 4)
                     bpp, comp = struct.unpack_from("<HI", data, body_at + 14)
-                    if comp != 0:      # headers precede movi: reject before
-                        # buffering a whole compressed video's frames
+                    if comp not in (0, _MJPG):
+                        # headers precede movi: reject before buffering
+                        # a whole compressed video's frames
                         raise ValueError(
                             f"compressed AVI unsupported "
-                            f"(biCompression={comp}; DIB only)")
+                            f"(biCompression={comp}; DIB and MJPG only)")
             elif (tag[:2].isdigit() and tag[2:4] in (b"db", b"dc") and ln
                   and (vids_idx is None or int(tag[:2]) == vids_idx)):
                 # db/dc is a chunk-naming convention, not the codec:
@@ -288,12 +320,25 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     if w is None or not frames:
         raise ValueError("AVI without avih header or video frames")
     if saw_dc and not saw_vids_strf:
-        # only the strf header can vouch that dc-tagged chunks are raw
-        # DIB; without one they must be presumed compressed
+        # only the strf header can vouch for what dc-tagged chunks hold
+        # (raw DIB or MJPG); without one they must be presumed to be a
+        # codec we don't ship
         raise ValueError("dc-tagged AVI frames without a vids strf header")
-    if comp != 0:      # crafted files may place strf after movi
+    if comp not in (0, _MJPG):   # crafted files may place strf after movi
         raise ValueError(
-            f"compressed AVI unsupported (biCompression={comp}; DIB only)")
+            f"compressed AVI unsupported (biCompression={comp}; "
+            f"DIB and MJPG only)")
+    fps = rate / scale if scale else 0.0
+    if comp == _MJPG:
+        decoded = []
+        for f in frames:
+            px = decode_jpeg(f)
+            if px.shape[2] == 1:       # grayscale MJPEG → replicate
+                px = np.repeat(px, 3, axis=2)
+            decoded.append(px)
+        if len({d.shape for d in decoded}) != 1:
+            raise ValueError("MJPG AVI with varying frame dimensions")
+        return np.stack(decoded), fps
     if bpp != 24:
         raise ValueError(f"unsupported AVI frame depth {bpp}")
     # spec: players use strf dims when avih carries zeros; a negative
@@ -303,22 +348,30 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     fh = int(h) if h else (abs(int(sh)) if sh else 0)
     if not fw or not fh:
         raise ValueError("AVI with zero frame dimensions")
-    fps = rate / scale if scale else 0.0
     return (np.stack([_undib_rows(f, fw, fh, top_down) for f in frames]),
             fps)
 
 
-def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
-    """(n, h, w, 3) uint8 RGB → uncompressed-DIB AVI bytes ('00db'
-    frames + idx1 index), decodable by `decode_avi` and any standard
-    player."""
+def encode_avi(frames: np.ndarray, fps: float = 10.0,
+               codec: str = "DIB", quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 RGB → AVI bytes, decodable by `decode_avi`
+    and any standard player. `codec="DIB"` (default) writes
+    uncompressed bottom-up DIB '00db' frames; `codec="MJPG"` writes
+    Motion JPEG — every '00dc' chunk a complete baseline JPEG at
+    `quality` (the shape real MJPEG cameras/muxers produce)."""
     a = np.asarray(frames, dtype=np.uint8)
     if a.ndim != 4 or a.shape[0] == 0:
         raise ValueError(
             "encode_avi needs at least one frame of shape (h, w, 3)")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+    mjpg = codec == "MJPG"
     n, h, w, _ = a.shape
-    payloads = [_dib_rows(f) for f in a]
-    frame_size = len(payloads[0])
+    if mjpg:
+        payloads = [encode_jpeg(f, quality=quality) for f in a]
+    else:
+        payloads = [_dib_rows(f) for f in a]
+    frame_size = max(len(p) for p in payloads)
     scale, rate = 1000, int(round(fps * 1000))
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -328,21 +381,23 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
+    fourcc = b"MJPG" if mjpg else b"DIB "
+    frame_tag = b"00dc" if mjpg else b"00db"
     avih = struct.pack("<14I", int(1e6 * scale / max(rate, 1)),
                        frame_size * int(max(fps, 1)), 0, 0x10, n, 0, 1,
                        frame_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
-                                            scale, rate, 0, n, frame_size,
-                                            0xFFFFFFFF, 0)
+    strh = (b"vids" + fourcc + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                           scale, rate, 0, n, frame_size,
+                                           0xFFFFFFFF, 0)
             + struct.pack("<4h", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       _MJPG if mjpg else 0, frame_size, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body, idx, off = b"", b"", 4
     for p in payloads:
-        ck = chunk(b"00db", p)
-        idx += b"00db" + struct.pack("<III", 0x10, off, len(p))
+        ck = chunk(frame_tag, p)
+        idx += frame_tag + struct.pack("<III", 0x10, off, len(p))
         movi_body += ck
         off += len(ck)
     riff = b"AVI " + hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)

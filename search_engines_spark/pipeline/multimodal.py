@@ -2,16 +2,19 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas UDFs over `mapInPandas`.
 
-Decode is REAL for BMP, PNG, PCM WAV, and uncompressed-DIB AVI
-payloads via the dependency-free codecs in `pipeline.codecs` (stdlib
-zlib/wave/struct + numpy): `decode_image`/`decode_audio`/`decode_video`
-sniff the magic bytes and decode for real; `make_media_table(
-real_payloads=True)` synthesizes deterministic real BMP/WAV/AVI
-payloads so the whole pipeline — including video frame-sampling — runs
-non-fake in tests. Formats needing external codecs (JPEG, MP3, H.264)
-still raise NotImplementedError unless `fake=True`, in which case a
-deterministic fake decoder (seeded from the content hash) produces
-stable pseudo-pixels. Everything Spark-side — schemas,
+Decode is REAL for BMP, PNG, baseline JPEG, PCM WAV, and AVI video in
+both the uncompressed-DIB and Motion-JPEG flavors, via the
+dependency-free codecs in `pipeline.codecs` (stdlib zlib/wave/struct +
+numpy; JPEG is the pure-numpy baseline implementation in
+`pipeline.jpeg`): `decode_image`/`decode_audio`/`decode_video` sniff
+the magic bytes and decode for real; `make_media_table(
+real_payloads=True)` synthesizes deterministic real BMP/JPEG/WAV/
+DIB-AVI/MJPEG-AVI payloads so the whole pipeline — including video
+frame-sampling — runs non-fake in tests. Formats still needing
+external codecs (MP3, H.264, progressive JPEG) raise
+NotImplementedError unless `fake=True`, in which case a deterministic
+fake decoder (seeded from the content hash) produces stable
+pseudo-pixels. Everything Spark-side — schemas,
 partitioning, UDF signatures, Arrow batch shapes — is real and tested
 (tests/test_multimodal.py).
 
@@ -50,7 +53,7 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
     real_payloads=False: payload = utf-8 bytes of the text (opaque —
     exercises the fake-decode path). real_payloads=True: image rows get
     a REAL 16×12 BMP, audio rows a REAL 0.1 s PCM WAV, and video rows a
-    REAL 4-frame uncompressed-DIB AVI at 4 fps, all seeded from
+    REAL 4-frame AVI (DIB or MJPEG by seed parity) at 4 fps, seeded from
     sha256(text) via `pipeline.codecs`, so decode/resize/feature/
     frame-sample kernels run their real branches."""
     h = F.crc32(F.col(text_col))
@@ -75,7 +78,12 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
                     np.frombuffer(seed[:4], dtype=np.uint32)[0])
                 if kind == "image":
                     img = rs.randint(0, 256, (12, 16, 3), dtype=np.uint8)
-                    pay.append(codecs.encode_bmp(img))
+                    # alternate container by seed parity so both real
+                    # image decode paths run in every pipeline test
+                    if seed[5] & 1:
+                        pay.append(codecs.encode_jpeg(img, quality=90))
+                    else:
+                        pay.append(codecs.encode_bmp(img))
                 elif kind == "audio":
                     t = np.arange(800) / 8000.0
                     freq = 200 + float(seed[4]) * 8
@@ -84,13 +92,16 @@ def make_media_table(docs: DataFrame, text_col: str = "text",
                 else:
                     frames = rs.randint(0, 256, (4, 12, 16, 3),
                                         dtype=np.uint8)
-                    pay.append(codecs.encode_avi(frames, fps=4.0))
+                    codec = "MJPG" if seed[5] & 1 else "DIB"
+                    pay.append(codecs.encode_avi(frames, fps=4.0,
+                                                 codec=codec))
             out_pdf = pdf.copy()
             out_pdf["payload"] = pay
             out_pdf["mime"] = [
-                {"image": "image/bmp", "audio": "audio/wav",
-                 "video": "video/avi"}.get(
-                    k, "application/octet-stream") for k in pdf["kind"]]
+                {"bmp": "image/bmp", "jpeg": "image/jpeg",
+                 "wav": "audio/wav", "avi": "video/avi"}.get(
+                    codecs.sniff(p), "application/octet-stream")
+                for p in pay]
             # metadata stays truthful to the generated payloads: every
             # real image/video frame is 16×12, the WAV is 800 samples
             # @ 8 kHz = 100 ms, the AVI 4 frames @ 4 fps = 1000 ms
@@ -114,12 +125,17 @@ def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
 
 
 def decode_image_2d(payload: bytes) -> np.ndarray | None:
-    """REAL decode → (h, w, 3) uint8 for BMP/PNG payloads (pure
-    stdlib/numpy codecs, `pipeline.codecs`); None if the format isn't
-    one we can decode without external libraries (JPEG etc.)."""
+    """REAL decode → (h, w, 3) uint8 for BMP/PNG/baseline-JPEG payloads
+    (pure stdlib/numpy codecs, `pipeline.codecs`); None if the format
+    isn't one we can decode without external libraries."""
     kind = codecs.sniff(payload)
     if kind == "bmp":
         return codecs.decode_bmp(payload)
+    if kind == "jpeg":
+        px = codecs.decode_jpeg(payload)
+        if px.shape[2] == 1:           # grayscale → replicate
+            px = np.repeat(px, 3, axis=2)
+        return px
     if kind == "png":
         px = codecs.decode_png(payload)
         if px.shape[2] == 1:           # gray → replicate
@@ -131,12 +147,13 @@ def decode_image_2d(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """→ flat float64 grayscale intensities. REAL for BMP/PNG (sniffed
-    from magic bytes); other formats need codecs this container lacks
-    and raise unless `fake=True` (deterministic pseudo-pixels). With
-    fake=True a payload that SNIFFS as BMP/PNG but fails to decode
-    (truncated, 16-bit, interlaced …) also falls back to the fake path
-    — the gate is decode success, not sniff success."""
+    """→ flat float64 grayscale intensities. REAL for BMP/PNG/baseline
+    JPEG (sniffed from magic bytes); other formats need codecs this
+    container lacks and raise unless `fake=True` (deterministic
+    pseudo-pixels). With fake=True a payload that SNIFFS as a known
+    format but fails to decode (truncated, progressive JPEG,
+    interlaced PNG …) also falls back to the fake path — the gate is
+    decode success, not sniff success."""
     try:
         px = decode_image_2d(payload)
     except ValueError:
@@ -147,9 +164,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return px.astype(np.float64).mean(axis=2).ravel()
     if not fake:
         raise NotImplementedError(
-            "payload is not BMP/PNG and no external image codec is "
-            "available; call with fake=True for the deterministic "
-            "test decoder")
+            "payload is not BMP/PNG/baseline-JPEG and no external "
+            "image codec is available; call with fake=True for the "
+            "deterministic test decoder")
     return _fake_pixels(payload, 64 * 64)
 
 
@@ -174,11 +191,12 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
 
 def decode_video(payload: bytes,
                  fake: bool = False) -> tuple[np.ndarray, float]:
-    """→ ((n, h, w, 3) uint8 RGB frames, fps). REAL for uncompressed-DIB
-    AVI (`pipeline.codecs.decode_avi`); other containers need external
+    """→ ((n, h, w, 3) uint8 RGB frames, fps). REAL for AVI holding
+    uncompressed DIB or Motion-JPEG frames
+    (`pipeline.codecs.decode_avi`); other containers need external
     codecs and raise unless `fake=True` (4 deterministic 16×16
     pseudo-frames at 4 fps). With fake=True a payload that sniffs as
-    AVI but fails to decode (compressed codec, malformed container)
+    AVI but fails to decode (unknown codec, malformed container)
     falls back to the fake path instead of raising."""
     if codecs.sniff(payload) == "avi":
         try:
@@ -188,7 +206,7 @@ def decode_video(payload: bytes,
                 raise
     if not fake:
         raise NotImplementedError(
-            "payload is not an uncompressed-DIB AVI and no external "
+            "payload is not a DIB/MJPG AVI and no external "
             "video codec is available; call with fake=True for the "
             "deterministic test decoder")
     frames = np.stack([
@@ -236,7 +254,7 @@ def resize_image(media: DataFrame, w: int, h: int,
                  fake: bool = True) -> DataFrame:
     """→ (media_id, width, height, payload) resized. REAL 2-D
     nearest-neighbor resample + BMP re-encode for decodable payloads
-    (BMP/PNG); the fake path resamples the pseudo-pixel grid."""
+    (BMP/PNG/JPEG); the fake path resamples the pseudo-pixel grid."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -295,7 +313,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "payload is not an uncompressed-DIB AVI and no "
+                        "payload is not a DIB/MJPG AVI and no "
                         "external video codec is available; pass fake=True "
                         "for the deterministic test decoder")
                 for i in range(max(1, int(dur) // every_ms)):

@@ -1,0 +1,163 @@
+"""Baseline JPEG codec (`pipeline.jpeg`) + its MJPEG-AVI and
+multimodal integrations.
+
+The reference repo has no image pipeline — this family belongs to the
+LLM-training-data layer the engine adds on top. Correctness here is
+self-contained: the encoder and decoder are independent
+implementations of T.81 (encode = forward DCT + quant + Huffman;
+decode = the inverse path with its own marker parser), so round-trip
+error bounds, restart-marker replay, and byte-stuffing checks falsify
+either side against the other.
+"""
+
+import numpy as np
+import pytest
+
+from search_engines_spark.pipeline import codecs as C
+from search_engines_spark.pipeline import jpeg
+from search_engines_spark.pipeline import multimodal as mm
+
+
+def _gradient(h, w):
+    gy = np.linspace(0, 255, h)[:, None]
+    gx = np.linspace(0, 255, w)[None, :]
+    return np.dstack([np.broadcast_to(gx, (h, w)),
+                      np.broadcast_to(gy, (h, w)),
+                      (gx + gy) / 2]).astype(np.uint8)
+
+
+def test_round_trip_quality_100_near_exact():
+    """At q=100 every quant step is 1, so the only loss is DCT
+    coefficient rounding — a ≤2-level bound on smooth content."""
+    img = _gradient(64, 48)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_round_trip_random_noise_bounded():
+    rs = np.random.RandomState(7)
+    img = rs.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    # noise is JPEG's worst case; q=90 still keeps the mean error small
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 12.0
+
+
+def test_grayscale_round_trip():
+    rs = np.random.RandomState(3)
+    g = rs.randint(0, 256, (21, 19), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert dec.shape == (21, 19, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 6.0
+    # (h, w, 1) input is accepted and equivalent
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(g[:, :, None], quality=95))
+    assert (dec2 == dec).all()
+
+
+def test_subsampled_420_round_trip():
+    img = _gradient(40, 56)
+    enc = jpeg.encode_jpeg(img, quality=92, subsample=True)
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+    # 4:2:0 must actually be smaller than 4:4:4 on chroma-heavy content
+    assert len(enc) < len(jpeg.encode_jpeg(img, quality=92))
+
+
+def test_odd_dimensions_crop():
+    """Non-multiple-of-8 (and, subsampled, non-multiple-of-16) dims pad
+    at encode and crop at decode."""
+    rs = np.random.RandomState(11)
+    for shape in ((9, 13, 3), (8, 8, 3), (1, 1, 3), (17, 31, 3)):
+        img = rs.randint(0, 256, shape, dtype=np.uint8)
+        for sub in (False, True):
+            dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90, subsample=sub))
+            assert dec.shape == shape
+
+
+def test_restart_markers_decode_identically():
+    rs = np.random.RandomState(5)
+    img = rs.randint(0, 256, (33, 49, 3), dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80))
+    with_rst = jpeg.encode_jpeg(img, quality=80, restart=3)
+    assert b"\xff\xdd" in with_rst          # DRI marker present
+    assert (jpeg.decode_jpeg(with_rst) == plain).all()
+
+
+def test_byte_stuffing_round_trips():
+    """Low quality produces long runs that hit 0xFF entropy bytes; the
+    stream must carry stuffed 0xFF00 and still decode."""
+    rs = np.random.RandomState(13)
+    img = rs.randint(0, 256, (48, 48, 3), dtype=np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=25)
+    assert b"\xff\x00" in enc
+    assert jpeg.decode_jpeg(enc).shape == img.shape
+
+
+def test_malformed_raises_valueerror():
+    good = jpeg.encode_jpeg(_gradient(16, 16), quality=85)
+    bad = [b"", b"\x00\x01", b"\xff\xd8\xff", good[:20], good[:60],
+           good[:-10],                     # truncated scan
+           b"\xff\xd8\xff\xd9"]            # EOI before SOS
+    for payload in bad:
+        with pytest.raises(ValueError):
+            C.decode_jpeg(payload)
+    # progressive (SOF2) is explicitly unsupported, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        C.decode_jpeg(bytes(prog))
+
+
+def test_sniff_and_codecs_reexport():
+    enc = C.encode_jpeg(_gradient(8, 8), quality=90)
+    assert C.sniff(enc) == "jpeg"
+    assert C.decode_jpeg(enc).shape == (8, 8, 3)
+
+
+def test_decode_image_routes_jpeg_for_real():
+    img = _gradient(12, 16)
+    flat = mm.decode_image(C.encode_jpeg(img, quality=95), fake=False)
+    assert flat.shape == (12 * 16,)
+    want = img.astype(np.float64).mean(axis=2).ravel()
+    assert np.abs(flat - want).mean() < 4.0
+    px = mm.decode_image_2d(C.encode_jpeg(img, quality=95))
+    assert px.shape == (12, 16, 3)
+    # grayscale JPEG replicates to 3 channels like grayscale PNG
+    gpx = mm.decode_image_2d(C.encode_jpeg(img[:, :, 0], quality=95))
+    assert gpx.shape == (12, 16, 3)
+    assert (gpx[:, :, 0] == gpx[:, :, 1]).all()
+
+
+def test_mjpeg_avi_round_trip():
+    rs = np.random.RandomState(17)
+    vid = rs.randint(0, 256, (5, 24, 32, 3), dtype=np.uint8)
+    data = C.encode_avi(vid, fps=8.0, codec="MJPG", quality=92)
+    assert C.sniff(data) == "avi"
+    frames, fps = C.decode_avi(data)
+    assert fps == 8.0 and frames.shape == vid.shape
+    assert np.abs(frames.astype(int) - vid.astype(int)).mean() < 12.0
+    # decode_video reaches the same path
+    frames2, fps2 = mm.decode_video(data, fake=False)
+    assert fps2 == 8.0 and (frames2 == frames).all()
+    # an unknown fourcc still refuses before buffering frames
+    with pytest.raises(ValueError, match="biCompression"):
+        C.decode_avi(data.replace(b"MJPG", b"H264"))
+
+
+def test_dct_basis_orthonormal():
+    """The shared forward/inverse basis must be orthonormal — this is
+    what makes encode and decode true inverses up to quantization."""
+    eye = jpeg._C @ jpeg._C.T
+    assert np.abs(eye - np.eye(8)).max() < 1e-12
+    # flat 128 block → all-zero coefficients (level shift correctness)
+    flat = np.full((8, 8), 128.0)
+    assert np.abs(jpeg._C @ (flat - 128.0) @ jpeg._C.T).max() < 1e-12
+
+
+def test_quality_monotonic_size():
+    img = _gradient(64, 64)
+    sizes = [len(jpeg.encode_jpeg(img, quality=q)) for q in (20, 60, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]

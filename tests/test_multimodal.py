@@ -25,14 +25,21 @@ def test_media_schema(media):
 
 
 def test_decode_gated_for_unsupported_formats():
-    # JPEG and friends still need codecs the container lacks
+    # GIF/MP3/MP4 still need codecs the container lacks
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff not decodable", fake=False)
+        mm.decode_image(b"GIF89a not decodable", fake=False)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3 not decodable", fake=False)
     with pytest.raises(NotImplementedError):
         mm.decode_video(b"\x00\x00\x00\x18ftypmp42 not decodable",
                         fake=False)
+    # JPEG now sniffs and decodes for real, so garbage with a JPEG
+    # magic is a MALFORMED payload (ValueError), not an unsupported
+    # format — and it still falls back under fake=True
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff not decodable", fake=False)
+    assert mm.decode_image(b"\xff\xd8\xff not decodable",
+                           fake=True).shape == (4096,)
 
 
 def test_codec_round_trips():
@@ -46,7 +53,8 @@ def test_codec_round_trips():
     y, rate = C.decode_wav(C.encode_wav(x, 8000))
     assert rate == 8000 and np.abs(y - x).max() < 1e-3
     assert C.sniff(C.encode_bmp(img)) == "bmp"
-    assert C.sniff(b"\xff\xd8\xff") is None
+    assert C.sniff(b"\xff\xd8\xff") == "jpeg"
+    assert C.sniff(b"\xff\xd8\x00") is None   # SOI alone isn't a JPEG
     # AVI: even and odd widths (stride + RIFF even-size padding)
     for shape in ((5, 12, 16, 3), (3, 7, 9, 3)):
         vid = rng.randint(0, 256, shape, dtype=np.uint8)
@@ -124,15 +132,17 @@ def test_real_media_pipeline_end_to_end(spark):
         [(i, f"payload text {i} " * (i + 1)) for i in range(20)],
         "doc_id long, text string")
     real = mm.make_media_table(docs, real_payloads=True).persist()
-    mimes = {r["kind"]: r["mime"] for r in real.collect()}
-    assert mimes.get("image") == "image/bmp"
-    assert mimes.get("audio") == "audio/wav"
+    mimes = {r["kind"]: set() for r in real.collect()}
+    for r in real.collect():
+        mimes[r["kind"]].add(r["mime"])
+    assert mimes.get("image", set()) <= {"image/bmp", "image/jpeg"}
+    assert mimes.get("audio") == {"audio/wav"}
     # metadata is truthful to the generated payloads — a consumer
     # validating decode shape against (width, height, duration_ms)
     # must never see a mismatch on the real table
     for r in real.collect():
         if r["kind"] == "image":
-            px = C.decode_bmp(bytes(r["payload"]))
+            px = mm.decode_image_2d(bytes(r["payload"]))
             assert (px.shape[1], px.shape[0]) == (r["width"], r["height"])
             assert r["duration_ms"] == 0
         elif r["kind"] == "audio":
@@ -160,7 +170,7 @@ def test_real_media_pipeline_end_to_end(spark):
     # real video: AVI payloads frame-sample WITHOUT the fake decoder,
     # and each sampled frame is a standalone decodable BMP
     vids = real.where("kind = 'video'")
-    assert mimes.get("video") == "video/avi"
+    assert mimes.get("video") == {"video/avi"}
     sampled = mm.sample_frames(vids, every_ms=250, fake=False).collect()
     assert len(sampled) == vids.count() * 4  # 4 frames @ 4 fps, 1 s
     for r in sampled:
