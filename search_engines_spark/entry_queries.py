@@ -3510,6 +3510,57 @@ JOIN langtok l USING (doc_id)
 JOIN dl d USING (doc_id)"""
 
 
+def q_dedup_phash_banded(spark, sf_dir):
+    """Banded-hamming near-dup join (`dedup.phash_near_dup_pairs` — the
+    image-pHash scale path) over SQL-portable planted 63-bit hashes:
+    base = two md5 halves of the first 24 text chars (the sf corpora
+    carry ~23 shared-prefix groups), every third doc flips one bit —
+    so the result holds distance-0 AND small-nonzero pairs. max_dist=6
+    < bands=8 makes the band join pigeonhole-EXACT, so the oracle's
+    brute-force hamming scan must match the banded plan pair-for-pair.
+    The perceptual-hash kernel itself (decode → DCT → median bits) is
+    pytest-gated (tests/test_phash.py) — no SQL oracle can decode
+    JPEG."""
+    docs = _docs(spark, sf_dir)
+    md5 = F.md5(F.substring(F.col("text"), 1, 24))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") \
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    base = F.shiftleft(hi, 32).bitwiseOR(lo)
+    flip = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.call_function("shiftleft", F.lit(1).cast("long"),
+                        (F.col("doc_id") % 62).cast("int"))) \
+        .otherwise(F.lit(0).cast("long"))
+    hashes = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                         base.bitwiseXOR(flip).alias("phash"))
+    return (dd.phash_near_dup_pairs(hashes, max_dist=6, bands=8)
+            .select("id_a", "id_b",
+                    F.col("dist").cast("long").alias("dist")))
+
+
+def _sql_dedup_phash() -> str:
+    """Brute-force all-pairs hamming scan over the same planted hashes
+    — exactly what the banded join must equal while max_dist < bands."""
+    return """WITH base AS (
+  SELECT doc_id,
+         (((('0x' || substr(md5(substr(text, 1, 24)), 1, 8))
+            ::UBIGINT::BIGINT & 2147483647) << 32)
+          | ('0x' || substr(md5(substr(text, 1, 24)), 9, 8))
+            ::UBIGINT::BIGINT) AS b
+  FROM documents),
+h AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN xor(b, 1::BIGINT << (doc_id % 62))
+              ELSE b END AS phash
+  FROM base)
+SELECT x.media_id AS id_a, y.media_id AS id_b,
+       bit_count(xor(x.phash, y.phash))::BIGINT AS dist
+FROM h x JOIN h y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 6"""
+
+
 # ---------------------------------------------------------------- registry --
 
 # name -> (spark_fn, oracle_sql | None)
@@ -3756,6 +3807,12 @@ REGISTRY: dict[str, tuple] = {
     # replays, the quantized cosine the dedup_embedding_lsh family's;
     # python-replay + planted-keeper + empty-frame pytest in
     # test_similarity.py; check_entry-green at sf0.001 + sf0.01
+    "dedup_phash_banded": (q_dedup_phash_banded, _sql_dedup_phash()),
+    # image-pHash banded hamming join: overflow-born — oracle is the
+    # brute all-pairs scan the banded plan must equal exactly while
+    # max_dist < bands (pigeonhole); the decode→DCT hash kernel is
+    # pytest-gated in test_phash.py (planted near-dup images,
+    # no-cartesian plan assert, brute-force recall property)
 }
 
 

@@ -328,3 +328,80 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             .select("media_id", "duration_ms", "payload")
             .mapInPandas(kernel, schema="media_id long, frame_no int, "
                                         "ts_ms int, payload binary"))
+
+
+# ------------------------------------------------------- perceptual hash --
+
+_PHASH_IMG = 32                        # resample size before the DCT
+_PHASH_GRID = 8                        # low-frequency block → 64 bits
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal n-point DCT-II basis (the N=8 case is the JPEG
+    transform in `pipeline.jpeg._C`)."""
+    return np.array([[np.sqrt((1.0 if u == 0 else 2.0) / n)
+                      * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+                      for x in range(n)] for u in range(n)])
+
+
+_PHASH_DCT = _dct_basis(_PHASH_IMG)
+
+
+def phash_payload(payload: bytes, fake: bool = False) -> int:
+    """64-bit perceptual hash (pHash) of one image payload: decode →
+    grayscale → nearest-resample to 32×32 → 2-D DCT → keep the top-left
+    8×8 low-frequency block → threshold each coefficient at the block
+    median → pack 64 bits (returned as a SIGNED int64 so it rides a
+    Spark LONG column).
+
+    Perceptually-close images (re-encodes, mild noise, resizes) land
+    within a few bits of each other; unrelated images differ in ~32.
+    """
+    px2 = None
+    try:
+        px2 = decode_image_2d(payload)
+    except ValueError:
+        if not fake:
+            raise
+    if px2 is not None:
+        gray = px2.astype(np.float64).mean(axis=2)
+    else:
+        if not fake:
+            raise NotImplementedError(
+                "payload is not BMP/PNG/baseline-JPEG and no external "
+                "image codec is available; call with fake=True for the "
+                "deterministic test decoder")
+        gray = _fake_pixels(payload, _PHASH_IMG * _PHASH_IMG) \
+            .reshape(_PHASH_IMG, _PHASH_IMG)
+    yi = np.linspace(0, gray.shape[0] - 1, _PHASH_IMG).round().astype(int)
+    xi = np.linspace(0, gray.shape[1] - 1, _PHASH_IMG).round().astype(int)
+    small = gray[yi][:, xi]
+    coef = _PHASH_DCT @ small @ _PHASH_DCT.T
+    low = coef[:_PHASH_GRID, :_PHASH_GRID]
+    bits = (low > np.median(low)).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash_images(media: DataFrame, fake: bool = False) -> DataFrame:
+    """image rows → (media_id, phash LONG) via mapInPandas — the
+    decode-adjacent half of image near-dup detection; feed the result
+    to `pipeline.dedup.phash_near_dup_pairs` /
+    `phash_dedup_clusters` for the banded hamming join (never an
+    all-pairs comparison).
+
+    Scale: map-only over the media table (zero shuffle — parallelism
+    enters through input splits, like the postings builder); the hash
+    is 8 bytes per image, so the downstream join shuffles ~1/10⁶ of
+    the decoded bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "phash": [phash_payload(bytes(p), fake=fake)
+                          for p in pdf["payload"]]})
+
+    return (media.where(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(kernel, schema="media_id long, phash long"))

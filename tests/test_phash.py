@@ -1,0 +1,103 @@
+"""Perceptual-hash image dedup: `multimodal.phash_images` +
+`dedup.phash_near_dup_pairs` / `phash_dedup_clusters`.
+
+The banding guarantee (max_dist < bands ⇒ exact recall) is
+property-tested against a brute-force all-pairs hamming scan in plain
+Python; the plan test pins the no-cartesian shape.
+"""
+
+import numpy as np
+import pytest
+
+from search_engines_spark.pipeline import codecs as C
+from search_engines_spark.pipeline import dedup as D
+from search_engines_spark.pipeline import multimodal as mm
+
+
+def _textured(seed: int, h: int = 48, w: int = 48) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    base = rs.randint(0, 256, (h + 8, w + 8)).astype(float)
+    c = np.cumsum(np.cumsum(base, 0), 1)
+    k = 8
+    blur = (c[k:, k:] + c[:-k, :-k] - c[k:, :-k] - c[:-k, k:]) / (k * k)
+    return np.dstack([blur, blur[::-1], blur[:, ::-1]]).astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_payload_properties():
+    img = _textured(2)
+    h_bmp = mm.phash_payload(C.encode_bmp(img))
+    # deterministic
+    assert h_bmp == mm.phash_payload(C.encode_bmp(img))
+    # re-encode at several qualities stays within a few bits
+    for q in (95, 85, 70):
+        h_j = mm.phash_payload(C.encode_jpeg(img, quality=q))
+        assert _ham(h_bmp, h_j) <= 10
+    # an unrelated image is far
+    far = mm.phash_payload(C.encode_bmp(_textured(99)))
+    assert _ham(h_bmp, far) >= 16
+    # undecodable payloads honor the fake gate
+    with pytest.raises(NotImplementedError):
+        mm.phash_payload(b"GIF89a whatever")
+    assert isinstance(mm.phash_payload(b"GIF89a whatever", fake=True), int)
+
+
+def test_banding_exact_below_bands_property(spark):
+    """max_dist < bands ⇒ the banded join finds EVERY pair a brute-force
+    hamming scan finds (pigeonhole)."""
+    rs = np.random.RandomState(5)
+    hashes = list(rs.randint(-2**63, 2**63 - 1, size=40, dtype=np.int64))
+    # plant near-dups: flip ≤6 random bits of existing entries
+    for i in range(12):
+        flipped = int(hashes[i])
+        for bit in rs.choice(64, size=rs.randint(0, 7), replace=False):
+            flipped ^= 1 << int(bit)
+        flipped = flipped - (1 << 64) if flipped >= (1 << 63) else flipped
+        hashes.append(np.int64(flipped))
+    rows = [(i, int(h)) for i, h in enumerate(hashes)]
+    brute = {(a, b) for a, ha in rows for b, hb in rows
+             if a < b and _ham(ha, hb) <= 6}
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {(r["id_a"], r["id_b"])
+           for r in D.phash_near_dup_pairs(df, max_dist=6).collect()}
+    assert got == brute
+
+
+def test_phash_pipeline_and_clusters(spark):
+    base = _textured(7)
+    other = _textured(8)
+    third = _textured(9)
+    rows = [
+        (0, "image", C.encode_bmp(base)),
+        (1, "image", C.encode_jpeg(base, quality=85)),   # near-dup of 0
+        (2, "image", C.encode_bmp(other)),
+        (3, "image", C.encode_jpeg(other, quality=90)),  # near-dup of 2
+        (4, "image", C.encode_bmp(third)),               # singleton
+        (5, "audio", C.encode_wav(np.zeros(100), 8000)),  # filtered out
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    hashes = mm.phash_images(media, fake=False)
+    hrows = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert set(hrows) == {0, 1, 2, 3, 4}   # images only
+    pairs = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in D.phash_near_dup_pairs(hashes, max_dist=10).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all({a, b} in ({0, 1}, {2, 3}) for a, b in pairs)
+    cc = {r["media_id"]: (r["component"], r["keep"])
+          for r in D.phash_dedup_clusters(hashes, max_dist=10).collect()}
+    assert cc[0] == (0, 1) and cc[1] == (0, 0)
+    assert cc[2] == (2, 1) and cc[3] == (2, 0)
+    assert cc[4] == (4, 1)
+
+
+def test_phash_join_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(i, i * 7919) for i in range(50)],
+                               "media_id long, phash long")
+    plan = D.phash_near_dup_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
