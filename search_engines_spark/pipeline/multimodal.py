@@ -373,6 +373,13 @@ def phash_payload(payload: bytes, fake: bool = False) -> int:
                 "deterministic test decoder")
         gray = _fake_pixels(payload, _PHASH_IMG * _PHASH_IMG) \
             .reshape(_PHASH_IMG, _PHASH_IMG)
+    return _phash_gray(gray)
+
+
+def _phash_gray(gray: np.ndarray) -> int:
+    """The shared DCT-threshold core: (h, w) float intensities →
+    signed-int64 64-bit hash. Resample to 32×32, 2-D DCT, keep the
+    8×8 low-frequency block, threshold at its median, pack bits."""
     yi = np.linspace(0, gray.shape[0] - 1, _PHASH_IMG).round().astype(int)
     xi = np.linspace(0, gray.shape[1] - 1, _PHASH_IMG).round().astype(int)
     small = gray[yi][:, xi]
@@ -403,5 +410,106 @@ def phash_images(media: DataFrame, fake: bool = False) -> DataFrame:
                           for p in pdf["payload"]]})
 
     return (media.where(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(kernel, schema="media_id long, phash long"))
+
+
+# ------------------------------------------- audio / video fingerprints --
+
+_AFP_WIN = 1024                        # STFT window (samples)
+_AFP_HOP = 512                         # hop — 50% overlap
+_AFP_BANDS = 17                        # log-spaced bands → 16 deltas
+_AFP_ROWS = 4                          # pooled time rows
+
+
+def audio_fingerprint_payload(payload: bytes, fake: bool = False) -> int:
+    """64-bit spectral fingerprint of one audio payload, a band-
+    differential sign code after Haitsma–Kalker (Philips robust hash,
+    ISMIR 2002): decode → mono samples → power STFT (numpy rfft,
+    1024-sample Hann windows, 50% overlap) → 17 log-spaced
+    log-band-energies per frame → mean-pool to a fixed 4×17 time-band
+    grid, clamped to a 60 dB dynamic range → bit(t, m) = sign of
+    E[t,m] − E[t,m+1] → 4×16 = 64 bits (signed int64 for a Spark
+    LONG). H–K's additional time differential is deliberately dropped:
+    on second-scale pooled rows it zeroes out for stationary content
+    (every steady tone would collide at hash 0); the per-row band
+    differential keeps the spectral shape per time quarter instead.
+
+    Volume changes cancel EXACTLY (a gain is an additive log-energy
+    constant, eliminated by the band difference); re-encodes and mild
+    noise flip only near-zero differentials (noise-floor bands clamp
+    to one value, so their differentials are stably zero); different
+    program material lands ~tens of bits away. Feed to
+    `dedup.phash_near_dup_pairs(..., hash_col='afp')` for banded
+    near-dup matching."""
+    x = decode_audio(payload, fake=fake)
+    if len(x) < _AFP_WIN:
+        x = np.pad(x, (0, _AFP_WIN - len(x)))
+    n_frames = 1 + (len(x) - _AFP_WIN) // _AFP_HOP
+    idx = (np.arange(_AFP_WIN)[None, :]
+           + _AFP_HOP * np.arange(n_frames)[:, None])
+    frames = x[idx] * np.hanning(_AFP_WIN)
+    mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2   # (frames, 513)
+    edges = np.unique(np.geomspace(2, mag2.shape[1] - 1,
+                                   _AFP_BANDS + 1).astype(int))
+    while len(edges) < _AFP_BANDS + 1:                # tiny-clip guard
+        edges = np.append(edges, edges[-1] + 1)
+    bands = np.stack([mag2[:, a:b].mean(axis=1)
+                      for a, b in zip(edges[:-1], edges[1:])], axis=1)
+    rows = np.array_split(bands, _AFP_ROWS, axis=0)
+    grid = np.log(np.stack([r.mean(axis=0) if len(r) else
+                            np.full(_AFP_BANDS, 1e-12) for r in rows])
+                  + 1e-12)                            # (5, 17) log-E
+    # clamp to a 60 dB dynamic range below the peak band: bands at the
+    # noise/quantization floor collapse to ONE value, so their
+    # differentials are exactly zero instead of random-sign jitter
+    # (relative clamp — volume invariance survives)
+    grid = np.maximum(grid, grid.max() - np.log(1e6))
+    bits = (grid[:, :-1] - grid[:, 1:] > 0).ravel()   # (4, 16) → 64
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprints(media: DataFrame, fake: bool = False) -> DataFrame:
+    """audio rows → (media_id, afp LONG) via mapInPandas; map-only,
+    zero shuffle — the audio sibling of `phash_images`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "afp": [audio_fingerprint_payload(bytes(p), fake=fake)
+                        for p in pdf["payload"]]})
+
+    return (media.where(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(kernel, schema="media_id long, afp long"))
+
+
+def video_phash_payload(payload: bytes, fake: bool = False) -> int:
+    """64-bit perceptual hash of one video payload: decode → temporal
+    mean over frames → grayscale → the image-pHash DCT core. Container
+    and codec invariant by construction (a DIB and an MJPEG encode of
+    the same frames land within JPEG-noise distance), robust to frame
+    drops; scene reorderings that preserve the average also collide —
+    the coarse first pass, with `sample_frames` + `phash_images` as
+    the per-frame refinement when it matters."""
+    frames, _ = decode_video(payload, fake=fake)
+    gray = frames.astype(np.float64).mean(axis=(0, 3))
+    return _phash_gray(gray)
+
+
+def phash_videos(media: DataFrame, fake: bool = False) -> DataFrame:
+    """video rows → (media_id, phash LONG) via mapInPandas; compose
+    with `dedup.phash_near_dup_pairs` exactly like image hashes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "phash": [video_phash_payload(bytes(p), fake=fake)
+                          for p in pdf["payload"]]})
+
+    return (media.where(F.col("kind") == "video")
             .select("media_id", "payload")
             .mapInPandas(kernel, schema="media_id long, phash long"))

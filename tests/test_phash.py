@@ -101,3 +101,84 @@ def test_phash_join_plan_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------- audio / video fingerprints --
+
+
+def _chirp(seed: int = 0) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    t = np.arange(8000) / 8000.0
+    return (np.sin(2 * np.pi * (300 + 800 * t) * t) * 0.5
+            + np.sin(2 * np.pi * 1500 * t)
+            * (0.3 + 0.2 * np.sin(2 * np.pi * 3 * t))
+            + rs.randn(8000) * 1e-4)
+
+
+def test_audio_fingerprint_properties():
+    sig = _chirp()
+    a1 = mm.audio_fingerprint_payload(C.encode_wav(sig, 8000))
+    # deterministic, and exact under re-encode
+    assert a1 == mm.audio_fingerprint_payload(C.encode_wav(sig, 8000))
+    # volume changes cancel EXACTLY (log-band differentials)
+    for gain in (0.3, 0.05, 0.9):
+        assert mm.audio_fingerprint_payload(
+            C.encode_wav(sig * gain, 8000)) == a1
+    # broadband program material survives scale + -40dB noise
+    rs = np.random.RandomState(1)
+    bb = np.convolve(rs.randn(8000) * 0.3, np.ones(5) / 5, "same")
+    h1 = mm.audio_fingerprint_payload(C.encode_wav(bb, 8000))
+    h2 = mm.audio_fingerprint_payload(
+        C.encode_wav(bb * 0.5 + rs.randn(8000) * 0.003, 8000))
+    assert _ham(h1, h2) <= 8
+    # different program material is far
+    t = np.arange(8000) / 8000.0
+    other = np.sin(2 * np.pi * (2500 - 1500 * t) * t) * 0.4 \
+        + rs.randn(8000) * 0.1
+    far = mm.audio_fingerprint_payload(C.encode_wav(other, 8000))
+    assert _ham(a1, far) >= 16
+    # fake gate
+    with pytest.raises(NotImplementedError):
+        mm.audio_fingerprint_payload(b"ID3 not audio")
+    assert isinstance(
+        mm.audio_fingerprint_payload(b"ID3 not audio", fake=True), int)
+
+
+def test_video_phash_codec_invariant():
+    rs = np.random.RandomState(17)
+    vid = rs.randint(0, 256, (4, 24, 32, 3), dtype=np.uint8)
+    v_dib = mm.video_phash_payload(C.encode_avi(vid, fps=4.0))
+    v_mjpg = mm.video_phash_payload(
+        C.encode_avi(vid, fps=4.0, codec="MJPG", quality=90))
+    # same frames through different codecs → within JPEG-noise distance
+    assert _ham(v_dib, v_mjpg) <= 6
+    other = rs.randint(0, 256, (4, 24, 32, 3), dtype=np.uint8)
+    assert _ham(v_dib, mm.video_phash_payload(
+        C.encode_avi(other, fps=4.0))) >= 16
+
+
+def test_audio_video_hashes_feed_banded_join(spark):
+    sig = _chirp()
+    rs = np.random.RandomState(23)
+    t = np.arange(8000) / 8000.0
+    other = np.sin(2 * np.pi * 700 * t) * np.sin(2 * np.pi * 2 * t)
+    vid = rs.randint(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    vid2 = rs.randint(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    rows = [
+        (0, "audio", C.encode_wav(sig, 8000)),
+        (1, "audio", C.encode_wav(sig * 0.5, 8000)),   # volume dup of 0
+        (2, "audio", C.encode_wav(other, 8000)),
+        (10, "video", C.encode_avi(vid, fps=4.0)),
+        (11, "video", C.encode_avi(vid, fps=4.0, codec="MJPG")),
+        (12, "video", C.encode_avi(vid2, fps=4.0)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    afp = mm.audio_fingerprints(media, fake=False)
+    apairs = {(r["id_a"], r["id_b"]) for r in D.phash_near_dup_pairs(
+        afp, max_dist=6, hash_col="afp").collect()}
+    assert apairs == {(0, 1)}
+    vp = mm.phash_videos(media, fake=False)
+    vpairs = {(r["id_a"], r["id_b"]) for r in D.phash_near_dup_pairs(
+        vp, max_dist=6).collect()}
+    assert vpairs == {(10, 11)}
