@@ -159,3 +159,40 @@ def facet_counts(postings: DataFrame, docs: DataFrame, terms: list[str],
     return (docs.join(match, "doc_id")
             .groupBy(*facet_cols)
             .agg(F.count("*").alias("n_docs")))
+
+
+def autocomplete(term_stats: DataFrame, min_len: int = 2,
+                 max_len: int = 6, k: int = 5,
+                 field: str = "body") -> DataFrame:
+    """Type-ahead completion table: for every term prefix of length
+    `min_len`..`max_len`, the top-k dictionary terms extending it,
+    ranked ctf desc, df desc, term asc → (prefix, term, ctf, rank).
+
+    This is the INGEST-TIME artifact a serving tier materializes
+    (partitioned by prefix, point-lookup at query time) — the shape
+    every suggest-as-you-type backend precomputes. Plan: one explode
+    of ≤ (max_len−min_len+1) prefixes per dictionary term (dictionary-
+    sized, not corpus-sized input) → one prefix-keyed row_number
+    window → top-k filter. Output is bounded by k × |distinct
+    prefixes| regardless of corpus size; the one shuffle carries
+    (prefix, term, ctf) rows for the dictionary only. Prefix skew
+    ('th…') is real but bounded by the dictionary, and the window
+    sorts only within one prefix's candidates."""
+    from pyspark.sql import Window
+    # Spark sequence(a, b) with b < a counts DOWN (the bpe_train
+    # gotcha): guard short terms to an empty prefix list instead
+    lens = F.when(
+        F.length("term") >= min_len,
+        F.sequence(F.lit(min_len),
+                   F.least(F.lit(max_len), F.length("term")))) \
+        .otherwise(F.array().cast("array<int>"))
+    pref = (term_stats.where(F.col("field") == field)
+            .select("term", "df", "ctf")
+            .withColumn("prefix", F.explode(
+                F.transform(lens,
+                            lambda n: F.col("term").substr(F.lit(1), n)))))
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("ctf"), F.desc("df"), F.asc("term"))
+    return (pref.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("prefix", "term", "ctf", "rank"))

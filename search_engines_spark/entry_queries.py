@@ -3510,6 +3510,33 @@ JOIN langtok l USING (doc_id)
 JOIN dl d USING (doc_id)"""
 
 
+def q_autocomplete(spark, sf_dir):
+    """Type-ahead completion table (`serving.autocomplete`): top-3
+    completions per 2..5-char term prefix, ranked ctf desc / df desc /
+    term asc — the ingest-time artifact a suggest-as-you-type tier
+    materializes. Oracle: the same prefix explode + window in SQL."""
+    from .capabilities.serving import autocomplete
+    idx = _index(spark, sf_dir)
+    return (autocomplete(idx.term_stats, min_len=2, max_len=5, k=3)
+            .select("prefix", "term",
+                    F.col("ctf").cast("long").alias("ctf"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def _sql_autocomplete() -> str:
+    return f"""{PRELUDE},
+pref AS (SELECT substr(term, 1, n) AS prefix, term, ctf, df
+         FROM stats, range(2, 6) t(n)
+         WHERE length(term) >= n),
+ranked AS (SELECT prefix, term, ctf,
+                  row_number() OVER (PARTITION BY prefix
+                                     ORDER BY ctf DESC, df DESC,
+                                              term ASC) AS rank
+           FROM pref)
+SELECT prefix, term, ctf::BIGINT AS ctf, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3"""
+
+
 def q_dedup_phash_banded(spark, sf_dir):
     """Banded-hamming near-dup join (`dedup.phash_near_dup_pairs` — the
     image-pHash scale path) over SQL-portable planted 63-bit hashes:
@@ -3813,6 +3840,10 @@ REGISTRY: dict[str, tuple] = {
     # max_dist < bands (pigeonhole); the decode→DCT hash kernel is
     # pytest-gated in test_phash.py (planted near-dup images,
     # no-cartesian plan assert, brute-force recall property)
+    "term_autocomplete": (q_autocomplete, _sql_autocomplete()),
+    # serving-tier type-ahead table: overflow-born — prefix explode +
+    # per-prefix top-k window, identical SQL replay; the short-term
+    # guard pins the descending-sequence gotcha
 }
 
 

@@ -154,3 +154,220 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
         F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
         F.size(pieces).cast("long").alias("n_pieces"),
         F.md5(F.array_join(pieces, " ")).alias("pieces_fp"))
+
+
+# --------------------------------------------------- unigram LM (Kudo) --
+#
+# SentencePiece's second algorithm (Kudo 2018, "Subword Regularization"):
+# treat the vocabulary as a unigram language model over pieces, fit
+# piece probabilities by EM over the segmentation lattice of each word,
+# prune to the target size, and encode by Viterbi. Simplifications vs
+# the sentencepiece binary, documented and test-pinned: seed vocab =
+# most frequent substrings (explode, not ESA); M-step = MLE
+# normalization (plain EM, no Bayesian digamma); prune = by expected
+# count with single-chars always kept (not the leave-one-out loss).
+#
+# Scale shape (the same argument as BPE above): ONE corpus scan builds
+# the word-frequency table; seeding explodes substrings of DISTINCT
+# words only (vocab-bounded, ≤ max_piece_len × |word| pieces per
+# distinct word); each EM iteration is one mapInPandas over the word
+# table (forward-backward per word, numpy-scalar loops over ≤32-char
+# words) plus one piece-keyed sum — dictionary-sized work regardless
+# of corpus size. Encoding is doc-local Viterbi: zero shuffle.
+
+import math as _math
+
+
+def unigram_seed_vocab(word_counts: DataFrame, n_seed: int = 400,
+                       max_piece_len: int = 8) -> DataFrame:
+    """→ (piece, score) seed vocabulary: every character seen in the
+    corpus plus the `n_seed` highest-scoring multi-char substrings
+    (score = Σ freq over every occurrence in every word — the greedy
+    stand-in for the suffix-array seeding; ties break piece-ascending
+    for determinism)."""
+    w = word_counts.select("word", "freq")
+    pieces = w.select(
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece_len),
+                                         F.length("word"))),
+            lambda ln: F.transform(
+                F.sequence(F.lit(1), F.length("word") - ln + 1),
+                lambda i: F.col("word").substr(i, ln))))).alias("piece"),
+        F.col("freq"))
+    scored = pieces.groupBy("piece").agg(F.sum("freq").alias("score"))
+    chars = scored.where(F.length("piece") == 1)
+    multi = (scored.where(F.length("piece") > 1)
+             .orderBy(F.desc("score"), F.asc("piece")).limit(n_seed))
+    return chars.unionByName(multi)
+
+
+def _lattice_kernel(vocab: dict, max_len: int, mode: str):
+    """Shared word-lattice kernel: mode='estep' emits expected piece
+    counts (+ one `\\x00ll` log-likelihood row per batch); mode='viterbi'
+    emits the best segmentation per word."""
+    import numpy as np
+    import pandas as pd
+    NEG = float("-inf")
+
+    def forward(word):
+        n = len(word)
+        alpha = [NEG] * (n + 1)
+        alpha[0] = 0.0
+        for i in range(1, n + 1):
+            acc = NEG
+            for j in range(max(0, i - max_len), i):
+                lp = vocab.get(word[j:i])
+                if lp is not None and alpha[j] != NEG:
+                    x = alpha[j] + lp
+                    acc = x if acc == NEG else np.logaddexp(acc, x)
+            alpha[i] = acc
+        return alpha
+
+    def estep(batches):
+        for pdf in batches:
+            agg: dict = {}
+            ll = 0.0
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                alpha = forward(word)
+                if alpha[n] == NEG:
+                    continue               # unsegmentable (no chars)
+                beta = [NEG] * (n + 1)
+                beta[n] = 0.0
+                for i in range(n - 1, -1, -1):
+                    acc = NEG
+                    for j in range(i + 1, min(n, i + max_len) + 1):
+                        lp = vocab.get(word[i:j])
+                        if lp is not None and beta[j] != NEG:
+                            x = lp + beta[j]
+                            acc = x if acc == NEG else np.logaddexp(acc, x)
+                    beta[i] = acc
+                z = alpha[n]
+                ll += float(freq) * z
+                for i in range(n):
+                    if alpha[i] == NEG:
+                        continue
+                    for j in range(i + 1, min(n, i + max_len) + 1):
+                        lp = vocab.get(word[i:j])
+                        if lp is not None and beta[j] != NEG:
+                            e = _math.exp(alpha[i] + lp + beta[j] - z) \
+                                * float(freq)
+                            if e > 0.0:
+                                k = word[i:j]
+                                agg[k] = agg.get(k, 0.0) + e
+            agg["\x00ll"] = ll             # batch log-likelihood rider
+            yield pd.DataFrame({"piece": list(agg),
+                                "e_count": [agg[k] for k in agg]})
+
+    def viterbi(batches):
+        for pdf in batches:
+            segs = []
+            for word in pdf["word"]:
+                n = len(word)
+                best = [NEG] * (n + 1)
+                back = [0] * (n + 1)
+                best[0] = 0.0
+                for i in range(1, n + 1):
+                    for j in range(max(0, i - max_len), i):
+                        lp = vocab.get(word[j:i])
+                        if lp is None or best[j] == NEG:
+                            continue
+                        x = best[j] + lp
+                        # strict > ⇒ ties keep the SMALLEST j already
+                        # found... scan j ascending, so keep first max:
+                        if x > best[i]:
+                            best[i], back[i] = x, j
+                if best[n] == NEG:
+                    segs.append(list(word))   # unseen chars: passthrough
+                    continue
+                out, i = [], n
+                while i > 0:
+                    out.append(word[back[i]:i])
+                    i = back[i]
+                segs.append(out[::-1])
+            yield pd.DataFrame({"word": pdf["word"], "pieces": segs})
+
+    return estep if mode == "estep" else viterbi
+
+
+def unigram_estep(word_counts: DataFrame, vocab: dict,
+                  max_piece_len: int = 8) -> DataFrame:
+    """One EM E-step → (piece, e_count) expected counts plus the
+    `\\x00ll` log-likelihood rider rows (sum them for the corpus LL)."""
+    kern = _lattice_kernel(vocab, max_piece_len, "estep")
+    return (word_counts.select("word", "freq")
+            .mapInPandas(kern, schema="piece string, e_count double")
+            .groupBy("piece").agg(F.sum("e_count").alias("e_count")))
+
+
+def unigram_train(docs: DataFrame, vocab_size: int = 120,
+                  n_seed: int = 400, n_iter: int = 2,
+                  max_piece_len: int = 8,
+                  text_col: str = "text") -> list[tuple[str, float]]:
+    """Train the unigram LM: seed → `n_iter` EM sweeps on the full
+    seed vocab → prune to `vocab_size` (single chars always survive) →
+    one re-normalizing EM sweep on the pruned vocab. Returns the
+    collected [(piece, logp)] vocabulary (dictionary-sized by
+    construction — the same driver-state budget as the BPE merge
+    table), logp descending then piece ascending."""
+    wc = bpe_word_counts(docs, text_col).select("word", "freq").persist()
+    try:
+        seed = unigram_seed_vocab(wc, n_seed, max_piece_len).collect()
+        total = sum(r["score"] for r in seed) or 1.0
+        vocab = {r["piece"]: _math.log(r["score"] / total) for r in seed}
+
+        def em_sweep(v: dict) -> dict:
+            rows = unigram_estep(wc, v, max_piece_len).collect()
+            counts = {r["piece"]: r["e_count"] for r in rows
+                      if r["piece"] != "\x00ll"}
+            tot = sum(counts.values()) or 1.0
+            return {p: _math.log(c / tot) for p, c in counts.items()
+                    if c > 0.0}
+
+        for _ in range(n_iter):
+            vocab = em_sweep(vocab)
+        # prune: keep all single chars + the top multi-char pieces by
+        # probability (≈ expected count; same ordering), ties ascending
+        chars = {p for p in vocab if len(p) == 1}
+        multi = sorted((p for p in vocab if len(p) > 1),
+                       key=lambda p: (-vocab[p], p))
+        keep = chars | set(multi[:max(0, vocab_size - len(chars))])
+        vocab = {p: lp for p, lp in vocab.items() if p in keep}
+        vocab = em_sweep(vocab)            # re-normalize on pruned set
+        return sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    finally:
+        wc.unpersist()
+
+
+def unigram_encode(docs: DataFrame, vocab: list[tuple[str, float]],
+                   max_piece_len: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """→ (doc_id, pieces array<string>): per-token Viterbi segmentation
+    under the unigram LM, concatenated in token order. Doc-local
+    mapInPandas — ZERO shuffle, the encode-pass shape of `bpe_encode`;
+    the vocab rides in the closure (dictionary-sized broadcast).
+    Unsegmentable tokens (unseen characters) pass through as single
+    characters rather than failing the pipeline."""
+    vdict = dict(vocab)
+    kern = _lattice_kernel(vdict, max_piece_len, "viterbi")
+
+    import pandas as pd
+
+    def doc_kernel(batches):
+        for pdf in batches:
+            # Viterbi once per DISTINCT token in the Arrow batch, then
+            # reassemble — heavy-hitter words segment once, not per use
+            uniq = sorted({t for toks in pdf["toks"] for t in toks})
+            seg: dict = {}
+            for frame in kern([pd.DataFrame({"word": uniq})]):
+                for w, s in zip(frame["word"], frame["pieces"]):
+                    seg[w] = list(s)
+            out = [[p for t in toks for p in seg[t]]
+                   for toks in pdf["toks"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "pieces": out})
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        _tokens(text_col).alias("toks"))
+            .mapInPandas(doc_kernel,
+                         schema="doc_id long, pieces array<string>"))

@@ -143,3 +143,31 @@ def test_snippets_terms_bound_as_literals(spark, tiny):
 def test_facet_counts_rejects_empty_conjunction(spark, tiny):
     with pytest.raises(ValueError, match="at least one"):
         serving.facet_counts(tiny, tiny, [], ["doc_id"])
+
+
+def test_autocomplete_table(spark, spark_index):
+    out = serving.autocomplete(spark_index.term_stats, min_len=2,
+                               max_len=5, k=3).collect()
+    assert out, "non-empty dictionary must yield completions"
+    by_prefix: dict = {}
+    for r in out:
+        assert r["term"].startswith(r["prefix"])
+        assert 2 <= len(r["prefix"]) <= 5
+        by_prefix.setdefault(r["prefix"], []).append(r)
+    stats = {r["term"]: (r["ctf"], r["df"]) for r in
+             spark_index.term_stats.where("field = 'body'")
+             .select("term", "ctf", "df").collect()}
+    for prefix, rows in by_prefix.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        # ranking law: ctf desc, df desc, term asc — replayed in python
+        want = sorted(
+            [t for t in stats if t.startswith(prefix) and
+             len(t) >= len(prefix)],
+            key=lambda t: (-stats[t][0], -stats[t][1], t))[:3]
+        assert [r["term"] for r in rows] == want
+    # short terms produce no descending-sequence garbage: every prefix
+    # is a genuine prefix of its term (asserted above) and no prefix is
+    # shorter than min_len
+    assert min(len(p) for p in by_prefix) >= 2

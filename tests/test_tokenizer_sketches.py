@@ -365,3 +365,127 @@ def test_histogram_quantiles_empty_input(spark):
     empty = spark.createDataFrame([], "v long")
     assert sk.histogram_quantiles(sk.log2_histogram(empty, "v")) \
         .count() == 0
+
+
+# ------------------------------------------------ unigram LM (Kudo) --
+
+
+def _enum_segs(word, vocab, max_len=8):
+    """All segmentations of `word` into vocab pieces, with log-probs —
+    the brute-force oracle for the lattice kernels."""
+    import math
+    if word == "":
+        return [([], 0.0)]
+    out = []
+    for ln in range(1, min(max_len, len(word)) + 1):
+        head = word[:ln]
+        if head in vocab:
+            for rest, lp in _enum_segs(word[ln:], vocab, max_len):
+                out.append(([head] + rest, vocab[head] + lp))
+    return out
+
+
+def test_unigram_estep_matches_enumeration(spark):
+    import math
+    vocab = {"a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+             "ba": math.log(0.15), "aba": math.log(0.1)}
+    words = [("aba", 3), ("ab", 2), ("bb", 1)]
+    wc = spark.createDataFrame(words, "word string, freq long")
+    got = {r["piece"]: r["e_count"]
+           for r in tk.unigram_estep(wc, vocab).collect()}
+    # brute-force expected counts + log-likelihood
+    want: dict = {}
+    ll = 0.0
+    for word, freq in words:
+        segs = _enum_segs(word, vocab)
+        z = math.log(sum(math.exp(lp) for _, lp in segs))
+        ll += freq * z
+        for seg, lp in segs:
+            w = math.exp(lp - z) * freq
+            for p in seg:
+                want[p] = want.get(p, 0.0) + w
+    for p, e in want.items():
+        assert abs(got[p] - e) < 1e-9, p
+    assert abs(got["\x00ll"] - ll) < 1e-9
+    assert set(got) == set(want) | {"\x00ll"}
+
+
+def test_unigram_em_loglik_nondecreasing(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(i, "the data table joins the data stream " * 2)
+         for i in range(4)] + [(9, "spark scans the data")],
+        "doc_id long, text string")
+    wc = tk.bpe_word_counts(docs).select("word", "freq").persist()
+    seed = tk.unigram_seed_vocab(wc, n_seed=60, max_piece_len=5).collect()
+    total = sum(r["score"] for r in seed)
+    vocab = {r["piece"]: math.log(r["score"] / total) for r in seed}
+    lls = []
+    for _ in range(3):
+        rows = tk.unigram_estep(wc, vocab, 5).collect()
+        lls.append(sum(r["e_count"] for r in rows
+                       if r["piece"] == "\x00ll"))
+        counts = {r["piece"]: r["e_count"] for r in rows
+                  if r["piece"] != "\x00ll"}
+        tot = sum(counts.values())
+        vocab = {p: math.log(c / tot) for p, c in counts.items() if c > 0}
+    wc.unpersist()
+    assert lls == sorted(lls), f"EM log-likelihood decreased: {lls}"
+
+
+def test_unigram_viterbi_matches_enumeration_argmax(spark):
+    import math
+    vocab = [("a", math.log(0.3)), ("b", math.log(0.2)),
+             ("ab", math.log(0.25)), ("ba", math.log(0.15)),
+             ("aba", math.log(0.1))]
+    docs = spark.createDataFrame([(1, "aba ab abab"), (2, "bb aab")],
+                                 "doc_id long, text string")
+    enc = {r["doc_id"]: r["pieces"]
+           for r in tk.unigram_encode(docs, vocab).collect()}
+    vd = dict(vocab)
+    for doc_id, text in [(1, "aba ab abab"), (2, "bb aab")]:
+        want = []
+        for tok in text.split():
+            segs = _enum_segs(tok, vd)
+            best = max(segs, key=lambda sl: sl[1])
+            # the kernel's tie rule: scan j ascending per position,
+            # strict improvement only — equal-prob ties keep the
+            # segmentation the enumeration lists FIRST among maxima
+            # (same left-to-right preference); no planted ties here
+            assert sum(1 for _, lp in segs
+                       if abs(lp - best[1]) < 1e-12) == 1
+            want.extend(best[0])
+        assert enc[doc_id] == want
+
+
+def test_unigram_encode_oov_chars_pass_through(spark):
+    import math
+    vocab = [("a", math.log(0.5)), ("b", math.log(0.5))]
+    docs = spark.createDataFrame([(1, "ab zq")], "doc_id long, text string")
+    enc = tk.unigram_encode(docs, vocab).collect()[0]["pieces"]
+    assert enc == ["ab"[:1], "b", "z", "q"] or enc == ["a", "b", "z", "q"]
+
+
+def test_unigram_train_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(i, "stream streams streaming streamer scan scans ") for i in
+         range(3)],
+        "doc_id long, text string")
+    vocab = tk.unigram_train(docs, vocab_size=30, n_seed=80, n_iter=2,
+                             max_piece_len=6)
+    pieces = {p for p, _ in vocab}
+    # every corpus character survives pruning
+    chars = set("".join(w for w in
+                        "stream streams streaming streamer scan scans"
+                        .split()))
+    assert chars <= pieces
+    # the dominant substring is learned as a multi-char piece
+    assert any(p in pieces for p in ("stream", "strea", "trea", "rea"))
+    # probabilities normalize
+    import math
+    assert abs(sum(math.exp(lp) for _, lp in vocab) - 1.0) < 1e-6
+    # encode round-trip: concatenated pieces reproduce each token's text
+    enc = tk.unigram_encode(docs.limit(1), vocab, max_piece_len=6) \
+        .collect()[0]["pieces"]
+    assert "".join(enc) == "".join(
+        "stream streams streaming streamer scan scans".split())
