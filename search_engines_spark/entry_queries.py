@@ -3510,6 +3510,47 @@ JOIN langtok l USING (doc_id)
 JOIN dl d USING (doc_id)"""
 
 
+def q_featurize_text(spark, sf_dir):
+    """Hashed tf-idf embeddings (`similarity.featurize_text`): feature
+    hashing with a ±1 sign bit and FIXED-POINT idf, so every component
+    is an exact integer sum — compared exploded (vec_id, bucket, val).
+    Oracle: identical md5 hash / sign / floor(ln) arithmetic in SQL."""
+    from .pipeline.similarity import featurize_text
+    emb = featurize_text(_docs(spark, sf_dir), dim=64)
+    return (emb.select(
+        "vec_id", F.posexplode("embedding").alias("bucket", "val"))
+        .where(F.col("val") != 0)
+        .select("vec_id", F.col("bucket").cast("long").alias("bucket"),
+                F.col("val").cast("long").alias("val")))
+
+
+def _sql_featurize(dim: int = 64, idf_q: int = 1000) -> str:
+    return f"""WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id::BIGINT AS vec_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t FROM documents)
+  GROUP BY 1, 2),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+w AS (
+  SELECT vec_id,
+         (('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT % {dim})
+           AS bucket,
+         ((('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT >> 20) & 1)
+           * 2 - 1 AS sign,
+         tf, df
+  FROM toks JOIN dfs USING (term))
+SELECT vec_id, bucket::BIGINT AS bucket,
+       sum(sign * tf * floor({idf_q} * ln((n_docs + 1)::DOUBLE
+                                          / (df + 1)) + 0.5))::BIGINT
+         AS val
+FROM w, n
+GROUP BY vec_id, bucket
+HAVING sum(sign * tf * floor({idf_q} * ln((n_docs + 1)::DOUBLE
+                                          / (df + 1)) + 0.5)) <> 0"""
+
+
 def q_autocomplete(spark, sf_dir):
     """Type-ahead completion table (`serving.autocomplete`): top-3
     completions per 2..5-char term prefix, ranked ctf desc / df desc /
@@ -3844,6 +3885,11 @@ REGISTRY: dict[str, tuple] = {
     # serving-tier type-ahead table: overflow-born — prefix explode +
     # per-prefix top-k window, identical SQL replay; the short-term
     # guard pins the descending-sequence gotcha
+    "text_hashed_embeddings": (q_featurize_text, _sql_featurize()),
+    # in-engine feature-hashing embeddings: overflow-born — fixed-point
+    # idf makes every component an exact integer, so the oracle replays
+    # the full hash/sign/ln arithmetic; pytest composes the output into
+    # ann_cosine_topk / semantic_dedup (test_similarity.py)
 }
 
 

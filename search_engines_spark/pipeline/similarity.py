@@ -662,3 +662,49 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 20,
             .orderBy(F.desc("cos_r"), F.asc("vec_id"))
             .limit(k)
             .select("vec_id", "cos_r"))
+
+
+# ----------------------------------------------- text featurization --
+
+
+def featurize_text(docs: DataFrame, dim: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   idf_q: int = 1000) -> DataFrame:
+    """Hashed tf-idf embeddings computed IN-ENGINE (feature hashing,
+    Weinberger et al. 2009): every token hashes to one of `dim`
+    buckets with a ±1 sign bit, contributing tf × idf_int, where
+    idf_int = floor(idf_q · ln((N+1)/(df+1)) + 0.5) — a FIXED-POINT
+    idf, so every vector component is an exact integer sum (order-
+    independent in doubles up to 2^53) and the operator is
+    oracle-checkable exactly. → (vec_id, embedding array<double>),
+    drop-in for the ANN / SemDedup / embedding-dedup operators when no
+    external model embedding exists.
+
+    Plan: one token explode + (doc, term) count, one dictionary-sized
+    df aggregation broadcast back, then ONE doc-keyed groupBy with
+    `dim` conditional sums (the SimHash shape) — single corpus
+    shuffle, all JVM expressions, no UDF."""
+    from .dedup import token_hash32, tokens_expr
+    n_docs = docs.count()                  # metadata scalar (like IVF k)
+    toks = (docs
+            .select(F.col(id_col).cast("long").alias("vec_id"),
+                    F.explode(tokens_expr(text_col)).alias("term"))
+            .groupBy("vec_id", "term").agg(F.count("*").alias("tf")))
+    dfs = toks.groupBy("term").agg(F.count("*").alias("df"))
+    h = token_hash32(F.col("term"))
+    weighted = (toks.join(F.broadcast(dfs), "term")
+                .withColumn("bucket", F.pmod(h, F.lit(dim)).cast("int"))
+                .withColumn("sign",
+                            (F.shiftright(h, 20).bitwiseAND(F.lit(1))
+                             * 2 - 1).cast("long"))
+                .withColumn("val", F.col("sign") * F.col("tf") * F.floor(
+                    F.lit(float(idf_q))
+                    * F.log((F.lit(float(n_docs + 1)))
+                            / (F.col("df") + F.lit(1.0))) + F.lit(0.5))))
+    sums = [F.coalesce(F.sum(F.when(F.col("bucket") == b, F.col("val"))),
+                       F.lit(0)).cast("double").alias(f"_b{b}")
+            for b in range(dim)]
+    agg = weighted.groupBy("vec_id").agg(*sums)
+    return agg.select(
+        "vec_id",
+        F.array(*[F.col(f"_b{b}") for b in range(dim)]).alias("embedding"))

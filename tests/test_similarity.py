@@ -534,3 +534,48 @@ def test_semantic_dedup_empty_frame(spark):
     out = semantic_dedup(empty)
     assert out.columns == ["vec_id", "cell", "kept"]
     assert out.count() == 0
+
+
+def test_featurize_text_exact_and_composes(spark):
+    import math
+    from search_engines_spark.pipeline.similarity import (
+        cosine_topk, featurize_text)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha beta beta gamma"),
+         (3, "delta epsilon zeta"), (4, None)],
+        "doc_id long, text string")
+    emb = featurize_text(docs, dim=16).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb}
+    # exact integers everywhere
+    for v in vecs.values():
+        assert len(v) == 16 and all(x == int(x) for x in v)
+    # python replay of the full hash/sign/fixed-point-idf arithmetic
+    import hashlib
+    n = 4
+
+    def replay(text):
+        toks = [t for t in __import__("re").split(
+            "[^a-z0-9]+", (text or "").lower()) if t]
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dfs = {"alpha": 2, "beta": 2, "gamma": 2, "delta": 1,
+               "epsilon": 1, "zeta": 1}
+        v = [0.0] * 16
+        for t, f in tf.items():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            sign = ((h >> 20) & 1) * 2 - 1
+            idf = math.floor(1000 * math.log((n + 1) / (dfs[t] + 1)) + 0.5)
+            v[h % 16] += sign * f * idf
+        return v
+    assert vecs[1] == replay("alpha beta beta gamma")
+    assert vecs[3] == replay("delta epsilon zeta")
+    # identical texts → identical vectors; NULL text → zero vector
+    assert vecs[1] == vecs[2]
+    assert vecs.get(4, [0.0] * 16) == [0.0] * 16 or 4 not in vecs
+    # composes into the ANN operators: doc 2's vector retrieves doc 1
+    # at cosine 1.0 before any cross-topic doc
+    emb_df = featurize_text(docs.where("text is not null"), dim=16)
+    top = cosine_topk(emb_df, [float(x) for x in vecs[2]], k=3).collect()
+    assert top[0]["vec_id"] in (1, 2) and top[1]["vec_id"] in (1, 2)
+    assert top[0]["cos_r"] == 1_000_000   # cos_r = floor(c*1e6+0.5)
