@@ -513,3 +513,42 @@ def phash_videos(media: DataFrame, fake: bool = False) -> DataFrame:
     return (media.where(F.col("kind") == "video")
             .select("media_id", "payload")
             .mapInPandas(kernel, schema="media_id long, phash long"))
+
+
+def video_frame_near_dups(media: DataFrame, every_ms: int = 1000,
+                          max_dist: int = 6, min_frames: int = 2,
+                          fake: bool = False) -> DataFrame:
+    """Per-frame video near-dup refinement: `sample_frames` → image
+    pHash per sampled frame → ONE banded hamming join over all frame
+    hashes → count matching frame pairs per video pair → keep pairs
+    with ≥ `min_frames` frame-level matches.
+    → (id_a, id_b, n_frames LONG) with id_a < id_b.
+
+    This is the second pass behind `phash_videos` (temporal-mean
+    hash): the mean hash is the cheap recall filter, this one survives
+    re-ordering, trims, and inserted segments because frames match
+    individually. Scale: frame hashes are 8 bytes × (duration /
+    every_ms) per video; the join is the same pigeonhole-banded plan
+    as every other fingerprint family — never all-pairs over frames,
+    and the final rollup is one (id_a, id_b) aggregation."""
+    from . import dedup as dd
+    frames = sample_frames(media, every_ms=every_ms, fake=fake)
+    # frame-level ids must be unique per (video, frame): synthesize a
+    # composite key that still lets us recover the video id
+    fh = (frames.withColumn(
+        "fid", F.col("media_id") * F.lit(1 << 20)
+        + F.col("frame_no").cast("long"))
+        .select("fid", F.col("payload"))
+        .withColumnRenamed("fid", "media_id"))
+    hashes = phash_images(
+        fh.withColumn("kind", F.lit("image")), fake=fake)
+    pairs = dd.phash_near_dup_pairs(hashes, max_dist=max_dist)
+    vid = lambda c: F.floor(F.col(c) / F.lit(1 << 20))  # noqa: E731
+    return (pairs
+            .select(vid("id_a").alias("va"), vid("id_b").alias("vb"))
+            .where(F.col("va") != F.col("vb"))
+            .select(F.least("va", "vb").alias("id_a"),
+                    F.greatest("va", "vb").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_frames"))
+            .where(F.col("n_frames") >= min_frames))

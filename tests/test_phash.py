@@ -182,3 +182,26 @@ def test_audio_video_hashes_feed_banded_join(spark):
     vpairs = {(r["id_a"], r["id_b"]) for r in D.phash_near_dup_pairs(
         vp, max_dist=6).collect()}
     assert vpairs == {(10, 11)}
+
+
+def test_video_frame_near_dups_survive_reordering(spark):
+    rs = np.random.RandomState(31)
+    # four distinct frames; B = A re-ordered + one new frame (the mean
+    # hash may drift, frame-level matching must not)
+    frames = rs.randint(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    reorder = frames[[2, 0, 3, 1]]
+    other = rs.randint(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, "video", 1000, C.encode_avi(frames, fps=4.0)),
+        (2, "video", 1000, C.encode_avi(reorder, fps=4.0, codec="MJPG")),
+        (3, "video", 1000, C.encode_avi(other, fps=4.0)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, duration_ms int, "
+              "payload binary")
+    out = {(r["id_a"], r["id_b"]): r["n_frames"]
+           for r in mm.video_frame_near_dups(
+               media, every_ms=250, max_dist=8, min_frames=2,
+               fake=False).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in out)
