@@ -313,6 +313,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     h_img, w_img = a.shape[:2]
     if not h_img or not w_img:
         raise ValueError("encode_jpeg needs a non-empty image")
+    if h_img > 0xFFFF or w_img > 0xFFFF:
+        raise ValueError("JPEG dimensions exceed the 16-bit SOF limit")
 
     ql = _scaled_qtable(_Q_LUMA, quality)
     qc = _scaled_qtable(_Q_CHROMA, quality)
@@ -413,6 +415,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
         m = data[pos + 1]
+        if m == 0xFF:                                  # fill byte (B.1.1.2)
+            pos += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:             # length-less markers
+            pos += 2
+            continue
         if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
             raise ValueError(

@@ -161,3 +161,20 @@ def test_quality_monotonic_size():
     img = _gradient(64, 64)
     sizes = [len(jpeg.encode_jpeg(img, quality=q)) for q in (20, 60, 95)]
     assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_fill_bytes_and_tem_markers_tolerated():
+    """0xFF fill bytes before a marker (T.81 B.1.1.2) and length-less
+    TEM/RSTn markers in the header segment must parse, not crash."""
+    img = _gradient(16, 16)
+    enc = jpeg.encode_jpeg(img, quality=90)
+    i = enc.find(b"\xff\xc0")
+    with_fill = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    j = with_fill.find(b"\xff\xdb")
+    with_tem = with_fill[:j] + b"\xff\x01" + with_fill[j:]
+    assert (jpeg.decode_jpeg(with_tem) == jpeg.decode_jpeg(enc)).all()
+
+
+def test_oversize_dimensions_rejected():
+    with pytest.raises(ValueError, match="16-bit"):
+        jpeg.encode_jpeg(np.zeros((70000, 4, 3), dtype=np.uint8))
