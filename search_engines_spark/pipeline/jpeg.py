@@ -399,7 +399,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB (3-component) or
     (h, w, 1) uint8 (grayscale). ValueError on progressive/arithmetic/
-    12-bit/oversampled streams and malformed data."""
+    12-bit/oversampled streams and ANY malformed data (the parse
+    errors short headers raise — struct.error/IndexError — are
+    normalized here so the contract holds without the codecs
+    wrapper)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (struct.error, IndexError, OverflowError, KeyError) as e:
+        # KeyError: e.g. an SOS listing one component twice leaves
+        # another without entropy tables
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -452,6 +464,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 nv = sum(bits)
                 values = list(body[b + 17:b + 17 + nv])
+                if len(bits) < 16 or len(values) < nv:
+                    raise ValueError("truncated DHT segment")
                 huff[(cls, tid)] = _build_decode(bits, values)
                 b += 17 + nv
         elif m in (0xC0, 0xC1):                            # SOF0/1
@@ -490,6 +504,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
+    # a real MCU costs ≥ 4 entropy bits (DC code + EOB per block); a
+    # crafted SOF claiming 65535×65535 over a 1 KB scan would otherwise
+    # allocate GBs of coefficient arrays before the scan runs dry
+    if mcus_y * mcus_x > 8 * len(data):
+        raise ValueError(
+            f"JPEG frame declares {mcus_y * mcus_x} MCUs but carries "
+            f"only {len(data)} bytes — truncated or crafted header")
     for c in comps:
         c["zz"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
                            dtype=np.int32)
@@ -514,6 +535,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     zz = zeros.copy()
                     t = _decode_huff(r, dc_tab)
                     c["pred"] += _extend(r.receive(t), t)
+                    if not -(1 << 15) <= c["pred"] <= (1 << 15):
+                        # a valid 8-bit baseline DC is |v| ≤ 2048 —
+                        # runaway predictors only arise from corrupt
+                        # entropy data
+                        raise ValueError("DC predictor out of range")
                     zz[0] = c["pred"]
                     k = 1
                     while k < 64:

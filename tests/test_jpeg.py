@@ -178,3 +178,53 @@ def test_fill_bytes_and_tem_markers_tolerated():
 def test_oversize_dimensions_rejected():
     with pytest.raises(ValueError, match="16-bit"):
         jpeg.encode_jpeg(np.zeros((70000, 4, 3), dtype=np.uint8))
+
+
+def test_crafted_header_mcu_bomb_rejected():
+    """A tiny payload whose SOF claims 65535x65535 must be rejected
+    before allocating coefficient arrays, not after GBs of zeros."""
+    enc = bytearray(jpeg.encode_jpeg(_gradient(8, 8), quality=90))
+    sof = bytes(enc).find(b"\xff\xc0")
+    enc[sof + 5:sof + 9] = b"\xff\xff\xff\xff"   # height, width = 65535
+    with pytest.raises(ValueError, match="MCU"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_fuzz_roundtrip_random_images():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 100),
+           st.booleans(), st.integers(0, 2**32 - 1))
+    def check(h, w, q, sub, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
+                                                subsample=sub))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+
+    check()
+
+
+def test_fuzz_mutated_bytes_never_crash():
+    """Random single/multi-byte corruption of a valid stream must yield
+    either a decoded image or ValueError — never another exception
+    type, never a hang."""
+    from hypothesis import given, settings, strategies as st
+    base = jpeg.encode_jpeg(_gradient(24, 24), quality=70)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(2, len(base) - 1),
+                              st.integers(0, 255)),
+                    min_size=1, max_size=4))
+    def check(muts):
+        buf = bytearray(base)
+        for pos, val in muts:
+            buf[pos] = val
+        try:
+            out = jpeg.decode_jpeg(bytes(buf))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+    check()
