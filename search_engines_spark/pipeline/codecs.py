@@ -416,7 +416,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             nch, width, rate, nframes = (f.getnchannels(), f.getsampwidth(),
                                          f.getframerate(), f.getnframes())
             raw = f.readframes(nframes)
-    except wave.Error as e:
+    except (wave.Error, RuntimeError) as e:
+        # the stdlib chunk reader raises a BARE RuntimeError when a
+        # corrupt chunk length makes it seek past an unseekable point
         raise ValueError(f"unsupported WAV: {e}") from e
     if width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)

@@ -385,3 +385,32 @@ def test_avi_strf_dims_and_topdown_and_no_strf():
                + dc[strl_at + 8 + (strl_len // 4) * 4:])
     with pytest.raises(ValueError, match="strf|avih"):
         C.decode_avi(no_strf)
+
+
+def test_fuzz_codec_mutations_raise_only_valueerror():
+    """Random byte corruption of every container must yield either a
+    decode or ValueError — the contract all fake-gates rely on (found
+    for real: stdlib wave raises BARE RuntimeError on corrupt chunk
+    lengths)."""
+    import random
+    rs = np.random.RandomState(5)
+    img = rs.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+    vid = rs.randint(0, 256, (3, 8, 10, 3), dtype=np.uint8)
+    bases = [
+        (C.encode_bmp(img), C.decode_bmp),
+        (C.encode_png(img), C.decode_png),
+        (C.encode_wav(np.sin(np.linspace(0, 20, 500)), 8000),
+         C.decode_wav),
+        (C.encode_avi(vid, fps=4.0), C.decode_avi),
+        (C.encode_avi(vid, fps=4.0, codec="MJPG"), C.decode_avi),
+    ]
+    rng = random.Random(0)
+    for base, dec in bases:
+        for _ in range(400):
+            buf = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                buf[rng.randrange(0, len(base))] = rng.randrange(256)
+            try:
+                dec(bytes(buf))
+            except ValueError:
+                pass
