@@ -3551,6 +3551,56 @@ HAVING sum(sign * tf * floor({idf_q} * ln((n_docs + 1)::DOUBLE
                                           / (df + 1)) + 0.5)) <> 0"""
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (`similarity.pq_train/encode/
+    pq_topk`, Jégou et al. 2011): codebooks seeded from the k
+    smallest-id vectors (the IVF determinism convention), codes by
+    per-subspace least-chain argmin, distances by a driver-side LUT
+    projection. Oracle: the identical construction in SQL — codebooks
+    from the same rows, codes via a per-(vid, subspace) min window
+    with ties to the lowest cid, ADC from the same subspace
+    distances, quantized at 1e6."""
+    from .pipeline.similarity import pq_encode, pq_topk, pq_train
+    emb = _emb(spark, sf_dir)
+    meta = pq_train(emb, m=4, k=16)
+    q_row = emb.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in q_row["embedding"]]
+    return pq_topk(pq_encode(emb, meta), meta, q, k=20)
+
+
+def _sql_ann_pq(m: int = 4, k_cb: int = 16, k: int = 20) -> str:
+    # subspace slice bounds (1-based inclusive duckdb list slicing);
+    # dim = 64 on the embeddings table → d0 = 16
+    d0 = 64 // m
+    slices = [(s, s * d0 + 1, (s + 1) * d0) for s in range(m)]
+    sub_dist = """power(list_distance(v.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)"""
+    code_sel = "\nUNION ALL\n".join(
+        f"""SELECT v.vid, {s} AS s, cb.cid,
+       {sub_dist.format(a=a, b=b)} AS d2
+FROM v, cb""" for s, a, b in slices)
+    lut = " + ".join(
+        f"""(SELECT power(list_distance(q.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)
+     FROM cb, q WHERE cb.cid = c.c{s})""" for s, a, b in slices)
+    code_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m))
+    return f"""WITH v AS (
+  SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS vec
+  FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec
+       FROM (SELECT vid, vec FROM v ORDER BY vid LIMIT {k_cb})),
+q AS (SELECT vec FROM v WHERE vid = 0),
+dists AS ({code_sel}),
+best AS (SELECT vid, s, cid, d2,
+                row_number() OVER (PARTITION BY vid, s
+                                   ORDER BY d2 ASC, cid ASC) AS rn
+         FROM dists),
+c AS (SELECT vid, {code_cols} FROM best WHERE rn = 1 GROUP BY vid)
+SELECT vid AS vec_id,
+       floor(({lut}) * 1e6 + 0.5)::BIGINT AS dist_r
+FROM c
+ORDER BY dist_r ASC, vec_id ASC LIMIT {k}"""
+
+
 def q_autocomplete(spark, sf_dir):
     """Type-ahead completion table (`serving.autocomplete`): top-3
     completions per 2..5-char term prefix, ranked ctf desc / df desc /
@@ -3890,6 +3940,11 @@ REGISTRY: dict[str, tuple] = {
     # idf makes every component an exact integer, so the oracle replays
     # the full hash/sign/ln arithmetic; pytest composes the output into
     # ann_cosine_topk / semantic_dedup (test_similarity.py)
+    "ann_pq_topk": (q_ann_pq_topk, _sql_ann_pq()),
+    # product-quantization ADC: overflow-born — deterministic seeded
+    # codebooks (the ann_ivf precedent), per-subspace argmin with the
+    # lowest-cid tie rule, 1e6-quantized ADC distances; python-replay +
+    # refinement + recall pytest in test_similarity.py
 }
 
 

@@ -708,3 +708,116 @@ def featurize_text(docs: DataFrame, dim: int = 64,
     return agg.select(
         "vec_id",
         F.array(*[F.col(f"_b{b}") for b in range(dim)]).alias("embedding"))
+
+
+# ------------------------------------------------- product quantization --
+
+
+def pq_train(emb: DataFrame, m: int = 4, k: int = 16,
+             refine_iters: int = 0,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> dict:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the vector into `m` contiguous subspaces and learn `k` centroids
+    per subspace. Seeding matches the IVF convention — the subvectors
+    of the `k` smallest-id vectors, so training is deterministic and
+    the oracle can replay the codebooks as literals; `refine_iters`
+    adds Lloyd sweeps per subspace (each one m×k-row driver state).
+
+    → {"m", "k", "dim", "codebooks"[s][i] = list[float]}. At 100 TB
+    a 64-float vector becomes m bytes + the shared m×k×(dim/m)-float
+    codebook — the compression that keeps a trillion-vector ADC scan
+    I/O-bound instead of memory-impossible."""
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    first = v.orderBy("vec_id").limit(k).collect()
+    if not first:
+        raise ValueError("pq_train needs a non-empty embeddings frame")
+    dim = len(first[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    books = [[[float(x) for x in r["v"][s * d0:(s + 1) * d0]]
+              for r in first] for s in range(m)]
+    for _ in range(refine_iters):
+        coded = _assign_codes(v, books)
+        means = (coded.select(
+            "vec_id", "v",
+            *[F.col(f"_c{s}") for s in range(m)])
+            .select(F.explode(F.array(*[
+                F.struct(F.lit(s).alias("s"), F.col(f"_c{s}").alias("c"),
+                         F.slice("v", s * d0 + 1, d0).alias("sub"))
+                for s in range(m)])).alias("e"))
+            .select("e.s", "e.c", F.posexplode("e.sub").alias("j", "x"))
+            .groupBy("s", "c", "j").agg(F.avg("x").alias("mu"))
+            .collect())
+        for r in means:
+            books[r["s"]][r["c"]][r["j"]] = float(r["mu"])
+    return {"m": m, "k": k, "dim": dim, "codebooks": books}
+
+
+def _assign_codes(v: DataFrame, books: list) -> DataFrame:
+    """(vec_id, v) → + `_c{s}` nearest-centroid code per subspace —
+    the `_assign_cells` least-chain, once per subspace (centroids ride
+    as literals; zero joins, zero shuffles)."""
+    m, k = len(books), len(books[0])
+    d0 = len(books[0][0])
+    out = v
+    for s in range(m):
+        sub = F.slice(F.col("v"), s * d0 + 1, d0)
+        d_cols = [F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(x) for x in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x).alias(f"_d{s}_{i}")
+            for i, c in enumerate(books[s])]
+        out = out.select(*out.columns, *d_cols)
+        best = F.least(*[F.col(f"_d{s}_{i}") for i in range(k)])
+        code = F.coalesce(*[F.when(F.col(f"_d{s}_{i}") == best, F.lit(i))
+                            for i in range(k)])
+        out = out.withColumn(f"_c{s}", code) \
+            .drop(*[f"_d{s}_{i}" for i in range(k)])
+    return out
+
+
+def pq_encode(emb: DataFrame, meta: dict,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """→ (vec_id, codes array<int>[m]) — m small ints per vector; the
+    table a PQ deployment materializes instead of raw floats."""
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    coded = _assign_codes(v, meta["codebooks"])
+    return coded.select(
+        "vec_id",
+        F.array(*[F.col(f"_c{s}")
+                  for s in range(meta["m"])]).alias("codes"))
+
+
+def pq_topk(codes_df: DataFrame, meta: dict, query_vec: list[float],
+            k: int = 20) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    an m×k lookup table of exact subspace distances driver-side, and
+    scoring is ONE codegen projection — `element_at` into literal LUT
+    arrays by code, summed — then TakeOrderedAndProject. No join, no
+    vector arithmetic at scan time; the scan reads m ints per vector.
+
+    → (vec_id, dist_r) with dist_r = floor(ADC·10⁶ + 0.5), ordered
+    dist asc / vec_id asc (the quantization that lets the DuckDB
+    oracle match exactly)."""
+    books = meta["codebooks"]
+    m = meta["m"]
+    d0 = len(books[0][0])
+    lut = [[sum((query_vec[s * d0 + j] - c[j]) ** 2
+                for j in range(d0)) for c in books[s]]
+           for s in range(m)]
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.array(*[F.lit(float(x)) for x in lut[s]]),
+                            F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    return (codes_df
+            .select("vec_id",
+                    F.floor(dist * 1e6 + F.lit(0.5)).cast("long")
+                    .alias("dist_r"))
+            .orderBy(F.asc("dist_r"), F.asc("vec_id"))
+            .limit(k))

@@ -579,3 +579,60 @@ def test_featurize_text_exact_and_composes(spark):
     top = cosine_topk(emb_df, [float(x) for x in vecs[2]], k=3).collect()
     assert top[0]["vec_id"] in (1, 2) and top[1]["vec_id"] in (1, 2)
     assert top[0]["cos_r"] == 1_000_000   # cos_r = floor(c*1e6+0.5)
+
+
+def test_pq_codes_and_adc(spark):
+    import numpy as np
+    from search_engines_spark.pipeline.similarity import (
+        pq_encode, pq_topk, pq_train)
+    rs = np.random.RandomState(3)
+    # clustered data: 4 centers in R^16, 60 points
+    centers = rs.randn(4, 16) * 3
+    rows = []
+    for i in range(60):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + rs.randn(16) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    meta = pq_train(emb, m=4, k=8)
+    assert meta["dim"] == 16 and len(meta["codebooks"]) == 4
+    codes = {r["vec_id"]: r["codes"]
+             for r in pq_encode(emb, meta).collect()}
+    assert set(codes) == set(range(60))
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+    # python replay of the code assignment for a few vectors (the
+    # least-chain tie rule: lowest index attaining the min)
+    vecs = dict(rows)
+    for vid in (0, 7, 59):
+        want = []
+        for s in range(4):
+            sub = vecs[vid][s * 4:(s + 1) * 4]
+            ds = [sum((a - b) ** 2 for a, b in zip(sub, c[s * 0:]))
+                  for c in [bk for bk in meta["codebooks"][s]]]
+            want.append(min(range(8), key=lambda i: (ds[i], i)))
+        assert codes[vid] == want, vid
+    # ADC top-k: querying with a table vector must return same-cluster
+    # vectors first (codes collapse clusters, so recall is structural)
+    q = vecs[0]
+    top = pq_topk(pq_encode(emb, meta), meta, q, k=15).collect()
+    got = [r["vec_id"] for r in top]
+    same_cluster = {i for i in range(60) if i % 4 == 0}
+    assert len(set(got) & same_cluster) >= 10
+    # refinement reduces mean quantization error
+    def qerr(m_):
+        cs = pq_encode(emb, m_).collect()
+        tot = 0.0
+        for r in cs:
+            v = vecs[r["vec_id"]]
+            for s, c in enumerate(r["codes"]):
+                cent = m_["codebooks"][s][c]
+                tot += sum((v[s * 4 + j] - cent[j]) ** 2 for j in range(4))
+        return tot
+    meta_r = pq_train(emb, m=4, k=8, refine_iters=2)
+    assert qerr(meta_r) < qerr(meta)
+    # guards
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divisible"):
+        pq_train(emb, m=5)
+    with _pt.raises(ValueError, match="non-empty"):
+        pq_train(emb.where("vec_id < 0"))
