@@ -821,3 +821,67 @@ def pq_topk(codes_df: DataFrame, meta: dict, query_vec: list[float],
                     .alias("dist_r"))
             .orderBy(F.asc("dist_r"), F.asc("vec_id"))
             .limit(k))
+
+
+def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 16,
+                      m: int = 4, k_codes: int = 16,
+                      refine_iters: int = 0,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict:
+    """IVF-PQ layout (the FAISS workhorse shape): vectors route to
+    their nearest IVF cell AND store only their PQ codes — the table
+    on disk is (vec_id, codes[m]) partitioned by cell, `m` small ints
+    per vector instead of `dim` floats. Centroids and codebooks are
+    the deterministic id-seeded sets (oracle-replayable); both ride in
+    the sidecar metadata (n_cells×dim + m×k×(dim/m) floats — tiny).
+
+    At 10^12 vectors this is the layout that fits: a 64-float vector
+    is 512 bytes raw but m=8 bytes coded; a probe reads nprobe cells'
+    code columns only."""
+    import json
+    import os
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    cent_vecs = [[float(x) for x in r["v"]]
+                 for r in v.orderBy("vec_id").limit(n_cells).collect()]
+    if not cent_vecs:
+        raise ValueError("write_ivfpq_index needs a non-empty frame")
+    pq_meta = pq_train(emb, m=m, k=k_codes,
+                       refine_iters=refine_iters,
+                       id_col=id_col, vec_col=vec_col)
+    coded = _assign_codes(_assign_cells(v, cent_vecs)
+                          .select("vec_id", "v", "cell"),
+                          pq_meta["codebooks"])
+    out = coded.select(
+        "vec_id",
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
+        "cell")
+    out.repartition(F.col("cell")) \
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {"n_cells": len(cent_vecs), "centroids": cent_vecs,
+            "pq": pq_meta}
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_topk_indexed(spark, path: str, query_vec: list[float],
+                       k: int = 20, nprobe: int = 4) -> DataFrame:
+    """ADC top-k over a `write_ivfpq_index` layout: probe the nprobe
+    nearest cells (partition-pruned read of the CODES only), score via
+    the driver-side LUT projection of `pq_topk`. → (vec_id, dist_r)."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+
+    def dist2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    cents = meta["centroids"]
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (dist2(cents[i], query_vec), i))[:nprobe]
+    cand = (spark.read.parquet(path)
+            .where(F.col("cell").isin(probe))
+            .select("vec_id", "codes"))
+    return pq_topk(cand, meta["pq"], query_vec, k=k)

@@ -636,3 +636,31 @@ def test_pq_codes_and_adc(spark):
         pq_train(emb, m=5)
     with _pt.raises(ValueError, match="non-empty"):
         pq_train(emb.where("vec_id < 0"))
+
+
+def test_ivfpq_indexed_adc(spark, tmp_path_factory):
+    import numpy as np
+    from search_engines_spark.pipeline.similarity import (
+        ivfpq_topk_indexed, pq_encode, pq_topk, pq_train,
+        write_ivfpq_index)
+    rs = np.random.RandomState(9)
+    centers = rs.randn(6, 16) * 4
+    rows = [(i, [float(x) for x in centers[i % 6] + rs.randn(16) * 0.1])
+            for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    meta = write_ivfpq_index(emb, path, n_cells=6, m=4, k_codes=8)
+    q = rows[5][1]                 # a cluster-1 member as the query
+    out = ivfpq_topk_indexed(spark, path, q, k=10, nprobe=2)
+    got = [r["vec_id"] for r in out.collect()]
+    same = {i for i in range(90) if i % 6 == 5 % 6}
+    assert len(set(got) & same) >= 8      # probe finds the home cluster
+    # probed read is partition-pruned on `cell` and reads CODES only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "ReadSchema" in plan and "codes" in plan and '"v"' not in plan
+    # ADC distances agree with flat PQ over the probed subset
+    flat = {r["vec_id"]: r["dist_r"] for r in pq_topk(
+        pq_encode(emb, meta["pq"]), meta["pq"], q, k=90).collect()}
+    for r in out.collect():
+        assert flat[r["vec_id"]] == r["dist_r"]
