@@ -881,7 +881,36 @@ def ivfpq_topk_indexed(spark, path: str, query_vec: list[float],
     cents = meta["centroids"]
     probe = sorted(range(len(cents)),
                    key=lambda i: (dist2(cents[i], query_vec), i))[:nprobe]
-    cand = (spark.read.parquet(path)
-            .where(F.col("cell").isin(probe))
-            .select("vec_id", "codes"))
+    # merged, partition-pruned read of base ∪ live generations (codes
+    # travel instead of vectors, same journal/read-repair semantics)
+    cand = _ann_scan(spark, path, "cell", probe).select("vec_id", "codes")
     return pq_topk(cand, meta["pq"], query_vec, k=k)
+
+
+def append_ivfpq_index(emb: DataFrame, path: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> dict:
+    """Append NEW vectors to a `write_ivfpq_index` layout: cells AND
+    codes come from the layout's FROZEN centroids/codebooks
+    (`_ivfpq_meta.json`), so merged reads are correct by construction;
+    codebook drift is the rebuild-with-refinement tradeoff, exactly as
+    for `append_ivf_index`. Journaled/idempotent via the shared
+    `_ann_append` generation machinery; `compact_ann_index` folds
+    generations (its part_col detection: `cell`)."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    fp = _emb_fingerprint(v)
+    _validate_delta(fp, len(meta["centroids"][0]), "append_ivfpq_index")
+    m = meta["pq"]["m"]
+    frame = (_assign_codes(_assign_cells(v, meta["centroids"])
+                           .select("vec_id", "v", "cell"),
+                           meta["pq"]["codebooks"])
+             .select("vec_id",
+                     F.array(*[F.col(f"_c{s}") for s in range(m)])
+                     .alias("codes"),
+                     "cell"))
+    return _ann_append(frame, path, "cell", fp)

@@ -664,3 +664,41 @@ def test_ivfpq_indexed_adc(spark, tmp_path_factory):
         pq_encode(emb, meta["pq"]), meta["pq"], q, k=90).collect()}
     for r in out.collect():
         assert flat[r["vec_id"]] == r["dist_r"]
+
+
+def test_ivfpq_append_compact_lifecycle(spark, tmp_path_factory):
+    import numpy as np
+    from search_engines_spark.pipeline.similarity import (
+        append_ivfpq_index, compact_ann_index, ivfpq_topk_indexed,
+        write_ivfpq_index)
+    rs = np.random.RandomState(13)
+    centers = rs.randn(5, 16) * 4
+    rows = [(i, [float(x) for x in centers[i % 5] + rs.randn(16) * 0.1])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base, delta = emb.where("vec_id < 50"), emb.where("vec_id >= 50")
+    path = str(tmp_path_factory.mktemp("ivfpq_life"))
+    write_ivfpq_index(base, path, n_cells=5, m=4, k_codes=8)
+    append_ivfpq_index(delta, path)
+    q = rows[3][1]
+    merged = {(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, path, q, k=15, nprobe=3).collect()}
+    # frozen centroids/codebooks seed from the 8 smallest ids, present
+    # in base — a from-scratch build over the UNION must agree exactly
+    path2 = str(tmp_path_factory.mktemp("ivfpq_scratch"))
+    write_ivfpq_index(emb, path2, n_cells=5, m=4, k_codes=8)
+    scratch = {(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, path2, q, k=15, nprobe=3).collect()}
+    assert merged == scratch
+    # appended vectors are actually reachable
+    assert any(vid >= 50 for vid, _ in merged)
+    # retry-idempotent append (same fingerprint → no second generation)
+    r1 = append_ivfpq_index(delta, path)
+    merged2 = {(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, path, q, k=15, nprobe=3).collect()}
+    assert merged2 == merged
+    # compaction folds generations without changing results
+    compact_ann_index(spark, path)
+    after = {(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, path, q, k=15, nprobe=3).collect()}
+    assert after == merged
