@@ -19,6 +19,8 @@ driver records a rows-only check); their exact semantics are covered by
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .analysis import STOPWORDS
@@ -3601,6 +3603,72 @@ FROM c
 ORDER BY dist_r ASC, vec_id ASC LIMIT {k}"""
 
 
+# Fixed, corpus-independent unigram-LM vocabulary for the Viterbi
+# driver entry: every [a-z0-9] char, 20 common bigrams, 4 trigrams.
+# Weights make longer pieces strictly preferable when available
+# (ln(3/50) > 2·ln(1/50); ln(4/50) > ln(1/50)+ln(3/50)), so the DP
+# genuinely competes between segmentations.
+_UNI_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+_UNI_BIGRAMS = ["th", "he", "in", "er", "an", "re", "on", "at", "en",
+                "nd", "ti", "es", "or", "te", "of", "ed", "is", "it",
+                "al", "ar"]
+_UNI_TRIGRAMS = ["the", "ing", "ion", "ent"]
+_UNI_VOCAB = ([(c, math.log(1 / 50)) for c in _UNI_CHARS]
+              + [(b, math.log(3 / 50)) for b in _UNI_BIGRAMS]
+              + [(t, math.log(4 / 50)) for t in _UNI_TRIGRAMS])
+
+
+def q_unigram_viterbi(spark, sf_dir):
+    """The unigram-LM Viterbi encoder (`tokenizer.unigram_encode`)
+    under the FIXED vocabulary above → per-doc total best log-prob,
+    quantized at 1e4. The oracle replays the same DP as a recursive
+    CTE carrying a sliding window of the last best[] values — one
+    recursion step per character position, the NEAR-zipper precedent.
+    (EM training itself is oracle-exempt — iterative float fitting —
+    and is gated by the brute-force enumeration pytest oracles.)"""
+    from .pipeline.tokenizer import unigram_encode
+    enc = unigram_encode(_docs(spark, sf_dir), _UNI_VOCAB,
+                         max_piece_len=3)
+    lut = F.create_map(*[F.lit(x) for p, lp in _UNI_VOCAB
+                         for x in (p, float(lp))])
+    score = F.aggregate(
+        F.transform("pieces", lambda p: F.coalesce(lut[p], F.lit(-1e9))),
+        F.lit(0.0), lambda a, x: a + x)
+    return enc.select(
+        "doc_id",
+        F.floor(score * 1e4 + F.lit(0.5)).cast("long").alias("score_r"))
+
+
+def _sql_unigram_viterbi() -> str:
+    def case_chain(var: str) -> str:
+        arms = " ".join(
+            f"WHEN '{p}' THEN CAST({lp!r} AS DOUBLE)"
+            for p, lp in _UNI_VOCAB)
+        return f"CASE {var} {arms} ELSE -1e18 END"
+
+    return f"""WITH RECURSIVE toks AS (
+  SELECT doc_id::BIGINT AS doc_id, t AS word
+  FROM (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t FROM documents)),
+words AS (SELECT DISTINCT word FROM toks),
+dp(word, i, w) AS (
+  SELECT word, 0,
+         [CAST(-1e18 AS DOUBLE), -1e18, CAST(0.0 AS DOUBLE)]
+  FROM words
+  UNION ALL
+  SELECT word, i + 1,
+         [w[2], w[3],
+          list_max(list_transform(range(1, least(3, i + 1) + 1),
+            ln -> w[4 - ln]
+                  + {case_chain("substr(word, i + 2 - ln, ln)")}))]
+  FROM dp WHERE i < length(word)),
+best AS (SELECT word, w[3] AS b FROM dp WHERE i = length(word))
+SELECT doc_id, floor(sum(b) * 1e4 + 0.5)::BIGINT AS score_r
+FROM toks JOIN best USING (word)
+GROUP BY doc_id"""
+
+
 def q_autocomplete(spark, sf_dir):
     """Type-ahead completion table (`serving.autocomplete`): top-3
     completions per 2..5-char term prefix, ranked ctf desc / df desc /
@@ -3945,6 +4013,11 @@ REGISTRY: dict[str, tuple] = {
     # codebooks (the ann_ivf precedent), per-subspace argmin with the
     # lowest-cid tie rule, 1e6-quantized ADC distances; python-replay +
     # refinement + recall pytest in test_similarity.py
+    "unigram_viterbi_score": (q_unigram_viterbi, _sql_unigram_viterbi()),
+    # the unigram-LM Viterbi DP under a FIXED vocabulary: overflow-born
+    # — one recursion step per character position carrying the last-3
+    # best[] window (the NEAR-zipper CTE precedent); EM training stays
+    # oracle-exempt, gated by enumeration pytest oracles
 }
 
 
