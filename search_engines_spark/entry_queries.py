@@ -3669,6 +3669,90 @@ FROM toks JOIN best USING (word)
 GROUP BY doc_id"""
 
 
+_ANN_STREAM_CACHE: dict[tuple, str] = {}
+
+
+def q_streamed_ann(spark, sf_dir):
+    """Streaming ANN maintenance (streaming.ann): the embeddings table
+    arrives as TWO files (ids < 250 first, carrying the 16 frozen
+    seeds; one file per micro-batch) and folds into a journaled IVF-PQ
+    index — probes must equal the full in-SQL IVF-PQ construction:
+    seeded centroids AND codebooks from the same 16 rows, cell routing
+    with the lowest-cid tie, a 4-cell probe, ADC distances quantized
+    at 1e6."""
+    import os
+    import shutil
+
+    from .pipeline.similarity import ivfpq_topk_indexed
+    from .streaming.ann import start_ann_stream
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    d, created = _session_tmpdir(_ANN_STREAM_CACHE, key, "entry_sann_")
+    if created:
+        emb = _emb(spark, sf_dir)
+        os.makedirs(f"{d}/src", exist_ok=True)
+        now = __import__("time").time()
+        for cond, name, age in (("vec_id < 250", "a_first.parquet", 100),
+                                ("vec_id >= 250", "z_later.parquet", 0)):
+            stage = f"{d}/stage_{name}"
+            emb.where(cond).coalesce(1).write.mode("overwrite") \
+                .parquet(stage)
+            part = [f for f in os.listdir(stage)
+                    if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(stage, part), f"{d}/src/{name}")
+            os.utime(f"{d}/src/{name}", (now - age, now - age))
+        q = start_ann_stream(spark, f"{d}/src", f"{d}/idx", f"{d}/ckpt",
+                             n_cells=16, m=4, k_codes=16,
+                             max_files_per_trigger=1)
+        q.awaitTermination(300)
+    q_row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).collect()[0]
+    qv = [float(x) for x in q_row["embedding"]]
+    return ivfpq_topk_indexed(spark, f"{d}/idx", qv, k=20, nprobe=4)
+
+
+def _sql_ivfpq(m: int = 4, k_cb: int = 16, nprobe: int = 4,
+               k: int = 20) -> str:
+    d0 = 64 // m
+    slices = [(s, s * d0 + 1, (s + 1) * d0) for s in range(m)]
+    sub_d = "power(list_distance(v.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)"
+    code_sel = "\nUNION ALL\n".join(
+        f"""SELECT v.vid, {s} AS s, cb.cid, {sub_d.format(a=a, b=b)} AS d2
+FROM v JOIN cand USING (vid), cb""" for s, a, b in slices)
+    lut = " + ".join(
+        f"""(SELECT power(list_distance(q.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)
+     FROM cb, q WHERE cb.cid = c.c{s})""" for s, a, b in slices)
+    code_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m))
+    return f"""WITH v AS (
+  SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS vec
+  FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec
+       FROM (SELECT vid, vec FROM v ORDER BY vid LIMIT {k_cb})),
+q AS (SELECT vec FROM v WHERE vid = 0),
+cell_d AS (SELECT v.vid, cb.cid,
+                  power(list_distance(v.vec, cb.vec), 2) AS d2
+           FROM v, cb),
+cells AS (SELECT vid, cid AS cell
+          FROM (SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY d2 ASC, cid ASC) AS rn
+                FROM cell_d) WHERE rn = 1),
+probe AS (SELECT cb.cid
+          FROM cb, q
+          ORDER BY power(list_distance(q.vec, cb.vec), 2) ASC, cb.cid ASC
+          LIMIT {nprobe}),
+cand AS (SELECT vid FROM cells WHERE cell IN (SELECT cid FROM probe)),
+dists AS ({code_sel}),
+best AS (SELECT vid, s, cid, d2,
+                row_number() OVER (PARTITION BY vid, s
+                                   ORDER BY d2 ASC, cid ASC) AS rn
+         FROM dists),
+c AS (SELECT vid, {code_cols} FROM best WHERE rn = 1 GROUP BY vid)
+SELECT vid AS vec_id,
+       floor(({lut}) * 1e6 + 0.5)::BIGINT AS dist_r
+FROM c
+ORDER BY dist_r ASC, vec_id ASC LIMIT {k}"""
+
+
 def q_autocomplete(spark, sf_dir):
     """Type-ahead completion table (`serving.autocomplete`): top-3
     completions per 2..5-char term prefix, ranked ctf desc / df desc /
@@ -4018,6 +4102,12 @@ REGISTRY: dict[str, tuple] = {
     # — one recursion step per character position carrying the last-3
     # best[] window (the NEAR-zipper CTE precedent); EM training stays
     # oracle-exempt, gated by enumeration pytest oracles
+    "streamed_ann_equal_batch": (q_streamed_ann, _sql_ivfpq()),
+    # streaming IVF-PQ maintenance: overflow-born — the two-batch
+    # stream folds into journaled generations and must answer probes
+    # exactly as the full in-SQL IVF-PQ construction (shared seeds →
+    # identical centroids/codebooks); restart idempotence and the
+    # streamed==batch gate are pytest-pinned (test_streaming.py)
 }
 
 

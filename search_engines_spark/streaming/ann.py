@@ -1,0 +1,75 @@
+"""Streaming ANN maintenance: embedding arrivals fold into a
+journaled IVF-PQ index via `foreachBatch`.
+
+Each micro-batch runs the EXACT batch operators: the first batch
+bootstraps the layout with `write_ivfpq_index` (freezing centroids and
+codebooks — deterministic id-seeded, so a batch build over the same
+vectors produces the identical index when the seed vectors arrive in
+the first batch), and every later batch lands as a journaled delta
+generation through `append_ivfpq_index`. Queries read merged
+(`ivfpq_topk_indexed` → `_ann_scan`: base ∪ live generations,
+partition-pruned, vec_id-deduped); `compact_ann_index` folds
+generations on whatever cadence the deployment picks.
+
+Exactly-once, precisely: `foreachBatch` is at-least-once on retry —
+* a replayed APPEND batch re-submits the same delta fingerprint and
+  `_ann_append` returns without writing a second generation
+  (fingerprint-idempotent, the same contract the batch API tests);
+* a replayed BOOTSTRAP batch either overwrites the base in place
+  (write mode=overwrite) or — if the crash landed between the base
+  write and the checkpoint commit so the replay takes the append
+  branch — adds an overlapping generation, which reads heal by
+  vec_id dedup (`_ann_scan`) and the next compaction folds away.
+Restarting against the same sink with a different checkpoint rewinds
+batch ids; the ANN journal is keyed by delta fingerprint rather than
+batch id, so a rewound replay of already-applied deltas is a no-op
+rather than a duplication.
+
+PRECONDITION (repo-wide identity contract): vec_ids are unique across
+the stream; updates go through a rebuild, not this append path.
+
+At production scale this is the shape of a continuously-updating
+vector index: one writer folding arrivals into generations, readers
+probing nprobe cells of base+deltas, a compactor amortizing the fold
+— the `indexer.merge` lifecycle, for embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..pipeline.similarity import append_ivfpq_index, write_ivfpq_index
+
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def start_ann_stream(spark: SparkSession, src_dir: str, index_path: str,
+                     checkpoint_dir: str, n_cells: int = 16, m: int = 4,
+                     k_codes: int = 16, schema: str = EMB_SCHEMA,
+                     max_files_per_trigger: int | None = None,
+                     available_now: bool = True):
+    """File-source embedding stream → IVF-PQ index at `index_path`.
+    Returns the streaming query; `ivfpq_topk_indexed` serves reads at
+    any point."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(os.path.join(index_path, "_ivfpq_meta.json")):
+            append_ivfpq_index(batch_df, index_path)
+        else:
+            write_ivfpq_index(batch_df, index_path, n_cells=n_cells,
+                              m=m, k_codes=k_codes)
+
+    writer = stream.writeStream.foreachBatch(sink) \
+        .option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -277,3 +277,59 @@ def test_stream_sketches_restart_idempotent(spark, tmp_path_factory):
     with _pytest.raises(ValueError, match="checkpoint"):
         start_sketch_stream(spark, src, out,
                             str(tmp_path_factory.mktemp("other_ckpt")))
+
+
+def test_stream_ann_equals_batch(spark, tmp_path_factory):
+    """Two-batch embedding stream → IVF-PQ index must answer probes
+    IDENTICALLY to a batch `write_ivfpq_index` over the same vectors
+    (the frozen seeds arrive in batch 0, so codebooks coincide), and a
+    checkpointed restart must be a no-op (fingerprint-idempotent
+    generations)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from search_engines_spark.pipeline.similarity import (
+        ivfpq_topk_indexed, write_ivfpq_index)
+    from search_engines_spark.streaming.ann import start_ann_stream
+
+    rs = np.random.RandomState(21)
+    centers = rs.randn(4, 16) * 4
+    rows = [(i, [float(x) for x in centers[i % 4] + rs.randn(16) * 0.1])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path_factory.mktemp("annstream_src"))
+    emb.where("vec_id < 50").coalesce(1).write.mode("overwrite") \
+        .parquet(src + "/stage_a")
+    emb.where("vec_id >= 50").coalesce(1).write.mode("overwrite") \
+        .parquet(src + "/stage_b")
+    now = time.time()
+    for stage, name, age in ((src + "/stage_a", "a_first.parquet", 100),
+                             (src + "/stage_b", "z_later.parquet", 0)):
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, name))
+        os.utime(os.path.join(src, name), (now - age, now - age))
+    idx = str(tmp_path_factory.mktemp("annstream_idx"))
+    ckpt = str(tmp_path_factory.mktemp("annstream_ckpt"))
+    q = start_ann_stream(spark, src, idx, ckpt, n_cells=4, m=4, k_codes=8,
+                         max_files_per_trigger=1)
+    q.awaitTermination(120)
+    qvec = rows[2][1]
+    streamed = [(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, idx, qvec, k=15, nprobe=2).collect()]
+    # vectors from BOTH batches are reachable
+    assert any(v >= 50 for v, _ in streamed)
+    batch_idx = str(tmp_path_factory.mktemp("annbatch_idx"))
+    write_ivfpq_index(emb, batch_idx, n_cells=4, m=4, k_codes=8)
+    batch = [(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, batch_idx, qvec, k=15, nprobe=2).collect()]
+    assert streamed == batch
+    # restart on the same checkpoint: no new input → nothing replays;
+    # results unchanged
+    q2 = start_ann_stream(spark, src, idx, ckpt, n_cells=4, m=4,
+                          k_codes=8, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    again = [(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, idx, qvec, k=15, nprobe=2).collect()]
+    assert again == streamed
