@@ -196,3 +196,46 @@ def autocomplete(term_stats: DataFrame, min_len: int = 2,
     return (pref.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("prefix", "term", "ctf", "rank"))
+
+
+def hybrid_rrf(lex: DataFrame, vec: DataFrame, k: int = 20, c: int = 60,
+               lex_score: str = "score_r", vec_score: str = "cos_r",
+               lex_id: str = "doc_id", vec_id: str = "vec_id") -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of a lexical candidate list and a vector candidate list over the
+    same document ids → (doc_id, rrf_r, rank).
+
+    rrf(d) = Σ_side 1/(c + rank_side(d)), absent side contributes 0;
+    ranks come from each side's QUANTIZED score (desc) with id-asc
+    ties, so rank derivation is engine-independent and exactly
+    replayable in SQL. rrf_r = floor(rrf · 10⁹ + 0.5). Both inputs are
+    candidate lists (top-N), so the rank windows sort N rows, not the
+    corpus — the fusion itself is id-keyed join + arithmetic."""
+    from pyspark.sql import Window
+    wl = Window.orderBy(F.desc(lex_score), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc(vec_score), F.asc("doc_id"))
+    lr = (lex.select(F.col(lex_id).cast("long").alias("doc_id"),
+                     F.col(lex_score))
+          .withColumn("lex_rank", F.row_number().over(wl))
+          .select("doc_id", "lex_rank"))
+    vr = (vec.select(F.col(vec_id).cast("long").alias("doc_id"),
+                     F.col(vec_score))
+          .withColumn("vec_rank", F.row_number().over(wv))
+          .select("doc_id", "vec_rank"))
+    fused = (lr.join(vr, "doc_id", "full_outer")
+             .withColumn(
+                 "rrf",
+                 F.coalesce(F.lit(1.0)
+                            / (F.lit(float(c)) + F.col("lex_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(F.lit(1.0)
+                              / (F.lit(float(c)) + F.col("vec_rank")),
+                              F.lit(0.0)))
+             .withColumn("rrf_r",
+                         F.floor(F.col("rrf") * 1e9 + F.lit(0.5))
+                         .cast("long")))
+    wf = Window.orderBy(F.desc("rrf_r"), F.asc("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "rrf_r", F.col("rank").cast("long")
+                    .alias("rank")))

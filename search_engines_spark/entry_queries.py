@@ -3669,6 +3669,55 @@ FROM toks JOIN best USING (word)
 GROUP BY doc_id"""
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (`serving.hybrid_rrf`): reciprocal-rank fusion
+    of the BM25 top-100 for the BOW3 query and the cosine top-100 for
+    vid-0's embedding (vec_id ≡ doc_id on the testdata). Ranks derive
+    from QUANTIZED scores with doc_id-asc ties on both sides, so the
+    oracle replays rank derivation and the 1/(60+r) fusion exactly."""
+    from .capabilities.serving import hybrid_rrf
+    eng = Engine(_index(spark, sf_dir), "bm25")
+    node = eng.parse(" ".join(BOW3))
+    s = eng.eval_sop(node).where(F.col("score") >= 0)
+    lex = (s.withColumn("score_r", _r(F.col("score")))
+           .orderBy(F.desc("score_r"), F.asc("doc_id")).limit(100)
+           .select("doc_id", "score_r"))
+    vec = sim.cosine_topk(_emb(spark, sf_dir),
+                          _query_vec(spark, sf_dir), k=100)
+    return hybrid_rrf(lex, vec, k=20)
+
+
+def _sql_hybrid_rrf(k: int = 20, c: int = 60) -> str:
+    emb_body = EMB_PRELUDE[len("WITH "):]
+    return f"""{PRELUDE},
+{_bm25_scored_cte(BOW3, 'scored')},
+lex AS (SELECT doc_id, floor(scored.score * 1e6 + 0.5)::BIGINT AS score_r
+        FROM scored ORDER BY score_r DESC, doc_id ASC LIMIT 100),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY score_r DESC, doc_id ASC)
+                  AS lex_rank
+         FROM lex),
+{emb_body},
+qh AS (SELECT vec AS qv, nrm AS qn FROM nv WHERE vid = 0),
+vtop AS (SELECT vid, floor((CASE WHEN nrm > 0 AND qn > 0
+                THEN list_dot_product(vec, qv) / (nrm * qn)
+                ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS cos_r
+         FROM nv, qh ORDER BY cos_r DESC, vid LIMIT 100),
+vecr AS (SELECT vid AS doc_id,
+                row_number() OVER (ORDER BY cos_r DESC, vid ASC)
+                  AS vec_rank
+         FROM vtop),
+fused AS (SELECT doc_id,
+                 coalesce(1.0 / ({c} + lex_rank), 0.0)
+                 + coalesce(1.0 / ({c} + vec_rank), 0.0) AS rrf
+          FROM lexr FULL OUTER JOIN vecr USING (doc_id))
+SELECT doc_id, floor(rrf * 1e9 + 0.5)::BIGINT AS rrf_r,
+       row_number() OVER (ORDER BY floor(rrf * 1e9 + 0.5) DESC,
+                          doc_id ASC)::BIGINT AS rank
+FROM fused
+ORDER BY rrf_r DESC, doc_id ASC LIMIT {k}"""
+
+
 _ANN_STREAM_CACHE: dict[tuple, str] = {}
 
 
@@ -4103,6 +4152,10 @@ REGISTRY: dict[str, tuple] = {
     # best[] window (the NEAR-zipper CTE precedent); EM training stays
     # oracle-exempt, gated by enumeration pytest oracles
     "streamed_ann_equal_batch": (q_streamed_ann, _sql_ivfpq()),
+    "hybrid_rrf_topk": (q_hybrid_rrf, _sql_hybrid_rrf()),
+    # hybrid lexical+vector retrieval: overflow-born — RRF over
+    # quantized-score ranks, both sides + the fusion replayed in one
+    # SQL statement (BM25 scored CTE ⨝ cosine top-100)
     # streaming IVF-PQ maintenance: overflow-born — the two-batch
     # stream folds into journaled generations and must answer probes
     # exactly as the full in-SQL IVF-PQ construction (shared seeds →

@@ -171,3 +171,21 @@ def test_autocomplete_table(spark, spark_index):
     # is a genuine prefix of its term (asserted above) and no prefix is
     # shorter than min_len
     assert min(len(p) for p in by_prefix) >= 2
+
+
+def test_hybrid_rrf_fusion_laws(spark):
+    lex = spark.createDataFrame(
+        [(1, 900), (2, 800), (3, 700)], "doc_id long, score_r long")
+    vec = spark.createDataFrame(
+        [(2, 950000), (4, 900000)], "vec_id long, cos_r long")
+    out = {r["doc_id"]: (r["rrf_r"], r["rank"]) for r in
+           serving.hybrid_rrf(lex, vec, k=10, c=60).collect()}
+    # doc 2 appears in both lists → rrf = 1/61 + 1/62
+    assert out[2][0] == int((1 / 61 + 1 / 62) * 1e9 + 0.5)
+    # single-side docs contribute only their own term
+    assert out[1][0] == int((1 / 61) * 1e9 + 0.5)
+    assert out[3][0] == int((1 / 63) * 1e9 + 0.5)
+    assert out[4][0] == int((1 / 62) * 1e9 + 0.5)
+    # both-lists doc outranks every single-list doc; ranks are dense
+    assert out[2][1] == 1
+    assert sorted(r for _, r in out.values()) == [1, 2, 3, 4]
