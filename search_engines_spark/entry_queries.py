@@ -3802,6 +3802,52 @@ FROM c
 ORDER BY dist_r ASC, vec_id ASC LIMIT {k}"""
 
 
+def q_dedup_phash_clusters(spark, sf_dir):
+    """`dedup.phash_dedup_clusters` over the same planted hashes as
+    `dedup_phash_banded`: star-contraction connected components on the
+    banded-hamming candidate graph, min-id keeper. Oracle: recursive
+    transitive closure over the brute-force pair scan (the
+    `dedup_cc_clusters` precedent)."""
+    docs = _docs(spark, sf_dir)
+    md5 = F.md5(F.substring(F.col("text"), 1, 24))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") \
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    base = F.shiftleft(hi, 32).bitwiseOR(lo)
+    flip = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.call_function("shiftleft", F.lit(1).cast("long"),
+                        (F.col("doc_id") % 62).cast("int"))) \
+        .otherwise(F.lit(0).cast("long"))
+    hashes = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                         base.bitwiseXOR(flip).alias("phash"))
+    return (dd.phash_dedup_clusters(hashes, max_dist=6, bands=8)
+            .select("media_id", F.col("component").cast("long")
+                    .alias("component"),
+                    F.col("keep").cast("long").alias("keep")))
+
+
+def _sql_dedup_phash_clusters() -> str:
+    return f"""WITH RECURSIVE pairs AS (
+{_sql_dedup_phash()}
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS media_id, least(min(v), u) AS component
+         FROM reach GROUP BY u)
+SELECT d.media_id,
+       coalesce(c.component, d.media_id)::BIGINT AS component,
+       (CASE WHEN coalesce(c.component, d.media_id) = d.media_id
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM (SELECT doc_id::BIGINT AS media_id FROM documents) d
+LEFT JOIN comp c USING (media_id)"""
+
+
 def q_autocomplete(spark, sf_dir):
     """Type-ahead completion table (`serving.autocomplete`): top-3
     completions per 2..5-char term prefix, ranked ctf desc / df desc /
@@ -4156,6 +4202,12 @@ REGISTRY: dict[str, tuple] = {
     # hybrid lexical+vector retrieval: overflow-born — RRF over
     # quantized-score ranks, both sides + the fusion replayed in one
     # SQL statement (BM25 scored CTE ⨝ cosine top-100)
+    "dedup_phash_clusters": (q_dedup_phash_clusters,
+                             _sql_dedup_phash_clusters()),
+    # the cluster/retention side of perceptual-hash dedup: recursive
+    # transitive-closure oracle over the brute pair scan (the
+    # dedup_cc_clusters precedent) falsifies star contraction on the
+    # hamming candidate graph
     # streaming IVF-PQ maintenance: overflow-born — the two-batch
     # stream folds into journaled generations and must answer probes
     # exactly as the full in-SQL IVF-PQ construction (shared seeds →
