@@ -575,6 +575,30 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         res["media_sec"] = round(best, 2)
         res["media_docs_per_sec"] = round(n_media / best, 1)
 
+        # ---- PQ encode (pipeline.similarity) ------------------------------
+        # the ADC-side ingest kernel: per-subspace least-chain argmin
+        # over literal codebooks — m×k aggregate-folds of 64-dim
+        # arrays, pure whole-stage codegen, zero shuffle. Vectors are
+        # deterministic xxhash64-derived doubles (no data dependency).
+        from search_engines_spark.pipeline.similarity import (
+            pq_encode, pq_train)
+        vecs = spark.range(n_docs).select(
+            F.col("id").alias("vec_id"),
+            F.expr("transform(sequence(0, 63), j -> "
+                   "(abs(xxhash64(id, j)) % 100000) / 100000.0)")
+            .alias("embedding")).persist()
+        vecs.count()
+        pq_meta = pq_train(vecs, m=4, k=16)   # 16-row driver collect
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            pq_encode(vecs, pq_meta).count()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        vecs.unpersist()
+        res["pq_sec"] = round(best, 2)
+        res["pq_docs_per_sec"] = round(n_docs / best, 1)
+
     spark.stop()
     return res
 
@@ -605,6 +629,7 @@ ARM_PAIRS = (
     ("bloom_sec", "bloom_docs_per_sec"),
     ("qsketch_sec", "qsketch_docs_per_sec"),
     ("media_sec", "media_docs_per_sec"),
+    ("pq_sec", "pq_docs_per_sec"),
 )
 
 
@@ -713,6 +738,7 @@ def write_report(r: dict, hw: dict, corpus: str, mult: int,
     bl832 = _eff(r, 8, 32, "bloom_docs_per_sec")
     qk832 = _eff(r, 8, 32, "qsketch_docs_per_sec")
     md832 = _eff(r, 8, 32, "media_docs_per_sec")
+    pq832 = _eff(r, 8, 32, "pq_docs_per_sec")
 
     if corpus == "zipf":
         corpus_desc = (f"{r[8]['n_docs']:,} docs, deterministic Zipf(1) "
@@ -1023,6 +1049,7 @@ the {bw_832:.2f} DRAM / {sha_832:.2f} CPU ceilings):
 | `sketches.bloom_decontam_scan` (bench grams as a 512-byte literal bitmask; k bit tests/gram, doc_id-keyed count — no gram join) | {r[8]['bloom_sec']} | {r[32]['bloom_sec']} | {r[32]['bloom_docs_per_sec']:,} | {bl832:.2f} |
 | `sketches.log2_histogram`+`quantiles` (≤64-bucket bit-length groupBy + 64-row cumulative window) | {r[8]['qsketch_sec']} | {r[32]['qsketch_sec']} | {r[32]['qsketch_docs_per_sec']:,} | {qk832:.2f} |
 | `multimodal` media fingerprints over {r[32]['n_media']:,} persisted real payloads (BMP/JPEG/WAV/DIB+MJPEG-AVI decode → image pHash + audio AFP + video pHash; map-only, pure-Python kernels — the arm that stresses the Arrow worker pool, not DRAM) | {r[8]['media_sec']} | {r[32]['media_sec']} | {r[32]['media_docs_per_sec']:,} | {md832:.2f} |
+| `similarity.pq_encode` over {r[32]['n_docs']:,} 64-dim vectors (per-subspace least-chain argmin over literal codebooks — m×k aggregate-folds, pure codegen, zero shuffle; the IVF-PQ ingest kernel) | {r[8]['pq_sec']} | {r[32]['pq_sec']} | {r[32]['pq_docs_per_sec']:,} | {pq832:.2f} |
 
 All these shapes put parallelism in the data: the packer's only
 unpartitioned stage is the block-count offset window (metadata-sized by
