@@ -580,9 +580,12 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
         # over literal codebooks — m×k aggregate-folds of 64-dim
         # arrays, pure whole-stage codegen, zero shuffle. Vectors are
         # deterministic xxhash64-derived doubles (no data dependency).
+        # 4× the corpus row count: at 1× the kernel finishes in ~1.6 s
+        # — the scheduler floor, not the compute (the qmodel-arm
+        # precedent).
         from search_engines_spark.pipeline.similarity import (
             pq_encode, pq_train)
-        vecs = spark.range(n_docs).select(
+        vecs = spark.range(4 * n_docs).select(
             F.col("id").alias("vec_id"),
             F.expr("transform(sequence(0, 63), j -> "
                    "(abs(xxhash64(id, j)) % 100000) / 100000.0)")
@@ -596,8 +599,9 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
             s = time.time() - t0
             best = s if best is None else min(best, s)
         vecs.unpersist()
+        res["pq_n_vecs"] = 4 * n_docs
         res["pq_sec"] = round(best, 2)
-        res["pq_docs_per_sec"] = round(n_docs / best, 1)
+        res["pq_docs_per_sec"] = round(4 * n_docs / best, 1)
 
     spark.stop()
     return res
@@ -1049,7 +1053,7 @@ the {bw_832:.2f} DRAM / {sha_832:.2f} CPU ceilings):
 | `sketches.bloom_decontam_scan` (bench grams as a 512-byte literal bitmask; k bit tests/gram, doc_id-keyed count — no gram join) | {r[8]['bloom_sec']} | {r[32]['bloom_sec']} | {r[32]['bloom_docs_per_sec']:,} | {bl832:.2f} |
 | `sketches.log2_histogram`+`quantiles` (≤64-bucket bit-length groupBy + 64-row cumulative window) | {r[8]['qsketch_sec']} | {r[32]['qsketch_sec']} | {r[32]['qsketch_docs_per_sec']:,} | {qk832:.2f} |
 | `multimodal` media fingerprints over {r[32]['n_media']:,} persisted real payloads (BMP/JPEG/WAV/DIB+MJPEG-AVI decode → image pHash + audio AFP + video pHash; map-only, pure-Python kernels — the arm that stresses the Arrow worker pool, not DRAM) | {r[8]['media_sec']} | {r[32]['media_sec']} | {r[32]['media_docs_per_sec']:,} | {md832:.2f} |
-| `similarity.pq_encode` over {r[32]['n_docs']:,} 64-dim vectors (per-subspace least-chain argmin over literal codebooks — m×k aggregate-folds, pure codegen, zero shuffle; the IVF-PQ ingest kernel) | {r[8]['pq_sec']} | {r[32]['pq_sec']} | {r[32]['pq_docs_per_sec']:,} | {pq832:.2f} |
+| `similarity.pq_encode` over {r[32]['pq_n_vecs']:,} 64-dim vectors (per-subspace least-chain argmin over literal codebooks — m×k aggregate-folds, pure codegen, zero shuffle; the IVF-PQ ingest kernel; 4× rows — at 1× it finishes in ~1.6 s, the scheduler floor) | {r[8]['pq_sec']} | {r[32]['pq_sec']} | {r[32]['pq_docs_per_sec']:,} | {pq832:.2f} |
 
 All these shapes put parallelism in the data: the packer's only
 unpartitioned stage is the block-count offset window (metadata-sized by
