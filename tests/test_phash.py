@@ -52,7 +52,7 @@ def test_banding_exact_below_bands_property(spark):
     hashes = list(rs.randint(-2**63, 2**63 - 1, size=40, dtype=np.int64))
     # plant near-dups: flip ≤6 random bits of existing entries
     for i in range(12):
-        flipped = int(hashes[i])
+        flipped = int(hashes[i]) & ((1 << 64) - 1)
         for bit in rs.choice(64, size=rs.randint(0, 7), replace=False):
             flipped ^= 1 << int(bit)
         flipped = flipped - (1 << 64) if flipped >= (1 << 63) else flipped
@@ -205,3 +205,41 @@ def test_video_frame_near_dups_survive_reordering(spark):
                fake=False).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 2
     assert all(p == (1, 2) for p in out)
+
+
+def test_banding_property_across_band_widths(spark):
+    """For every legal band count: candidate precision is exact (dist
+    filter runs on true hamming), and recall is EXACT whenever
+    max_dist < bands — hypothesis-driven hash sets with planted
+    flips."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.sampled_from([4, 8, 16]),
+           st.integers(2, 10))
+    def check(seed, bands, max_dist):
+        rs = np.random.RandomState(seed)
+        hashes = list(rs.randint(-2**63, 2**63 - 1, size=25,
+                                 dtype=np.int64))
+        for i in range(8):
+            # mask to the unsigned domain BEFORE flipping: Python's
+            # infinite two's complement would otherwise underflow
+            # int64 when bit 63 of a negative flips
+            flipped = int(hashes[i]) & ((1 << 64) - 1)
+            for bit in rs.choice(64, size=rs.randint(0, max_dist + 1),
+                                 replace=False):
+                flipped ^= 1 << int(bit)
+            flipped = flipped - (1 << 64) if flipped >= (1 << 63) \
+                else flipped
+            hashes.append(np.int64(flipped))
+        rows = [(i, int(h)) for i, h in enumerate(hashes)]
+        brute = {(a, b) for a, ha in rows for b, hb in rows
+                 if a < b and _ham(ha, hb) <= max_dist}
+        df = spark.createDataFrame(rows, "media_id long, phash long")
+        got = {(r["id_a"], r["id_b"]) for r in D.phash_near_dup_pairs(
+            df, max_dist=max_dist, bands=bands).collect()}
+        assert got <= brute                      # precision always
+        if max_dist < bands:
+            assert got == brute                  # pigeonhole recall
+
+    check()

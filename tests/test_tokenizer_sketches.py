@@ -489,3 +489,44 @@ def test_unigram_train_end_to_end(spark):
         .collect()[0]["pieces"]
     assert "".join(enc) == "".join(
         "stream streams streaming streamer scan scans".split())
+
+
+def test_unigram_em_monotone_property(spark):
+    """EM log-likelihood is non-decreasing on RANDOM corpora, not just
+    the planted one — hypothesis over word sets and seed sizes."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(20, 60))
+    def check(seed, n_seed):
+        import numpy as np
+        rs = np.random.RandomState(seed)
+        alphabet = "abcd"
+        words = ["".join(rs.choice(list(alphabet),
+                                   size=rs.randint(2, 7)))
+                 for _ in range(12)]
+        text = " ".join(words)
+        docs = spark.createDataFrame([(1, text), (2, text)],
+                                     "doc_id long, text string")
+        wc = tk.bpe_word_counts(docs).select("word", "freq").persist()
+        seed_rows = tk.unigram_seed_vocab(wc, n_seed=n_seed,
+                                          max_piece_len=4).collect()
+        total = sum(r["score"] for r in seed_rows)
+        vocab = {r["piece"]: math.log(r["score"] / total)
+                 for r in seed_rows}
+        lls = []
+        for _ in range(2):
+            rows = tk.unigram_estep(wc, vocab, 4).collect()
+            lls.append(sum(r["e_count"] for r in rows
+                           if r["piece"] == "\x00ll"))
+            counts = {r["piece"]: r["e_count"] for r in rows
+                      if r["piece"] != "\x00ll"}
+            tot = sum(counts.values())
+            vocab = {p: math.log(c / tot)
+                     for p, c in counts.items() if c > 0}
+        wc.unpersist()
+        assert lls[1] >= lls[0] - 1e-9, lls
+
+    check()
