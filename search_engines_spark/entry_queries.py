@@ -3570,18 +3570,31 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, meta), meta, q, k=20)
 
 
+def _sql_sq_l2(a: str, b: str) -> str:
+    """Sum of squared differences between two DuckDB DOUBLE[] exprs —
+    the same arithmetic the Spark PQ/IVF kernels use (sum((x-y)**2)),
+    avoiding the power(list_distance(..), 2) sqrt round-trip whose
+    ~1-ulp error can flip a near-tied argmin."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+
+
 def _sql_ann_pq(m: int = 4, k_cb: int = 16, k: int = 20) -> str:
     # subspace slice bounds (1-based inclusive duckdb list slicing);
     # dim = 64 on the embeddings table → d0 = 16
     d0 = 64 // m
     slices = [(s, s * d0 + 1, (s + 1) * d0) for s in range(m)]
-    sub_dist = """power(list_distance(v.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)"""
+    # sum of squared diffs computed DIRECTLY (no sqrt round-trip):
+    # the Spark side sums (x-y)**2, and power(list_distance(..), 2)
+    # can differ by ~1 ulp, enough to flip a near-tied per-subspace
+    # argmin and break the exact integer compare
+    sub_dist = _sql_sq_l2("v.vec[{a}:{b}]", "cb.vec[{a}:{b}]")
     code_sel = "\nUNION ALL\n".join(
         f"""SELECT v.vid, {s} AS s, cb.cid,
        {sub_dist.format(a=a, b=b)} AS d2
 FROM v, cb""" for s, a, b in slices)
     lut = " + ".join(
-        f"""(SELECT power(list_distance(q.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)
+        f"""(SELECT {_sql_sq_l2(f'q.vec[{a}:{b}]', f'cb.vec[{a}:{b}]')}
      FROM cb, q WHERE cb.cid = c.c{s})""" for s, a, b in slices)
     code_cols = ", ".join(
         f"max(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m))
@@ -3762,12 +3775,12 @@ def _sql_ivfpq(m: int = 4, k_cb: int = 16, nprobe: int = 4,
                k: int = 20) -> str:
     d0 = 64 // m
     slices = [(s, s * d0 + 1, (s + 1) * d0) for s in range(m)]
-    sub_d = "power(list_distance(v.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)"
+    sub_d = _sql_sq_l2("v.vec[{a}:{b}]", "cb.vec[{a}:{b}]")
     code_sel = "\nUNION ALL\n".join(
         f"""SELECT v.vid, {s} AS s, cb.cid, {sub_d.format(a=a, b=b)} AS d2
 FROM v JOIN cand USING (vid), cb""" for s, a, b in slices)
     lut = " + ".join(
-        f"""(SELECT power(list_distance(q.vec[{a}:{b}], cb.vec[{a}:{b}]), 2)
+        f"""(SELECT {_sql_sq_l2(f'q.vec[{a}:{b}]', f'cb.vec[{a}:{b}]')}
      FROM cb, q WHERE cb.cid = c.c{s})""" for s, a, b in slices)
     code_cols = ", ".join(
         f"max(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m))
@@ -3778,7 +3791,7 @@ cb AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vec
        FROM (SELECT vid, vec FROM v ORDER BY vid LIMIT {k_cb})),
 q AS (SELECT vec FROM v WHERE vid = 0),
 cell_d AS (SELECT v.vid, cb.cid,
-                  power(list_distance(v.vec, cb.vec), 2) AS d2
+                  {_sql_sq_l2("v.vec", "cb.vec")} AS d2
            FROM v, cb),
 cells AS (SELECT vid, cid AS cell
           FROM (SELECT vid, cid,
@@ -3787,7 +3800,7 @@ cells AS (SELECT vid, cid AS cell
                 FROM cell_d) WHERE rn = 1),
 probe AS (SELECT cb.cid
           FROM cb, q
-          ORDER BY power(list_distance(q.vec, cb.vec), 2) ASC, cb.cid ASC
+          ORDER BY {_sql_sq_l2("q.vec", "cb.vec")} ASC, cb.cid ASC
           LIMIT {nprobe}),
 cand AS (SELECT vid FROM cells WHERE cell IN (SELECT cid FROM probe)),
 dists AS ({code_sel}),

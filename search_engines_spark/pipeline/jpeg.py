@@ -504,13 +504,23 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
-    # a real MCU costs ≥ 4 entropy bits (DC code + EOB per block); a
-    # crafted SOF claiming 65535×65535 over a 1 KB scan would otherwise
-    # allocate GBs of coefficient arrays before the scan runs dry
-    if mcus_y * mcus_x > 8 * len(data):
+    # Decompression-bomb guards, sized on what the frame actually
+    # allocates.  A 4:2:0 MCU holds 6 blocks × 256 B of coefficient
+    # array, so the bound must count declared BLOCKS, not MCUs, or a
+    # crafted oversized SOF still buys ~1.5 KB of allocation per scan
+    # byte.  Every declared block costs ≥ 4 entropy bits (one DC code +
+    # EOB), so a legitimate scan carries at most 2 blocks per byte.
+    if h_img * w_img > (1 << 28):                   # 256 MP absolute cap
         raise ValueError(
-            f"JPEG frame declares {mcus_y * mcus_x} MCUs but carries "
-            f"only {len(data)} bytes — truncated or crafted header")
+            f"JPEG frame declares {h_img}x{w_img} pixels — exceeds the "
+            "decoder's 256-megapixel decompression limit")
+    blocks_total = mcus_y * mcus_x * sum(c["h"] * c["v"] for c in comps)
+    scan_bytes = max(0, len(data) - pos)
+    if blocks_total * 4 > scan_bytes * 8:
+        raise ValueError(
+            f"JPEG frame declares {blocks_total} coefficient blocks but "
+            f"the scan carries only {scan_bytes} bytes — truncated or "
+            "crafted header")
     for c in comps:
         c["zz"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
                            dtype=np.int32)

@@ -459,7 +459,7 @@ def audio_fingerprint_payload(payload: bytes, fake: bool = False) -> int:
     rows = np.array_split(bands, _AFP_ROWS, axis=0)
     grid = np.log(np.stack([r.mean(axis=0) if len(r) else
                             np.full(_AFP_BANDS, 1e-12) for r in rows])
-                  + 1e-12)                            # (5, 17) log-E
+                  + 1e-12)                            # (4, 17) log-E
     # clamp to a 60 dB dynamic range below the peak band: bands at the
     # noise/quantization floor collapse to ONE value, so their
     # differentials are exactly zero instead of random-sign jitter
@@ -534,10 +534,27 @@ def video_frame_near_dups(media: DataFrame, every_ms: int = 1000,
     from . import dedup as dd
     frames = sample_frames(media, every_ms=every_ms, fake=fake)
     # frame-level ids must be unique per (video, frame): synthesize a
-    # composite key that still lets us recover the video id
+    # composite key that still lets us recover the video id.  The
+    # packing is only injective while frame_no < 2^20 and
+    # 0 ≤ media_id < 2^43 — guard in-plan (raise_error, no extra
+    # action) so a long video at small every_ms or an oversized id
+    # space fails loudly instead of silently colliding into wrong
+    # near-dup pairs
+    packed = (F.col("media_id") * F.lit(1 << 20)
+              + F.col("frame_no").cast("long"))
     fh = (frames.withColumn(
-        "fid", F.col("media_id") * F.lit(1 << 20)
-        + F.col("frame_no").cast("long"))
+        "fid", F.when(
+            (F.col("frame_no") >= F.lit(1 << 20))
+            | (F.col("media_id") < 0)
+            | (F.col("media_id") >= F.lit(1 << 43)),
+            F.raise_error(F.concat(
+                F.lit("video_frame_near_dups composite-key overflow: "
+                      "media_id="), F.col("media_id"),
+                F.lit(" frame_no="), F.col("frame_no"),
+                F.lit(" (requires frame_no < 2^20 and "
+                      "0 <= media_id < 2^43); raise every_ms "
+                      "or remap media_id"))).cast("long"))
+        .otherwise(packed))
         .select("fid", F.col("payload"))
         .withColumnRenamed("fid", "media_id"))
     hashes = phash_images(

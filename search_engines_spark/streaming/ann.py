@@ -52,7 +52,21 @@ def start_ann_stream(spark: SparkSession, src_dir: str, index_path: str,
                      available_now: bool = True):
     """File-source embedding stream → IVF-PQ index at `index_path`.
     Returns the streaming query; `ivfpq_topk_indexed` serves reads at
-    any point."""
+    any point.
+
+    `index_path` must be a LOCAL filesystem path (or file:// URI):
+    the bootstrap-vs-append decision and `_ivfpq_meta.json` I/O go
+    through the driver's local filesystem, so a remote URI (hdfs://,
+    s3a://) would silently re-bootstrap every batch and clobber the
+    base index — rejected up front instead. Porting to a remote store
+    means routing the meta I/O and the existence probe through the
+    Hadoop FS API so the decision matches where Spark writes."""
+    scheme = index_path.split("://", 1)[0] if "://" in index_path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"start_ann_stream requires a local index_path; got scheme "
+            f"'{scheme}://' ({index_path}). The generation journal and "
+            "_ivfpq_meta.json are driver-local I/O.")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",

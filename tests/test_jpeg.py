@@ -186,7 +186,21 @@ def test_crafted_header_mcu_bomb_rejected():
     enc = bytearray(jpeg.encode_jpeg(_gradient(8, 8), quality=90))
     sof = bytes(enc).find(b"\xff\xc0")
     enc[sof + 5:sof + 9] = b"\xff\xff\xff\xff"   # height, width = 65535
-    with pytest.raises(ValueError, match="MCU"):
+    with pytest.raises(ValueError, match="megapixel"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_crafted_header_block_bomb_rejected():
+    """An SOF under the absolute pixel cap but declaring far more
+    coefficient blocks than the scan's entropy bytes could encode
+    (≥4 bits per block) must be rejected BEFORE the per-component
+    zz allocations — the per-byte amplification ADVICE case."""
+    enc = bytearray(jpeg.encode_jpeg(_gradient(8, 8), quality=90))
+    sof = bytes(enc).find(b"\xff\xc0")
+    # 8192x8192 = 64 MP < 256 MP cap, but ~3 MB of int32 zz per
+    # MCU column vs a few hundred scan bytes
+    enc[sof + 5:sof + 9] = b"\x20\x00\x20\x00"
+    with pytest.raises(ValueError, match="coefficient blocks"):
         jpeg.decode_jpeg(bytes(enc))
 
 
