@@ -968,8 +968,18 @@ def q_dedup_spans(spark, sf_dir):
     """Span-level exact substring dedup (Lee et al. 2021): maximal token
     spans covered by word-{dd.DEDUP_SPAN_K}-grams occurring >= 2 times
     corpus-wide. Oracle: same gram explode + HAVING count + gaps-and-
-    islands window merge in plain SQL."""
-    return dd.duplicate_spans(_docs(spark, sf_dir))
+    islands window merge in plain SQL.
+
+    Runs `hash_grams=True` — the at-scale key choice (8-byte
+    xxhash64(gram) through the count exchange and semi-join instead of
+    the k-token string). The oracle stays STRING-keyed on purpose: the
+    result depends only on gram EQUALITY, which the hash preserves
+    exactly modulo 64-bit collisions (deterministic, ~1.7e-9 odds over
+    this corpus's ~250k grams), so a green row certifies the hash-keyed
+    exchange end-to-end against engine-independent semantics. The
+    string-keyed default path keeps its own driver row via
+    dedup_strip_spans plus the pytest hash==string identity gate."""
+    return dd.duplicate_spans(_docs(spark, sf_dir), hash_grams=True)
 
 
 def q_strip_spans(spark, sf_dir):
@@ -3958,6 +3968,15 @@ WHERE bit_count(xor(x.phash, y.phash)) <= 6"""
 # dedup_minhash_lsh + code_winnow_pairs, the same shingle-join shape)
 # are rotated past it — see the tail block. They remain fully
 # pytest-covered and were driver-green in earlier rounds.
+#
+# ROUND-4 ROTATION: the eight round-3 families that post-dated the r3
+# window snapshot (phash dedup pair, PQ ANN, streamed ANN, hybrid RRF,
+# autocomplete, hashed embeddings, unigram Viterbi) are spliced into
+# the window via _R3_PROMOTED below; eight r1-r3-driver-green entries
+# with strict in-window kernel gates (bpe_encode_pieces, diversity_pm2,
+# eval_metrics, spell_suggest, facet_counts, bool_batch_onepass,
+# quality_model_score, dsir_importance) move to the tail — each
+# displacement's gate is documented at its tail entry.
 REGISTRY: dict[str, tuple] = {
     "bm25_syn": (q_bm25_syn, _sql_bm25_syn()),
     "bm25_sdm_structured": (q_bm25_sdm, _sql_bm25_sdm()),
@@ -3969,7 +3988,6 @@ REGISTRY: dict[str, tuple] = {
         _geo_combiner([1.0 / 3, 1.0 / 3, 1.0 / 3]))),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "bpe_train_merges": (q_bpe_train, _sql_bpe_train()),
-    "bpe_encode_pieces": (q_bpe_encode, _sql_bpe_encode()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     "segments_update_topk": (q_segments_update_topk,
                              _bm25_sql_updated(BOW3)),
@@ -3977,14 +3995,9 @@ REGISTRY: dict[str, tuple] = {
     "streamed_dedup_equal_batch": (q_streamed_dedup, _sql_streamed_dedup()),
     "standing_query_topk": (q_standing_stream, _sql_standing_topk()),
     "diversity_xquad": (q_diversity_xquad, _sql_diversity_xquad()),
-    "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
-    "eval_metrics": (q_eval_metrics, _sql_eval_metrics()),
     "search_snippets": (q_search_snippets, _sql_search_snippets()),
-    "spell_suggest": (q_spell_suggest, _sql_spell_suggest()),
-    "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "bm25_batch_onepass": (q_bm25_batch, _sql_trec_topk()),
     "indri_batch_onepass": (q_indri_batch, _sql_indri_batch()),
-    "bool_batch_onepass": (q_bool_batch, _sql_bool_batch()),
     "daat_batch_topk": (q_daat_batch, _sql_trec_topk()),
     "segments_structured_near": (q_segments_structured_near,
                                  _sql_near2_bool()),
@@ -4008,10 +4021,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, _sql_quality_filter()),
     "quality_model_weights": (q_quality_model_weights,
                               _sql_quality_model_weights()),
-    "quality_model_score": (q_quality_model_score,
-                            _sql_quality_model_score()),
     "lm_unigram_score": (q_lm_unigram, _sql_lm_unigram()),
-    "dsir_importance": (q_dsir_importance, _sql_dsir_importance()),
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
     "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
@@ -4185,48 +4195,105 @@ REGISTRY: dict[str, tuple] = {
     # replays, the quantized cosine the dedup_embedding_lsh family's;
     # python-replay + planted-keeper + empty-frame pytest in
     # test_similarity.py; check_entry-green at sf0.001 + sf0.01
+    # ---- displaced late-r4 to admit the round-3 operator families --
+    # (each displacement documents its in-window gate; all eight were
+    # driver-green in CORRECTNESS_r01-r03 and stay check_entry-green)
+    "bpe_encode_pieces": (q_bpe_encode, _sql_bpe_encode()),
+    # the encode fold chain is plan-asserted zero-shuffle and replays
+    # the SAME merge table in-window bpe_train_merges produces (its
+    # oracle's w{r}/p{r}/b{r} CTE chain re-derives every merge); piece
+    # counts pytest-pinned (doc 0 → 117 pieces, test_tokenizer_sketches)
+    "diversity_pm2": (q_diversity_pm2, _sql_diversity_pm2()),
+    # PM2 shares xQuAD's ranking-file parse, normalization, and
+    # per-intent scaffolding (in-window diversity_xquad); the s-reset
+    # quirk is pinned by the literal-replay pytest (test_capabilities)
+    "eval_metrics": (q_eval_metrics, _sql_eval_metrics()),
+    # trec_eval metric battery: all-relevant-qrels exactness property
+    # (rr = ap = ndcg = 1) + per-metric replays in test_evaluation.py;
+    # three rounds of driver-green history
+    "spell_suggest": (q_spell_suggest, _sql_spell_suggest()),
+    # the banded edit-distance candidate join is the same pigeonhole
+    # shape as in-window dedup_minhash_lsh / dedup_phash_banded;
+    # suggestion ranking pytest-pinned (test_serving.py)
+    "facet_counts": (q_facet_counts, _sql_facet_counts()),
+    # one map-side-combined rollup + having-count, the grouping shape
+    # in-window curation_funnel / sample_temperature exercise;
+    # pytest-pinned (test_serving.py)
+    "bool_batch_onepass": (q_bool_batch, _sql_bool_batch()),
+    # boolean one-pass batch frame: #AND/#OR scoring gated in-window by
+    # ranked_and + ranked_near, batch==solo equality pytest-pinned
+    # (test_batch_models.py), and the reference-binary goldens cover
+    # the boolean model end-to-end
+    "quality_model_score": (q_quality_model_score,
+                            _sql_quality_model_score()),
+    # the broadcast-weight scoring side: in-window
+    # quality_model_weights gates the shared train kernel, and
+    # model_scores == fit_model + score_with_model is pytest-equality
+    # (plan-asserted zero-shuffle, test_quality_model.py)
+    "dsir_importance": (q_dsir_importance, _sql_dsir_importance()),
+    # hashed-bigram features + broadcast log-ratio weights: the same
+    # hashed-feature/broadcast-score kernels in-window
+    # quality_model_weights and lm_unigram_score gate; plain-Python
+    # formula replay in test_quality_model.py
+}
+
+
+# ---- round-3 families promoted into the driver window (late r4) ----
+# These eight registry families were added after the round-3 window
+# snapshot and had never had a driver-recorded oracle row; they are
+# spliced into the first 50 here (in place of the eight displaced
+# entries above) so CORRECTNESS_r04 records them.
+_R3_PROMOTED: dict[str, tuple] = {
     "dedup_phash_banded": (q_dedup_phash_banded, _sql_dedup_phash()),
-    # image-pHash banded hamming join: overflow-born — oracle is the
-    # brute all-pairs scan the banded plan must equal exactly while
-    # max_dist < bands (pigeonhole); the decode→DCT hash kernel is
-    # pytest-gated in test_phash.py (planted near-dup images,
-    # no-cartesian plan assert, brute-force recall property)
+    # image-pHash banded hamming join: oracle is the brute all-pairs
+    # scan the banded plan must equal exactly while max_dist < bands
+    # (pigeonhole); the decode→DCT hash kernel is pytest-gated in
+    # test_phash.py (planted near-dup images, no-cartesian plan
+    # assert, brute-force recall property)
     "term_autocomplete": (q_autocomplete, _sql_autocomplete()),
-    # serving-tier type-ahead table: overflow-born — prefix explode +
-    # per-prefix top-k window, identical SQL replay; the short-term
-    # guard pins the descending-sequence gotcha
+    # serving-tier type-ahead table: prefix explode + per-prefix top-k
+    # window, identical SQL replay; the short-term guard pins the
+    # descending-sequence gotcha
     "text_hashed_embeddings": (q_featurize_text, _sql_featurize()),
-    # in-engine feature-hashing embeddings: overflow-born — fixed-point
-    # idf makes every component an exact integer, so the oracle replays
-    # the full hash/sign/ln arithmetic; pytest composes the output into
+    # in-engine feature-hashing embeddings: fixed-point idf makes
+    # every component an exact integer, so the oracle replays the full
+    # hash/sign/ln arithmetic; pytest composes the output into
     # ann_cosine_topk / semantic_dedup (test_similarity.py)
     "ann_pq_topk": (q_ann_pq_topk, _sql_ann_pq()),
-    # product-quantization ADC: overflow-born — deterministic seeded
-    # codebooks (the ann_ivf precedent), per-subspace argmin with the
-    # lowest-cid tie rule, 1e6-quantized ADC distances; python-replay +
-    # refinement + recall pytest in test_similarity.py
+    # product-quantization ADC: deterministic seeded codebooks (the
+    # ann_ivf precedent), per-subspace argmin with the lowest-cid tie
+    # rule, 1e6-quantized ADC distances; python-replay + refinement +
+    # recall pytest in test_similarity.py
     "unigram_viterbi_score": (q_unigram_viterbi, _sql_unigram_viterbi()),
-    # the unigram-LM Viterbi DP under a FIXED vocabulary: overflow-born
-    # — one recursion step per character position carrying the last-3
-    # best[] window (the NEAR-zipper CTE precedent); EM training stays
-    # oracle-exempt, gated by enumeration pytest oracles
+    # the unigram-LM Viterbi DP under a FIXED vocabulary: one
+    # recursion step per character position carrying the last-3 best[]
+    # window (the NEAR-zipper CTE precedent); EM training is driver-
+    # gated by unigram_estep_1iter plus the enumeration pytest oracles
     "streamed_ann_equal_batch": (q_streamed_ann, _sql_ivfpq()),
+    # streaming IVF-PQ maintenance: the two-batch stream folds into
+    # journaled generations and must answer probes exactly as the full
+    # in-SQL IVF-PQ construction (shared seeds → identical
+    # centroids/codebooks); restart idempotence and the streamed ==
+    # batch gate are pytest-pinned (test_streaming.py)
     "hybrid_rrf_topk": (q_hybrid_rrf, _sql_hybrid_rrf()),
-    # hybrid lexical+vector retrieval: overflow-born — RRF over
-    # quantized-score ranks, both sides + the fusion replayed in one
-    # SQL statement (BM25 scored CTE ⨝ cosine top-100)
+    # hybrid lexical+vector retrieval: RRF over quantized-score ranks,
+    # both sides + the fusion replayed in one SQL statement
+    # (BM25 scored CTE ⨝ cosine top-100)
     "dedup_phash_clusters": (q_dedup_phash_clusters,
                              _sql_dedup_phash_clusters()),
     # the cluster/retention side of perceptual-hash dedup: recursive
     # transitive-closure oracle over the brute pair scan (the
     # dedup_cc_clusters precedent) falsifies star contraction on the
     # hamming candidate graph
-    # streaming IVF-PQ maintenance: overflow-born — the two-batch
-    # stream folds into journaled generations and must answer probes
-    # exactly as the full in-SQL IVF-PQ construction (shared seeds →
-    # identical centroids/codebooks); restart idempotence and the
-    # streamed==batch gate are pytest-pinned (test_streaming.py)
 }
+
+# splice the promoted families into the window right after the last
+# always-in-window entry (export_shards) so they occupy the eight
+# freed slots; dicts preserve insertion order, so rebuild
+_tail_start = list(REGISTRY).index("postings_term")
+_items = list(REGISTRY.items())
+REGISTRY = dict(_items[:_tail_start]) | _R3_PROMOTED | dict(
+    _items[_tail_start:])
 
 
 def queries():
