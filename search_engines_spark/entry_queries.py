@@ -3692,6 +3692,102 @@ FROM toks JOIN best USING (word)
 GROUP BY doc_id"""
 
 
+def q_unigram_estep(spark, sf_dir):
+    """ONE unigram-LM EM E-step (`tokenizer.unigram_estep`) under the
+    same FIXED `_UNI_VOCAB` the Viterbi entry uses → (piece,
+    e_count_r): expected piece counts from the forward-backward
+    lattice, plus one `__ll__` row carrying the corpus log-likelihood
+    Σ freq·logZ(word). This closes the one operator family that had no
+    SQL oracle at all — EM training — by driver-gating its E-step; the
+    iterative sweep on top is plain re-normalization (pytest-gated
+    monotone-LL + enumeration oracles).
+
+    The oracle replays α (forward) and β (backward) as recursive CTEs
+    carrying a sliding 3-window of log-sum-exp values — the Viterbi
+    entry's DP shape with lse in place of max — and forms
+    E[piece@(i,j)] = exp(α(i)+logp+β(j)−logZ)·freq. Quantized at 1e2:
+    log-sum-exp accumulation order differs between np.logaddexp chains
+    and ln(Σexp) (and Spark's float groupBy sum is partitioning-order-
+    dependent), bounding absolute drift well under 5e-3 while still
+    falsifying any real lattice/count bug."""
+    from .pipeline.tokenizer import bpe_word_counts, unigram_estep
+    wc = bpe_word_counts(_docs(spark, sf_dir)).select("word", "freq")
+    ec = unigram_estep(wc, dict(_UNI_VOCAB), max_piece_len=3)
+    return (ec.select(
+        F.when(F.col("piece") == "\x00ll", F.lit("__ll__"))
+        .otherwise(F.col("piece")).alias("piece"),
+        F.floor(F.col("e_count") * 1e2 + F.lit(0.5))
+        .cast("long").alias("e_count_r"))
+        .where(F.col("e_count_r") != 0))
+
+
+def _sql_unigram_estep() -> str:
+    def lp(var: str) -> str:
+        arms = " ".join(
+            f"WHEN '{p}' THEN CAST({lpv!r} AS DOUBLE)"
+            for p, lpv in _UNI_VOCAB)
+        return f"CASE {var} {arms} ELSE -1e18 END"
+
+    # exp(-1e18) = 0 kills out-of-vocab arms inside the lse; the
+    # greatest(.., 1e-300) clamp only guards DuckDB's ln(0) error on
+    # positions with no in-vocab incoming piece — unreachable here
+    # because _UNI_VOCAB contains every [a-z0-9] character
+    fw_step = (f"ln(greatest(list_sum(list_transform("
+               f"range(1, least(3, i + 1) + 1), "
+               f"L -> exp(w[4 - L] + "
+               f"{lp('substr(word, i + 2 - L, L)')}))), 1e-300))")
+    bw_step = (f"ln(greatest(list_sum(list_transform("
+               f"range(1, least(3, length(word) - i + 1) + 1), "
+               f"L -> exp(w[4 - L] + "
+               f"{lp('substr(word, i, L)')}))), 1e-300))")
+    return f"""WITH RECURSIVE toks AS (
+  SELECT doc_id::BIGINT AS doc_id, t AS word
+  FROM (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+          x -> x <> '')) AS t FROM documents)),
+wc AS (SELECT word, count(*)::DOUBLE AS freq FROM toks GROUP BY word),
+words AS (SELECT word FROM wc),
+af(word, i, w) AS (
+  SELECT word, 0,
+         [CAST(-1e18 AS DOUBLE), -1e18, CAST(0.0 AS DOUBLE)]
+  FROM words
+  UNION ALL
+  SELECT word, i + 1, [w[2], w[3], {fw_step}]
+  FROM af WHERE i < length(word)),
+bb(word, i, w) AS (
+  SELECT word, length(word),
+         [CAST(-1e18 AS DOUBLE), -1e18, CAST(0.0 AS DOUBLE)]
+  FROM words
+  UNION ALL
+  SELECT word, i - 1, [w[2], w[3], {bw_step}]
+  FROM bb WHERE i > 0),
+alpha AS (SELECT word, i, w[3] AS a FROM af),
+beta AS (SELECT word, i, w[3] AS b FROM bb),
+zt AS (SELECT word, w[3] AS z FROM af WHERE i = length(word)),
+spans AS (
+  SELECT word, n, i, L, substr(word, i + 1, L) AS piece
+  FROM (SELECT word, length(word) AS n,
+               unnest(range(0, length(word))) AS i FROM words),
+       (SELECT unnest([1, 2, 3]) AS L)
+  WHERE i + L <= n),
+ec AS (
+  SELECT s.piece,
+         exp(a.a + {lp('s.piece')} + b.b - zt.z) * wc.freq AS e
+  FROM spans s
+  JOIN alpha a ON a.word = s.word AND a.i = s.i
+  JOIN beta b ON b.word = s.word AND b.i = s.i + s.L
+  JOIN zt ON zt.word = s.word
+  JOIN wc ON wc.word = s.word
+  WHERE zt.z > -1e8),
+counts AS (SELECT piece, sum(e) AS e_count FROM ec WHERE e > 0
+           GROUP BY piece),
+ll AS (SELECT '__ll__' AS piece, sum(freq * z) AS e_count
+       FROM wc JOIN zt USING (word) WHERE z > -1e8)
+SELECT piece, floor(e_count * 1e2 + 0.5)::BIGINT AS e_count_r
+FROM (SELECT * FROM counts UNION ALL SELECT * FROM ll)
+WHERE floor(e_count * 1e2 + 0.5) <> 0"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (`serving.hybrid_rrf`): reciprocal-rank fusion
     of the BM25 top-100 for the BOW3 query and the cosine top-100 for
@@ -4023,7 +4119,6 @@ REGISTRY: dict[str, tuple] = {
                               _sql_quality_model_weights()),
     "lm_unigram_score": (q_lm_unigram, _sql_lm_unigram()),
     "decontam_scan": (q_decontam_scan, _sql_decontam_scan()),
-    "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "export_shards": (q_export_shards, _sql_export_shards()),
     # ---- rotated past the driver's 50-entry window (see note above) --
@@ -4235,6 +4330,12 @@ REGISTRY: dict[str, tuple] = {
     # hashed-feature/broadcast-score kernels in-window
     # quality_model_weights and lm_unigram_score gate; plain-Python
     # formula replay in test_quality_model.py
+    "sample_temperature": (q_sample_temperature, _sql_sample_temperature()),
+    # displaced late-r4 to admit unigram_estep_1iter: the temperature
+    # sampler is a strict subset of in-window curation_funnel's final
+    # sample stage (same composition group window, broadcast scalar,
+    # deterministic hash-keep rule); resumability + formula pytest in
+    # test_curation.py; driver-green r01-r03
 }
 
 
@@ -4269,6 +4370,14 @@ _R3_PROMOTED: dict[str, tuple] = {
     # recursion step per character position carrying the last-3 best[]
     # window (the NEAR-zipper CTE precedent); EM training is driver-
     # gated by unigram_estep_1iter plus the enumeration pytest oracles
+    "unigram_estep_1iter": (q_unigram_estep, _sql_unigram_estep()),
+    # NEW r4: one EM E-step under the same fixed vocab — forward-
+    # backward expected piece counts + the corpus-LL rider, against a
+    # twin recursive-CTE lse lattice replay; closes the last operator
+    # family (EM training) that had no SQL oracle. Displaces
+    # sample_temperature (strict subset of in-window curation_funnel's
+    # final sample stage — same group window + broadcast scalar +
+    # hash-keep rule — plus resumability pytest in test_curation.py)
     "streamed_ann_equal_batch": (q_streamed_ann, _sql_ivfpq()),
     # streaming IVF-PQ maintenance: the two-batch stream folds into
     # journaled generations and must answer probes exactly as the full
