@@ -117,3 +117,58 @@ letor:testingDocumentScores={scores_f}
         ml_exts = {ln.split()[2] for ln in open(out2).read().splitlines()
                    if ln.split()[0] == qid}
         assert {e for _, e, _ in got[qid]} == ml_exts
+
+
+def test_svmrank_with_engine_pagerank(spark, corpus_parquet, tmp_path,
+                                      svm_bins):
+    """The complete reference letor loop with NOTHING out-of-band:
+    PageRank produced in-engine (`pipeline.graph.pagerank` →
+    `write_pagerank_file`), fed as `letor:pageRankFile` (f4,
+    `FeatureVector.java:53-72,242-249`), trained and classified by the
+    reference's real svm_rank binaries. Gates: model written, f4
+    populated and differentiating in the emitted training features,
+    and a repeat run is rank-stable (byte-identical trec output)."""
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline.graph import (pagerank,
+                                                     write_pagerank_file)
+    learn, classify = svm_bins
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)]
+        + [(i, (i * 7 + 3) % n) for i in range(0, n, 3)],
+        "src long, dst long")
+    pr = pagerank(edges, 0.85, n_iter=6)
+    ext_ids = spark.range(n).select(
+        F.col("id").alias("node"),
+        F.format_string("doc%09d", F.col("id")).alias("ext_id"))
+    pr_file = str(tmp_path / "pagerank_bin.txt")
+    write_pagerank_file(pr, pr_file, ext_ids)
+    pr.unpersist()
+
+    model_f = tmp_path / "svm_pr.model"
+    pf, out = _letor_params(
+        tmp_path, corpus_parquet, "prbin",
+        f"""letor:svmRankLearnPath={learn}
+letor:svmRankClassifyPath={classify}
+letor:svmRankParamC=0.001
+letor:pageRankFile={pr_file}
+letor:testingFeatureVectorsFile={tmp_path / 'test_pr.fv'}
+letor:svmRankModelFile={model_f}
+letor:testingDocumentScores={tmp_path / 'svm_pr.scores'}
+""")
+    main(pf, spark=spark)
+    run1 = open(out).read()
+    assert run1.splitlines()
+    assert os.path.getsize(model_f) > 0
+
+    f4_vals = set()
+    for ln in open(tmp_path / "train_prbin.fv").read().splitlines():
+        feats = dict(kv.split(":", 1) for kv in
+                     ln.split(" # ")[0].split()[2:])
+        assert "4" in feats
+        f4_vals.add(feats["4"])
+    assert len(f4_vals) > 1
+
+    main(pf, spark=spark)
+    assert open(out).read() == run1
