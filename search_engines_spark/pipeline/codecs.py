@@ -18,14 +18,16 @@ formats the Python stdlib + numpy can handle for real:
   needs no codec at all, only container parsing. Frame pixel data is
   the same bottom-up padded BGR layout as BMP.
 
-* **JPEG** — baseline sequential DCT, encode and decode, via the
-  pure-numpy implementation in `pipeline.jpeg` (Annex K tables,
-  restart intervals, 4:2:0/4:2:2/4:4:4). AVI gains the matching
-  'MJPG' compression: each frame chunk is a complete baseline JPEG.
+* **JPEG** — baseline sequential DCT (SOF0/1) AND progressive DCT
+  (SOF2: spectral selection + successive approximation, EOB runs),
+  encode and decode, via the pure-numpy implementation in
+  `pipeline.jpeg` (Annex K tables, restart intervals,
+  4:2:0/4:2:2/4:4:4). AVI gains the matching 'MJPG' compression: each
+  frame chunk is a complete baseline JPEG.
 
 Encoders for the same formats exist so tests and the synthetic media
 table can produce REAL payloads deterministically (no external data).
-Formats still needing external codecs (MP3, H.264, progressive JPEG):
+Formats still needing external codecs (MP3, H.264):
 `sniff` returns None / decode raises ValueError and the multimodal
 kernels fall back to the gated fake path.
 """

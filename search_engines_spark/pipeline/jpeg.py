@@ -1,20 +1,27 @@
-"""Baseline JPEG (ITU-T T.81) encoder/decoder in pure numpy + stdlib.
+"""JPEG (ITU-T T.81) encoder/decoder in pure numpy + stdlib —
+baseline sequential (SOF0/1) AND progressive (SOF2) DCT processes.
 
-The container ships no PIL/libjpeg, so until now JPEG payloads fell to
-the gated fake path in `pipeline.multimodal`. This module implements
-the baseline sequential DCT process for real:
+The container ships no PIL/libjpeg, so until round 3 JPEG payloads
+fell to the gated fake path in `pipeline.multimodal`. This module
+implements both Huffman DCT processes for real:
 
-* **decoder** — SOI/APP/COM/DQT/DHT/SOF0/DRI/SOS marker parse, canonical
-  Huffman entropy decode (with 0xFF00 byte unstuffing and RSTn restart
-  intervals), dequantization, vectorized 8×8 inverse DCT over ALL blocks
-  at once (one einsum per component), nearest-neighbor chroma upsampling
-  for any (h,v) sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0), and
-  JFIF YCbCr→RGB. Grayscale (1-component) scans decode to (h, w, 1).
+* **decoder** — SOI/APP/COM/DQT/DHT/SOF0/SOF2/DRI/SOS marker parse,
+  canonical Huffman entropy decode (with 0xFF00 byte unstuffing and
+  RSTn restart intervals), dequantization, vectorized 8×8 inverse DCT
+  over ALL blocks at once (one einsum per component), nearest-neighbor
+  chroma upsampling for any (h,v) sampling factors up to 2 (4:4:4,
+  4:2:2, 4:2:0), and JFIF YCbCr→RGB. Grayscale (1-component) scans
+  decode to (h, w, 1). Progressive streams (T.81 Annex G) run a
+  multi-scan loop: spectral-selection bands, successive-approximation
+  DC/AC first + refinement scans, EOB runs, inter-scan DHT/DRI
+  updates.
 * **encoder** — quality-scaled Annex K quantization tables (the libjpeg
   50-point scaling convention), Annex K standard Huffman tables,
   optional 4:2:0 subsampling (2×2 box-filtered chroma), optional
   restart intervals, interleaved single-scan baseline output any
-  decoder (including this one) accepts.
+  decoder (including this one) accepts; `progressive=True` emits an
+  SOF2 scan script (DC Al=1 + refine, per-component AC bands Al=1 +
+  refine) whose decode is bit-identical to the baseline stream's.
 
 The per-symbol Huffman loops are plain Python — the honest cost of a
 dependency-free entropy coder; everything per-pixel (color transform,
@@ -22,8 +29,8 @@ DCT, quantization, upsampling) is vectorized numpy. At the thumbnail
 sizes the multimodal kernels process per Arrow batch this is plenty;
 production swaps in libjpeg-turbo behind the same `codecs.sniff`.
 
-Only baseline DCT (SOF0) is supported; progressive (SOF2), arithmetic
-coding, 12-bit precision, and >2 sampling factors raise ValueError —
+Arithmetic coding, lossless/hierarchical processes, 12-bit precision,
+and >2 sampling factors raise ValueError —
 `multimodal.decode_image(fake=True)` falls back to the deterministic
 fake decoder for those, same contract as every other codec here.
 """
@@ -299,11 +306,131 @@ def _pad_edge(a: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return a
 
 
+# Huffman table for progressive AC scans: the Annex K AC tables lack
+# the EOBn symbols (r<<4 for r=1..14) progressive end-of-band runs
+# need, so progressive scans carry one flat custom table — every
+# symbol we can emit at 9 bits (canonical codes 0..175; the all-ones
+# 9-bit code stays unused by construction). Suboptimal compression,
+# exact coverage.
+_AC_PROG_SYMS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_PROG = ([0] * 8 + [len(_AC_PROG_SYMS)] + [0] * 7, _AC_PROG_SYMS)
+
+
+class _ACProgWriter:
+    """Per-(scan, component) progressive AC entropy state: the pending
+    end-of-band run and the correction bits buffered behind it
+    (T.81 G.1.2.2-G.1.2.3, the libjpeg BE/bit_buffer discipline)."""
+
+    def __init__(self, w: "_BitWriter", ac_codes: dict) -> None:
+        self.w, self.ac = w, ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []        # correction bits behind the EOB run
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nb << 4]
+            self.w.write(code, ln)
+            if nb:
+                self.w.write(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+
+def _ac_first_block(st: _ACProgWriter, zz: np.ndarray, ss: int, se: int,
+                    al: int) -> None:
+    """One block of an Ah=0 progressive AC scan: baseline run/size
+    coding over the point-transformed band, zero tails folded into the
+    cross-block EOB run."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        st.flush_eob()
+        while run > 15:
+            code, ln = st.ac[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+        sz = t.bit_length()
+        code, ln = st.ac[(run << 4) | sz]
+        st.w.write(code, ln)
+        st.w.write(t if v > 0 else (1 << sz) - 1 - t, sz)
+        run = 0
+    if run > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _ac_refine_block(st: _ACProgWriter, zz: np.ndarray, ss: int, se: int,
+                     al: int) -> None:
+    """One block of an Ah>0 progressive AC scan: ±1<<Al insertions for
+    newly-nonzero coefficients, correction bits for history-nonzero
+    ones, buffered behind the next emitted symbol (T.81 G.1.2.3)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1                           # index of last NEWLY-nonzero coef
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []                 # bits buffered since last symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.flush_eob()
+            code, ln = st.ac[0xF0]
+            st.w.write(code, ln)
+            run -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if t > 1:                      # history-nonzero → correction bit;
+            br.append(t & 1)           # does NOT break the zero run
+            continue
+        st.flush_eob()
+        code, ln = st.ac[(run << 4) | 1]
+        st.w.write(code, ln)
+        st.w.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF or len(st.be) > 937:
+            st.flush_eob()
+
+
+def _comp_block_dims(h_img: int, w_img: int, hs: int, vs: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """True (block rows, block cols) of a component for NON-interleaved
+    scans (T.81 A.2.2) — smaller than the MCU-padded grid whenever the
+    image isn't an MCU multiple and the component is full-resolution."""
+    sh = -(-h_img * vs // vmax)
+    sw = -(-w_img * hs // hmax)
+    return -(-sh // 8), -(-sw // 8)
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 75,
-                subsample: bool = False, restart: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB or (h, w)/(h, w, 1) gray → baseline JFIF
-    bytes. `subsample=True` emits 4:2:0 (2×2 box-filtered chroma);
-    `restart=N` inserts an RSTn marker every N MCUs."""
+                subsample: bool = False, restart: int = 0,
+                progressive: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w)/(h, w, 1) gray → JFIF bytes.
+    `subsample=True` emits 4:2:0 (2×2 box-filtered chroma);
+    `restart=N` inserts an RSTn marker every N MCUs (baseline only).
+    `progressive=True` emits SOF2 with a spectral-selection +
+    successive-approximation scan script (DC at Al=1 then a refine
+    pass; per-component AC 1-5/6-63 at Al=1 then refine passes) —
+    identical coefficients to the baseline stream, so decode output
+    matches the baseline encode of the same input exactly."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -361,12 +488,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     sof = struct.pack(">BHHB", 8, h_img, w_img, ncomp)
     for ci, (hs, vs) in enumerate(samplings):
         sof += bytes((ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1))
-    w.buf += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
-    for cls, tid, (bits, values) in (
-            (0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
-            *(() if gray else ((0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)))):
+    w.buf += bytes((0xFF, 0xC2 if progressive else 0xC0)) \
+        + struct.pack(">H", 2 + len(sof)) + sof
+    dhts = ((0, 0, _DC_LUMA), (1, 0, _AC_PROG if progressive else _AC_LUMA))
+    if not gray:
+        dhts += ((0, 1, _DC_CHROMA),) if progressive else \
+            ((0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA))
+    for cls, tid, (bits, values) in dhts:
         body = bytes(((cls << 4) | tid,)) + bytes(bits) + bytes(values)
         w.buf += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if progressive:
+        return _encode_progressive_scans(
+            w, coefs, samplings, mcus_y, mcus_x, h_img, w_img,
+            dc_l, dc_c)
     if restart:
         w.buf += b"\xFF\xDD" + struct.pack(">HH", 4, restart)
     sos = bytes((ncomp,))
@@ -394,15 +528,94 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     return bytes(w.buf)
 
 
+def _encode_progressive_scans(w: "_BitWriter", coefs: list, samplings: list,
+                              mcus_y: int, mcus_x: int, h_img: int,
+                              w_img: int, dc_l: dict, dc_c: dict) -> bytes:
+    """Emit the progressive scan script over already-quantized
+    coefficients: DC all-components at Al=1 + a DC refine pass, then
+    per-component AC spectral bands at Al=1 + AC refine passes. All
+    scans share the one `_AC_PROG` table (ta=0)."""
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    ac_prog = _build_codes(*_AC_PROG)
+
+    def sos(comp_specs: list, ss: int, se: int, ah: int, al: int) -> None:
+        body = bytes((len(comp_specs),))
+        for ci, td in comp_specs:
+            body += bytes((ci + 1, (td << 4) | 0))
+        body += bytes((ss, se, (ah << 4) | al))
+        w.buf += b"\xFF\xDA" + struct.pack(">H", 2 + len(body)) + body
+
+    # ---- DC first scan: interleaved, Al = 1 -------------------------
+    sos([(ci, 0 if ci == 0 else 1) for ci in range(ncomp)], 0, 0, 0, 1)
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samplings):
+                dc_codes = dc_l if ci == 0 else dc_c
+                for v in range(vs):
+                    for hh in range(hs):
+                        t = int(coefs[ci][my * vs + v, mx * hs + hh, 0]) >> 1
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        sz = abs(diff).bit_length()
+                        code, ln = dc_codes[sz]
+                        w.write(code, ln)
+                        if sz:
+                            w.write(diff if diff > 0
+                                    else diff + (1 << sz) - 1, sz)
+    w.align()
+
+    # ---- AC first scans: per component, Al = 1, luma band-split -----
+    bands = {ci: ([(1, 5), (6, 63)] if ci == 0 else [(1, 63)])
+             for ci in range(ncomp)}
+    for ci in range(ncomp):
+        hs, vs = samplings[ci]
+        bh, bw = _comp_block_dims(h_img, w_img, hs, vs, hmax, vmax)
+        for ss, se in bands[ci]:
+            sos([(ci, 0)], ss, se, 0, 1)
+            st = _ACProgWriter(w, ac_prog)
+            for u in range(bh * bw):
+                _ac_first_block(st, coefs[ci][u // bw, u % bw], ss, se, 1)
+            st.flush_eob()
+            w.align()
+
+    # ---- DC refine scan: interleaved raw bits, Ah=1 → Al=0 ----------
+    sos([(ci, 0) for ci in range(ncomp)], 0, 0, 1, 0)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samplings):
+                for v in range(vs):
+                    for hh in range(hs):
+                        w.write(int(coefs[ci][my * vs + v,
+                                              mx * hs + hh, 0]) & 1, 1)
+    w.align()
+
+    # ---- AC refine scans: per component, Ah=1 → Al=0 ----------------
+    for ci in range(ncomp):
+        hs, vs = samplings[ci]
+        bh, bw = _comp_block_dims(h_img, w_img, hs, vs, hmax, vmax)
+        sos([(ci, 0)], 1, 63, 1, 0)
+        st = _ACProgWriter(w, ac_prog)
+        for u in range(bh * bw):
+            _ac_refine_block(st, coefs[ci][u // bw, u % bw], 1, 63, 0)
+        st.flush_eob()
+        w.align()
+
+    w.marker(0xD9)                                         # EOI
+    return bytes(w.buf)
+
+
 # ----------------------------------------------------------------- decoder --
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (3-component) or
-    (h, w, 1) uint8 (grayscale). ValueError on progressive/arithmetic/
-    12-bit/oversampled streams and ANY malformed data (the parse
-    errors short headers raise — struct.error/IndexError — are
-    normalized here so the contract holds without the codecs
-    wrapper)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF bytes → (h, w, 3)
+    uint8 RGB (3-component) or (h, w, 1) uint8 (grayscale). ValueError
+    on arithmetic/lossless/12-bit/oversampled streams and ANY
+    malformed data (the parse errors short headers raise —
+    struct.error/IndexError — are normalized here so the contract
+    holds without the codecs wrapper)."""
     try:
         return _decode_jpeg_impl(data)
     except (struct.error, IndexError, OverflowError, KeyError) as e:
@@ -420,6 +633,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     h_img = w_img = 0
     dri = 0
     pos = 2
+    progressive = False
     scan_comps: list[dict] = []
     while True:
         if pos + 4 > len(data):
@@ -433,11 +647,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         if m == 0x01 or 0xD0 <= m <= 0xD7:             # length-less markers
             pos += 2
             continue
-        if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0xFF{m:02X}); "
-                "baseline sequential (SOF0/SOF1) only")
+                "baseline sequential (SOF0/SOF1) and progressive "
+                "(SOF2) only")
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -468,7 +683,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT segment")
                 huff[(cls, tid)] = _build_decode(bits, values)
                 b += 17 + nv
-        elif m in (0xC0, 0xC1):                            # SOF0/1
+        elif m in (0xC0, 0xC1, 0xC2):                      # SOF0/1/2
+            progressive = m == 0xC2
             prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -482,6 +698,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         elif m == 0xDD:                                    # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:                                    # SOS
+            if progressive:
+                if not comps or not h_img or not w_img:
+                    raise ValueError("JPEG without a valid frame header")
+                pos = _decode_progressive_scans(
+                    data, pos, body, comps, huff, qtabs, dri,
+                    h_img, w_img)
+                break
             ns = body[0]
             for si in range(ns):
                 cid, tt = body[1 + 2 * si:3 + 2 * si]
@@ -497,13 +720,15 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         # APPn / COM / DNL / anything else: skipped
     if not comps or not h_img or not w_img:
         raise ValueError("JPEG without a valid frame header")
-    if len(scan_comps) != len(comps):
+    if not progressive and len(scan_comps) != len(comps):
         raise ValueError("non-interleaved multi-scan JPEG unsupported")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
+    if progressive:
+        return _idct_and_assemble(comps, qtabs, hmax, vmax, h_img, w_img)
     # Decompression-bomb guards, sized on what the frame actually
     # allocates.  A 4:2:0 MCU holds 6 blocks × 256 B of coefficient
     # array, so the bound must count declared BLOCKS, not MCUs, or a
@@ -567,6 +792,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         k += 1
                     c["zz"][my * c["v"] + v, mx * c["h"] + hh] = zz
 
+    return _idct_and_assemble(comps, qtabs, hmax, vmax, h_img, w_img)
+
+
+def _idct_and_assemble(comps: list, qtabs: dict, hmax: int, vmax: int,
+                       h_img: int, w_img: int) -> np.ndarray:
+    """Decoded coefficient grids → (h, w, 1|3) uint8: dequantize,
+    vectorized IDCT, chroma upsample, crop, color-convert. Shared by
+    the baseline and progressive paths."""
     planes = []
     for c in comps:
         hb, wb = c["zz"].shape[:2]
@@ -591,3 +824,239 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
         y + 1.772 * (cb - 128.0)], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------- progressive decoder --
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker at/after `p`, skipping stuffed
+    0xFF00 pairs, fill bytes, and stray RSTn."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00:                  # stuffed data byte
+            p += 2
+        elif data[p + 1] == 0xFF:                  # fill byte
+            p += 1
+        elif 0xD0 <= data[p + 1] <= 0xD7:          # restart marker
+            p += 2
+        else:
+            return p
+    raise ValueError("truncated JPEG (unterminated scan)")
+
+
+def _prog_dc_unit(r: "_BitReader", c: dict, dc_tab, ah: int, al: int,
+                  by: int, bx: int) -> None:
+    if ah == 0:
+        t = _decode_huff(r, dc_tab)
+        c["pred"] += _extend(r.receive(t), t)
+        if not -(1 << 15) <= c["pred"] <= (1 << 15):
+            raise ValueError("DC predictor out of range")
+        c["zz"][by, bx, 0] = c["pred"] << al
+    elif r.read_bit():
+        c["zz"][by, bx, 0] |= np.int32(1 << al)
+
+
+def _prog_ac_refine_unit(r: "_BitReader", zz: np.ndarray, ac_tab,
+                         ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of an Ah>0 AC scan (T.81 G.2; the libjpeg
+    decode_mcu_AC_refine control flow): insert new ±1<<Al
+    coefficients, apply correction bits to history-nonzero ones."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, ac_tab)
+            rr, sz = rs >> 4, rs & 15
+            val = 0
+            if sz == 0:
+                if rr != 15:                       # EOBn: run of blocks
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.receive(rr)
+                    break
+                # ZRL: rr == 15 → skip 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    raise ValueError(
+                        "bad magnitude in AC refinement scan")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    if r.read_bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                             # corrections through
+            v = int(zz[k])                         # the rest of the band
+            if v != 0:
+                if r.read_bit() and (v & p1) == 0:
+                    zz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scans(data: bytes, pos: int, body0: bytes,
+                              comps: list, huff: dict, qtabs: dict,
+                              dri: int, h_img: int, w_img: int) -> int:
+    """Drive every scan of a progressive JPEG: decode the first scan
+    (header in `body0`, entropy data at `pos`), then keep walking
+    markers — DHT/DQT/DRI may change between scans — until EOI.
+    Mutates each comp's coefficient grid in place; returns the final
+    offset."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    # Bomb guards: the baseline blocks-per-scan-byte bound does not
+    # transfer (an EOBn symbol covers up to 2^14 blocks in ~15 bits),
+    # so bound the coefficient allocation by the absolute pixel cap
+    # AND a pixels-per-input-byte amplification cap.
+    if h_img * w_img > (1 << 28):
+        raise ValueError(
+            f"JPEG frame declares {h_img}x{w_img} pixels — exceeds the "
+            "decoder's 256-megapixel decompression limit")
+    if h_img * w_img > 256 * len(data):
+        raise ValueError(
+            f"progressive JPEG declares {h_img}x{w_img} pixels from a "
+            f"{len(data)}-byte payload — exceeds the 256-pixels-per-"
+            "byte decompression limit")
+    for c in comps:
+        c["zz"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                           dtype=np.int32)
+        c["pred"] = 0
+        c["bdims"] = _comp_block_dims(h_img, w_img, c["h"], c["v"],
+                                      hmax, vmax)
+        if c["tq"] not in qtabs:
+            raise ValueError(f"missing quantization table {c['tq']}")
+
+    def run_scan(body: bytes, pos: int) -> int:
+        ns = body[0]
+        scan_comps = []
+        for si in range(ns):
+            cid, tt = body[1 + 2 * si:3 + 2 * si]
+            comp = next((c for c in comps if c["id"] == cid), None)
+            if comp is None:
+                raise ValueError(f"SOS references unknown component {cid}")
+            comp["td"], comp["ta"] = tt >> 4, tt & 15
+            scan_comps.append(comp)
+        ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 15
+        if al > 13 or se > 63 or ss > se:
+            raise ValueError(f"bad progressive scan header "
+                             f"Ss={ss} Se={se} Ah={ah} Al={al}")
+        r = _BitReader(data, pos)
+        if ss == 0:                                        # DC scan
+            if se != 0:
+                raise ValueError("progressive scan mixes DC and AC")
+            if ah == 0:
+                for c in scan_comps:
+                    if (0, c["td"]) not in huff:
+                        raise ValueError("missing DC Huffman table")
+                    c["pred"] = 0
+            if len(scan_comps) > 1:                        # interleaved
+                for u in range(mcus_y * mcus_x):
+                    if dri and u and u % dri == 0:
+                        r.restart()
+                        for c in scan_comps:
+                            c["pred"] = 0
+                    my, mx = divmod(u, mcus_x)
+                    for c in scan_comps:
+                        dc_tab = huff.get((0, c["td"]))
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                _prog_dc_unit(r, c, dc_tab, ah, al,
+                                              my * c["v"] + v,
+                                              mx * c["h"] + hh)
+            else:                                          # block raster
+                c = scan_comps[0]
+                dc_tab = huff.get((0, c["td"]))
+                bh, bw = c["bdims"]
+                for u in range(bh * bw):
+                    if dri and u and u % dri == 0:
+                        r.restart()
+                        c["pred"] = 0
+                    _prog_dc_unit(r, c, dc_tab, ah, al, u // bw, u % bw)
+        else:                                              # AC scan
+            if len(scan_comps) != 1:
+                raise ValueError(
+                    "progressive AC scans must be non-interleaved")
+            c = scan_comps[0]
+            ac_tab = huff.get((1, c["ta"]))
+            if ac_tab is None:
+                raise ValueError("missing AC Huffman table")
+            bh, bw = c["bdims"]
+            eobrun = 0
+            for u in range(bh * bw):
+                if dri and u and u % dri == 0:
+                    r.restart()
+                    eobrun = 0
+                zz = c["zz"][u // bw, u % bw]
+                if ah == 0:
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(r, ac_tab)
+                        rr, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if rr != 15:
+                                eobrun = (1 << rr) - 1
+                                if rr:
+                                    eobrun += r.receive(rr)
+                                break
+                            k += 16
+                            continue
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        zz[k] = _extend(r.receive(sz), sz) << al
+                        k += 1
+                else:
+                    eobrun = _prog_ac_refine_unit(r, zz, ac_tab, ss, se,
+                                                  al, eobrun)
+        return r.pos
+
+    pos = run_scan(body0, pos)
+    while True:
+        pos = _next_marker(data, pos)
+        m = data[pos + 1]
+        if m == 0xD9:                                      # EOI
+            return pos + 2
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG between scans")
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + ln]
+        seg_end = pos + 2 + ln
+        if m == 0xC4:                                      # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1:b + 17])
+                nv = sum(bits)
+                values = list(body[b + 17:b + 17 + nv])
+                if len(bits) < 16 or len(values) < nv:
+                    raise ValueError("truncated DHT segment")
+                huff[(cls, tid)] = _build_decode(bits, values)
+                b += 17 + nv
+            pos = seg_end
+        elif m == 0xDD:                                    # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+            pos = seg_end
+        elif m == 0xDA:                                    # next scan
+            pos = run_scan(body, seg_end)
+        elif m in (0xC0, 0xC1, 0xC2):
+            raise ValueError("second SOF in progressive stream")
+        else:                                              # APPn/COM/DQT…
+            pos = seg_end

@@ -11,7 +11,7 @@ the magic bytes and decode for real; `make_media_table(
 real_payloads=True)` synthesizes deterministic real BMP/JPEG/WAV/
 DIB-AVI/MJPEG-AVI payloads so the whole pipeline — including video
 frame-sampling — runs non-fake in tests. Formats still needing
-external codecs (MP3, H.264, progressive JPEG) raise
+external codecs (MP3, H.264) raise
 NotImplementedError unless `fake=True`, in which case a deterministic
 fake decoder (seeded from the content hash) produces stable
 pseudo-pixels. Everything Spark-side — schemas,
@@ -125,7 +125,7 @@ def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
 
 
 def decode_image_2d(payload: bytes) -> np.ndarray | None:
-    """REAL decode → (h, w, 3) uint8 for BMP/PNG/baseline-JPEG payloads
+    """REAL decode → (h, w, 3) uint8 for BMP/PNG/JPEG payloads
     (pure stdlib/numpy codecs, `pipeline.codecs`); None if the format
     isn't one we can decode without external libraries."""
     kind = codecs.sniff(payload)
@@ -147,13 +147,14 @@ def decode_image_2d(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """→ flat float64 grayscale intensities. REAL for BMP/PNG/baseline
-    JPEG (sniffed from magic bytes); other formats need codecs this
+    """→ flat float64 grayscale intensities. REAL for BMP/PNG/JPEG
+    (baseline or progressive; sniffed from magic bytes); other formats
+    need codecs this
     container lacks and raise unless `fake=True` (deterministic
     pseudo-pixels). With fake=True a payload that SNIFFS as a known
-    format but fails to decode (truncated, progressive JPEG,
-    interlaced PNG …) also falls back to the fake path — the gate is
-    decode success, not sniff success."""
+    format but fails to decode (truncated, interlaced PNG …) also
+    falls back to the fake path — the gate is decode success, not
+    sniff success."""
     try:
         px = decode_image_2d(payload)
     except ValueError:
@@ -164,7 +165,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return px.astype(np.float64).mean(axis=2).ravel()
     if not fake:
         raise NotImplementedError(
-            "payload is not BMP/PNG/baseline-JPEG and no external "
+            "payload is not BMP/PNG/JPEG and no external "
             "image codec is available; call with fake=True for the "
             "deterministic test decoder")
     return _fake_pixels(payload, 64 * 64)
@@ -368,7 +369,7 @@ def phash_payload(payload: bytes, fake: bool = False) -> int:
     else:
         if not fake:
             raise NotImplementedError(
-                "payload is not BMP/PNG/baseline-JPEG and no external "
+                "payload is not BMP/PNG/JPEG and no external "
                 "image codec is available; call with fake=True for the "
                 "deterministic test decoder")
         gray = _fake_pixels(payload, _PHASH_IMG * _PHASH_IMG) \

@@ -103,10 +103,16 @@ def test_malformed_raises_valueerror():
     for payload in bad:
         with pytest.raises(ValueError):
             C.decode_jpeg(payload)
-    # progressive (SOF2) is explicitly unsupported, not mis-decoded
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single scan spans Ss=0..Se=63, which progressive forbids) — the
+    # decoder must reject it, not mis-decode it
     prog = bytearray(good)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        C.decode_jpeg(bytes(prog))
+    # genuinely unsupported processes (e.g. SOF3 lossless) still say so
+    prog[sof + 1] = 0xC3
     with pytest.raises(ValueError, match="SOF"):
         C.decode_jpeg(bytes(prog))
 
@@ -242,3 +248,101 @@ def test_fuzz_mutated_bytes_never_crash():
             pass
 
     check()
+
+
+# ------------------------------------------------------------- progressive --
+
+def test_progressive_emits_sof2_and_matches_baseline():
+    """The progressive stream carries SOF2 and, holding quantization
+    fixed, decodes to EXACTLY the baseline decode of the same input —
+    the scan script is a pure re-serialization of the coefficients."""
+    for shape, sub in (((16, 16, 3), False), ((17, 23, 3), True),
+                       ((33, 15, 3), True), ((40, 40, 3), False)):
+        img = np.random.RandomState(11).randint(
+            0, 256, shape, dtype=np.uint8)
+        for q in (50, 90, 100):
+            base = jpeg.encode_jpeg(img, quality=q, subsample=sub)
+            prog = jpeg.encode_jpeg(img, quality=q, subsample=sub,
+                                    progressive=True)
+            assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+            assert (jpeg.decode_jpeg(prog) == jpeg.decode_jpeg(base)).all()
+
+
+def test_progressive_grayscale_matches_baseline():
+    img = _gradient(21, 13)[:, :, 0]
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80,
+                                             progressive=True))
+    assert prog.shape == (21, 13, 1)
+    assert (prog == base).all()
+
+
+def test_progressive_fuzz_matches_baseline():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 100),
+           st.booleans(), st.integers(0, 2**32 - 1))
+    def check(h, w, q, sub, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
+                                                 subsample=sub))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
+                                                 subsample=sub,
+                                                 progressive=True))
+        assert (prog == base).all()
+
+    check()
+
+
+def test_progressive_mutated_bytes_never_crash():
+    """Same hardening contract as the baseline decoder: corrupting a
+    progressive stream yields a decoded image or ValueError — never
+    another exception type, never a hang."""
+    from hypothesis import given, settings, strategies as st
+    base = jpeg.encode_jpeg(_gradient(24, 24), quality=70,
+                            progressive=True)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(2, len(base) - 1),
+                              st.integers(0, 255)),
+                    min_size=1, max_size=4))
+    def check(muts):
+        buf = bytearray(base)
+        for pos, val in muts:
+            buf[pos] = val
+        try:
+            out = jpeg.decode_jpeg(bytes(buf))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+    check()
+
+
+def test_progressive_pixel_amplification_bomb_rejected():
+    """A tiny progressive payload claiming huge dimensions must be
+    rejected before allocating coefficient grids: EOBn runs break the
+    baseline blocks-per-scan-byte bound, so the progressive guard is
+    pixels-per-input-byte."""
+    enc = bytearray(jpeg.encode_jpeg(_gradient(8, 8), quality=90,
+                                     progressive=True))
+    sof = bytes(enc).find(b"\xff\xc2")
+    enc[sof + 5:sof + 9] = b"\x10\x00\x10\x00"   # 4096x4096 = 16 MP
+    with pytest.raises(ValueError, match="per-\nbyte|per-byte"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_decode_image_routes_progressive_jpeg():
+    """multimodal.decode_image handles SOF2 without fake=True now that
+    the decoder is real — the former env-gated fake fallback is gone
+    for this format."""
+    from search_engines_spark.pipeline import multimodal as mm
+    img = np.random.RandomState(3).randint(0, 256, (12, 18, 3),
+                                           dtype=np.uint8)
+    prog = jpeg.encode_jpeg(img, quality=85, progressive=True)
+    flat = mm.decode_image(prog, fake=False)
+    base = mm.decode_image(jpeg.encode_jpeg(img, quality=85), fake=False)
+    assert flat.shape == (12 * 18,)
+    assert (flat == base).all()
