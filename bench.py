@@ -70,6 +70,86 @@ DAAT_BATCH = {
 }
 
 
+def _run_sf1_block(spark, sf_dir: str) -> dict:
+    """sf1.0-scale measurement: the sf corpus deterministically
+    replicated ×10 with remapped doc_ids (the scaling_bench `replicate`
+    precedent — no external data), same arms as the headline set for
+    the bow/batch/DAAT paths. Purpose: per-query cost must grow
+    SUBLINEARLY vs the 10× corpus — at sf0.1 (5k docs) the scheduler
+    floor dominates per-query numbers, so this is the first
+    data-dominated per-query datum in the bench output. Timed OUTSIDE
+    `value` (it is a scaling datum, not part of the headline wall)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_documents_table,
+        documents_extid_fmt)
+    from search_engines_spark.indexer.segments import build_segments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+    big = (spark.range(10).crossJoin(docs)
+           .withColumn("doc_id", F.col("doc_id") + F.col("id") * n0)
+           .drop("id").persist())
+    n_docs = big.count()
+    out: dict = {"n_docs": n_docs, "replication": 10}
+    t0 = time.time()
+    idx = build_index_frames(docs_from_documents_table(big),
+                             builder="arrow",
+                             extid_docid_fmt=documents_extid_fmt(big))
+    idx.postings.count()
+    out["build_sec"] = round(time.time() - t0, 3)
+    out["files_per_sec"] = round(n_docs / out["build_sec"], 1)
+
+    q: dict = {}
+    for name in ("bm25_bow3", "bm25_sdm", "bool_and", "indri_and"):
+        model, qs = RETRIEVAL[name]
+        eng = Engine(idx, model)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            eng.search(qs, k=100).collect()
+            times.append(time.time() - t0)
+        q[name] = round(min(times[1:]), 3)
+
+    eng = Engine(idx, "bm25")
+    batch = {f"b{i}": s for i, (m, s) in enumerate(RETRIEVAL.values())
+             if m == "bm25"}
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        eng.search_many(batch, k=100).collect()
+        times.append(time.time() - t0)
+    q["batch_bm25_per_query"] = round(min(times) / len(batch), 3)
+
+    seg_dir = tempfile.mkdtemp(prefix="bench_sf1_segs_")
+    try:
+        t0 = time.time()
+        build_segments(idx.postings, idx.doclens, seg_dir,
+                       num_buckets=32, chunk=32)
+        out["segment_build_sec"] = round(time.time() - t0, 3)
+        eng.attach_segments(seg_dir, num_buckets=32)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            eng.search_daat_many(DAAT_BATCH, k=100).collect()
+            times.append(time.time() - t0)
+        q["daat_batch_per_query"] = round(min(times) / len(DAAT_BATCH), 3)
+    finally:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    big.unpersist()
+    for frame in (idx.postings, idx.doclens):
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    out["queries"] = q
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -347,6 +427,14 @@ def main() -> None:
     queries["doclen_quantile_sketch"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
+
+    # ---- sf1.0 block (outside `value`): default-on at the driver's
+    # sf0.1; disable with SPARK_GRAFT_SF1=0, force elsewhere with =1
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1",
+                      "1" if sf == "0.1" else "0") == "1":
+        sf1 = _run_sf1_block(spark, sf_dir)
+
     retrieval_times = [queries[k] for k in RETRIEVAL]  # warm latencies
     print(json.dumps({
         "metric": "index_build_plus_headline_queries_wall",
@@ -365,6 +453,7 @@ def main() -> None:
         "n_postings": n_postings,
         "query_p50_sec": round(statistics.median(retrieval_times), 3),
         "cpus": cpus,
+        **({"sf1": sf1} if sf1 else {}),
     }))
     spark.stop()
 

@@ -15,11 +15,16 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "search-engines-spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
+    """`master` overrides the default local[cores] — e.g.
+    "local-cluster[2,16,16384]" for the separate-executor-JVM scaling
+    measurements (each executor brings its own heap, the property a
+    real N→4N cluster has and local[k] lacks)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     return (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
