@@ -89,16 +89,27 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 10,
     return ranks.select("node", F.col("r").alias("pr"))
 
 
-def write_pagerank_file(pr: DataFrame, path: str,
-                        ext_ids: DataFrame) -> None:
+def write_pagerank_file(pr: DataFrame, path: str, ext_ids: DataFrame,
+                        max_rows: int = 20_000_000) -> None:
     """(node, pr) + (node, ext_id) → the reference's `extid\\tscore`
     PageRank file (`FeatureVector.java:53-72`), ready for
     `letor:pageRankFile`. Streams via toLocalIterator — the file is
     letor-corpus-sized (one line per document), never collected as one
-    driver array."""
+    driver array. The global orderBy + driver-side write is THAT
+    contract's shape, not a corpus-scale sink: `max_rows` enforces it,
+    aborting loudly if someone points a full-corpus frame here instead
+    of a distributed `.write` (raise the cap explicitly if a genuinely
+    larger letor corpus needs the file)."""
     rows = (pr.join(ext_ids.select("node", "ext_id"), "node")
             .select("ext_id", "pr").orderBy("ext_id")
             .toLocalIterator())
     with open(path, "w") as f:
-        for r in rows:
+        for i, r in enumerate(rows):
+            if i >= max_rows:
+                raise ValueError(
+                    f"write_pagerank_file exceeded max_rows={max_rows}: "
+                    "this sink is for letor-corpus-sized side files; "
+                    "use a distributed write for full-corpus PageRank "
+                    "output (partial file left at "
+                    f"{path} for debugging)")
             f.write(f"{r['ext_id']}\t{r['pr']}\n")

@@ -70,3 +70,26 @@ def test_pagerank_file_closes_letor_workflow(spark, tmp_path):
             for r in read_pagerank_file(spark, path).collect()}
     want = {r["node"]: r["pr"] for r in pr.collect()}
     assert back == {f"doc{i:09d}": pytest.approx(want[i]) for i in range(3)}
+
+
+def test_pagerank_file_max_rows_guard(spark, tmp_path):
+    """The driver-side sink is letor-corpus-sized by contract:
+    exceeding max_rows aborts loudly instead of silently pulling a
+    full corpus through the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from search_engines_spark.pipeline.graph import (pagerank,
+                                                     write_pagerank_file)
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long")
+    pr = pagerank(edges, n_iter=2)
+    ids = spark.range(10).select(
+        F.col("id").alias("node"),
+        F.format_string("doc%09d", F.col("id")).alias("ext_id"))
+    p = str(tmp_path / "pr_guard.txt")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_pagerank_file(pr, p, ids, max_rows=5)
+    write_pagerank_file(pr, p, ids)            # default cap: fine
+    assert len(open(p).read().splitlines()) == 10
+    pr.unpersist()
