@@ -16,15 +16,22 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "search-engines-spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
-              master: str | None = None) -> SparkSession:
+              master: str | None = None,
+              executor_mem: str | None = None) -> SparkSession:
     """`master` overrides the default local[cores] — e.g.
     "local-cluster[2,16,16384]" for the separate-executor-JVM scaling
     measurements (each executor brings its own heap, the property a
-    real N→4N cluster has and local[k] lacks)."""
+    real N→4N cluster has and local[k] lacks). `executor_mem` sets
+    spark.executor.memory — REQUIRED with local-cluster masters, whose
+    executors otherwise get the 1g default no matter how much memory
+    the worker declares (exit code 52 OOMs on any real build)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder.master(master or f"local[{cores}]")
+    if executor_mem:
+        builder = builder.config("spark.executor.memory", executor_mem)
     return (
-        SparkSession.builder.master(master or f"local[{cores}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

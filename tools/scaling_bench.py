@@ -306,7 +306,7 @@ def run_local_cluster(n_docs: int = 500_000) -> dict:
 
     master = "local-cluster[2,16,16384]"
     spark = get_spark("scaling-lc", cores=32, shuffle_partitions=32,
-                      master=master)
+                      master=master, executor_mem="14g")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long").count()       # warm workers
