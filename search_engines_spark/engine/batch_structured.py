@@ -104,8 +104,19 @@ def arm_postings_frame(postings: DataFrame,
     cols = ["term", "field", "doc_id", "positions"] + \
         (["doclen"] if has_dl else [])
     scan = postings.where(cond).select(*cols)
+    # The ONE shuffle, skew-free key. The partition count is EXPLICIT:
+    # a bare repartition("doc_id") is AQE-coalescible, and the session's
+    # size-first coalescing (parallelismFirst=false — right for KB-scale
+    # interactive shuffles) may shrink THIS shuffle below the core
+    # count, narrowing the Python zipper stage that follows — the one
+    # stage here whose cost is arms × matched docs. Pinning 2× cores
+    # measured neutral on the 500k-doc box (the zipper was already wide
+    # there) but removes the size-policy coupling outright: the width
+    # of the batch's only Python stage should never depend on an
+    # advisory byte threshold tuned for interactive shuffles.
+    n_part = postings.sparkSession.sparkContext.defaultParallelism * 2
     grouped = (scan
-               .repartition("doc_id")       # the ONE shuffle, skew-free key
+               .repartition(n_part, "doc_id")
                .groupBy("doc_id", "field")
                .agg(F.collect_list("term").alias("_terms"),
                     F.collect_list("positions").alias("_poss"),
