@@ -961,6 +961,16 @@ efficiency), not a fixed 12-query batch finishing 4× faster (a
 the fixed-batch tables below measure that saturated shape, and their
 low "efficiency" is the workload's, not the engine's).
 {tables}
+The DAAT arm's sub-bar number decomposes (32-core probe: 12q 21.3 s,
+24q 25.8 s, 48q 28.3 s): ~19 s is the SHARED block-scan/decode fixed
+cost of touching the whole segment store once, ~0.19 s/query the
+marginal scoring cost — and the marginal cost is what query-count
+scaling exercises in production, where the fixed cost amortizes over
+whole-query-file batches (at 48 queries it is already 66% amortized vs
+12). Why the fixed cost itself does not shrink 8→32 at this corpus
+size is the one open retrieval-scaling question this round leaves
+(watch item); the two one-pass `search_many` paths — including the
+north-star BM25 — meet the ≥0.75 bar with headroom.
 """
 
 
@@ -984,10 +994,17 @@ much of the local[32] ceiling is shared-heap pressure rather than DRAM:
 The arrow kernel's work runs in per-core PYTHON workers under both
 masters (private heaps either way), so its delta isolates scheduling/
 shuffle-service overhead of the two-JVM topology; the JVM kernel's
-`collect_list` aggregation is the heap-bound path — a ≥1× ratio there
-is direct evidence that splitting the heap recovers throughput, i.e.
-that the local[32] number UNDERSTATES a real multi-executor deployment
-(each of whose heaps would be this size or larger).
+`collect_list` aggregation is the heap-bound path, where a ≥1× ratio
+is direct evidence that splitting the heap recovers throughput.
+Run-to-run variance on this box is the same order as the deltas (the
+r4 run-A pairing measured local-cluster arrow 1.60× FASTER than that
+run's local[32]; the cross-run min-merge above pairs each side's best
+run and lands near parity), so the conservative reading is: the
+two-JVM topology costs nothing — same box, same DRAM, plus an extra
+shuffle hop — and at 4× the corpus per executor the shared-heap
+pressure local[32] adds (measured directly: the 2M-doc collect_list
+build GC-thrashes a 48 GB shared heap at 32 threads but builds fine at
+8) is what a real multi-executor deployment never pays.
 """
 
 
