@@ -431,6 +431,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     pass; per-component AC 1-5/6-63 at Al=1 then refine passes) —
     identical coefficients to the baseline stream, so decode output
     matches the baseline encode of the same input exactly."""
+    if progressive and restart:
+        raise ValueError(
+            "restart markers are not emitted in progressive scans — "
+            "pass restart=0 with progressive=True (the decoder handles "
+            "DRI in progressive streams, but this encoder's scan loops "
+            "do not produce RSTn)")
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -919,26 +925,35 @@ def _decode_progressive_scans(data: bytes, pos: int, body0: bytes,
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
     # Bomb guards: the baseline blocks-per-scan-byte bound does not
-    # transfer (an EOBn symbol covers up to 2^14 blocks in ~15 bits),
-    # so bound the coefficient allocation by the absolute pixel cap
-    # AND a pixels-per-input-byte amplification cap.
+    # transfer (an EOBn symbol covers up to 2^14 blocks in ~15 bits).
+    # Bound the coefficient allocation by the absolute pixel cap AND a
+    # declared-blocks vs. entropy-bits bound: T.81 requires a DC first
+    # scan (Ah=0) for every component before its AC scans, and each
+    # block's DC symbol costs >=1 Huffman bit, so a legitimate stream
+    # carries at least total_blocks entropy bits. (This replaces the
+    # earlier 256-pixels-per-byte heuristic, which could falsely reject
+    # valid 1-2-bit/block DC-only scan scripts on near-solid images.)
     if h_img * w_img > (1 << 28):
         raise ValueError(
             f"JPEG frame declares {h_img}x{w_img} pixels — exceeds the "
             "decoder's 256-megapixel decompression limit")
-    if h_img * w_img > 256 * len(data):
-        raise ValueError(
-            f"progressive JPEG declares {h_img}x{w_img} pixels from a "
-            f"{len(data)}-byte payload — exceeds the 256-pixels-per-"
-            "byte decompression limit")
     for c in comps:
-        c["zz"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
-                           dtype=np.int32)
-        c["pred"] = 0
         c["bdims"] = _comp_block_dims(h_img, w_img, c["h"], c["v"],
                                       hmax, vmax)
         if c["tq"] not in qtabs:
             raise ValueError(f"missing quantization table {c['tq']}")
+    total_blocks = sum(br * bc for br, bc in
+                       (c["bdims"] for c in comps))
+    payload_bits = 8 * max(0, len(data) - pos)
+    if total_blocks > payload_bits:
+        raise ValueError(
+            f"progressive JPEG declares {total_blocks} coefficient "
+            f"blocks but carries only {payload_bits} payload bits — a "
+            "valid stream needs >=1 DC-scan bit per block")
+    for c in comps:
+        c["zz"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                           dtype=np.int32)
+        c["pred"] = 0
 
     def run_scan(body: bytes, pos: int) -> int:
         ns = body[0]

@@ -27,6 +27,12 @@ def get_spark(app: str = "search-engines-spark", cores: int | None = None,
     the worker declares (exit code 52 OOMs on any real build)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    if master and master.startswith("local-cluster") and not executor_mem:
+        raise ValueError(
+            "local-cluster masters require executor_mem: without "
+            "spark.executor.memory each executor JVM gets the 1g default "
+            "(regardless of the worker's declared memory) and OOMs with "
+            "exit code 52 on any real build — fail fast instead")
     builder = SparkSession.builder.master(master or f"local[{cores}]")
     if executor_mem:
         builder = builder.config("spark.executor.memory", executor_mem)

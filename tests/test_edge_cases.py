@@ -165,3 +165,12 @@ def test_search_many_mixed_oov_batch(spark_index, oracle_index):
     want = run_query("fickle creek", oracle_index, "bm25", Models(), k=100)
     got2 = sorted(rows, key=lambda r: r["rank"])
     assert [r["doc_id"] for r in got2] == [d for d, _, _ in want]
+
+
+def test_local_cluster_requires_executor_mem():
+    """ADVICE: a local-cluster master without executor_mem silently got
+    1g executors and OOM'd (exit 52) at runtime; now it fails fast."""
+    import pytest
+    from search_engines_spark.session import get_spark
+    with pytest.raises(ValueError, match="executor_mem"):
+        get_spark("t", master="local-cluster[2,16,16384]")

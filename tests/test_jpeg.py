@@ -325,13 +325,35 @@ def test_progressive_pixel_amplification_bomb_rejected():
     """A tiny progressive payload claiming huge dimensions must be
     rejected before allocating coefficient grids: EOBn runs break the
     baseline blocks-per-scan-byte bound, so the progressive guard is
-    pixels-per-input-byte."""
+    declared blocks vs. total entropy bits (every block's mandatory DC
+    first-scan symbol costs >=1 Huffman bit)."""
     enc = bytearray(jpeg.encode_jpeg(_gradient(8, 8), quality=90,
                                      progressive=True))
     sof = bytes(enc).find(b"\xff\xc2")
     enc[sof + 5:sof + 9] = b"\x10\x00\x10\x00"   # 4096x4096 = 16 MP
-    with pytest.raises(ValueError, match="per-\nbyte|per-byte"):
+    with pytest.raises(ValueError, match="DC-scan bit"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_progressive_high_compression_not_false_rejected():
+    """Regression for the ADVICE false-reject: highly compressible
+    progressive streams (near-solid images) must decode. A solid
+    1024x1024 stream here carries ~160 px/byte — within 1.6x of the
+    old 256-px/byte heuristic's cliff — while the blocks-vs-bits bound
+    keeps a 3.2x margin (16,384 blocks vs ~52k payload bits)."""
+    img = np.full((1024, 1024), 128, dtype=np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=95, progressive=True)
+    assert 1024 * 1024 > 150 * len(enc)   # genuinely high-compression
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape[:2] == (1024, 1024)
+    assert int(np.ptp(dec.astype(np.int32))) <= 2   # still ~solid
+
+
+def test_encode_restart_with_progressive_raises():
+    """ADVICE: restart=N with progressive=True was silently ignored;
+    now it fails fast."""
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.encode_jpeg(_gradient(16, 16), restart=2, progressive=True)
 
 
 def test_decode_image_routes_progressive_jpeg():
