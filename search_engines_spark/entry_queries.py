@@ -949,7 +949,17 @@ def q_eval_metrics(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_duplicates(_docs(spark, sf_dir))
+    """Exact sha256 dedup, with a deterministic planted-duplicate union:
+    the sf corpora carry no byte-identical duplicates, so the bare
+    operator returned 0 rows on both sides — a vacuously green driver
+    row. Re-key every doc_id % 50 == 0 doc to doc_id + 1,000,000 and
+    union it in (mirrored in the oracle), so the duplicate-pair output
+    is non-empty (10 groups at sf0.01) and the row can fail its
+    interesting way."""
+    docs = _docs(spark, sf_dir)
+    planted = (docs.where(F.col("doc_id") % 50 == 0)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return dd.exact_duplicates(docs.unionByName(planted))
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -2370,9 +2380,14 @@ FROM allq"""
 
 
 def _sql_dedup_exact() -> str:
+    # planted-duplicate union mirrors q_dedup_exact: re-keyed copies of
+    # doc_id % 50 == 0 make the duplicate groups non-empty at every sf
     return """SELECT fp, count(*)::BIGINT AS n_docs,
        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
-FROM (SELECT sha256(text) AS fp, doc_id::BIGINT AS doc_id FROM documents)
+FROM (SELECT sha256(text) AS fp, doc_id::BIGINT AS doc_id FROM documents
+      UNION ALL
+      SELECT sha256(text) AS fp, doc_id::BIGINT + 1000000 AS doc_id
+      FROM documents WHERE doc_id % 50 = 0)
 GROUP BY fp HAVING count(*) > 1"""
 
 
@@ -4403,6 +4418,71 @@ _tail_start = list(REGISTRY).index("postings_term")
 _items = list(REGISTRY.items())
 REGISTRY = dict(_items[:_tail_start]) | _R3_PROMOTED | dict(
     _items[_tail_start:])
+
+
+# ---- round-5 rotation: the last ten never-driver-recorded entries ----
+# VERDICT r4 "What's missing" #1: these ten registry entries had never
+# appeared in any CORRECTNESS_r*.json (all were independently
+# check_entry-verified green at sf0.01 in the r4 judging session).
+# Promote them into the driver's 50-entry window; after this round,
+# EVERY registry entry has been driver-recorded at least once.
+_R5_PROMOTE = [
+    "semantic_dedup", "hll_registers", "hll_token_cardinality",
+    "bloom_decontam_scan", "streamed_sketches_equal_batch",
+    "doclen_quantile_sketch", "dedup_strip_spans", "ann_lsh_indexed",
+    "corpus_composition", "code_winnow_fps",
+]
+# Each displaced entry has >=4 rounds of driver-green history AND a
+# strict in-window gate on its kernels:
+_R5_DISPLACE = [
+    "standing_query_topk",
+    #   the journal-published exactly-once stream protocol stays gated
+    #   in-window by streamed_postings/dedup/sketches/ann_equal_batch
+    #   (same publish/rewind machinery); standing-state == batch-BM25
+    #   equality is pytest-pinned (test_standing_queries.py)
+    "diversity_xquad",
+    #   shares ranking-file parse + normalization + per-intent
+    #   scaffolding with diversity_pm2 (rotated out green late-r4);
+    #   literal-replay pytest in test_capabilities.py
+    "search_snippets",
+    #   best-window top-k is the same windowed-agg shape in-window
+    #   term_autocomplete runs; snippet selection pytest-pinned
+    #   (test_serving.py)
+    "pii_scan",
+    #   zero-shuffle regex projection; the rule-battery shape stays
+    #   gated in-window by quality_filter; per-rule planted-case
+    #   pytest (test_codestats.py)
+    "license_scan",
+    #   in-window curation_funnel runs the IDENTICAL license stage
+    #   inside its staged funnel counts; per-license pytest
+    "text_repetition",
+    #   in-window curation_funnel runs the repetition stage; verdict
+    #   formulas replayed in pytest (test_textstats)
+    "dedup_embedding_lsh",
+    #   sign-LSH banded shuffle stays doubly gated in-window:
+    #   ann_lsh_append (same banded layout + frozen planes) and the
+    #   newly promoted ann_lsh_indexed; brute==banded recall pytest
+    "code_token_stats",
+    #   the code tokenizer feeds in-window code_winnow_pairs and the
+    #   newly promoted code_winnow_fps; token-class pytest
+    "decontam_scan",
+    #   exact decontamination: the newly promoted bloom_decontam_scan
+    #   is the one-sided superset over the same benchmark grams
+    #   (hits_bloom ⊇ hits_exact pytest-gated), and in-window
+    #   curation_funnel runs the decontam stage on the same split
+    "lm_unigram_score",
+    #   token fold + broadcast-LM scoring kernels stay gated in-window
+    #   by quality_model_weights; formula replay pytest
+    #   (test_quality_model.py)
+]
+_r5_set = set(_R5_PROMOTE) | set(_R5_DISPLACE)
+assert _r5_set <= set(REGISTRY), sorted(_r5_set - set(REGISTRY))
+_head = [n for n in list(REGISTRY)[:50] if n not in _r5_set]
+_tail = [n for n in REGISTRY
+         if n not in _head and n not in set(_R5_PROMOTE)]
+REGISTRY = ({n: REGISTRY[n] for n in _head}
+            | {n: REGISTRY[n] for n in _R5_PROMOTE}
+            | {n: REGISTRY[n] for n in _tail})
 
 
 def queries():
