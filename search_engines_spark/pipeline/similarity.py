@@ -138,21 +138,42 @@ _test_crash_hook = None
 def _ann_manifest_read(path: str) -> list[dict]:
     """`segments.journal_read` semantics: torn crash-debris lines are
     skipped (the entry never committed — a torn gen claim burns a
-    number, a torn marker gets re-appended by the replay)."""
+    number, a torn marker gets re-appended by the replay). Scheme'd
+    URIs route through `hfs.journal_read` (entry-per-file protocol,
+    same ordering + debris semantics)."""
     import os
 
-    from ..indexer.segments import journal_read
-    return journal_read(os.path.join(path, _ANN_MANIFEST))
+    from .. import hfs
+    return hfs.journal_read(os.path.join(path, _ANN_MANIFEST))
 
 
 def _ann_manifest_append(path: str, entry: dict) -> None:
-    """One isolated fsynced line per entry (`segments.journal_append`):
-    short O_APPEND writes land whole on POSIX, the property
+    """One isolated committed entry per call: local jsonl O_APPEND +
+    fsync via `segments.journal_append`, or `hfs.journal_append`'s
+    rename-committed entry files on scheme'd URIs — either way the
+    arrival order is total and re-readable, the property
     `_ann_append`'s claim protocol relies on."""
     import os
 
-    from ..indexer.segments import journal_append
-    journal_append(os.path.join(path, _ANN_MANIFEST), entry)
+    from .. import hfs
+    hfs.journal_append(os.path.join(path, _ANN_MANIFEST), entry)
+
+
+def _meta_read(path: str, name: str) -> dict:
+    """Sidecar metadata json (scheme-agnostic: `hfs.read_text`)."""
+    import json
+    import os
+
+    from .. import hfs
+    return json.loads(hfs.read_text(os.path.join(path, name)))
+
+
+def _meta_write(path: str, name: str, meta: dict) -> None:
+    import json
+    import os
+
+    from .. import hfs
+    hfs.write_text(os.path.join(path, name), json.dumps(meta))
 
 
 def _ann_floor(manifest: list[dict]) -> int:
@@ -265,8 +286,9 @@ def _ann_scan(spark, path: str, part_col: str, probe) -> DataFrame:
         df = df.unionByName(
             spark.read.parquet(_ann_gen_dir(path, g))
             .where(F.col(part_col).isin(*probe)))
+    from .. import hfs
     staging_root = os.path.join(path, _ANN_REBUILD_DIR)
-    if txn is not None and os.path.isdir(staging_root):
+    if txn is not None and hfs.is_dir(staging_root):
         df = df.unionByName(
             spark.read.parquet(staging_root)
             .where(F.col(part_col).isin(*probe)))
@@ -327,10 +349,7 @@ def append_ann_index(emb: DataFrame, path: str,
     to a from-scratch `write_ann_index` over the union; queries need no
     re-ranking logic. Idempotent by delta fingerprint (safe retry).
     Deltas must be new vec_ids (the `append_segments` contract)."""
-    import json
-    import os
-    with open(os.path.join(path, "_ann_meta.json")) as f:
-        meta = json.load(f)
+    meta = _meta_read(path, "_ann_meta.json")
     planes = _planes(meta["dim"], meta["n_planes"])
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
@@ -349,10 +368,7 @@ def append_ivf_index(emb: DataFrame, path: str,
     construction, but cell balance degrades if the vector distribution
     drifts; re-center by rebuilding with `write_ivf_index(refine_iters=N)`
     when it does (the IVF-retrain tradeoff, not a crash-safety issue)."""
-    import json
-    import os
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        meta = json.load(f)
+    meta = _meta_read(path, "_ivf_meta.json")
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     fp = _emb_fingerprint(v)   # one job: identity + whole-delta checks
@@ -390,6 +406,19 @@ def compact_ann_index(spark, path: str) -> dict:
     partition file listed pre-swap vanishes mid-job."""
     import os
     import shutil
+
+    from .. import hfs
+    if hfs.has_scheme(path):
+        # the staged publish's per-partition swap is os.rename; a
+        # file:// URI is the same disk, so just unwrap it — truly
+        # remote compaction needs a FileSystem.rename port of the swap
+        if not path.startswith("file://"):
+            raise NotImplementedError(
+                f"compact_ann_index is local-only (staged publish uses "
+                f"os.rename); got {path!r}. Appends/reads are "
+                "scheme-agnostic; run compaction where the store is "
+                "mounted, or rebuild with write_*_index.")
+        path = hfs.local_part(path)
     part_col = "sig" if os.path.exists(
         os.path.join(path, "_ann_meta.json")) else "cell"
     manifest = _ann_manifest_read(path)
@@ -480,8 +509,7 @@ def write_ann_index(emb: DataFrame, path: str,
     v.repartition(F.col("sig")) \
         .write.mode("overwrite").partitionBy("sig").parquet(path)
     meta = {"dim": dim, "n_planes": n_planes, "seed": ANN_DIM_SEED}
-    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _meta_write(path, "_ann_meta.json", meta)
     return meta
 
 
@@ -495,10 +523,7 @@ def lsh_ann_indexed(spark, path: str, query_vec: list[float], k: int = 20,
 
     Candidate set is identical to `lsh_ann` over the same vectors (same
     seeded planes), so results match the scan-time variant exactly."""
-    import json
-    import os
-    with open(os.path.join(path, "_ann_meta.json")) as f:
-        meta = json.load(f)
+    meta = _meta_read(path, "_ann_meta.json")
     planes = _planes(meta["dim"], meta["n_planes"])
     qsig = 0
     for i, p in enumerate(planes):
@@ -582,8 +607,7 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
         .write.mode("overwrite").partitionBy("cell").parquet(path)
     meta = {"n_cells": len(cent_vecs), "centroids": cent_vecs,
             "refine_iters": refine_iters}
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _meta_write(path, "_ivf_meta.json", meta)
     return meta
 
 
@@ -592,10 +616,7 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float], k: int = 20,
     """Probe the nprobe cells nearest the query over a `write_ivf_index`
     layout — partition-pruned read, brute-force within. Live
     `append_ivf_index` generations are merged in transparently."""
-    import json
-    import os
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        meta = json.load(f)
+    meta = _meta_read(path, "_ivf_meta.json")
 
     def dist2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
@@ -860,8 +881,7 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 16,
         .write.mode("overwrite").partitionBy("cell").parquet(path)
     meta = {"n_cells": len(cent_vecs), "centroids": cent_vecs,
             "pq": pq_meta}
-    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _meta_write(path, "_ivfpq_meta.json", meta)
     return meta
 
 
@@ -870,10 +890,7 @@ def ivfpq_topk_indexed(spark, path: str, query_vec: list[float],
     """ADC top-k over a `write_ivfpq_index` layout: probe the nprobe
     nearest cells (partition-pruned read of the CODES only), score via
     the driver-side LUT projection of `pq_topk`. → (vec_id, dist_r)."""
-    import json
-    import os
-    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
-        meta = json.load(f)
+    meta = _meta_read(path, "_ivfpq_meta.json")
 
     def dist2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
@@ -897,10 +914,7 @@ def append_ivfpq_index(emb: DataFrame, path: str,
     for `append_ivf_index`. Journaled/idempotent via the shared
     `_ann_append` generation machinery; `compact_ann_index` folds
     generations (its part_col detection: `cell`)."""
-    import json
-    import os
-    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
-        meta = json.load(f)
+    meta = _meta_read(path, "_ivfpq_meta.json")
     v = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     fp = _emb_fingerprint(v)

@@ -40,6 +40,7 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .. import hfs
 from ..pipeline.similarity import append_ivfpq_index, write_ivfpq_index
 
 EMB_SCHEMA = "vec_id long, embedding array<double>"
@@ -54,19 +55,14 @@ def start_ann_stream(spark: SparkSession, src_dir: str, index_path: str,
     Returns the streaming query; `ivfpq_topk_indexed` serves reads at
     any point.
 
-    `index_path` must be a LOCAL filesystem path (or file:// URI):
-    the bootstrap-vs-append decision and `_ivfpq_meta.json` I/O go
-    through the driver's local filesystem, so a remote URI (hdfs://,
-    s3a://) would silently re-bootstrap every batch and clobber the
-    base index — rejected up front instead. Porting to a remote store
-    means routing the meta I/O and the existence probe through the
-    Hadoop FS API so the decision matches where Spark writes."""
-    scheme = index_path.split("://", 1)[0] if "://" in index_path else ""
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"start_ann_stream requires a local index_path; got scheme "
-            f"'{scheme}://' ({index_path}). The generation journal and "
-            "_ivfpq_meta.json are driver-local I/O.")
+    `index_path` may be a bare local path or any Hadoop-FS URI
+    (file://, hdfs://, s3a://, ...): the bootstrap-vs-append decision,
+    `_ivfpq_meta.json`, and the generation journal all route through
+    `hfs` — the same FileSystem client Spark's parquet writes use, so
+    the decision always probes where the data lands. Scheme'd stores
+    keep the crash contract via rename-committed entry files in place
+    of O_APPEND jsonl (see `hfs.journal_append`). Compaction remains a
+    local-mount maintenance job (`compact_ann_index`)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -76,7 +72,7 @@ def start_ann_stream(spark: SparkSession, src_dir: str, index_path: str,
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.exists(os.path.join(index_path, "_ivfpq_meta.json")):
+        if hfs.exists(os.path.join(index_path, "_ivfpq_meta.json")):
             append_ivfpq_index(batch_df, index_path)
         else:
             write_ivfpq_index(batch_df, index_path, n_cells=n_cells,

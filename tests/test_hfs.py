@@ -1,0 +1,136 @@
+"""Scheme-agnostic index I/O (`search_engines_spark.hfs`).
+
+`file://` URIs deliberately take the Hadoop FileSystem branch (the
+same client an hdfs:// or s3a:// store would use), so these tests
+exercise the real remote-store code path — entry-per-file journal,
+rename-committed writes — with no cluster in the loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from search_engines_spark import hfs
+
+
+def test_path_helpers():
+    assert hfs.has_scheme("hdfs://nn/a/b")
+    assert hfs.has_scheme("file:///tmp/x")
+    assert not hfs.has_scheme("/tmp/x")
+    assert hfs.local_part("file:///tmp/x") == "/tmp/x"
+    assert hfs.local_part("/tmp/x") == "/tmp/x"
+
+
+def test_read_write_exists_roundtrip(spark, tmp_path):
+    uri = f"file://{tmp_path}/meta.json"
+    assert not hfs.exists(uri)
+    hfs.write_text(uri, json.dumps({"a": 1}))
+    assert hfs.exists(uri)
+    assert json.loads(hfs.read_text(uri)) == {"a": 1}
+    # overwrite goes through the tmp+rename commit
+    hfs.write_text(uri, json.dumps({"a": 2}))
+    assert json.loads(hfs.read_text(uri)) == {"a": 2}
+    # plain-os view agrees (same bytes on disk)
+    assert json.loads(open(tmp_path / "meta.json").read()) == {"a": 2}
+    assert hfs.is_dir(f"file://{tmp_path}")
+    assert not hfs.is_dir(uri)
+
+
+def test_journal_uri_append_read_order(spark, tmp_path):
+    j = f"file://{tmp_path}/idx/_ann_manifest.jsonl"
+    assert hfs.journal_read(j) == []
+    hfs.journal_append(j, {"claim": 1, "nonce": "n1"})
+    hfs.journal_append(j, {"gen": 1}, {"claim": 2, "nonce": "n2"})
+    assert hfs.journal_read(j) == [
+        {"claim": 1, "nonce": "n1"}, {"gen": 1},
+        {"claim": 2, "nonce": "n2"}]
+    # entry files are seq-ordered json files in the .d dir (ignore
+    # LocalFileSystem's .crc checksum sidecars)
+    d = tmp_path / "idx" / "_ann_manifest.jsonl.d"
+    names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    assert [n[:10] for n in names] == ["0000000001", "0000000002",
+                                      "0000000003"]
+
+
+def test_journal_uri_skips_debris(spark, tmp_path):
+    j = f"file://{tmp_path}/idx/_ann_manifest.jsonl"
+    hfs.journal_append(j, {"gen": 1})
+    d = tmp_path / "idx" / "_ann_manifest.jsonl.d"
+    # crash debris: an unrenamed tmp and a corrupt committed-looking file
+    (d / "0000000002-deadbeef.json.123.tmp").write_text('{"gen":')
+    (d / "0000000002-deadbeef.json").write_text('{"gen":')
+    with pytest.warns(UserWarning, match="undecodable entry"):
+        got = hfs.journal_read(j)
+    assert got == [{"gen": 1}]
+
+
+def test_journal_readable_through_either_path_style(spark, tmp_path):
+    """A store written via URI must read identically via its bare
+    path (the compaction unwrap), and vice versa — jsonl entries come
+    first, then the entry dir."""
+    bare = str(tmp_path / "idx" / "_ann_manifest.jsonl")
+    os.makedirs(tmp_path / "idx")
+    uri = "file://" + bare
+    hfs.journal_append(bare, {"gen": 1})        # POSIX jsonl
+    hfs.journal_append(uri, {"gen": 2})         # entry-per-file
+    assert hfs.journal_read(bare) == [{"gen": 1}, {"gen": 2}]
+    assert hfs.journal_read(uri) == [{"gen": 1}, {"gen": 2}]
+
+
+def test_ann_stream_file_uri_end_to_end(spark, tmp_path_factory):
+    """VERDICT r4 item 6: `start_ann_stream` accepts a scheme'd
+    index_path; bootstrap-vs-append, meta json, and the generation
+    journal ride the Hadoop FS client, and merged reads through
+    `ivfpq_topk_indexed` (also via URI) equal a from-scratch batch
+    build over the union."""
+    from search_engines_spark.pipeline.similarity import (
+        ivfpq_topk_indexed, write_ivfpq_index)
+    from search_engines_spark.streaming.ann import start_ann_stream
+
+    rs = np.random.RandomState(33)
+    centers = rs.randn(4, 16) * 4
+    rows = [(i, [float(x) for x in centers[i % 4] + rs.randn(16) * 0.1])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path_factory.mktemp("hfs_ann_src"))
+    emb.where("vec_id < 50").coalesce(1).write.mode("overwrite") \
+        .parquet(src + "/stage_a")
+    emb.where("vec_id >= 50").coalesce(1).write.mode("overwrite") \
+        .parquet(src + "/stage_b")
+    now = time.time()
+    for stage, name, age in ((src + "/stage_a", "a_first.parquet", 100),
+                             (src + "/stage_b", "z_later.parquet", 0)):
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, name))
+        os.utime(os.path.join(src, name), (now - age, now - age))
+    idx_local = str(tmp_path_factory.mktemp("hfs_ann_idx"))
+    idx_uri = "file://" + idx_local
+    ckpt = str(tmp_path_factory.mktemp("hfs_ann_ckpt"))
+    q = start_ann_stream(spark, src, idx_uri, ckpt, n_cells=4, m=4,
+                         k_codes=8, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    # the journal took the entry-per-file protocol (no jsonl append)
+    assert os.path.isdir(
+        os.path.join(idx_local, "_ann_manifest.jsonl.d"))
+    assert not os.path.exists(
+        os.path.join(idx_local, "_ann_manifest.jsonl"))
+    qvec = rows[2][1]
+    streamed = [(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, idx_uri, qvec, k=15, nprobe=2).collect()]
+    assert any(v >= 50 for v, _ in streamed)   # both batches reachable
+    batch_idx = str(tmp_path_factory.mktemp("hfs_ann_batch"))
+    write_ivfpq_index(emb, batch_idx, n_cells=4, m=4, k_codes=8)
+    batch = [(r["vec_id"], r["dist_r"]) for r in ivfpq_topk_indexed(
+        spark, batch_idx, qvec, k=15, nprobe=2).collect()]
+    assert streamed == batch
+
+
+def test_compact_rejects_truly_remote_uri(spark, tmp_path):
+    from search_engines_spark.pipeline.similarity import compact_ann_index
+    with pytest.raises(NotImplementedError, match="local-only"):
+        compact_ann_index(spark, "hdfs://nn/warehouse/ann")
