@@ -78,7 +78,15 @@ def _run_sf1_block(spark, sf_dir: str) -> dict:
     SUBLINEARLY vs the 10× corpus — at sf0.1 (5k docs) the scheduler
     floor dominates per-query numbers, so this is the first
     data-dominated per-query datum in the bench output. Timed OUTSIDE
-    `value` (it is a scaling datum, not part of the headline wall)."""
+    `value` (it is a scaling datum, not part of the headline wall).
+
+    CROSS-ROUND CONTRACT (frozen r4): the emitted key set —
+    build_sec / files_per_sec / segment_build_sec and queries
+    {bm25_bow3, bm25_sdm, bool_and, indri_and, batch_bm25_per_query,
+    daat_batch_per_query} — is frozen so BENCH_r{N}.sf1 compares
+    key-by-key against BENCH_r{N-1}.sf1 in each round's docs/ROUND
+    note (the sublinearity re-check). Add new arms under new keys;
+    never rename or retime these."""
     import shutil
     import tempfile
 

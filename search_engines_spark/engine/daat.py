@@ -200,6 +200,21 @@ def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
                 [(int(x),) for x in arr], "doc_id long")
         else:
             deleted = None
+    # The kernel-input shuffle width is EXPLICIT, the
+    # batch_structured.py precedent: a bare groupBy("pk") exchange is
+    # AQE-coalescible, and the session's size-first policy
+    # (parallelismFirst=false — right for KB-scale interactive
+    # shuffles) folds the compressed block bytes of a whole query
+    # batch under the advisory partition size, collapsing the
+    # decode+score stage to a handful of tasks (measured: ONE task at
+    # 32 cores on a 500k-doc store — the entire ~19 s "fixed" decode
+    # cost of the r4 weak-scaling arm ran serially at every core
+    # count). Hash-repartitioning on pk at 2× cores satisfies the
+    # ClusteredDistribution the Arrow kernel needs (no second
+    # exchange) and AQE never coalesces an explicit width, so decode
+    # parallelism tracks cores, not an advisory byte threshold.
+    n_part = blocks.sparkSession.sparkContext.defaultParallelism * 2
+    blocks = blocks.repartition(n_part, "pk")
     if deleted is None:
         return (blocks.groupBy("pk")
                 .applyInPandas(lambda key, g: score_fn(g, None),
@@ -207,7 +222,8 @@ def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
     tomb = (deleted
             .withColumn("pk", ((F.col("doc_id") / stride).cast("long")
                                / spp).cast("long"))
-            .select("pk", "doc_id"))
+            .select("pk", "doc_id")
+            .repartition(n_part, "pk"))
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         dels = (np.sort(right["doc_id"].to_numpy(np.int64))

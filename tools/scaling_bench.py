@@ -702,56 +702,87 @@ def run_one(cores: int, sf_dir: str, mult: int, corpus: str = "zipf",
             except Exception:
                 pass
         src.unpersist()
-        weak_docs = 4 * n_docs
-        wsrc, wn = _zipf_docs(spark, weak_docs)
-        # arrow builder: the jvm collect_list build of a 2M-doc corpus
-        # at 32 threads holds 32 concurrent hash maps and GC-thrashes
-        # even a 48g heap; the doc-local arrow kernel is output-
-        # identical (tested) and allocation-flat — and the weak block
-        # measures QUERY scaling, not the build
-        widx = build_index_frames(docs_from_documents_table(wsrc),
-                                  builder="arrow")
-        widx.postings.count()
-        res["weak_n_docs"] = wn
-        n_weak = 12 * cores // 8
-        res["weak_n_queries"] = n_weak
-        weng = Engine(widx, "bm25")
-        wq = _weak_queries(n_weak, "bm25")
-        best = None
-        for _ in range(4):
-            t0 = time.time()
-            weng.search_many(wq, k=100).collect()
-            s = time.time() - t0
-            best = s if best is None else min(best, s)
-        res["weak_bm25_sec"] = round(best, 2)
-        res["weak_bm25_qps"] = round(n_weak / best, 2)
-        weng_i = Engine(widx, "indri")
-        wqi = _weak_queries(n_weak, "indri")
-        best = None
-        for _ in range(4):
-            t0 = time.time()
-            weng_i.search_many(wqi, k=100).collect()
-            s = time.time() - t0
-            best = s if best is None else min(best, s)
-        res["weak_indri_sec"] = round(best, 2)
-        res["weak_indri_qps"] = round(n_weak / best, 2)
-        wseg_dir = tempfile.mkdtemp(prefix=f"scaling_wsegs_{cores}_")
-        try:
-            build_segments(widx.postings, widx.doclens, wseg_dir,
-                           num_buckets=32, chunk=32)
-            weng.attach_segments(wseg_dir, num_buckets=32)
-            wqd = _weak_queries(n_weak, "daat")
-            best = None
-            for _ in range(4):
-                t0 = time.time()
-                weng.search_daat_many(wqd, k=100).collect()
-                s = time.time() - t0
-                best = s if best is None else min(best, s)
-            res["weak_daat_sec"] = round(best, 2)
-            res["weak_daat_qps"] = round(n_weak / best, 2)
-        finally:
-            shutil.rmtree(wseg_dir, ignore_errors=True)
+        _weak_block(spark, res, cores, n_docs)
 
+    spark.stop()
+    return res
+
+
+def _weak_block(spark, res: dict, cores: int, n_docs: int) -> None:
+    """The weak-scaling arms (constant 1.5 queries/core) over their own
+    4×-larger Zipf corpus — see the comment at the call site in
+    `run_one` for why the larger corpus is load-bearing. Factored out
+    so `--weak-only` can re-measure JUST these arms (the ≥2-solo-runs
+    policy) without paying the full fixed-arm battery per run."""
+    from search_engines_spark.engine.compile import Engine
+    from search_engines_spark.indexer.build import (
+        build_index_frames, docs_from_documents_table)
+    from search_engines_spark.indexer.segments import build_segments
+
+    weak_docs = 4 * n_docs
+    wsrc, wn = _zipf_docs(spark, weak_docs)
+    # arrow builder: the jvm collect_list build of a 2M-doc corpus
+    # at 32 threads holds 32 concurrent hash maps and GC-thrashes
+    # even a 48g heap; the doc-local arrow kernel is output-
+    # identical (tested) and allocation-flat — and the weak block
+    # measures QUERY scaling, not the build
+    widx = build_index_frames(docs_from_documents_table(wsrc),
+                              builder="arrow")
+    widx.postings.count()
+    res["weak_n_docs"] = wn
+    n_weak = 12 * cores // 8
+    res["weak_n_queries"] = n_weak
+    weng = Engine(widx, "bm25")
+    wq = _weak_queries(n_weak, "bm25")
+    best = None
+    for _ in range(4):
+        t0 = time.time()
+        weng.search_many(wq, k=100).collect()
+        s = time.time() - t0
+        best = s if best is None else min(best, s)
+    res["weak_bm25_sec"] = round(best, 2)
+    res["weak_bm25_qps"] = round(n_weak / best, 2)
+    weng_i = Engine(widx, "indri")
+    wqi = _weak_queries(n_weak, "indri")
+    best = None
+    for _ in range(4):
+        t0 = time.time()
+        weng_i.search_many(wqi, k=100).collect()
+        s = time.time() - t0
+        best = s if best is None else min(best, s)
+    res["weak_indri_sec"] = round(best, 2)
+    res["weak_indri_qps"] = round(n_weak / best, 2)
+    wseg_dir = tempfile.mkdtemp(prefix=f"scaling_wsegs_{cores}_")
+    try:
+        build_segments(widx.postings, widx.doclens, wseg_dir,
+                       num_buckets=32, chunk=32)
+        weng.attach_segments(wseg_dir, num_buckets=32)
+        wqd = _weak_queries(n_weak, "daat")
+        best = None
+        for _ in range(4):
+            t0 = time.time()
+            weng.search_daat_many(wqd, k=100).collect()
+            s = time.time() - t0
+            best = s if best is None else min(best, s)
+        res["weak_daat_sec"] = round(best, 2)
+        res["weak_daat_qps"] = round(n_weak / best, 2)
+    finally:
+        shutil.rmtree(wseg_dir, ignore_errors=True)
+
+
+def run_weak_only(cores: int, n_docs: int = 500_000) -> dict:
+    """One level of ONLY the weak-scaling arms (own session, solo-run
+    conditions identical to the full run's weak block)."""
+    from search_engines_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(f"scaling-weak-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(cores).repartition(cores).mapInPandas(
+        lambda it: it, schema="id long").count()
+    res: dict = {"cores": cores, "n_docs": n_docs, "corpus": "zipf"}
+    _weak_block(spark, res, cores, n_docs)
     spark.stop()
     return res
 
@@ -854,6 +885,11 @@ def main() -> None:
     ap.add_argument("--report-from", nargs="+", default=[],
                     help="write BENCH/BASELINE.md from saved run JSONs "
                          "(per-arm min across runs); no benching")
+    ap.add_argument("--weak-only", action="store_true",
+                    help="run ONLY the weak-scaling arms at 8/32 cores "
+                         "(cheap re-runs for the >=2-solo-runs policy); "
+                         "with --save-json the output merges via "
+                         "--report-from like a full run")
     ap.add_argument("--local-cluster", action="store_true",
                     help="run ONLY the local-cluster[2,16] build point "
                          "and print its JSON")
@@ -866,8 +902,30 @@ def main() -> None:
         return
 
     if args.cores:
-        print(json.dumps(run_one(args.cores, args.sf_dir, args.mult,
-                                 args.corpus, args.ndocs)))
+        if args.weak_only:
+            print(json.dumps(run_weak_only(args.cores, args.ndocs)))
+        else:
+            print(json.dumps(run_one(args.cores, args.sf_dir, args.mult,
+                                     args.corpus, args.ndocs)))
+        return
+
+    if args.weak_only:
+        r = {}
+        for cores in QUERY_LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--cores", str(cores),
+                 "--weak-only", "--ndocs", str(args.ndocs)],
+                capture_output=True, text=True, check=True)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r[cores] = json.loads(line)
+            print(r[cores])
+        if args.save_json:
+            with open(args.save_json, "w") as f:
+                json.dump({"hw": {},
+                           "r": {str(k): v for k, v in r.items()},
+                           "corpus": "zipf", "mult": args.mult,
+                           "lc": None}, f)
         return
 
     if args.report_from:
