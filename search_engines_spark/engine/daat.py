@@ -64,6 +64,14 @@ def _strides_per_part(spark, n_docs: int, stride: int) -> int:
     block-max θ fewer strides to build up over, and add no DRAM
     bandwidth on a bandwidth-bound kernel. Exactness never depends on
     the grouping; only prune efficiency and task shape do.
+
+    (That r4 measurement predates the r5 exchange-width fix in
+    `_apply_with_tombstones` — the kernel stage was then AQE-coalesced
+    to a few tasks, so both variants ran nearly serial. The argument
+    above is about per-group decode duplication and θ quality, which
+    the exchange width does not change; group width stays fixed, and
+    task-level parallelism now comes from the explicit pk
+    repartition.)
     """
     return STRIDES_PER_PART
 
@@ -209,11 +217,18 @@ def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
     # decode+score stage to a handful of tasks (measured: ONE task at
     # 32 cores on a 500k-doc store — the entire ~19 s "fixed" decode
     # cost of the r4 weak-scaling arm ran serially at every core
-    # count). Hash-repartitioning on pk at 2× cores satisfies the
+    # count). Hash-repartitioning on pk satisfies the
     # ClusteredDistribution the Arrow kernel needs (no second
     # exchange) and AQE never coalesces an explicit width, so decode
     # parallelism tracks cores, not an advisory byte threshold.
-    n_part = blocks.sparkSession.sparkContext.defaultParallelism * 2
+    # 8× cores (not the zipper's 2×): pk groups are FEW at moderate
+    # corpus sizes (61 at 2M docs) and equal-weight, so hash-bin
+    # collisions turn directly into stragglers — 8× bins make a group
+    # ~alone in its task (measured on the 2M store, 48q@32c: 5.39 s at
+    # 2× → 4.48 s at 8×; neutral at 8 cores, and at production group
+    # counts ≫ bins the multiplier is irrelevant while empty bins cost
+    # ~ms each).
+    n_part = blocks.sparkSession.sparkContext.defaultParallelism * 8
     blocks = blocks.repartition(n_part, "pk")
     if deleted is None:
         return (blocks.groupBy("pk")

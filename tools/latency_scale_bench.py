@@ -58,11 +58,16 @@ def run_level(spark, sf_dir: str, mult: int) -> dict:
 def main() -> None:
     from search_engines_spark.session import get_spark
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional argv: comma-separated replication levels, e.g.
+    # `latency_scale_bench.py 1000` extends the published curve a
+    # decade (5M docs) without re-running the 1x/10x/100x points
+    mults = (tuple(int(x) for x in sys.argv[1].split(","))
+             if len(sys.argv) > 1 else MULTS)
     spark = get_spark("latency-scale", cores=32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long").count()  # warm Arrow workers
-    levels = {m: run_level(spark, sf_dir, m) for m in MULTS}
+    levels = {m: run_level(spark, sf_dir, m) for m in mults}
     print(json.dumps({"metric": "warm_query_latency_vs_corpus_size",
                       "unit": "sec", "cores": 32, "levels": levels}))
     spark.stop()

@@ -714,6 +714,9 @@ def _weak_block(spark, res: dict, cores: int, n_docs: int) -> None:
     `run_one` for why the larger corpus is load-bearing. Factored out
     so `--weak-only` can re-measure JUST these arms (the ≥2-solo-runs
     policy) without paying the full fixed-arm battery per run."""
+    import shutil
+    import tempfile
+
     from search_engines_spark.engine.compile import Engine
     from search_engines_spark.indexer.build import (
         build_index_frames, docs_from_documents_table)
@@ -1019,16 +1022,19 @@ efficiency), not a fixed 12-query batch finishing 4× faster (a
 the fixed-batch tables below measure that saturated shape, and their
 low "efficiency" is the workload's, not the engine's).
 {tables}
-The DAAT arm's sub-bar number decomposes (32-core probe: 12q 21.3 s,
-24q 25.8 s, 48q 28.3 s): ~19 s is the SHARED block-scan/decode fixed
-cost of touching the whole segment store once, ~0.19 s/query the
-marginal scoring cost — and the marginal cost is what query-count
-scaling exercises in production, where the fixed cost amortizes over
-whole-query-file batches (at 48 queries it is already 66% amortized vs
-12). Why the fixed cost itself does not shrink 8→32 at this corpus
-size is the one open retrieval-scaling question this round leaves
-(watch item); the two one-pass `search_many` paths — including the
-north-star BM25 — meet the ≥0.75 bar with headroom.
+r4's DAAT arm measured 0.59 here, decomposing as a ~19 s "fixed"
+block-scan/decode cost that did not shrink 8→32. Root cause (found
+r5): the pk-grouped applyInPandas exchange feeding the decode/score
+kernel was AQE-coalescible, and the session's size-first coalescing
+folded a whole batch's compressed block bytes under the 64 MB
+advisory — the kernel ran as ONE task at every core count (a
+`(0+1)/1` stage per batch, observed directly). The fixed cost was a
+serial stage, not DRAM. `engine/daat.py` now hash-repartitions on pk
+at 2× cores before the groupBy (the `batch_structured.py` zipper
+precedent): the kernel's clustered distribution is satisfied with no
+extra exchange, AQE never coalesces an explicit width, and decode
+parallelism tracks cores. All three arms — including the north-star
+BM25 — meet the ≥0.75 bar.
 """
 
 
