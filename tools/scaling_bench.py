@@ -1030,11 +1030,19 @@ folded a whole batch's compressed block bytes under the 64 MB
 advisory — the kernel ran as ONE task at every core count (a
 `(0+1)/1` stage per batch, observed directly). The fixed cost was a
 serial stage, not DRAM. `engine/daat.py` now hash-repartitions on pk
-at 2× cores before the groupBy (the `batch_structured.py` zipper
-precedent): the kernel's clustered distribution is satisfied with no
-extra exchange, AQE never coalesces an explicit width, and decode
-parallelism tracks cores. All three arms — including the north-star
-BM25 — meet the ≥0.75 bar.
+before the groupBy (the `batch_structured.py` zipper precedent): the
+kernel's clustered distribution is satisfied with no extra exchange,
+AQE never coalesces an explicit width, and decode parallelism tracks
+cores. Bin width is 8× cores, not the zipper's 2×: the pk groups are
+few and equal-weight at this corpus size (61), so 2×-cores hash bins
+turn collisions into stragglers (48q@32c measured 5.39 s at 2× vs
+4.48 s at 8×; neutral at 8 cores; irrelevant at production group
+counts). Weak-table provenance: bm25/indri per-arm min across 4 solo
+`--weak-only` runs (r5 A-D; those paths were code-identical
+throughout), DAAT across the 2 runs at final code (C, D) — the r4
+runB weak arms and r5 A/B DAAT arms predate the fixes and are
+excluded (raw JSONs all archived in BENCH/runs/). All three arms —
+including the north-star BM25 — meet the ≥0.75 bar.
 """
 
 
