@@ -1450,20 +1450,24 @@ above are the ones that transfer to 100 TB.
 
 That flatness claim is measured (`tools/latency_scale_bench.py`, 32
 cores, solo run: warm min-of-2, sf0.1 corpus at 1×/10×/100×
-deterministic replication):
+deterministic replication; the 1000× row is an r5 solo run of the
+same script with `1000` as argv):
 
 | n_docs | bow3 | bow5 | sdm | syn | bool_and | indri_and | wand | p50 |
 |---|---|---|---|---|---|---|---|---|
 | 5,000   | 0.58 | 0.68 | 1.31 | 0.62 | 0.27 | 0.50 | 0.36 | **0.58** |
 | 50,000  | 0.55 | 0.64 | 1.87 | 0.74 | 0.34 | 0.74 | 0.51 | **0.64** |
 | 500,000 | 1.96 | 2.36 | 9.08 | 4.12 | 1.55 | 2.80 | 3.00 | **2.80** |
+| 5,000,000 | 14.77 | 14.62 | 60.64 | 34.60 | 13.79 | 14.96 | 15.84 | **14.96** |
 
 p50 is flat through 10× the corpus (0.58 → 0.64 s: scheduler floor,
-not data) and grows 4.8× at 100× the corpus — and the replicate
-corpus is the worst case for this claim: its 31-term vocabulary means
-every posting list grows with the corpus (every term's df ≈ n_docs),
-so the 100× row scans 100× the postings per query. Sub-linear even
-there. The solo-run p50 at the driver's bench scale (5k docs) is
+not data), grows 4.8× at 100× and 5.3× per further decade at 1000×
+(2.80 → 14.96 s for 10× the data) — and the replicate corpus is the
+worst case for this claim: its 31-term vocabulary means every posting
+list grows with the corpus (every term's df ≈ n_docs), so the 1000×
+row scans 1000× the postings per query — 5M postings per term — and
+per-query cost still grows sub-linearly in corpus size at every
+decade. The solo-run p50 at the driver's bench scale (5k docs) is
 0.58 s vs the 1.85 s recorded by the shared-load r02 driver run —
 the BASELINE.json latency metric is scheduler/ambient-bound, not
 engine-bound.
