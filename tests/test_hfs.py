@@ -134,3 +134,61 @@ def test_compact_rejects_truly_remote_uri(spark, tmp_path):
     from search_engines_spark.pipeline.similarity import compact_ann_index
     with pytest.raises(NotImplementedError, match="local-only"):
         compact_ann_index(spark, "hdfs://nn/warehouse/ann")
+
+
+def test_lsh_index_lifecycle_file_uri(spark, tmp_path_factory):
+    """write_ann_index + append_ann_index + lsh_ann_indexed through a
+    file:// URI must equal the same lifecycle on a bare local path
+    (frozen planes; merged generation read via the Hadoop branch)."""
+    from search_engines_spark.pipeline.similarity import (
+        append_ann_index, lsh_ann_indexed, write_ann_index)
+
+    rs = np.random.RandomState(44)
+    rows = [(i, [float(x) for x in rs.randn(12)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.where("vec_id < 40")
+    delta = emb.where("vec_id >= 40")
+    qvec = rows[5][1]
+
+    local = str(tmp_path_factory.mktemp("lsh_local"))
+    write_ann_index(base, local)
+    append_ann_index(delta, local)
+    want = [(r["vec_id"], r["cos_r"]) for r in
+            lsh_ann_indexed(spark, local, qvec, k=10).collect()]
+
+    uri = "file://" + str(tmp_path_factory.mktemp("lsh_uri"))
+    write_ann_index(base, uri)
+    append_ann_index(delta, uri)
+    got = [(r["vec_id"], r["cos_r"]) for r in
+           lsh_ann_indexed(spark, uri, qvec, k=10).collect()]
+    assert got == want
+    # and the URI store reads identically through its bare path
+    got2 = [(r["vec_id"], r["cos_r"]) for r in
+            lsh_ann_indexed(spark, hfs.local_part(uri), qvec,
+                            k=10).collect()]
+    assert got2 == want
+
+
+def test_ivf_index_lifecycle_file_uri(spark, tmp_path_factory):
+    from search_engines_spark.pipeline.similarity import (
+        append_ivf_index, ivf_topk_indexed, write_ivf_index)
+
+    rs = np.random.RandomState(45)
+    rows = [(i, [float(x) for x in rs.randn(12)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.where("vec_id < 40")
+    delta = emb.where("vec_id >= 40")
+    qvec = rows[7][1]
+
+    local = str(tmp_path_factory.mktemp("ivf_local"))
+    write_ivf_index(base, local, n_cells=4)
+    append_ivf_index(delta, local)
+    want = [(r["vec_id"], r["cos_r"]) for r in
+            ivf_topk_indexed(spark, local, qvec, k=10, nprobe=2).collect()]
+
+    uri = "file://" + str(tmp_path_factory.mktemp("ivf_uri"))
+    write_ivf_index(base, uri, n_cells=4)
+    append_ivf_index(delta, uri)
+    got = [(r["vec_id"], r["cos_r"]) for r in
+           ivf_topk_indexed(spark, uri, qvec, k=10, nprobe=2).collect()]
+    assert got == want
