@@ -3755,12 +3755,18 @@ def q_unigram_em2(spark, sf_dir):
     same lse lattice."""
     from .pipeline.tokenizer import bpe_word_counts, unigram_estep
     wc = bpe_word_counts(_docs(spark, sf_dir)).select("word", "freq")
-    ec1 = unigram_estep(wc, dict(_UNI_VOCAB), max_piece_len=3)
-    rows = ec1.collect()      # vocab-bounded (== trainer's em_sweep)
+    rows = unigram_estep(wc, dict(_UNI_VOCAB),
+                         max_piece_len=3).collect()
+    # rows are vocab-bounded (== trainer's em_sweep driver state); the
+    # iter-1 output block is rebuilt FROM the collected rows so the
+    # pass-1 lattice runs exactly once per driver materialization
     counts = {r["piece"]: r["e_count"] for r in rows
               if r["piece"] != "\x00ll"}
     tot = sum(counts.values()) or 1.0
     vocab2 = {p: math.log(c / tot) for p, c in counts.items() if c > 0.0}
+    ec1 = spark.createDataFrame(
+        [(r["piece"], float(r["e_count"])) for r in rows],
+        "piece string, e_count double")
     ec2 = unigram_estep(wc, vocab2, max_piece_len=3)
 
     def fmt(ec, it):

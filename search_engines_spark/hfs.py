@@ -34,12 +34,22 @@ Undecodable or `.tmp` files are crash debris and are skipped with a
 warning, mirroring `journal_read`'s torn-line semantics. A legacy
 jsonl file at the journal path is merged in FIRST (migration read:
 its entries predate any entry-per-file writes).
+
+Known cost on object stores: an entry-per-file journal read is one
+LIST plus one GET per entry, so manifest reads are O(entries) remote
+round-trips (the jsonl protocol is one read). Journals grow two
+entries per append; keep them short by compacting on a cadence
+(`compact_ann_index` retires generations; a journal roll-up — fold
+closed entries into one snapshot file — is the natural extension if a
+deployment's append rate ever makes the LIST+GET fan-out the
+bottleneck before compaction does its job).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 import warnings
 
@@ -49,16 +59,28 @@ __all__ = [
 ]
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 def has_scheme(path: str) -> bool:
-    """True for URI-style paths (`scheme://...`)."""
-    return "://" in path
+    """True for URI-style paths — both `scheme://...` and the
+    single-slash `scheme:/...` form Hadoop's `Path.toString()` emits
+    (a bare POSIX path never starts with `name:`)."""
+    return bool(_SCHEME_RE.match(path))
 
 
 def local_part(path: str) -> str:
-    """The os-level path of a `file://` URI (other paths unchanged)."""
-    if path.startswith("file://"):
-        return path[len("file://"):] or "/"
-    return path
+    """The os-level path of a `file:` URI (other paths unchanged).
+    Handles `file:///p`, `file:/p`, and `file://localhost/p`; a
+    file URI with a REMOTE authority has no local part and raises."""
+    if not path.startswith("file:"):
+        return path
+    from urllib.parse import urlparse
+    u = urlparse(path)
+    if u.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"file URI with remote authority has no local path: {path!r}")
+    return u.path or "/"
 
 
 def _fs(path: str):

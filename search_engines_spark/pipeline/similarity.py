@@ -410,9 +410,9 @@ def compact_ann_index(spark, path: str) -> dict:
     from .. import hfs
     if hfs.has_scheme(path):
         # the staged publish's per-partition swap is os.rename; a
-        # file:// URI is the same disk, so just unwrap it — truly
+        # file: URI is the same disk, so just unwrap it — truly
         # remote compaction needs a FileSystem.rename port of the swap
-        if not path.startswith("file://"):
+        if not path.startswith("file:"):
             raise NotImplementedError(
                 f"compact_ann_index is local-only (staged publish uses "
                 f"os.rename); got {path!r}. Appends/reads are "

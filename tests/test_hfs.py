@@ -21,9 +21,27 @@ from search_engines_spark import hfs
 def test_path_helpers():
     assert hfs.has_scheme("hdfs://nn/a/b")
     assert hfs.has_scheme("file:///tmp/x")
+    assert hfs.has_scheme("file:/tmp/x")     # Hadoop Path.toString() form
+    assert hfs.has_scheme("s3a://bucket/k")
     assert not hfs.has_scheme("/tmp/x")
+    assert not hfs.has_scheme("rel/path")
     assert hfs.local_part("file:///tmp/x") == "/tmp/x"
+    assert hfs.local_part("file:/tmp/x") == "/tmp/x"
+    assert hfs.local_part("file://localhost/tmp/x") == "/tmp/x"
     assert hfs.local_part("/tmp/x") == "/tmp/x"
+    with pytest.raises(ValueError, match="remote authority"):
+        hfs.local_part("file://otherhost/tmp/x")
+
+
+def test_single_slash_file_uri_roundtrip(spark, tmp_path):
+    """file:/p (no //) must route through the Hadoop branch like
+    file:///p — previously it fell into the POSIX branch and open()'d
+    the literal 'file:/p' string."""
+    uri = f"file:{tmp_path}/meta.json"
+    hfs.write_text(uri, "x")
+    assert hfs.exists(uri)
+    assert hfs.read_text(uri) == "x"
+    assert (tmp_path / "meta.json").read_text() == "x"
 
 
 def test_read_write_exists_roundtrip(spark, tmp_path):

@@ -892,7 +892,9 @@ def main() -> None:
                     help="run ONLY the weak-scaling arms at 8/32 cores "
                          "(cheap re-runs for the >=2-solo-runs policy); "
                          "with --save-json the output merges via "
-                         "--report-from like a full run")
+                         "--report-from ALONGSIDE at least one full-run "
+                         "JSON (weak-only runs carry no hw ceilings or "
+                         "fixed-arm keys)")
     ap.add_argument("--local-cluster", action="store_true",
                     help="run ONLY the local-cluster[2,16] build point "
                          "and print its JSON")
@@ -934,6 +936,11 @@ def main() -> None:
     if args.report_from:
         runs = [json.load(open(p)) for p in args.report_from]
         hw, r = _merge_runs(runs)
+        if not hw:
+            raise SystemExit(
+                "--report-from needs at least one FULL-run JSON "
+                "(--weak-only runs carry no hw ceilings or fixed-arm "
+                "keys; pass them alongside a full run's JSON)")
         lc = _merge_lc(runs)
         write_report(r, hw, runs[0].get("corpus", "zipf"),
                      runs[0].get("mult", 200), n_runs=len(runs), lc=lc)
