@@ -293,9 +293,19 @@ def _lattice_kernel(vocab: dict, max_len: int, mode: str):
 def unigram_estep(word_counts: DataFrame, vocab: dict,
                   max_piece_len: int = 8) -> DataFrame:
     """One EM E-step → (piece, e_count) expected counts plus the
-    `\\x00ll` log-likelihood rider rows (sum them for the corpus LL)."""
+    `\\x00ll` log-likelihood rider rows (sum them for the corpus LL).
+
+    The lattice kernel's input width is EXPLICIT (the engine/daat.py
+    precedent): word_counts arrives off a groupBy exchange whose BYTES
+    are tiny (a distinct-word table) while the per-word
+    forward/backward compute is the whole cost of EM — the session's
+    size-first AQE coalescing would fold it to one task and serialize
+    every iteration. Round-robin repartition at 2× cores is
+    compute-balanced (words are exchangeable) and never coalesced."""
     kern = _lattice_kernel(vocab, max_piece_len, "estep")
+    n_part = word_counts.sparkSession.sparkContext.defaultParallelism * 2
     return (word_counts.select("word", "freq")
+            .repartition(n_part)
             .mapInPandas(kern, schema="piece string, e_count double")
             .groupBy("piece").agg(F.sum("e_count").alias("e_count")))
 
