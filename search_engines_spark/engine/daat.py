@@ -7,10 +7,14 @@ varbyte segment blocks (indexer.segments) for the query terms only —
 bucket directory pruning + parquet min/max on `term` — and scores inside
 one `applyInPandas` pass per doc-range partition:
 
-1. each block is assigned to the doc-range strides it overlaps
-   ([min_docid, max_docid] ÷ stride width); a rare term's wide block is
-   duplicated across strides (tiny — blocks are ≤128 postings), a hot
-   term's dense blocks land in exactly one stride;
+1. each block is assigned to the pk partition groups (runs of
+   STRIDES_PER_PART doc-range strides) it overlaps: dense and
+   mid-frequency blocks ship whole to their 1-2 pks; a sparse block
+   spanning >2 pks is SPLIT map-side into per-pk sub-blocks with
+   re-encoded streams and tightened metadata (`_blocks_by_pk`), so
+   shuffle bytes are bounded by the postings themselves — never
+   duplicated per overlapped stride (at 10^9 docs the old per-stride
+   explode shipped a rare term's block ~n_strides times);
 2. partitions own contiguous runs of strides, so every doc's postings
    for all query terms co-locate in one partition — per-doc score sums
    are complete with NO shuffle of decoded postings;
@@ -43,11 +47,17 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..indexer.codec import varbyte_decode
+from ..indexer.codec import varbyte_decode, varbyte_encode
 from ..oracle import Models
 
 STRIDE = 4096  # docs per stride; pruning granularity
 STRIDES_PER_PART = 8  # ceiling on strides per scoring task
+
+_BLOCK_COLS = ("term", "min_docid", "max_docid", "max_tf", "min_doclen",
+               "docids_vb", "tfs_vb", "doclens_vb")
+_BLOCK_SCHEMA_PK = ("term string, min_docid long, max_docid long, "
+                    "max_tf int, min_doclen long, docids_vb binary, "
+                    "tfs_vb binary, doclens_vb binary, pk long")
 
 
 def _strides_per_part(spark, n_docs: int, stride: int) -> int:
@@ -74,6 +84,85 @@ def _strides_per_part(spark, n_docs: int, stride: int) -> int:
     repartition.)
     """
     return STRIDES_PER_PART
+
+
+def _split_wide_kernel(span: int):
+    """mapInPandas kernel: split blocks spanning >2 pk groups into
+    per-pk sub-blocks — decode once map-side, cut at pk boundaries,
+    re-encode each run (delta-from-0 docids + plain varbyte tf/doclen,
+    the block codec's exact layout) with TIGHTENED per-sub-block
+    metadata (its own max_tf / min_doclen — a better block-max bound
+    for the strides it actually covers). Emits one row per pk that
+    CONTAINS a posting: a df=128 term yields ≤128 sub-blocks no matter
+    the corpus size, where the span explode would have emitted
+    n_strides copies."""
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf is None or len(pdf) == 0:
+                continue
+            out: dict[str, list] = {c: [] for c in _BLOCK_COLS}
+            out["pk"] = []
+            for row in pdf.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
+                tfs = varbyte_decode(bytes(row.tfs_vb))
+                dls = varbyte_decode(bytes(row.doclens_vb))
+                pks = ids // span            # nondecreasing (ids sorted)
+                cut = np.flatnonzero(np.diff(pks)) + 1
+                for sub_i, sub_t, sub_d in zip(np.split(ids, cut),
+                                               np.split(tfs, cut),
+                                               np.split(dls, cut)):
+                    out["term"].append(row.term)
+                    out["min_docid"].append(int(sub_i[0]))
+                    out["max_docid"].append(int(sub_i[-1]))
+                    out["max_tf"].append(int(sub_t.max()))
+                    out["min_doclen"].append(int(sub_d.min()))
+                    out["docids_vb"].append(
+                        varbyte_encode(np.diff(sub_i, prepend=0)))
+                    out["tfs_vb"].append(varbyte_encode(sub_t))
+                    out["doclens_vb"].append(varbyte_encode(sub_d))
+                    out["pk"].append(int(sub_i[0]) // span)
+            if out["term"]:
+                yield pd.DataFrame(out)
+
+    return kern
+
+
+def _blocks_by_pk(segments: DataFrame, terms: list[str], field: str,
+                  stride: int, spp: int) -> DataFrame:
+    """Blocks of the queried terms, one row per (block, pk) with NO
+    corpus-size-dependent duplication.
+
+    The r1-r4 shape exploded each block over every STRIDE its
+    [min_docid, max_docid] span overlaps. Fine for dense blocks (span
+    ≈ 1 stride), quadratically wrong for sparse ones: a rare term's
+    single ≤128-posting block legitimately spans the whole docid range,
+    so at 10^9 docs its bytes rode the exchange n_strides ≈ 244k times
+    (~190 MB per rare term per query batch). Now:
+
+    * blocks spanning ≤2 pk groups (the overwhelming majority — dense
+      and mid-frequency runs) ship whole, once per overlapped pk;
+    * wider blocks are SPLIT map-side into per-pk sub-blocks
+      (`_split_wide_kernel`) — shuffle bytes bounded by the postings
+      themselves, one row per pk that actually contains a posting.
+
+    The scoring kernel derives stride membership inside the task from
+    block [min,max] metadata (strides of its own pk only, so a 2-pk
+    narrow block is scored exactly once per posting globally)."""
+    span = stride * spp
+    base = (segments
+            .where((F.col("field") == field) & F.col("term").isin(terms))
+            .select(*_BLOCK_COLS)
+            .withColumn("pk0", (F.col("min_docid") / span).cast("long"))
+            .withColumn("pk1", (F.col("max_docid") / span).cast("long")))
+    narrow = (base.where(F.col("pk1") - F.col("pk0") <= 1)
+              .withColumn("pk", F.explode(F.sequence("pk0", "pk1")))
+              .drop("pk0", "pk1"))
+    wide = (base.where(F.col("pk1") - F.col("pk0") > 1)
+            .drop("pk0", "pk1")
+            .mapInPandas(_split_wide_kernel(span),
+                         schema=_BLOCK_SCHEMA_PK))
+    return narrow.unionByName(wide)
 
 
 def bm25_wand_topk(segments: DataFrame, terms: list[str],
@@ -116,38 +205,60 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
     k1, b = p.k1, p.b
 
     spp = _strides_per_part(segments.sparkSession, n_docs, stride)
-    blocks = (segments
-              .where((F.col("field") == field) & F.col("term").isin(terms))
-              .select("term", "min_docid", "max_docid", "max_tf",
-                      "min_doclen", "docids_vb", "tfs_vb", "doclens_vb"))
-    # stride assignment: one row per (block, overlapped stride)
-    blocks = (blocks
-              .withColumn("s0", (F.col("min_docid") / stride).cast("long"))
-              .withColumn("s1", (F.col("max_docid") / stride).cast("long"))
-              .withColumn("stride",
-                          F.explode(F.sequence(F.col("s0"), F.col("s1"))))
-              .withColumn("pk", (F.col("stride") / spp).cast("long"))
-              .drop("s0", "s1"))
+    blocks = _blocks_by_pk(segments, terms, field, stride, spp)
 
     idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
     stride_w = stride
 
     def score_partition(pdf: pd.DataFrame,
-                        deleted_b: np.ndarray | None) -> pd.DataFrame:
+                        deleted_b: np.ndarray | None,
+                        pk: int) -> pd.DataFrame:
         if pdf is None or len(pdf) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
+        mins = pdf["min_docid"].to_numpy(np.int64)
+        maxs = pdf["max_docid"].to_numpy(np.int64)
+        terms_a = pdf["term"].to_numpy(object)
+        mtf_a = pdf["max_tf"].to_numpy(np.float64)
+        mdl_a = pdf["min_doclen"].to_numpy(np.float64)
+        vb_i = pdf["docids_vb"].to_numpy(object)
+        vb_t = pdf["tfs_vb"].to_numpy(object)
+        vb_d = pdf["doclens_vb"].to_numpy(object)
+        # per-row bound contribution from block metadata (monotone:
+        # tf/(tf+c) increases in tf, decreases in doclen) — per-row is
+        # TIGHTER than the old per-stride (max tf, min doclen) pairing
+        # and still an upper bound for every posting the row holds
+        tfw_a = mtf_a / (mtf_a + k1 * (1 - b + b * mdl_a / avglen))
+        cache: dict[int, tuple] = {}
+
+        def decode(i: int):
+            """Decode a block ONCE per task (the old kernel re-decoded
+            once per overlapped stride); weights are posting-local so
+            they are precomputed here too."""
+            c = cache.get(i)
+            if c is None:
+                ids = np.cumsum(varbyte_decode(bytes(vb_i[i])))
+                tfs = varbyte_decode(bytes(vb_t[i])).astype(np.float64)
+                dls = varbyte_decode(bytes(vb_d[i])).astype(np.float64)
+                w = tfs / (tfs + k1 * (1 - b + b * dls / avglen))
+                cache[i] = c = (ids, w)
+            return c
+
         theta = -1.0
         top_ids = np.empty(0, dtype=np.int64)
         top_sc = np.empty(0, dtype=np.float64)
-        for stride, grp in pdf.groupby("stride", sort=True):
+        for s in range(pk * spp, (pk + 1) * spp):
+            lo, hi = s * stride_w, (s + 1) * stride_w
+            sel = np.flatnonzero((mins < hi) & (maxs >= lo))
+            if sel.size == 0:
+                continue
             # block-max upper bound for this stride
-            bound = 0.0
-            for t, g in grp.groupby("term", sort=False):
-                mtf = float(g["max_tf"].max())
-                mdl = float(g["min_doclen"].min())
-                tfw = mtf / (mtf + k1 * (1 - b + b * mdl / avglen))
-                bound += idf_b[t] * tfw
+            best: dict[str, float] = {}
+            for i in sel:
+                t = terms_a[i]
+                if tfw_a[i] > best.get(t, 0.0):
+                    best[t] = tfw_a[i]
+            bound = sum(idf_b[t] * v for t, v in best.items())
             if len(top_ids) >= k and bound < theta:
                 # skip without decoding — the block-max prune
                 # (strict <: a stride tying θ may still win the doc-id
@@ -155,21 +266,21 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
                 if prune_counter is not None:
                     prune_counter.add(1)
                 continue
-            lo, hi = int(stride) * stride_w, (int(stride) + 1) * stride_w
             ids_all, sc_all = [], []
-            for row in grp.itertuples(index=False):
-                ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
-                mask = (ids >= lo) & (ids < hi)
-                if deleted_b is not None:
-                    mask &= ~np.isin(ids, deleted_b, assume_unique=False)
-                if not mask.any():
+            for i in sel:
+                ids, w = decode(i)
+                a = int(np.searchsorted(ids, lo, side="left"))
+                z = int(np.searchsorted(ids, hi, side="left"))
+                if a == z:
                     continue
-                tfs = varbyte_decode(bytes(row.tfs_vb))[mask].astype(np.float64)
-                dls = varbyte_decode(bytes(row.doclens_vb))[mask].astype(np.float64)
-                w = idf_b[row.term] * tfs / (
-                    tfs + k1 * (1 - b + b * dls / avglen))
-                ids_all.append(ids[mask])
-                sc_all.append(w)
+                sids, sw = ids[a:z], w[a:z]
+                if deleted_b is not None:
+                    keep = ~np.isin(sids, deleted_b, assume_unique=False)
+                    if not keep.any():
+                        continue
+                    sids, sw = sids[keep], sw[keep]
+                ids_all.append(sids)
+                sc_all.append(idf_b[terms_a[i]] * sw)
             if not ids_all:
                 continue
             ids_c = np.concatenate(ids_all)
@@ -232,7 +343,8 @@ def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
     blocks = blocks.repartition(n_part, "pk")
     if deleted is None:
         return (blocks.groupBy("pk")
-                .applyInPandas(lambda key, g: score_fn(g, None),
+                .applyInPandas(lambda key, g: score_fn(g, None,
+                                                       int(key[0])),
                                schema=schema))
     tomb = (deleted
             .withColumn("pk", ((F.col("doc_id") / stride).cast("long")
@@ -240,10 +352,10 @@ def _apply_with_tombstones(blocks: DataFrame, deleted, stride: int,
             .select("pk", "doc_id")
             .repartition(n_part, "pk"))
 
-    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def run(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         dels = (np.sort(right["doc_id"].to_numpy(np.int64))
                 if len(right) else None)
-        return score_fn(left, dels)
+        return score_fn(left, dels, int(key[0]))
 
     return (blocks.groupBy("pk").cogroup(tomb.groupBy("pk"))
             .applyInPandas(run, schema=schema))
@@ -289,37 +401,54 @@ def bm25_wand_topk_many(segments: DataFrame,
     k1, b = p.k1, p.b
 
     spp = _strides_per_part(spark, n_docs, stride)
-    blocks = (segments
-              .where((F.col("field") == field) & F.col("term").isin(terms))
-              .select("term", "min_docid", "max_docid", "max_tf",
-                      "min_doclen", "docids_vb", "tfs_vb", "doclens_vb")
-              .withColumn("s0", (F.col("min_docid") / stride).cast("long"))
-              .withColumn("s1", (F.col("max_docid") / stride).cast("long"))
-              .withColumn("stride",
-                          F.explode(F.sequence(F.col("s0"), F.col("s1"))))
-              .withColumn("pk", (F.col("stride") / spp).cast("long"))
-              .drop("s0", "s1"))
+    blocks = _blocks_by_pk(segments, terms, field, stride, spp)
 
     idf_b = {q: dict(m) for q, m in idf_q.items()}
     stride_w = stride
 
     def score_partition(pdf: pd.DataFrame,
-                        deleted_b: np.ndarray | None) -> pd.DataFrame:
+                        deleted_b: np.ndarray | None,
+                        pk: int) -> pd.DataFrame:
         empty = pd.DataFrame({"qid": pd.Series(dtype="object"),
                               "doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if pdf is None or len(pdf) == 0:
             return empty
+        mins = pdf["min_docid"].to_numpy(np.int64)
+        maxs = pdf["max_docid"].to_numpy(np.int64)
+        terms_a = pdf["term"].to_numpy(object)
+        mtf_a = pdf["max_tf"].to_numpy(np.float64)
+        mdl_a = pdf["min_doclen"].to_numpy(np.float64)
+        vb_i = pdf["docids_vb"].to_numpy(object)
+        vb_t = pdf["tfs_vb"].to_numpy(object)
+        vb_d = pdf["doclens_vb"].to_numpy(object)
+        tfw_a = mtf_a / (mtf_a + k1 * (1 - b + b * mdl_a / avglen))
+        cache: dict[int, tuple] = {}
+
+        def decode(i: int):
+            c = cache.get(i)
+            if c is None:
+                ids = np.cumsum(varbyte_decode(bytes(vb_i[i])))
+                tfs = varbyte_decode(bytes(vb_t[i])).astype(np.float64)
+                dls = varbyte_decode(bytes(vb_d[i])).astype(np.float64)
+                w = tfs / (tfs + k1 * (1 - b + b * dls / avglen))
+                cache[i] = c = (ids, w)
+            return c
+
         state = {q: {"theta": -1.0,
                      "ids": np.empty(0, np.int64),
                      "sc": np.empty(0, np.float64)} for q in idf_b}
-        for stride, grp in pdf.groupby("stride", sort=True):
+        for s in range(pk * spp, (pk + 1) * spp):
+            lo, hi = s * stride_w, (s + 1) * stride_w
+            sel = np.flatnonzero((mins < hi) & (maxs >= lo))
+            if sel.size == 0:
+                continue
             # per-term block-max tf-weight bound, shared by all queries
             tb: dict[str, float] = {}
-            for t, g in grp.groupby("term", sort=False):
-                mtf = float(g["max_tf"].max())
-                mdl = float(g["min_doclen"].min())
-                tb[t] = mtf / (mtf + k1 * (1 - b + b * mdl / avglen))
+            for i in sel:
+                t = terms_a[i]
+                if tfw_a[i] > tb.get(t, 0.0):
+                    tb[t] = tfw_a[i]
             live = [q for q, st_ in state.items()
                     if any(t in tb for t in idf_b[q])
                     and (len(st_["ids"]) < k
@@ -327,24 +456,25 @@ def bm25_wand_topk_many(segments: DataFrame,
                                 if t in tb) >= st_["theta"])]
             if not live:
                 continue
-            lo, hi = int(stride) * stride_w, (int(stride) + 1) * stride_w
-            # decode each term's blocks ONCE; share across queries
+            # slice each block's task-cached decode; share across queries
             dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-            for row in grp.itertuples(index=False):
-                ids = np.cumsum(varbyte_decode(bytes(row.docids_vb)))
-                mask = (ids >= lo) & (ids < hi)
-                if deleted_b is not None:
-                    mask &= ~np.isin(ids, deleted_b)
-                if not mask.any():
+            for i in sel:
+                ids, w = decode(i)
+                a = int(np.searchsorted(ids, lo, side="left"))
+                z = int(np.searchsorted(ids, hi, side="left"))
+                if a == z:
                     continue
-                tfs = varbyte_decode(bytes(row.tfs_vb))[mask].astype(np.float64)
-                dls = varbyte_decode(bytes(row.doclens_vb))[mask] \
-                    .astype(np.float64)
-                tfw = tfs / (tfs + k1 * (1 - b + b * dls / avglen))
-                prev = dec.get(row.term)
-                dec[row.term] = ((np.concatenate([prev[0], ids[mask]]),
-                                  np.concatenate([prev[1], tfw]))
-                                 if prev else (ids[mask], tfw))
+                sids, sw = ids[a:z], w[a:z]
+                if deleted_b is not None:
+                    keep = ~np.isin(sids, deleted_b)
+                    if not keep.any():
+                        continue
+                    sids, sw = sids[keep], sw[keep]
+                t = terms_a[i]
+                prev = dec.get(t)
+                dec[t] = ((np.concatenate([prev[0], sids]),
+                           np.concatenate([prev[1], sw]))
+                          if prev else (sids, sw))
             if not dec:
                 continue
             for q in live:
