@@ -1044,12 +1044,18 @@ cores. Bin width is 8× cores, not the zipper's 2×: the pk groups are
 few and equal-weight at this corpus size (61), so 2×-cores hash bins
 turn collisions into stragglers (48q@32c measured 5.39 s at 2× vs
 4.48 s at 8×; neutral at 8 cores; irrelevant at production group
-counts). Weak-table provenance: bm25/indri per-arm min across 4 solo
-`--weak-only` runs (r5 A-D; those paths were code-identical
-throughout), DAAT across the 2 runs at final code (C, D) — the r4
-runB weak arms and r5 A/B DAAT arms predate the fixes and are
-excluded (raw JSONs all archived in BENCH/runs/). All three arms —
-including the north-star BM25 — meet the ≥0.75 bar.
+counts). A second r5 change bounds the exchange VOLUME: blocks ship
+once per overlapped pk (not once per overlapped stride), and sparse
+blocks spanning >2 pks are split map-side into per-pk sub-blocks —
+shuffle bytes bounded by the postings themselves at any corpus size
+(the old per-stride explode shipped a rare term's block ~n_strides
+times: ~190 MB/term at 10^9 docs). Weak-table provenance: bm25/indri
+per-arm min across 6 solo `--weak-only` runs (r5 A-F; the
+`search_many` paths were code-identical throughout), DAAT across the
+2 runs at final kernel code (E, F) — the r4 runB weak arms and the r5
+A-D DAAT arms predate the two fixes and are excluded (raw JSONs all
+archived in BENCH/runs/). All three arms — including the north-star
+BM25 — meet the ≥0.75 bar.
 """
 
 
