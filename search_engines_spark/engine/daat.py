@@ -129,7 +129,7 @@ def _split_wide_kernel(span: int):
 
 
 def _blocks_by_pk(segments: DataFrame, terms: list[str], field: str,
-                  stride: int, spp: int) -> DataFrame:
+                  stride: int, spp: int, n_docs: int = 0) -> DataFrame:
     """Blocks of the queried terms, one row per (block, pk) with NO
     corpus-size-dependent duplication.
 
@@ -155,6 +155,14 @@ def _blocks_by_pk(segments: DataFrame, terms: list[str], field: str,
             .select(*_BLOCK_COLS)
             .withColumn("pk0", (F.col("min_docid") / span).cast("long"))
             .withColumn("pk1", (F.col("max_docid") / span).cast("long")))
+    if n_docs and n_docs <= 3 * span:
+        # ≤3 pk groups exist in the whole corpus → no block can span
+        # >2 pks... except one touching pks {0,1,2}; route everything
+        # through the narrow explode (≤3 copies, bounded) and skip the
+        # wide branch's extra scan+Arrow stage — at interactive corpus
+        # sizes that stage is pure scheduler-floor cost on every batch
+        return (base.withColumn("pk", F.explode(F.sequence("pk0", "pk1")))
+                .drop("pk0", "pk1"))
     narrow = (base.where(F.col("pk1") - F.col("pk0") <= 1)
               .withColumn("pk", F.explode(F.sequence("pk0", "pk1")))
               .drop("pk0", "pk1"))
@@ -205,7 +213,7 @@ def bm25_wand_topk(segments: DataFrame, terms: list[str],
     k1, b = p.k1, p.b
 
     spp = _strides_per_part(segments.sparkSession, n_docs, stride)
-    blocks = _blocks_by_pk(segments, terms, field, stride, spp)
+    blocks = _blocks_by_pk(segments, terms, field, stride, spp, n_docs)
 
     idf_b = dict(idf)  # captured in the UDF closure (broadcast via pickle)
     stride_w = stride
@@ -401,7 +409,7 @@ def bm25_wand_topk_many(segments: DataFrame,
     k1, b = p.k1, p.b
 
     spp = _strides_per_part(spark, n_docs, stride)
-    blocks = _blocks_by_pk(segments, terms, field, stride, spp)
+    blocks = _blocks_by_pk(segments, terms, field, stride, spp, n_docs)
 
     idf_b = {q: dict(m) for q, m in idf_q.items()}
     stride_w = stride
